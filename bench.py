@@ -1,0 +1,81 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Method mirrors BASELINE.md: one shared SparkSession, one warm-up execution
+per query, then a timed run (wall clock around the collecting action).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_ROOT)
+
+# Queries that exercise the engine's breadth: scan+agg, multi-join, window
+# functions, event-time windowing, dedup/text/similarity north-stars.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_join_agg",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "tumbling_hourly_events",
+    "sliding_windows_events",
+    "session_windows_events",
+    "topk_per_group",
+    "distinct_event_users",
+    "cogroup_customer_orders",
+]
+
+
+def _run(df) -> int:
+    # count via collect-less action would skip result materialization;
+    # driver-side list realization matches BASELINE's method.
+    return len(df.collect())
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    match = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(match.group(1)) if match else None
+
+    from dataflowjavasdk_spark.queries import all_queries
+    from dataflowjavasdk_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", shuffle_partitions=32)
+    qs = all_queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        # Build the plan once; warm-up executes it (JIT, code cache, file
+        # listing), the timed run measures steady-state execution — the
+        # same method as BASELINE.md ("1 warm-up, then timed collect()").
+        df = qs[name](spark, sf_dir)
+        _run(df)
+        t0 = time.perf_counter()
+        _run(df)
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_warm_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,421 @@
+"""Relational queries over the TPC-H-ish star schema: the GroupByKey /
+Combine / Join / Top surface of the reference (SURVEY.md §2.2-§2.3),
+expressed as the acceptance-query corpus.
+
+Scale notes per query are inline. General posture: dimension tables
+(region/nation/customer/supplier/part at TPC-H ratios) are broadcast; fact
+tables (lineitem/orders) shuffle at most once per query; all filters are
+Column expressions so Catalyst pushes them into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from dataflowjavasdk_spark.queries.helpers import (
+    SQL_CHARGE,
+    SQL_DISC_PRICE,
+    charge,
+    davg,
+    disc_price,
+    dsum,
+    sql_dsum,
+)
+from dataflowjavasdk_spark.queries.registry import query
+from dataflowjavasdk_spark.sources.tables import load_table
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 12, 2)} AS sum_qty,
+           {sql_dsum('l_extendedprice', 18, 2)} AS sum_base_price,
+           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({SQL_CHARGE}) AS DOUBLE) AS sum_charge,
+           {sql_dsum('l_quantity', 12, 2)} / count(*) AS avg_qty,
+           {sql_dsum('l_extendedprice', 18, 2)} / count(*) AS avg_price,
+           {sql_dsum('l_discount', 4, 2)} / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: filter + 2-key groupBy + 7 aggregates.
+
+    Reference surface: Filter.by + GroupByKey + Combine.perKey (historical
+    sdk/transforms/{Filter,GroupByKey,Combine}.java). Combiner lifting ≡
+    Spark's partial/final HashAggregate — map-side combine before the single
+    shuffle; the shipdate filter and 7-column projection push into the scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", 12, 2).alias("sum_qty"),
+            dsum("l_extendedprice", 18, 2).alias("sum_base_price"),
+            F.sum(disc_price()).cast("double").alias("sum_disc_price"),
+            F.sum(charge()).cast("double").alias("sum_charge"),
+            davg("l_quantity", 12, 2).alias("avg_qty"),
+            davg("l_extendedprice", 18, 2).alias("avg_price"),
+            davg("l_discount", 4, 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_join_agg",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-table join + filter + groupBy + top-10 by revenue.
+
+    Reference: the CoGroupByKey join pattern (historical
+    contrib/join-library Join.java + cookbook/JoinExamples.java) — but
+    Catalyst plans it: customer (small, filtered) broadcasts into orders,
+    the orders⋈lineitem equi-join shuffles on orderkey once. Top-10 plans
+    as TakeOrderedAndProject (bounded heap per partition — Top.java's exact
+    algorithm, historical sdk/transforms/Top.java).
+    """
+    cu = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_revenue",
+    oracle=f"""
+    SELECT n_name, CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: 6-table join, revenue per nation within one region.
+
+    All four dimension tables broadcast (region 5 rows → supplier ~1k/sf);
+    the only shuffles are fact⋈fact on orderkey and the final 25-group agg.
+    """
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(
+            F.broadcast(su),
+            (li.l_suppkey == su.s_suppkey) & (cu.c_nationkey == su.s_nationkey),
+        )
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure filter + global aggregate — Filter.by +
+    Combine.globally (historical sdk/transforms/Combine.java
+    Combine.globally). All four predicates push into the parquet scan;
+    zero shuffle (partial aggs reduce to one row)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * F.col("l_discount").cast("decimal(4,2)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "join_left_outer_customer_orders",
+    oracle="""
+    SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+           CAST(SUM(CAST(COALESCE(o_totalprice, 0) AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_left_outer_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join.leftOuterJoin (historical contrib/join-library Join.java):
+    customers with zero orders survive with NULL order side (the
+    reference's explicit nullValue sentinel → SQL NULL)."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0)).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "join_semi_anti_counts",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n_with_orders,
+      (SELECT count(*) FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_without_orders
+    """,
+)
+def join_semi_anti_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi / left_anti joins — absent in the reference (hand-rolled
+    via CoGBK there; SURVEY.md §2.3 flags them as free in Spark)."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    semi = cu.join(od, cu.c_custkey == od.o_custkey, "left_semi").count()
+    anti = cu.join(od, cu.c_custkey == od.o_custkey, "left_anti").count()
+    return spark.createDataFrame(
+        [(semi, anti)], "n_with_orders bigint, n_without_orders bigint"
+    )
+
+
+@query(
+    "cogroup_customer_orders",
+    oracle="""
+    WITH o AS (SELECT o_custkey, count(*) AS n_orders,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                        AS total_spend
+               FROM orders GROUP BY o_custkey)
+    SELECT c_custkey, c_nationkey,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(total_spend, 0.0) AS total_spend
+    FROM customer LEFT JOIN o ON c_custkey = o_custkey
+    """,
+)
+def cogroup_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CoGroupByKey (historical sdk/transforms/join/CoGroupByKey.java +
+    CoGbkResult.java): per key, the tuple of iterables from both sides —
+    here reduced per-group. Implemented relationally (aggregate-then-join)
+    rather than materializing iterables: at 100 TB, collect_list on the big
+    side is the anti-pattern; pre-aggregation keeps the shuffle narrow."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    per_cust = od.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(
+            "total_spend"
+        ),
+    )
+    return cu.join(per_cust, cu.c_custkey == per_cust.o_custkey, "left").select(
+        "c_custkey",
+        "c_nationkey",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    WITH sums AS (
+      SELECT event_type, user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY event_type, user_id
+    ),
+    ranked AS (
+      SELECT event_type, user_id, sum_value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY sum_value DESC, user_id) AS rk
+      FROM sums
+    )
+    SELECT event_type, user_id, sum_value, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top.perKey(3) (historical sdk/transforms/Top.java): bounded-heap
+    per-key top-k → window row_number ≤ k. Two shuffles (agg, then window
+    partition) — at scale the row_number input is already one row per
+    (type,user), orders of magnitude smaller than the events fact."""
+    ev = load_table(spark, sf_dir, "events")
+    sums = ev.groupBy("event_type", "user_id").agg(dsum("value").alias("sum_value"))
+    w = W.partitionBy("event_type").orderBy(F.col("sum_value").desc(), F.col("user_id"))
+    return sums.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+
+
+@query(
+    "top_global_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def top_global_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top.largest(20) (historical sdk/transforms/Top.java): global top-k.
+    Plans as TakeOrderedAndProject — per-partition bounded heaps merged on
+    the driver; never a full sort at scale."""
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "count_per_key_events",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           CAST(min(value) AS DOUBLE) AS min_value,
+           CAST(max(value) AS DOUBLE) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def count_per_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count.perKey + Min/Max.perKey (historical sdk/transforms/
+    {Count,Min,Max}.java). min/max of doubles are order-independent —
+    no decimal cast needed."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@query(
+    "count_per_element_priority",
+    oracle="""
+    SELECT o_orderpriority AS element, count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def count_per_element_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count.perElement (historical sdk/transforms/Count.java) — the value
+    histogram: groupBy(value).count()."""
+    od = load_table(spark, sf_dir, "orders")
+    return od.groupBy(F.col("o_orderpriority").alias("element")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "distinct_event_users",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def distinct_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RemoveDuplicates (historical sdk/transforms/RemoveDuplicates.java):
+    distinct() — hash-aggregate on all columns, map-side partial dedup
+    before the shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").distinct()
+
+
+@query("approx_distinct_users", oracle=None)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ApproximateUnique.globally (historical sdk/transforms/
+    ApproximateUnique.java, sample-space heap sketch) → HyperLogLog++
+    (approx_count_distinct). No oracle: sketch estimates are
+    engine-specific; driver records rows-only. Accuracy is unit-tested
+    against the exact count in tests/ instead."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+
+
+@query(
+    "grouped_stats_nation",
+    oracle="""
+    SELECT c_nationkey,
+           count(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+             AS mean_acctbal,
+           CAST(min(c_acctbal) AS DOUBLE) AS min_acctbal,
+           CAST(max(c_acctbal) AS DOUBLE) AS max_acctbal
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def grouped_stats_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sum/Mean/Min/Max.perKey in one pass (historical sdk/transforms/
+    {Sum,Mean,Min,Max}.java) — Combine.perKey fusion: all four accumulators
+    share one shuffle, as the Dataflow service's combiner lifting would."""
+    cu = load_table(spark, sf_dir, "customer")
+    return cu.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal", 12, 2).alias("sum_acctbal"),
+        davg("c_acctbal", 12, 2).alias("mean_acctbal"),
+        F.min("c_acctbal").alias("min_acctbal"),
+        F.max("c_acctbal").alias("max_acctbal"),
+    )

@@ -1,0 +1,181 @@
+"""Event-time windowing queries (SURVEY.md §2.7) on the `events` table.
+
+The reference's signature feature: Window.into(WindowFn) + per-key-per-window
+grouping (historical sdk/transforms/windowing/*.java; Dataflow VLDB 2015
+§2.2). Batch equivalents here; the same window expressions feed the
+streaming layer unchanged (unified model).
+
+Scale notes: window assignment is a pure projection (no shuffle); the single
+shuffle is the groupBy on (window, key), which AQE coalesces. Sliding
+windows multiply rows by size/period before the shuffle — that fan-out is
+map-side and pipelined, never materialized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataflowjavasdk_spark.queries.helpers import dsum, sql_dsum
+from dataflowjavasdk_spark.queries.registry import query
+from dataflowjavasdk_spark.sources.tables import load_table
+
+
+@query(
+    "tumbling_hourly_events",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP — FixedWindows.of(1h) + Count/Sum per key per window.
+
+    The WindowedWordCount of this engine (reference example
+    examples/WindowedWordCount.java; FixedWindows: historical
+    sdk/transforms/windowing/FixedWindows.java).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "sliding_windows_events",
+    oracle=f"""
+    WITH offsets AS (SELECT unnest(range(0, 4)) AS k),
+    assigned AS (
+      SELECT date_trunc('minute', ts)
+               - (EXTRACT(minute FROM ts)::BIGINT % 15) * INTERVAL 1 MINUTE
+               - (15 * k) * INTERVAL 1 MINUTE AS window_start,
+             value
+      FROM events, offsets
+    )
+    SELECT window_start,
+           window_start + 60 * INTERVAL 1 MINUTE AS window_end,
+           count(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+)
+def sliding_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SlidingWindows.of(60 min).every(15 min) — each element lands in 4
+    windows (historical sdk/transforms/windowing/SlidingWindows.java).
+
+    Spark's F.window(ts, size, slide) does the 1→4 assignment as a
+    generator projection before the shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "60 minutes", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "session_windows_events",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def session_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions.withGapDuration(30 min) — merging windows per key
+    (historical sdk/transforms/windowing/Sessions.java; Dataflow 2015 §2.2).
+
+    Batch implementation: F.session_window (native gap-merge at GBK time,
+    exactly the reference's merge-on-group semantics). The oracle is the
+    classic lag/cumsum sessionization, which is the SQL-expressible
+    definition of the same windows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "calendar_day_events",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+           count(*) AS n_events, {sql_dsum('value')} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def calendar_day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CalendarWindows.days(1) — calendar-aligned windows (historical
+    sdk/transforms/windowing/CalendarWindows.java). No Spark built-in for
+    calendar windows: the window struct is derived with date_trunc
+    expressions (SURVEY.md §4.2)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+    )
+
+
+@query(
+    "global_window_events",
+    oracle=f"""
+    SELECT count(*) AS n_events,
+           {sql_dsum('value')} AS sum_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    """,
+)
+def global_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GlobalWindows + Combine.globally — the batch default window
+    (historical sdk/transforms/windowing/GlobalWindows.java): plain global
+    aggregate, no window column."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -1,0 +1,92 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+The reference's Pipeline/runner split (README.md:19; historical
+sdk/Pipeline.java, sdk/runners/DataflowPipelineRunner.java) maps to a
+SparkSession + lazily built DataFrame plans; this module is the
+"PipelineOptions" analog: one place where execution posture is configured.
+
+Scale posture (100 TB target, SURVEY.md §7 P8):
+- AQE on: runtime re-planning (partition coalescing, skew-join splitting)
+  replaces the Dataflow service's dynamic work rebalancing as closely as
+  Spark allows.
+- Broadcast joins for small dimension tables (service-side "side input"
+  optimization analog).
+- Arrow-batched Python boundary: any unavoidable Python runs vectorized.
+- Session timezone pinned to UTC so event-time semantics are stable across
+  driver/executor locales.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs applied to ANY session we are handed (including
+# the driver's own session in __spark_entry__.py). Static confs must go
+# through get_spark() instead.
+_RUNTIME_CONFS: dict[str, str] = {
+    # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+    # rejects outright; read as bigint nanos instead (see FIXTURES.md).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Adaptive execution: coalesce small shuffle partitions, split skewed
+    # ones — the closest Spark gets to Dataflow liquid sharding.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Deterministic event-time arithmetic regardless of host locale.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow transfer for every pandas_udf / mapInPandas / applyInPandas.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime confs to an existing session.
+
+    Used when the caller (e.g. the verification driver) owns the session.
+    Unknown/static confs are skipped rather than raised so this is safe on
+    any Spark build.
+    """
+    for key, value in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # static conf or removed in this Spark build
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "dataflowjavasdk-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    local[N] here; on a real cluster the same confs apply and `master` is
+    supplied by spark-submit. `shuffle_partitions` defaults to 2×cores
+    locally; at 100 TB you would size it so post-shuffle partitions land
+    near 128-256 MB (or simply trust AQE coalescing, which is enabled).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for key, value in _RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    for key, value in (extra_confs or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    # getOrCreate may have returned a pre-existing session whose builder
+    # confs were ignored — re-apply the runtime set.
+    return configure_session(spark)

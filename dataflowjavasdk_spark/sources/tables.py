@@ -1,0 +1,62 @@
+"""Bounded sources over the driver's parquet fixtures.
+
+The reference's bounded-source surface (historical sdk/io/BoundedSource.java,
+sdk/io/FileBasedSource.java — size estimation, initial splitting) is
+subsumed by Spark's parquet DataSource: splittable columnar scans with
+predicate pushdown + column pruning, which the reference model could never
+do (its elements are opaque to the runner; SURVEY.md §4.1).
+
+Load-bearing detail: `events.ts` is parquet TIMESTAMP(NANOS). Spark rejects
+it; with spark.sql.legacy.parquet.nanosAsLong=true it reads as bigint
+nanoseconds. We convert with integer `ts DIV 1000` — NOT float division:
+epoch-nanos ≈ 1.7e18 exceeds double's 53-bit mantissa, so `ts/1000` can be
+off by ~1 µs, silently diverging from DuckDB's (truncating) nanos→micros
+read of the same file.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dataflowjavasdk_spark.session import configure_session
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table, normalizing event-time columns.
+
+    Returns a plain DataFrame: filters/projections applied downstream are
+    pushed into the parquet scan by Catalyst (verify via .explain —
+    PushedFilters/ReadSchema).
+    """
+    from pyspark.sql import functions as F
+
+    configure_session(spark)  # nanosAsLong etc. even on a foreign session
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # bigint nanos → microsecond timestamp, integer math only.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str | None = None, names: tuple[str, ...] = TABLE_NAMES
+) -> dict[str, DataFrame]:
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    return {name: load_table(spark, sf_dir, name) for name in names}

@@ -1,0 +1,136 @@
+"""Local mimic of the driver's correctness gate (SURVEY.md §5.2).
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given sf dir, then compares row count, sorted column names,
+and order-insensitive values (columns sorted by name, rows sorted). Exact
+equality is required — the engine's exact-decimal discipline makes even
+double aggregates bit-identical. Floats that differ are reported with max
+abs diff so near-misses are diagnosable.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
+
+
+def _norm(v):
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v
+
+
+def _sortable(row):
+    return tuple(str(v) for v in row)
+
+
+def compare(spark_rows, spark_cols, duck_rows, duck_cols):
+    issues = []
+    if len(spark_rows) != len(duck_rows):
+        issues.append(f"rowcount spark={len(spark_rows)} oracle={len(duck_rows)}")
+    s_cols = sorted(spark_cols)
+    d_cols = sorted(duck_cols)
+    if s_cols != d_cols:
+        issues.append(f"schema spark={s_cols} oracle={d_cols}")
+        return issues, None
+    s_idx = [spark_cols.index(c) for c in s_cols]
+    d_idx = [duck_cols.index(c) for c in d_cols]
+    s_sorted = sorted(
+        ([_norm(r[i]) for i in s_idx] for r in spark_rows), key=_sortable
+    )
+    d_sorted = sorted(
+        ([_norm(r[i]) for i in d_idx] for r in duck_rows), key=_sortable
+    )
+    if s_sorted == d_sorted:
+        return issues, 0.0
+    # Diagnose: max float diff across aligned rows, first differing cell.
+    max_diff = 0.0
+    n_bad = 0
+    first = None
+    for rs, rd in zip(s_sorted, d_sorted):
+        for c, (a, b) in zip(s_cols, zip(rs, rd)):
+            if a == b:
+                continue
+            if isinstance(a, float) and isinstance(b, float):
+                max_diff = max(max_diff, abs(a - b))
+            n_bad += 1
+            if first is None:
+                first = f"col={c} spark={a!r} oracle={b!r}"
+    issues.append(f"values: {n_bad} differing cells, max_float_diff={max_diff:.3e}, first: {first}")
+    return issues, max_diff
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from dataflowjavasdk_spark.session import get_spark
+
+    spark = get_spark(shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_cols = sdf.columns
+            spark_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {exc}")
+            failed.append(name)
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"ok?  {name}: rows-only ({len(spark_rows)} rows, {time.time()-t0:.2f}s)")
+            if not spark_rows:
+                print(f"WARN {name}: zero rows")
+            continue
+        try:
+            cur = con.execute(sql)
+            duck_cols = [d[0] for d in cur.description]
+            duck_rows = cur.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: oracle error: {exc}")
+            failed.append(name)
+            continue
+        issues, _ = compare(spark_rows, spark_cols, duck_rows, duck_cols)
+        if issues:
+            print(f"FAIL {name}: " + "; ".join(issues))
+            failed.append(name)
+        else:
+            print(f"PASS {name} ({len(spark_rows)} rows, {time.time()-t0:.2f}s)")
+    print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
