@@ -1,0 +1,110 @@
+"""Joins, CoGroupByKey, and side-input Views (SURVEY.md §2.3).
+
+Reference: all joins are equi-joins built on CoGBK (historical
+contrib/join-library Join.java, sdk/transforms/join/CoGroupByKey.java +
+CoGbkResult.java); side inputs are broadcast-style views (sdk/transforms/
+View.java). Spark's optimizer picks broadcast/shuffle-hash/sort-merge per
+side statistics — strictly stronger than the reference's always-shuffle
+CoGBK; we add explicit broadcast for dimension-sized sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class Join:
+    """contrib/join-library Join.{inner,leftOuter,rightOuter,fullOuter}Join.
+
+    The reference takes an explicit nullValue sentinel for outer joins
+    (Java can't null primitives); SQL NULL replaces it.
+    """
+
+    @staticmethod
+    def inner(left: DataFrame, right: DataFrame, on) -> DataFrame:
+        return left.join(right, on, "inner")
+
+    @staticmethod
+    def left_outer(left: DataFrame, right: DataFrame, on) -> DataFrame:
+        return left.join(right, on, "left")
+
+    @staticmethod
+    def right_outer(left: DataFrame, right: DataFrame, on) -> DataFrame:
+        return left.join(right, on, "right")
+
+    @staticmethod
+    def full_outer(left: DataFrame, right: DataFrame, on) -> DataFrame:
+        return left.join(right, on, "full")
+
+    @staticmethod
+    def semi(left: DataFrame, right: DataFrame, on) -> DataFrame:
+        """Absent in the reference (hand-rolled via CoGBK there); free here."""
+        return left.join(right, on, "left_semi")
+
+    @staticmethod
+    def anti(left: DataFrame, right: DataFrame, on) -> DataFrame:
+        return left.join(right, on, "left_anti")
+
+
+def co_group_by_key(
+    dfs: dict[str, DataFrame],
+    keys: Sequence[str],
+    fn: Callable[[tuple, dict[str, pd.DataFrame]], pd.DataFrame],
+    schema,
+) -> DataFrame:
+    """CoGroupByKey (historical sdk/transforms/join/CoGroupByKey.java):
+    N keyed collections → per key, a tuple of iterables (CoGbkResult).
+
+    Two-input case uses Spark's native cogroup (one co-partitioned shuffle,
+    Arrow batches per side). N>2 falls back to pairwise full-outer joins of
+    collect_list aggregates — correct, but prefer pre-aggregation
+    (see queries/relational.py cogroup_customer_orders) at scale.
+
+    `fn(key_tuple, {name: pandas_df})` → pandas DataFrame rows to emit.
+    """
+    names = list(dfs)
+    if len(names) == 2:
+        a, b = dfs[names[0]], dfs[names[1]]
+
+        def apply(key: tuple, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            return fn(key, {names[0]: left, names[1]: right})
+
+        return (
+            a.groupBy(*keys)
+            .cogroup(b.groupBy(*keys))
+            .applyInPandas(apply, schema=schema)
+        )
+    raise NotImplementedError(
+        "co_group_by_key currently supports exactly 2 inputs; for N-way, "
+        "pre-aggregate each side and join (the scalable plan)."
+    )
+
+
+class View:
+    """Side-input views (historical sdk/transforms/View.java): broadcast a
+    small collection so every main-input element can read it — the
+    reference's PCollectionView singleton/list/map/multimap."""
+
+    @staticmethod
+    def as_singleton(main: DataFrame, side: DataFrame) -> DataFrame:
+        """View.asSingleton: side must be 1 row; every main row sees its
+        columns (broadcast nested-loop join of a 1-row side)."""
+        return main.crossJoin(F.broadcast(side))
+
+    @staticmethod
+    def as_map(
+        main: DataFrame, side: DataFrame, on, how: str = "left"
+    ) -> DataFrame:
+        """View.asMap + per-element lookup ≡ broadcast hash join. The
+        classic map-side join: no shuffle of the main input at all."""
+        return main.join(F.broadcast(side), on, how)
+
+    @staticmethod
+    def as_multimap(main: DataFrame, side: DataFrame, on, how: str = "left") -> DataFrame:
+        """View.asMultimap: same join; duplicate side keys fan out — the
+        multimap's multiple-values-per-key contract."""
+        return main.join(F.broadcast(side), on, how)

@@ -1,0 +1,157 @@
+"""Event-time windowing — WindowFn inventory (SURVEY.md §2.7).
+
+Reference: Window.into(WindowFn) assigns elements to windows logically (no
+data movement); grouping ops then group per (key, window); merging
+WindowFns (Sessions) merge at GBK time (historical
+sdk/transforms/windowing/{Window,WindowFn,FixedWindows,SlidingWindows,
+Sessions,CalendarWindows,GlobalWindows}.java; Dataflow VLDB 2015 §2.2).
+
+Identical here: `assign` is a pure struct-producing expression — a
+projection, zero shuffle. The shuffle happens once, at the groupBy that
+includes the window column. Sessions can't pre-assign (windows merge), so
+it contributes a grouping expression instead — exactly the reference's
+MergingWindowFn contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class WindowFn:
+    """Base: assignment produces a `struct<start,end>` window column."""
+
+    merging = False
+
+    def assign(self, ts: Column) -> Column:
+        raise NotImplementedError
+
+    def group_expr(self, ts: Column) -> Column:
+        """Expression used directly inside groupBy (per-key-per-window
+        grouping). Defaults to the assignment expression."""
+        return self.assign(ts)
+
+
+class GlobalWindows(WindowFn):
+    """Single window covering all time — the batch default (historical
+    sdk/transforms/windowing/GlobalWindows.java). Grouping under the
+    global window is a plain groupBy, so the group expression is a
+    constant (dropped by callers)."""
+
+    def assign(self, ts: Column) -> Column:
+        return F.struct(
+            F.lit(None).cast("timestamp").alias("start"),
+            F.lit(None).cast("timestamp").alias("end"),
+        )
+
+
+class FixedWindows(WindowFn):
+    """FixedWindows.of(size).withOffset(offset) — tumbling windows."""
+
+    def __init__(self, size: str, offset: str | None = None):
+        self.size = size
+        self.offset = offset
+
+    def assign(self, ts: Column) -> Column:
+        if self.offset is not None:
+            return F.window(ts, self.size, startTime=self.offset)
+        return F.window(ts, self.size)
+
+
+class SlidingWindows(WindowFn):
+    """SlidingWindows.of(size).every(period) — each element belongs to
+    size/period windows; Spark expands via a generator projection
+    (Expand operator) before the shuffle."""
+
+    def __init__(self, size: str, period: str):
+        self.size = size
+        self.period = period
+
+    def assign(self, ts: Column) -> Column:
+        return F.window(ts, self.size, self.period)
+
+
+class Sessions(WindowFn):
+    """Sessions.withGapDuration(gap) — merging windows: elements within
+    `gap` of each other coalesce, per key. Assignment alone is undefined
+    (windows merge at grouping time), so only group_expr exists; Spark's
+    session_window implements the merge natively inside the aggregation.
+    `gap` may be a literal ('30 minutes') or a Column for dynamic gaps."""
+
+    merging = True
+
+    def __init__(self, gap: str | Column):
+        self.gap = gap
+
+    def assign(self, ts: Column) -> Column:
+        raise TypeError(
+            "Sessions is a merging WindowFn: windows exist only after "
+            "grouping — use group_expr inside a group_by (the reference "
+            "raises the same way if you read a session window pre-GBK)."
+        )
+
+    def group_expr(self, ts: Column) -> Column:
+        return F.session_window(ts, self.gap)
+
+
+class CalendarWindows(WindowFn):
+    """CalendarWindows.days/weeks/months/years — calendar-aligned,
+    variable-length windows (historical sdk/transforms/windowing/
+    CalendarWindows.java). No Spark built-in: the window struct is derived
+    from date_trunc / interval arithmetic (SURVEY.md §4.2). Only n=1
+    periods are supported (the reference's common case); timezone via the
+    session zone (pinned UTC in session.py)."""
+
+    _TRUNC = {"day": "day", "week": "week", "month": "month", "year": "year"}
+
+    def __init__(self, unit: str):
+        if unit not in self._TRUNC:
+            raise ValueError(f"unit must be one of {sorted(self._TRUNC)}")
+        self.unit = unit
+
+    @classmethod
+    def days(cls) -> "CalendarWindows":
+        return cls("day")
+
+    @classmethod
+    def weeks(cls) -> "CalendarWindows":
+        return cls("week")
+
+    @classmethod
+    def months(cls) -> "CalendarWindows":
+        return cls("month")
+
+    @classmethod
+    def years(cls) -> "CalendarWindows":
+        return cls("year")
+
+    def assign(self, ts: Column) -> Column:
+        start = F.date_trunc(self.unit, ts)
+        if self.unit == "day":
+            end = start + F.expr("INTERVAL 1 DAY")
+        elif self.unit == "week":
+            end = start + F.expr("INTERVAL 7 DAY")
+        elif self.unit == "month":
+            end = F.to_timestamp(F.add_months(start, 1))
+        else:  # year
+            end = F.to_timestamp(F.add_months(start, 12))
+        return F.struct(start.alias("start"), end.alias("end"))
+
+
+def window_into(df: DataFrame, fn: WindowFn, ts_col: str = "ts", out: str = "window") -> DataFrame:
+    """Window.into(fn): attach the window column. Pure projection — the
+    reference's metadata-only WindowingStrategy rewrite becomes an actual
+    (but free) column here, because Spark groups by value not metadata."""
+    return df.withColumn(out, fn.assign(F.col(ts_col)))
+
+
+def group_by_window(
+    df: DataFrame, fn: WindowFn, keys: list[str], ts_col: str = "ts"
+):
+    """Per-key-per-window grouping — the model's invariant (every GBK is
+    scoped by the window; SURVEY.md §1.1). Returns GroupedData ready for
+    .agg(...). GlobalWindows degrades to a plain groupBy."""
+    if isinstance(fn, GlobalWindows):
+        return df.groupBy(*keys)
+    return df.groupBy(fn.group_expr(F.col(ts_col)).alias("window"), *keys)

@@ -1,0 +1,94 @@
+"""Join/CoGBK/View/Flatten/SortValues unit tests (mirrors historical
+tests/transforms/join/CoGroupByKeyTest, ViewTest, FlattenTest and
+contrib/sorter SortValuesTest)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dataflowjavasdk_spark.core import Pipeline
+from dataflowjavasdk_spark.operators import flatten, join, sort
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    p = Pipeline(spark)
+    left = p.create([("a", 1), ("b", 2), ("c", 3)], "k string, lv int")
+    right = p.create([("a", 10), ("b", 20), ("d", 40)], "k string, rv int")
+    return left, right
+
+
+def rows(df):
+    return sorted(tuple(r) for r in (df.collect() if hasattr(df, "collect") else df))
+
+
+def test_join_matrix(sides):
+    left, right = sides
+    assert join.Join.inner(left.df, right.df, "k").count() == 2
+    assert join.Join.left_outer(left.df, right.df, "k").count() == 3
+    assert join.Join.right_outer(left.df, right.df, "k").count() == 3
+    assert join.Join.full_outer(left.df, right.df, "k").count() == 4
+    assert rows(join.Join.semi(left.df, right.df, "k").select("k")) == [("a",), ("b",)]
+    assert rows(join.Join.anti(left.df, right.df, "k").select("k")) == [("c",)]
+
+
+def test_co_group_by_key_two_inputs(sides):
+    left, right = sides
+
+    def fn(key, groups):
+        return pd.DataFrame(
+            [
+                {
+                    "k": key[0],
+                    "n_left": len(groups["l"]),
+                    "n_right": len(groups["r"]),
+                }
+            ]
+        )
+
+    out = join.co_group_by_key(
+        {"l": left.df, "r": right.df}, ["k"], fn, "k string, n_left long, n_right long"
+    )
+    assert rows(out) == [("a", 1, 1), ("b", 1, 1), ("c", 1, 0), ("d", 0, 1)]
+
+
+def test_view_as_singleton_and_map(spark, sides):
+    left, right = sides
+    total = left.df.agg(F.sum("lv").alias("total"))
+    with_view = join.View.as_singleton(left.df, total)
+    assert rows(with_view.select("k", "total")) == [("a", 6), ("b", 6), ("c", 6)]
+    looked_up = join.View.as_map(left.df, right.df, "k")
+    assert looked_up.count() == 3  # left join keeps unmatched 'c'
+
+
+def test_flatten_pcollections_bag_union(spark):
+    p = Pipeline(spark)
+    a = p.create([(1,), (2,)], "v int")
+    b = p.create([(2,), (3,)], "v int")
+    out = flatten.pcollections(a.df, b.df)
+    assert rows(out) == [(1,), (2,), (2,), (3,)]  # no dedup: bag semantics
+
+
+def test_flatten_iterables(spark):
+    p = Pipeline(spark)
+    pc = p.create([([1, 2],), ([3],)], "xs array<int>")
+    assert rows(flatten.iterables(pc.df, "xs")) == [(1,), (2,), (3,)]
+
+
+def test_sort_values_secondary_sort(spark):
+    df = Pipeline(spark).create(
+        [("a", 3, "x"), ("a", 1, "y"), ("a", 2, "z"), ("b", 9, "w")],
+        "k string, sec int, v string",
+    ).df
+    out = sort.sorted_iterables(df, ["k"], "sec", "v")
+    got = {r["k"]: [t["v"] for t in r["values"]] for r in out.collect()}
+    assert got == {"a": ["y", "z", "x"], "b": ["w"]}
+    # partition-local physical sort variant: within each key-partition the
+    # rows are ordered by (k, sec)
+    phys = sort.sort_values(df, ["k"], ["sec"])
+    parts = phys.rdd.glom().collect()
+    for part in parts:
+        seen = [(r["k"], r["sec"]) for r in part]
+        assert seen == sorted(seen)

@@ -1,0 +1,85 @@
+"""WindowFn unit tests (mirrors historical tests/transforms/windowing/
+WindowingTest + WindowFnTestUtils patterns: timestamped fixture rows at
+0s,5s,9s,12s,30s — FIXTURES.md micro-fixtures)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataflowjavasdk_spark.core import Pipeline
+from dataflowjavasdk_spark.operators import windowing
+
+
+@pytest.fixture(scope="module")
+def stamped(spark):
+    rows = [("k", s) for s in (0, 5, 9, 12, 30)]
+    pc = Pipeline(spark).create(rows, "key string, sec int")
+    return pc.with_timestamps(F.timestamp_seconds(F.col("sec")))
+
+
+def _epoch(dt: datetime.datetime) -> int:
+    return int(dt.replace(tzinfo=datetime.timezone.utc).timestamp())
+
+
+def test_fixed_windows_assignment(stamped):
+    out = stamped.window_into(windowing.FixedWindows("10 seconds")).assign_windows()
+    got = sorted(
+        (_epoch(r["window"]["start"]), r["sec"]) for r in out.collect()
+    )
+    # 0,5,9 → [0,10); 12 → [10,20); 30 → [30,40)
+    assert got == [(0, 0), (0, 5), (0, 9), (10, 12), (30, 30)]
+
+
+def test_sliding_windows_multi_assignment(stamped):
+    out = (
+        stamped.window_into(windowing.SlidingWindows("10 seconds", "5 seconds"))
+        .count_per_key(["key"])
+    )
+    got = {
+        _epoch(r["window"]["start"]): r["n"] for r in out.collect()
+    }
+    # element@0 ∈ [-5,5),[0,10); @5 ∈ [0,10),[5,15); @9 ∈ [0,10),[5,15); ...
+    assert got[0] == 3 and got[5] == 3
+
+
+def test_sessions_merge_at_gbk(stamped):
+    out = stamped.window_into(windowing.Sessions("10 seconds")).count_per_key(["key"])
+    got = sorted(
+        (_epoch(r["window"]["start"]), _epoch(r["window"]["end"]), r["n"])
+        for r in out.collect()
+    )
+    # 0,5,9,12 merge (gaps <10s) → [0, 22); 30 alone → [30, 40)
+    assert got == [(0, 22, 4), (30, 40, 1)]
+
+
+def test_global_window_plain_groupby(stamped):
+    out = stamped.count_per_key(["key"])
+    assert [tuple(r) for r in out.collect()] == [("k", 5)]
+
+
+def test_calendar_windows_month(spark):
+    rows = [("2024-01-05",), ("2024-01-31",), ("2024-02-01",), ("2024-12-31",)]
+    pc = (
+        Pipeline(spark)
+        .create(rows, "d string")
+        .with_timestamps(F.to_timestamp("d"))
+        .window_into(windowing.CalendarWindows.months())
+        .assign_windows()
+    )
+    got = sorted(
+        (str(r["window"]["start"]), str(r["window"]["end"])) for r in pc.collect()
+    )
+    assert got == [
+        ("2024-01-01 00:00:00", "2024-02-01 00:00:00"),
+        ("2024-01-01 00:00:00", "2024-02-01 00:00:00"),
+        ("2024-02-01 00:00:00", "2024-03-01 00:00:00"),
+        ("2024-12-01 00:00:00", "2025-01-01 00:00:00"),
+    ]
+
+
+def test_sessions_assign_raises(stamped):
+    with pytest.raises(TypeError):
+        windowing.Sessions("10 seconds").assign(F.col("ts"))
