@@ -1,0 +1,99 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+The reference ships no scalar function library (users write Java DoFns —
+SURVEY.md §2.10); these are the engine's first-class text operators:
+tokenization, token counting, language ID, quality scoring, and document
+fingerprinting. All are pure Column expressions — whole-stage codegen,
+no Python in the hot path — so they run at scan speed on 100 TB.
+
+Every function has a deterministic cross-engine definition so DuckDB
+oracles can replicate it exactly (see queries/text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A small English stopword core: enough signal for the n-gram/stopword
+# language heuristic; deterministic and easily mirrored in oracle SQL.
+EN_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "by", "at", "from", "this", "that", "be",
+)
+
+
+def tokens(col: str | Column, pattern: str = r"\s+") -> Column:
+    """Whitespace tokenization; empty tokens removed (the reference's
+    WordCount ExtractWordsFn regex-split, historical
+    examples/WordCount.java)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, pattern), lambda t: t != F.lit(""))
+
+
+def bpe_ish_tokens(col: str | Column) -> Column:
+    """BPE-ish sub-token split: word-internal transitions between letter
+    and digit runs also break (a cheap proxy for byte-pair segmentation
+    used for token-count estimation)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pre = F.regexp_replace(c, r"(\d+)", r" $1 ")
+    return F.filter(F.split(pre, r"[\s\p{Punct}]+"), lambda t: t != F.lit(""))
+
+
+def token_count(col: str | Column) -> Column:
+    """Token count (whitespace tokens)."""
+    return F.size(tokens(col))
+
+
+def stopword_ratio(col: str | Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Fraction of tokens that are stopwords ∈ [0,1]; single IEEE division
+    of two exact ints → deterministic across engines."""
+    toks = tokens(col)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return n_stop.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def language_id(col: str | Column, threshold: float = 0.04) -> Column:
+    """Language ID via the stopword-density heuristic: the n-gram profile
+    approach collapsed to its strongest single feature. Documents whose
+    English-stopword density ≥ threshold classify 'en', else 'und'
+    (ISO 639-3 undetermined)."""
+    return F.when(stopword_ratio(col) >= threshold, F.lit("en")).otherwise(F.lit("und"))
+
+
+def quality_score(col: str | Column) -> Column:
+    """Quality score ∈ [0,1] from cheap lexical features:
+    0.4·length_band + 0.3·mean-token-length band + 0.3·(1 - repetition),
+    where repetition = 1 - distinct_tokens/tokens. Deterministic integer
+    feature extraction; fixed weights."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    n_chars = F.length(c).cast("double")
+    mean_tok_len = n_chars / n
+    length_band = F.least(n / F.lit(200.0), F.lit(1.0))
+    tok_len_band = (
+        F.when((mean_tok_len >= 3.0) & (mean_tok_len <= 10.0), F.lit(1.0))
+        .otherwise(F.lit(0.5))
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    return (
+        F.lit(0.4) * length_band + F.lit(0.3) * tok_len_band + F.lit(0.3) * distinct_ratio
+    )
+
+
+def md5_long(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative bigint. Cross-engine exact:
+    DuckDB twin is ('0x' || substr(md5(x),1,15))::BIGINT (verified
+    identical this session)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Document fingerprint: md5-derived 60-bit content hash of the
+    normalized text (lower + collapsed whitespace). The rolling-hash
+    use-case (shingle fingerprints) lives in similarity.shingles."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return md5_long(normalized)

@@ -1,0 +1,242 @@
+"""Deduplication queries — exact and near-dup (MinHash / shingle-Jaccard /
+SimHash), the training-data-pipeline operators (SURVEY.md §7.1 P7).
+
+The fixture corpus has no duplicates, so each query first builds a
+deterministic test corpus by unioning `documents` with perturbed copies:
+- exact dups: doc_id % 20 == 0 → identical text, doc_id += 1_000_000
+- near dups: doc_id % 10 == 0 → last 5 tokens dropped, doc_id += 2_000_000
+Both engines construct the same corpus in SQL/DataFrame terms, so results
+stay oracle-comparable end-to-end.
+
+Scale design: every pipeline is hash/shingle-join shaped — signatures and
+fingerprints are per-row expressions (no shuffle); candidate generation is
+an equi-join on fingerprint/shingle/band keys (one shuffle each side,
+AQE-skew-safe); nothing is ever pairwise-compared without a blocking key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataflowjavasdk_spark.functions import similarity as S
+from dataflowjavasdk_spark.functions import text as T
+from dataflowjavasdk_spark.queries.registry import query
+from dataflowjavasdk_spark.sources.tables import load_table
+
+# Shared corpus-with-duplicates construction -------------------------------
+
+_CORPUS_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 20 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id,
+             array_to_string(
+               array_slice(list_filter(string_split(text, ' '), t -> t <> ''), 1,
+                           greatest(len(list_filter(string_split(text, ' '),
+                                                    t -> t <> '')) - 5, 1)),
+               ' ') AS text
+      FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = (
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    toks = T.tokens("text")
+    near = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.array_join(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 5, F.lit(1))), " "
+            ).alias("text"),
+        )
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    keyed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+                             1, 15))::BIGINT AS fp
+      FROM corpus
+    )
+    SELECT fp, min(doc_id) AS canonical_id, count(*) AS group_size
+    FROM keyed GROUP BY fp HAVING count(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup at scale: fingerprint each doc (per-row md5 expression),
+    group on the 60-bit fingerprint — never on the full text, so shuffle
+    keys are 8 bytes regardless of document size. Emits duplicate groups
+    with canonical (min) id — the RemoveDuplicates.withRepresentativeValues
+    pattern (historical sdk/transforms/RemoveDuplicates.java) made
+    deterministic."""
+    corpus = _corpus(spark, sf_dir)
+    return (
+        corpus.select("doc_id", T.fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") > 1)
+    )
+
+
+@query(
+    "minhash_signatures",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    sh AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(len(list_filter(string_split(text,' '), t -> t <> '')) - 1, 1)),
+               i -> array_to_string(
+                      array_slice(list_filter(string_split(text,' '), t -> t <> ''),
+                                  i, i + 2), ' ')
+             ) AS grams
+      FROM corpus
+    )
+    SELECT doc_id,
+           list_transform(range(0, 16), j ->
+             list_reduce(
+               list_prepend(1152921504606846976::BIGINT,
+                 list_transform(grams, s ->
+                   ('0x' || substr(md5(j::VARCHAR || ':' || s), 1, 15))::BIGINT)),
+               (a, b) -> least(a, b))
+           ) AS signature
+    FROM sh
+    """,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 hashes over token 3-gram shingles) as pure
+    expressions — md5-derived hash family, cross-engine exact. The
+    signature column is the input to LSH banding; computing it is a
+    projection (zero shuffle, scan-bound)."""
+    corpus = _corpus(spark, sf_dir)
+    return corpus.select(
+        "doc_id",
+        S.minhash_signature(S.shingles("text", 3), num_hashes=16).alias("signature"),
+    )
+
+
+@query(
+    "near_dup_pairs_jaccard",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(list_filter(string_split(text,' '), t -> t <> '')) - 1, 1)),
+               i -> array_to_string(
+                      array_slice(list_filter(string_split(text,' '), t -> t <> ''),
+                                  i, i + 2), ' ')
+             )) AS grams
+      FROM corpus
+    ),
+    exploded AS (SELECT doc_id, unnest(grams) AS gram, len(grams) AS n FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*) AS inter, any_value(a.n) AS n_a, any_value(b.n) AS n_b
+      FROM exploded a JOIN exploded b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           inter::DOUBLE / greatest(n_a + n_b - inter, 1)::DOUBLE AS jacc
+    FROM pairs
+    WHERE inter::DOUBLE / greatest(n_a + n_b - inter, 1)::DOUBLE >= 0.5
+    """,
+)
+def near_dup_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs with shingle blocking: explode
+    distinct shingles, equi-join on the shingle (candidates = pairs sharing
+    ≥1 shingle — never all-pairs), count intersections, filter Jaccard ≥
+    0.5. This is the exact-verification stage of a MinHash pipeline run
+    standalone; at 100 TB the same plan runs after LSH banding narrows
+    candidates further."""
+    corpus = _corpus(spark, sf_dir)
+    sh = corpus.select(
+        "doc_id", S.shingles("text", 3).alias("grams")
+    ).withColumn("n", F.size("grams"))
+    ex = sh.select("doc_id", "n", F.explode("grams").alias("gram"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.any_value(F.col("a.n")).alias("n_a"),
+            F.any_value(F.col("b.n")).alias("n_b"),
+        )
+    )
+    jacc = F.col("inter").cast("double") / F.greatest(
+        F.col("n_a") + F.col("n_b") - F.col("inter"), F.lit(1)
+    ).cast("double")
+    return pairs.select("id_a", "id_b", jacc.alias("jacc")).filter(F.col("jacc") >= 0.5)
+
+
+@query("minhash_lsh_near_dups", oracle=None)
+def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MinHash+LSH near-dedup: signature (16 hashes) → banding
+    (4 bands × 4 rows) → candidate pairs via band-bucket equi-join → exact
+    Jaccard verification ≥ 0.5. Rows-only check (banding is not worth
+    expressing in SQL); recall vs the exact pipeline is unit-tested at
+    sf0.001 (tests/test_dedup_similarity.py)."""
+    corpus = _corpus(spark, sf_dir)
+    sh = corpus.select("doc_id", S.shingles("text", 3).alias("grams"))
+    sig = sh.select(
+        "doc_id", "grams", S.minhash_signature(F.col("grams"), 16).alias("sig")
+    )
+    banded = sig.select(
+        "doc_id",
+        "grams",
+        F.explode(S.band_keys(F.col("sig"), bands=4, rows_per_band=4)).alias("bk"),
+    ).select("doc_id", "grams", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.grams").alias("g_a"),
+            F.col("b.grams").alias("g_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jacc", S.jaccard(F.col("g_a"), F.col("g_b")))
+        .filter(F.col("jacc") >= 0.5)
+        .select("id_a", "id_b", "jacc")
+    )
+
+
+@query("simhash_fingerprints", oracle=None)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 per document (vectorized Pandas UDF over token arrays —
+    the documented Python path; blake2b token hashes, majority-vote bits).
+    Near-dup = small Hamming distance; collision buckets on the top-16
+    bits emitted for inspection. Rows-only (UDF output; semantics
+    unit-tested: identical docs → identical simhash, near-dups → small
+    Hamming distance)."""
+    corpus = _corpus(spark, sf_dir)
+    simhash = S.simhash64_udf()
+    return corpus.select(
+        "doc_id",
+        simhash(T.tokens("text")).alias("simhash"),
+        F.shiftrightunsigned(simhash(T.tokens("text")), 48).alias("bucket16"),
+    )

@@ -1,0 +1,132 @@
+"""Similarity-search queries over `embeddings` (array<float> × 64) —
+the ANN surface a training-data pipeline needs (SURVEY.md §7.1 P7).
+
+Cross-engine exactness: cosine is computed as sequential left-fold double
+arithmetic in BOTH engines (Spark F.aggregate ≡ DuckDB list_reduce over
+list_transform), which is bit-identical (verified this session) — so even
+top-k ranks match exactly without tolerance hacks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from dataflowjavasdk_spark.functions import similarity as S
+from dataflowjavasdk_spark.queries.registry import query
+from dataflowjavasdk_spark.sources.tables import load_table
+
+_SQL_DOT = """
+  list_reduce(
+    list_prepend(0.0::DOUBLE,
+      list_transform(list_zip({a}, {b}),
+                     p -> p[1]::DOUBLE * p[2]::DOUBLE)),
+    (x, y) -> x + y)
+"""
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    dot = _SQL_DOT.format(a=a, b=b)
+    na = _SQL_DOT.format(a=a, b=a)
+    nb = _SQL_DOT.format(a=b, b=b)
+    return f"({dot}) / sqrt(({na}) * ({nb}))"
+
+
+@query(
+    "cosine_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_sql_cosine('q.qv', 'e.embedding')} AS cosine
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 5
+    """,
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for a query set (vec_id < 5) against the
+    corpus. Scale shape: the query set broadcasts (never the corpus); the
+    corpus streams through the scorer map-side; per-query top-k via
+    window row_number over the scored (small) side. At 100 TB you shard
+    the query set and keep the corpus scan single-pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            S.cosine(F.col("qv"), F.col("embedding")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+
+
+@query("ann_lsh_topk", oracle=None)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via sign-random-projection LSH:
+    bucket every vector by 8 deterministic hyperplane signs (per-row
+    expression, zero shuffle), then score only within the query's bucket —
+    the candidate set shrinks ~2^8 vs brute force. Rows-only check;
+    recall vs brute force is unit-tested (tests/test_dedup_similarity.py).
+    At scale: multiple hash tables (OR-amplification) raise recall; each
+    is one more bucket column, same join shape."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", S.random_hyperplane_bucket(F.col("embedding"), planes=8, dim=64)
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        emb.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            S.cosine(F.col("qv"), F.col("embedding")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+
+
+@query(
+    "embedding_label_stats",
+    oracle="""
+    SELECT label, count(*) AS n,
+           CAST(SUM(CAST(round(
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
+               (a, b) -> a + b), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm2
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label count + exact sum of squared norms. The per-row norm² is
+    a bit-identical left fold; rounding to 6 dp then exact-decimal summing
+    makes the cross-row aggregate order-independent (the fold is per-row
+    deterministic, but summing doubles across rows would not be)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(S.norm2(F.col("embedding")), 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_norm2"),
+    )

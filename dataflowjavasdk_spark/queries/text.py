@@ -1,0 +1,162 @@
+"""Text-analysis queries over `documents` (SURVEY.md §2.12 WordCount/TfIdf
+examples + the training-data-pipeline text operators).
+
+All implementations are pure Column expressions (functions/text.py) —
+whole-stage codegen end-to-end; the only shuffles are the final groupBys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from dataflowjavasdk_spark.functions import text as T
+from dataflowjavasdk_spark.queries.registry import query
+from dataflowjavasdk_spark.sources.tables import load_table
+
+_SW = ", ".join(f"'{w}'" for w in T.EN_STOPWORDS)
+
+
+@query(
+    "wordcount",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordCount (historical examples/WordCount.java MinimalWordCount):
+    ParDo(ExtractWords) + Count.perElement. Explode is a generator
+    projection; the single shuffle is the word-count aggregate with
+    map-side partial counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS n_term,
+             sum(count(*)) OVER (PARTITION BY doc_id) AS n_doc
+      FROM tok WHERE term <> '' GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term,
+           round( (tf.n_term::DOUBLE / tf.n_doc)
+                  * ln( (n.n_docs + 1)::DOUBLE / (df.df + 1) ), 9) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    """,
+)
+def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (historical examples/complete/TfIdf.java — the multi-input
+    CoGBK showcase). Relational plan: tf per (doc,term) via one aggregate +
+    count-over-window, document frequency via a second aggregate, idf
+    broadcast back onto tf. Smoothed idf = ln((N+1)/(df+1)); rounded to
+    9 dp (ln is the one libm call whose last ulp may differ per engine)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("n_term"))
+        .withColumn("n_doc", F.sum("n_term").over(W.partitionBy("doc_id")))
+    )
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("n_term").cast("double") / F.col("n_doc"))
+                * F.log((F.lit(n_docs) + 1).cast("double") / (F.col("df") + 1)),
+                9,
+            ).alias("tfidf"),
+        )
+    )
+
+
+@query(
+    "token_count_stats",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+           n_chars
+    FROM documents
+    """,
+)
+def token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per document — whitespace tokens + the stored char
+    count. Pure projection: zero shuffles, scan-speed at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.token_count("text").alias("n_tokens"), "n_chars"
+    )
+
+
+@query(
+    "language_id_quality",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks,
+             length(text)::DOUBLE AS n_chars
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             greatest(len(toks), 1)::DOUBLE AS n,
+             len(list_filter(toks, t -> t IN ({_SW})))::DOUBLE AS n_stop,
+             len(list_distinct(toks))::DOUBLE AS n_distinct,
+             n_chars
+      FROM feat
+    )
+    SELECT doc_id, lang,
+           CASE WHEN n_stop / n >= 0.04 THEN 'en' ELSE 'und' END AS pred_lang,
+           0.4 * least(n / 200.0, 1.0)
+             + 0.3 * (CASE WHEN n_chars / n BETWEEN 3.0 AND 10.0
+                           THEN 1.0 ELSE 0.5 END)
+             + 0.3 * (n_distinct / n) AS quality
+    FROM scored
+    """,
+)
+def language_id_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID (stopword-density heuristic) + quality scoring — the
+    text-analysis operators a training-data pipeline filters on. Per-row
+    expressions only; the `lang` column ships alongside as ground truth
+    (accuracy asserted in tests/test_text_functions.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        T.language_id("text").alias("pred_lang"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+                           1, 15))::BIGINT AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: 60-bit md5 content hash of normalized text
+    — the exact-dedup key at scale (hash once, group on the hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint("text").alias("fp"))
