@@ -1,0 +1,137 @@
+"""Unified batch/streaming layer (SURVEY.md §2.8, §3.3).
+
+The model's promise — the same pipeline runs bounded or unbounded — maps
+to Spark's DataFrame/Structured Streaming split: every PCollection method
+in core.py already works on a streaming DataFrame (groupBy+window,
+joins, expressions are identical). This module adds the unbounded-specific
+pieces:
+
+- sources: file-drop-dir replay (the PubsubIO analog offline: files arrive,
+  stream processes them; historical sdk/io/PubsubIO.java semantics of
+  timestampLabel ≡ the event-time column, idLabel ≡ dedup id), rate source
+  (CountingInput.unbounded analog).
+- watermarks: withWatermark — Spark's user-declared heuristic bound vs the
+  reference's source-computed watermark (MillWheel); a stated semantic
+  deviation (SURVEY.md §7.2.3).
+- modes: append ≡ AfterWatermark.pastEndOfWindow (emit once, on-time);
+  update ≡ early-firing refinements per micro-batch.
+- exactly-once id-dedup: drop_duplicates_within_watermark ≡ PubsubIO
+  idLabel dedup.
+- MicroBatchHarness: the ReduceFnTester analog (SURVEY.md §5.2.4) — write
+  timestamped batches into a drop-dir, run availableNow rounds against one
+  checkpoint, observe emitted panes per round; the watermark advances
+  exactly as far as the data you fed.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_stream_dropdir(
+    spark: SparkSession, path: str, schema: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
+    """Unbounded file source: parquet files dropped into `path` become
+    micro-batches. The offline PubsubIO.Read stand-in; at scale this is
+    any streaming source (Kafka etc.) — everything downstream is
+    source-agnostic. max_files_per_trigger=1 makes each dropped file its
+    own micro-batch, so the watermark advances between files — what the
+    test harness needs to emulate ReduceFnTester.advanceWatermark."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def rate_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """CountingInput.unbounded().withRate(...) (historical
+    sdk/io/CountingInput.java): synthetic unbounded sequence."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """Event-time watermark. Deviation vs reference (documented): Spark's
+    watermark is a user-declared max-delay heuristic; Dataflow's is
+    source-computed (MillWheel). Lateness beyond `delay` drops rows."""
+    return df.withWatermark(ts_col, delay)
+
+
+def drop_duplicates_within_watermark(df: DataFrame, id_cols: list[str], ts_col: str, delay: str) -> DataFrame:
+    """Effectively-once id-dedup (PubsubIO idLabel): state for an id is
+    kept only within the watermark horizon — bounded state at scale."""
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(id_cols)
+
+
+def stream_static_join(stream: DataFrame, static: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Stream-static join ≡ side-input join on an unbounded main input
+    (View.asMap in streaming mode): the static side broadcasts per
+    micro-batch."""
+    return stream.join(static, on, how)
+
+
+class MicroBatchHarness:
+    """Controlled-replay streaming harness (the ReduceFnTester analog).
+
+    feed(df) writes one parquet micro-batch into the drop-dir;
+    run_round(build) starts the query availableNow against a persistent
+    checkpoint, drains it, and returns rows emitted THIS round. State and
+    watermark carry across rounds via the checkpoint, so feeding
+    later-timestamped batches advances the watermark exactly like
+    ReduceFnTester.advanceWatermark.
+    """
+
+    def __init__(self, spark: SparkSession, schema: str, root: str | None = None):
+        self.spark = spark
+        self.schema = schema
+        self.root = root or tempfile.mkdtemp(prefix="mbh_")
+        self.input_dir = os.path.join(self.root, "input")
+        self.checkpoint = os.path.join(self.root, "checkpoint")
+        os.makedirs(self.input_dir, exist_ok=True)
+        self._feed_i = 0
+
+    def feed(self, df: DataFrame) -> None:
+        staging = os.path.join(self.root, f"staging_{self._feed_i}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        for f in os.listdir(staging):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(staging, f),
+                    os.path.join(self.input_dir, f"batch_{self._feed_i}_{f}"),
+                )
+        self._feed_i += 1
+
+    def run_round(
+        self,
+        build: Callable[[DataFrame], DataFrame],
+        output_mode: str = "append",
+    ) -> list:
+        """One availableNow round: rows the sink received this round."""
+        source = read_stream_dropdir(self.spark, self.input_dir, self.schema)
+        result = build(source)
+        collected: list = []
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            collected.extend(batch_df.collect())
+
+        q = (
+            result.writeStream.foreachBatch(sink)
+            .outputMode(output_mode)
+            .option("checkpointLocation", self.checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return collected
+
+    def close(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)

@@ -1,0 +1,342 @@
+"""Trigger kernel: the Beam trigger grammar on applyInPandasWithState.
+
+This is the engine's one genuinely custom component (SURVEY.md §4.2, §7.2):
+the reference implements it as ~1k LoC of runner machinery (historical
+sdk/util/ReduceFnRunner.java + TriggerRunner.java + WatermarkHold.java +
+PaneInfoTracker.java; triggers under sdk/transforms/windowing/:
+AfterWatermark, AfterPane.elementCountAtLeast, AfterProcessingTime,
+Repeatedly, AfterFirst, AfterAll — Dataflow VLDB 2015 §2.3-2.4).
+
+Model implemented per (key, window):
+- buffered accumulators (count + sum v1) ≡ SystemReduceFn state
+- a trigger state machine deciding when panes fire
+- PaneInfo synthesis: timing EARLY/ON_TIME/LATE, pane_index,
+  is_first/is_last — absent natively in Spark
+- accumulatingFiredPanes vs discardingFiredPanes
+- allowed lateness: late data within the horizon fires LATE panes;
+  beyond it state is garbage-collected and stragglers are dropped
+  (identical to the reference's lateness contract)
+
+Execution: one stateful shuffle on (key, window-start); per micro-batch
+each key-group gets its new rows (Arrow batches) + its GroupState;
+event-time timeouts fire when the watermark passes window end (on-time
+pane) and window end + lateness (cleanup). Scale: state is per
+(key,window) and bounded by lateness GC — the same bound Windmill
+enforces; swap the state store to RocksDB for large key spaces
+(session.py note).
+
+Semantic deviations (documented, SURVEY.md §7.2):
+- processing-time triggers evaluate at micro-batch boundaries, not
+  arbitrary wall-clock instants (Spark has no per-key processing timers in
+  applyInPandasWithState with event-time timeouts active).
+- the on-time pane needs a watermark advance past window end, which in a
+  file-replay world means one more batch must arrive (Spark watermarks
+  advance per batch).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterable, Iterator
+from dataclasses import dataclass, field
+from time import time as _now
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Trigger grammar (static config objects; per-key dynamic state is a JSON
+# dict living inside the group state, keyed by the trigger's tree path)
+# --------------------------------------------------------------------------
+
+
+class Trigger:
+    """Sub-trigger protocol: mutate dynamic state on elements, answer
+    should_fire, reset on fire."""
+
+    def on_elements(self, dyn: dict, path: str, n_new: int, now_ms: int) -> None:
+        pass
+
+    def should_fire(self, dyn: dict, path: str, now_ms: int) -> bool:
+        raise NotImplementedError
+
+    def on_fire(self, dyn: dict, path: str) -> None:
+        pass
+
+
+@dataclass(frozen=True)
+class AfterCount(Trigger):
+    """AfterPane.elementCountAtLeast(n) (historical
+    sdk/transforms/windowing/AfterPane.java)."""
+
+    n: int
+
+    def on_elements(self, dyn, path, n_new, now_ms):
+        dyn[path + ".c"] = dyn.get(path + ".c", 0) + n_new
+
+    def should_fire(self, dyn, path, now_ms):
+        return dyn.get(path + ".c", 0) >= self.n
+
+    def on_fire(self, dyn, path):
+        dyn[path + ".c"] = 0
+
+
+@dataclass(frozen=True)
+class AfterProcessingTime(Trigger):
+    """AfterProcessingTime.pastFirstElementInPane().plusDelayOf(delay_ms)
+    (historical sdk/transforms/windowing/AfterProcessingTime.java).
+    Evaluated at micro-batch boundaries (see module deviation note)."""
+
+    delay_ms: int
+
+    def on_elements(self, dyn, path, n_new, now_ms):
+        dyn.setdefault(path + ".first", now_ms)
+
+    def should_fire(self, dyn, path, now_ms):
+        first = dyn.get(path + ".first")
+        return first is not None and now_ms >= first + self.delay_ms
+
+    def on_fire(self, dyn, path):
+        dyn.pop(path + ".first", None)
+
+
+@dataclass(frozen=True)
+class Repeatedly(Trigger):
+    """Repeatedly.forever(t): re-arms its sub-trigger after every fire."""
+
+    trigger: Trigger
+
+    def on_elements(self, dyn, path, n_new, now_ms):
+        self.trigger.on_elements(dyn, path + ".r", n_new, now_ms)
+
+    def should_fire(self, dyn, path, now_ms):
+        return self.trigger.should_fire(dyn, path + ".r", now_ms)
+
+    def on_fire(self, dyn, path):
+        self.trigger.on_fire(dyn, path + ".r")
+
+
+@dataclass(frozen=True)
+class AfterFirst(Trigger):
+    """AfterFirst.of(a, b, ...): fires when ANY sub-trigger would."""
+
+    triggers: tuple[Trigger, ...]
+
+    def on_elements(self, dyn, path, n_new, now_ms):
+        for i, t in enumerate(self.triggers):
+            t.on_elements(dyn, f"{path}.f{i}", n_new, now_ms)
+
+    def should_fire(self, dyn, path, now_ms):
+        return any(
+            t.should_fire(dyn, f"{path}.f{i}", now_ms)
+            for i, t in enumerate(self.triggers)
+        )
+
+    def on_fire(self, dyn, path):
+        for i, t in enumerate(self.triggers):
+            t.on_fire(dyn, f"{path}.f{i}")
+
+
+@dataclass(frozen=True)
+class AfterAll(Trigger):
+    """AfterAll.of(a, b, ...): fires when EVERY sub-trigger would."""
+
+    triggers: tuple[Trigger, ...]
+
+    def on_elements(self, dyn, path, n_new, now_ms):
+        for i, t in enumerate(self.triggers):
+            t.on_elements(dyn, f"{path}.a{i}", n_new, now_ms)
+
+    def should_fire(self, dyn, path, now_ms):
+        return all(
+            t.should_fire(dyn, f"{path}.a{i}", now_ms)
+            for i, t in enumerate(self.triggers)
+        )
+
+    def on_fire(self, dyn, path):
+        for i, t in enumerate(self.triggers):
+            t.on_fire(dyn, f"{path}.a{i}")
+
+
+@dataclass(frozen=True)
+class AfterWatermark(Trigger):
+    """AfterWatermark.pastEndOfWindow().withEarlyFirings(e).withLateFirings(l)
+    — the root trigger (historical sdk/transforms/windowing/
+    AfterWatermark.java). The kernel itself handles the watermark
+    crossing; `early`/`late` govern speculative and refinement panes."""
+
+    early: Trigger | None = None
+    late: Trigger | None = None
+
+
+ACCUMULATING = "accumulating"
+DISCARDING = "discarding"
+
+_STATE_SCHEMA = (
+    "acc_count long, acc_sum double, pane_count long, pane_sum double, "
+    "pane_index long, on_time_fired boolean, dyn string"
+)
+
+
+def triggered_window_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    window_size: str,
+    trigger: AfterWatermark,
+    accumulation: str = ACCUMULATING,
+    allowed_lateness: str = "0 seconds",
+    ts_col: str = "ts",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Count+sum per (key, fixed window) under the full trigger grammar.
+
+    Output: keys..., window_start, window_end, n, total, pane_index,
+    pane_timing (EARLY|ON_TIME|LATE), is_first, is_last.
+    """
+    lateness_ms = _duration_ms(allowed_lateness)
+    # Spark's stateful operator drops input rows behind ITS watermark, but
+    # Beam accepts data up to `allowed_lateness` behind the true watermark.
+    # Reconciliation: declare watermark_delay + lateness to Spark, so
+    #   spark_wm = true_wm - lateness.
+    # Rows later than lateness are then dropped by Spark itself (exactly
+    # Beam's drop rule); the kernel converts back via
+    #   true_wm = spark_wm + lateness
+    # for all pane timing decisions.
+    spark_delay_ms = _duration_ms(watermark_delay) + lateness_ms
+    key_fields = ", ".join(f"{k} {dict(df.dtypes)[k]}" for k in keys)
+    out_schema = (
+        f"{key_fields}, window_start timestamp, window_end timestamp, "
+        "n long, total double, pane_index long, pane_timing string, "
+        "is_first boolean, is_last boolean"
+    )
+
+    windowed = (
+        df.withWatermark(ts_col, f"{spark_delay_ms} milliseconds")
+        .withColumn("__w__", F.window(ts_col, window_size))
+        .select(
+            *keys,
+            F.col("__w__.start").alias("window_start"),
+            F.col("__w__.end").alias("window_end"),
+            F.col(value_col).alias("__v__"),
+            # keep the watermarked event-time column in the projection:
+            # extracting window fields drops the watermark tag, and the
+            # stateful operator requires a watermarked column to allow
+            # EventTimeTimeout.
+            F.col(ts_col),
+        )
+    )
+
+    def process(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        *user_key, w_start, w_end = key
+        w_end_ms = int(pd.Timestamp(w_end).timestamp() * 1000)
+        spark_wm = state.getCurrentWatermarkMs()
+        watermark_ms = spark_wm + lateness_ms  # the Beam-true watermark
+        now_ms = int(_now() * 1000)
+
+        if state.exists:
+            (acc_n, acc_sum, pane_n, pane_sum, pane_idx, on_time_fired, dyn_json) = state.get
+            dyn = json.loads(dyn_json)
+        else:
+            acc_n = pane_n = pane_idx = 0
+            acc_sum = pane_sum = 0.0
+            on_time_fired = False
+            dyn = {}
+
+        new_n, new_sum = 0, 0.0
+        for pdf in pdfs:
+            if len(pdf):
+                new_n += len(pdf)
+                new_sum += float(pdf["__v__"].sum())
+
+        # GC horizon: stragglers beyond window_end + lateness are dropped —
+        # do not resurrect state the cleanup timeout already removed.
+        if watermark_ms >= w_end_ms + lateness_ms and not state.exists:
+            return
+
+        acc_n += new_n
+        acc_sum += new_sum
+        pane_n += new_n
+        pane_sum += new_sum
+
+        panes: list[dict] = []
+
+        def emit(timing: str, is_last: bool) -> None:
+            nonlocal pane_idx, pane_n, pane_sum
+            n, total = (acc_n, acc_sum) if accumulation == ACCUMULATING else (pane_n, pane_sum)
+            panes.append(
+                dict(
+                    zip(keys, user_key),
+                    window_start=w_start,
+                    window_end=w_end,
+                    n=n,
+                    total=total,
+                    pane_index=pane_idx,
+                    pane_timing=timing,
+                    is_first=pane_idx == 0,
+                    is_last=is_last,
+                )
+            )
+            pane_idx += 1
+            pane_n, pane_sum = 0, 0.0
+
+        before_end_of_window = watermark_ms < w_end_ms
+
+        if before_end_of_window:
+            # speculative EARLY panes
+            if trigger.early is not None and new_n:
+                trigger.early.on_elements(dyn, "e", new_n, now_ms)
+                if trigger.early.should_fire(dyn, "e", now_ms):
+                    trigger.early.on_fire(dyn, "e")
+                    emit("EARLY", is_last=False)
+            state.update((acc_n, acc_sum, pane_n, pane_sum, pane_idx, False, json.dumps(dyn)))
+            # wake when the TRUE watermark passes the end of the window,
+            # i.e. when the Spark watermark reaches w_end - lateness
+            state.setTimeoutTimestamp(max(w_end_ms - lateness_ms, spark_wm + 1))
+        else:
+            final_horizon = watermark_ms >= w_end_ms + lateness_ms
+            if not on_time_fired:
+                # ON_TIME: the watermark crossed window end (timeout or a
+                # batch carrying late-ish rows observed after crossing)
+                emit("ON_TIME", is_last=final_horizon)
+                on_time_fired = True
+            elif new_n:
+                # refinements within the lateness horizon
+                fire_late = True
+                if trigger.late is not None:
+                    trigger.late.on_elements(dyn, "l", new_n, now_ms)
+                    fire_late = trigger.late.should_fire(dyn, "l", now_ms)
+                    if fire_late:
+                        trigger.late.on_fire(dyn, "l")
+                if fire_late:
+                    emit("LATE", is_last=final_horizon)
+            if final_horizon:
+                state.remove()
+            else:
+                state.update((acc_n, acc_sum, pane_n, pane_sum, pane_idx, True, json.dumps(dyn)))
+                # GC when true_wm reaches w_end + lateness ⟺ spark_wm reaches w_end
+                state.setTimeoutTimestamp(max(w_end_ms, spark_wm + 1))
+
+        if panes:
+            yield pd.DataFrame(panes)
+
+    return windowed.groupBy(*keys, "window_start", "window_end").applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="EventTimeTimeout",
+    )
+
+
+def _duration_ms(s: str) -> int:
+    qty, unit = s.split()
+    unit_ms = {
+        "millisecond": 1, "milliseconds": 1,
+        "second": 1000, "seconds": 1000,
+        "minute": 60_000, "minutes": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+        "day": 86_400_000, "days": 86_400_000,
+    }[unit]
+    return int(qty) * unit_ms

@@ -1,0 +1,120 @@
+"""Structured-streaming semantics tests via the MicroBatchHarness — the
+ReduceFnTester analog (SURVEY.md §5.2.4): feed timestamped batches, let
+the watermark advance between batches, assert what each round emits."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataflowjavasdk_spark.streaming import core as SC
+
+SCHEMA = "event_id long, ts timestamp, key string, value double"
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "key", "value"
+    )
+
+
+def _rows(spark, *specs):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    return [
+        (eid, base + datetime.timedelta(seconds=sec), key, float(v))
+        for (eid, sec, key, v) in specs
+    ]
+
+
+@pytest.fixture()
+def harness(spark):
+    h = SC.MicroBatchHarness(spark, SCHEMA)
+    yield h
+    h.close()
+
+
+def windowed_count(stream):
+    return (
+        SC.with_watermark(stream, "ts", "0 seconds")
+        .groupBy(F.window("ts", "60 seconds").alias("w"), "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "key", "n")
+    )
+
+
+def test_append_mode_emits_once_after_watermark(spark, harness):
+    # Batch 1: three rows in window [0,60); watermark still at batch start.
+    harness.feed(_batch(spark, _rows(spark, (1, 10, "a", 1), (2, 20, "a", 1), (3, 70, "a", 1))))
+    out1 = harness.run_round(windowed_count, output_mode="append")
+    # The batch raises the watermark to 70s; the run's follow-up
+    # watermark-commit batch closes [0,60) — emitted exactly once, with
+    # the on-time result. [60,120) stays open (watermark 70 < 120).
+    got1 = {(str(r["ws"]), r["key"]): r["n"] for r in out1}
+    assert got1 == {("2024-01-01 00:00:00", "a"): 2}
+
+    # Batch 2: a row far in the future → watermark passes [60,120).
+    harness.feed(_batch(spark, _rows(spark, (4, 500, "a", 1))))
+    out2 = harness.run_round(windowed_count, output_mode="append")
+    got2 = {(str(r["ws"]), r["key"]): r["n"] for r in out2}
+    assert got2 == {("2024-01-01 00:01:00", "a"): 1}
+
+
+def test_update_mode_emits_early_refinements(spark, harness):
+    # Update mode ≈ early firings: partial aggregates emitted per batch.
+    harness.feed(_batch(spark, _rows(spark, (1, 10, "a", 1), (2, 20, "a", 1))))
+    out1 = harness.run_round(windowed_count, output_mode="update")
+    assert [(r["key"], r["n"]) for r in out1] == [("a", 2)]
+
+    harness.feed(_batch(spark, _rows(spark, (3, 30, "a", 1))))
+    out2 = harness.run_round(windowed_count, output_mode="update")
+    # refinement: same window, updated count
+    assert [(r["key"], r["n"]) for r in out2] == [("a", 3)]
+
+
+def test_drop_duplicates_within_watermark(spark, harness):
+    def dedup(stream):
+        return SC.drop_duplicates_within_watermark(stream, ["event_id"], "ts", "300 seconds")
+
+    harness.feed(_batch(spark, _rows(spark, (1, 10, "a", 1), (2, 20, "a", 1))))
+    out1 = harness.run_round(dedup, output_mode="append")
+    assert sorted(r["event_id"] for r in out1) == [1, 2]
+
+    # event_id=1 replayed within the horizon → dropped; 3 is new.
+    harness.feed(_batch(spark, _rows(spark, (1, 30, "a", 1), (3, 40, "a", 1))))
+    out2 = harness.run_round(dedup, output_mode="append")
+    assert sorted(r["event_id"] for r in out2) == [3]
+
+
+def test_stream_static_join(spark, harness):
+    dim = spark.createDataFrame([("a", "alpha"), ("b", "beta")], "key string, name string")
+
+    def join_query(stream):
+        return SC.stream_static_join(stream, F.broadcast(dim), "key").select(
+            "event_id", "name"
+        )
+
+    harness.feed(_batch(spark, _rows(spark, (1, 10, "a", 1), (2, 20, "b", 1), (3, 30, "c", 1))))
+    out = harness.run_round(join_query, output_mode="append")
+    assert sorted((r["event_id"], r["name"]) for r in out) == [(1, "alpha"), (2, "beta")]
+
+
+def test_session_window_streaming(spark, harness):
+    def sessions(stream):
+        return (
+            SC.with_watermark(stream, "ts", "0 seconds")
+            .groupBy(F.session_window("ts", "30 seconds").alias("w"), "key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "key", "n")
+        )
+
+    # two bursts 10,20,25 (one session) and 200 (another), then advance
+    harness.feed(_batch(spark, _rows(spark, (1, 10, "a", 1), (2, 20, "a", 1), (3, 25, "a", 1), (4, 200, "a", 1))))
+    harness.feed(_batch(spark, _rows(spark, (5, 600, "a", 1))))
+    out = harness.run_round(sessions, output_mode="append") + harness.run_round(
+        sessions, output_mode="append"
+    )
+    got = {(str(r["ws"]), r["key"]): r["n"] for r in out}
+    assert got[("2024-01-01 00:00:10", "a")] == 3
+    assert got[("2024-01-01 00:03:20", "a")] == 1

@@ -1,0 +1,132 @@
+"""Trigger-kernel semantics tests (the ReduceFnRunnerTest analog —
+historical tests/util/ReduceFnRunnerTest.java + tests/transforms/windowing/
+{AfterPaneTest,AfterWatermarkTest,TriggerTest}.java): early firings by
+element count, on-time panes at the watermark, late panes within the
+lateness horizon, accumulating vs discarding, PaneInfo sequencing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataflowjavasdk_spark.streaming import core as SC
+from dataflowjavasdk_spark.streaming.triggers import (
+    ACCUMULATING,
+    DISCARDING,
+    AfterCount,
+    AfterWatermark,
+    triggered_window_aggregate,
+)
+
+SCHEMA = "event_id long, ts timestamp, key string, value double"
+
+
+def _batch(spark, specs):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (eid, base + datetime.timedelta(seconds=sec), key, float(v))
+        for (eid, sec, key, v) in specs
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@pytest.fixture()
+def harness(spark):
+    h = SC.MicroBatchHarness(spark, SCHEMA)
+    yield h
+    h.close()
+
+
+def _build(trigger, accumulation, lateness="0 seconds"):
+    def build(stream):
+        return triggered_window_aggregate(
+            stream,
+            keys=["key"],
+            value_col="value",
+            window_size="60 seconds",
+            trigger=trigger,
+            accumulation=accumulation,
+            allowed_lateness=lateness,
+        )
+
+    return build
+
+
+def _panes(rows):
+    return [
+        (str(r["window_start"]), r["pane_timing"], r["pane_index"], r["n"], r["total"], r["is_first"], r["is_last"])
+        for r in sorted(rows, key=lambda r: (r["window_start"], r["pane_index"]))
+    ]
+
+
+def test_early_firing_by_count_then_on_time_accumulating(spark, harness):
+    trig = AfterWatermark(early=AfterCount(2))
+    # 3 elements in window [0,60) — one batch → one EARLY pane (count≥2)
+    harness.feed(_batch(spark, [(1, 10, "a", 1), (2, 20, "a", 2), (3, 30, "a", 3)]))
+    out1 = harness.run_round(_build(trig, ACCUMULATING), output_mode="update")
+    assert _panes(out1) == [("2024-01-01 00:00:00", "EARLY", 0, 3, 6.0, True, False)]
+
+    # advance the watermark past window end → ON_TIME pane, accumulating
+    harness.feed(_batch(spark, [(4, 500, "a", 0)]))
+    out2 = harness.run_round(_build(trig, ACCUMULATING), output_mode="update")
+    on_time = [p for p in _panes(out2) if p[0] == "2024-01-01 00:00:00"]
+    assert on_time == [("2024-01-01 00:00:00", "ON_TIME", 1, 3, 6.0, False, True)]
+
+
+def test_discarding_mode_resets_between_panes(spark, harness):
+    trig = AfterWatermark(early=AfterCount(2))
+    harness.feed(_batch(spark, [(1, 10, "a", 1), (2, 20, "a", 2)]))
+    out1 = harness.run_round(_build(trig, DISCARDING), output_mode="update")
+    assert _panes(out1) == [("2024-01-01 00:00:00", "EARLY", 0, 2, 3.0, True, False)]
+
+    harness.feed(_batch(spark, [(3, 500, "a", 0)]))
+    out2 = harness.run_round(_build(trig, DISCARDING), output_mode="update")
+    on_time = [p for p in _panes(out2) if p[0] == "2024-01-01 00:00:00"]
+    # discarding: the EARLY pane consumed both elements → ON_TIME is empty
+    assert on_time == [("2024-01-01 00:00:00", "ON_TIME", 1, 0, 0.0, False, True)]
+
+
+def test_no_early_trigger_fires_only_at_watermark(spark, harness):
+    trig = AfterWatermark()
+    harness.feed(_batch(spark, [(1, 10, "a", 1), (2, 20, "a", 2)]))
+    out1 = harness.run_round(_build(trig, ACCUMULATING), output_mode="update")
+    assert _panes(out1) == []  # nothing before the watermark crossing
+
+    harness.feed(_batch(spark, [(3, 500, "a", 0)]))
+    out2 = harness.run_round(_build(trig, ACCUMULATING), output_mode="update")
+    on_time = [p for p in _panes(out2) if p[0] == "2024-01-01 00:00:00"]
+    assert on_time == [("2024-01-01 00:00:00", "ON_TIME", 0, 2, 3.0, True, True)]
+
+
+def test_late_data_within_lateness_fires_late_pane(spark, harness):
+    trig = AfterWatermark()
+    build = _build(trig, ACCUMULATING, lateness="600 seconds")
+
+    harness.feed(_batch(spark, [(1, 10, "a", 1)]))
+    harness.feed(_batch(spark, [(2, 120, "a", 0)]))  # watermark → 120 > 60
+    out1 = harness.run_round(build, output_mode="update")
+    w0 = [p for p in _panes(out1) if p[0] == "2024-01-01 00:00:00"]
+    assert w0 == [("2024-01-01 00:00:00", "ON_TIME", 0, 1, 1.0, True, False)]
+
+    # late element for [0,60) while watermark=120 < 60+600 → LATE pane
+    harness.feed(_batch(spark, [(3, 30, "a", 5)]))
+    out2 = harness.run_round(build, output_mode="update")
+    w0_late = [p for p in _panes(out2) if p[0] == "2024-01-01 00:00:00"]
+    assert w0_late == [("2024-01-01 00:00:00", "LATE", 1, 2, 6.0, False, False)]
+
+
+def test_stragglers_beyond_lateness_are_dropped(spark, harness):
+    trig = AfterWatermark()
+    build = _build(trig, ACCUMULATING, lateness="0 seconds")
+
+    harness.feed(_batch(spark, [(1, 10, "a", 1)]))
+    harness.feed(_batch(spark, [(2, 500, "a", 0)]))  # closes + GCs [0,60)
+    out1 = harness.run_round(build, output_mode="update")
+    assert [p for p in _panes(out1) if p[0] == "2024-01-01 00:00:00"]
+
+    # straggler for the GC'd window: no pane, no resurrected state
+    harness.feed(_batch(spark, [(3, 20, "a", 9), (4, 600, "a", 0)]))
+    out2 = harness.run_round(build, output_mode="update")
+    assert [p for p in _panes(out2) if p[0] == "2024-01-01 00:00:00"] == []
