@@ -72,6 +72,7 @@ def _load_all() -> None:
 
     for mod in (
         "relational",
+        "relational2",
         "windowing",
         "text",
         "similarity",
