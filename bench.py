@@ -21,16 +21,24 @@ sys.path.insert(0, _REPO_ROOT)
 # Queries that exercise the engine's breadth: scan+agg, multi-join, window
 # functions, event-time windowing, dedup/text/similarity north-stars.
 HEADLINE = [
+    # relational spine (BASELINE.md comparables)
     "q1_pricing_summary",
     "q3_join_agg",
     "q5_region_revenue",
     "q6_forecast_revenue",
-    "tumbling_hourly_events",
-    "sliding_windows_events",
-    "session_windows_events",
     "topk_per_group",
     "distinct_event_users",
     "cogroup_customer_orders",
+    # event-time windowing
+    "tumbling_hourly_events",
+    "sliding_windows_events",
+    "session_windows_events",
+    # training-data pipeline (north-star ops)
+    "wordcount",
+    "tfidf",
+    "dedup_exact",
+    "minhash_lsh_near_dups",
+    "cosine_topk_bruteforce",
 ]
 
 

@@ -1,0 +1,59 @@
+"""Plan-shape regression tests: pin the scale-critical plan properties
+(pushdown, pruning, broadcast, no Python in relational hot paths)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dataflowjavasdk_spark.plans import audit
+from dataflowjavasdk_spark.queries.registry import get
+from tests.conftest import SMOKE_SF
+
+
+def _plan(spark, name):
+    return audit(get(name).fn(spark, SMOKE_SF))
+
+
+def test_q1_pushdown_and_pruning(spark):
+    p = _plan(spark, "q1_pricing_summary")
+    assert p.pushes("LessThanOrEqual(l_shipdate")
+    assert p.reads_only(
+        "l_returnflag",
+        {"l_quantity", "l_extendedprice", "l_discount", "l_tax",
+         "l_returnflag", "l_linestatus", "l_shipdate"},
+    )
+    assert p.python_evals == 0
+
+
+def test_q3_broadcasts_dimensions(spark):
+    p = _plan(spark, "q3_join_agg")
+    assert p.pushes("EqualTo(c_mktsegment,BUILDING)")
+    assert p.broadcast_joins >= 1
+    assert p.sort_merge_joins == 0
+    assert p.python_evals == 0
+
+
+def test_q5_all_dims_broadcast_no_smj(spark):
+    p = _plan(spark, "q5_region_revenue")
+    assert p.broadcast_joins >= 4  # customer, supplier, nation, region
+    assert p.sort_merge_joins == 0
+    assert p.pushes("EqualTo(r_name,ASIA)")
+
+
+def test_wordcount_prunes_to_text_column(spark):
+    p = _plan(spark, "wordcount")
+    assert p.reads_only("text", {"text"})
+    assert p.python_evals == 0
+
+
+def test_relational_queries_stay_jvm_side(spark):
+    # Python (Arrow) evaluation may appear ONLY where documented: simhash
+    # (pandas_udf). Every other registered query must be pure JVM.
+    from dataflowjavasdk_spark.queries.registry import all_queries
+
+    allowed_python = {"simhash_fingerprints"}
+    for name in all_queries():
+        if name in allowed_python:
+            continue
+        p = _plan(spark, name)
+        assert p.python_evals == 0, f"{name} has Python in the plan"
