@@ -73,6 +73,7 @@ def _load_all() -> None:
     for mod in (
         "relational",
         "relational2",
+        "relational3",
         "windowing",
         "text",
         "similarity",
