@@ -1,0 +1,262 @@
+"""Query batch 4 — the remaining §2.12 example-pipeline analogs
+(TopWikipediaSessions, GameStats, CountingInput) plus two training-data
+north-stars promoted to oracle-checked queries: multimodal binary-column
+plumbing and IVF-style approximate nearest neighbors.
+
+The sessionization oracles use the lag/cumsum CTE (the SQL-expressible
+definition of gap-merged sessions); timestamps are exact microseconds in
+both engines so session boundaries are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from dataflowjavasdk_spark.functions import similarity as S
+from dataflowjavasdk_spark.queries.registry import query
+from dataflowjavasdk_spark.sources.tables import load_table
+
+_SESSIONIZED = """
+    flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id,
+             min(ts) AS session_start,
+             max(ts) AS last_ts,
+             count(*) AS n_events
+      FROM numbered GROUP BY user_id, session_id
+    )
+"""
+
+
+@query(
+    "top_sessions",
+    oracle=f"""
+    WITH {_SESSIONIZED},
+    ranked AS (
+      SELECT user_id, session_start, n_events,
+             row_number() OVER (ORDER BY n_events DESC, user_id, session_start)
+               AS rk
+      FROM sessions
+    )
+    SELECT user_id, session_start, n_events, rk FROM ranked WHERE rk <= 10
+    """,
+)
+def top_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TopWikipediaSessions (historical
+    examples/complete/TopWikipediaSessions.java): Sessions windowing
+    composed with Top — the 10 busiest sessions corpus-wide. session_window
+    does the gap merge; the global top-10 plans as TakeOrderedAndProject
+    over the (already reduced) one-row-per-session aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    sessions = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    w = W.orderBy(F.col("n_events").desc(), F.col("user_id"), F.col("session_start"))
+    return sessions.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)
+
+
+@query(
+    "session_stats_per_user",
+    oracle=f"""
+    WITH {_SESSIONIZED}
+    SELECT user_id,
+           count(*) AS n_sessions,
+           SUM(n_events) AS total_events,
+           SUM(date_diff('microseconds', session_start, last_ts))
+             / count(*) AS mean_session_us,
+           max(n_events) AS max_session_events
+    FROM sessions GROUP BY user_id
+    """,
+)
+def session_stats_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GameStats (historical examples/complete/game/GameStats.java): per-user
+    session statistics — session count, total events, mean session duration.
+    Durations are integer microseconds (exact); the mean is one IEEE
+    division of two exact integers, so it is bit-identical cross-engine.
+    Two aggregations: gap-merge into sessions, then per-user rollup — the
+    second input is one row per session, already tiny."""
+    ev = load_table(spark, sf_dir, "events")
+    sessions = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    dur_us = F.unix_micros(F.col("last_ts")) - F.unix_micros(F.col("session_start"))
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("total_events"),
+        (F.sum(dur_us) / F.count(F.lit(1))).alias("mean_session_us"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+@query(
+    "counting_input_checksum",
+    oracle="""
+    SELECT count(*) AS n,
+           SUM(range) AS total,
+           SUM(CASE WHEN range % 7 = 0 THEN 1 ELSE 0 END) AS n_div7
+    FROM range(0, 1000000)
+    """,
+)
+def counting_input_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CountingInput.upTo(1e6) (historical sdk/io/CountingInput.java +
+    CountingSource.java): the synthetic bounded sequence source →
+    spark.range, which splits the sequence across partitions exactly like
+    the reference's splitIntoBundles. Checksum aggregate proves every
+    element appears exactly once."""
+    return spark.range(0, 1_000_000).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("id").alias("total"),
+        F.sum(F.when(F.col("id") % 7 == 0, 1).otherwise(0)).alias("n_div7"),
+    )
+
+
+@query(
+    "multimodal_payload_stats",
+    oracle="""
+    SELECT source, lang,
+           count(*) AS n_docs,
+           SUM(octet_length(encode(text))) AS total_bytes,
+           count(DISTINCT md5(text)) AS n_unique_payloads,
+           max(octet_length(encode(text))) AS max_bytes
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing (SURVEY.md §7.1 P7): treat each
+    document's bytes as an opaque BinaryType payload with a typed metadata
+    struct — the schema pattern for image/audio/video at 100 TB (real
+    decode stubs live in functions/multimodal.py). Everything here is
+    JVM-side: encode → binary, octet_length, md5 content-addressing for
+    exact payload dedup; grouped per (source, lang) metadata."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = docs.select(
+        "source",
+        "lang",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct("n_chars", "lang").alias("meta"),
+    )
+    return payload.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.octet_length("payload")).alias("total_bytes"),
+        F.countDistinct(F.md5("payload")).alias("n_unique_payloads"),
+        F.max(F.octet_length("payload")).alias("max_bytes"),
+    )
+
+
+_SQL_DOT = """
+  list_reduce(
+    list_prepend(0.0::DOUBLE,
+      list_transform(list_zip({a}, {b}),
+                     p -> p[1]::DOUBLE * p[2]::DOUBLE)),
+    (x, y) -> x + y)
+"""
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    dot = _SQL_DOT.format(a=a, b=b)
+    na = _SQL_DOT.format(a=a, b=a)
+    nb = _SQL_DOT.format(a=b, b=b)
+    return f"({dot}) / sqrt(({na}) * ({nb}))"
+
+
+@query(
+    "ivf_ann_topk",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+      WHERE vec_id < 8
+    ),
+    assigned AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             {_sql_cosine('e.embedding', 'c.cv')} AS ccos,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_sql_cosine('e.embedding', 'c.cv')} DESC,
+                                         c.centroid_id) AS crk
+      FROM embeddings e CROSS JOIN centroids c
+    ),
+    cells AS (
+      SELECT vec_id, embedding, centroid_id AS cell FROM assigned WHERE crk = 1
+    ),
+    queries AS (
+      SELECT vec_id AS query_id, embedding AS qv, cell AS qcell FROM cells
+      WHERE vec_id >= 5 AND vec_id < 10
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_sql_cosine('q.qv', 'c.embedding')} AS cosine
+      FROM queries q JOIN cells c ON c.cell = q.qcell
+      WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 5
+    """,
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (the scale path beside ann_lsh_topk's LSH): partition
+    the corpus into inverted-file cells by nearest centroid (here the first
+    8 vectors seed the codebook; a real build would k-means them), then
+    search only the query's cell. Unlike the LSH variant this one is fully
+    oracle-checked — cosine is the bit-identical left fold, centroid argmax
+    and top-k both carry deterministic tiebreaks.
+
+    Scale shape: the codebook broadcasts (K centroids × dim floats);
+    assignment is map-side (cross join vs broadcast + per-vector argmax);
+    the only wide ops are the per-vector argmax window and the final
+    per-query top-k — both over bounded inputs. nprobe>1 = relax crk<=n."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    scored_cent = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "centroid_id",
+        S.cosine(F.col("embedding"), F.col("cv")).alias("ccos"),
+    )
+    cw = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("centroid_id"))
+    cells = (
+        scored_cent.withColumn("crk", F.row_number().over(cw))
+        .filter(F.col("crk") == 1)
+        .select("vec_id", "embedding", F.col("centroid_id").alias("cell"))
+    )
+    q = cells.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("cell").alias("qcell"),
+    )
+    scored = cells.join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        S.cosine(F.col("qv"), F.col("embedding")).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)

@@ -74,6 +74,7 @@ def _load_all() -> None:
         "relational",
         "relational2",
         "relational3",
+        "examples",
         "windowing",
         "text",
         "similarity",
