@@ -33,12 +33,19 @@ HEADLINE = [
     "tumbling_hourly_events",
     "sliding_windows_events",
     "session_windows_events",
+    # sessions composed with Top (TopWikipediaSessions analog)
+    "top_sessions",
+    # wider TPC-H-style coverage
+    "q18_large_orders",
     # training-data pipeline (north-star ops)
     "wordcount",
     "tfidf",
+    "autocomplete_prefix_topk",
     "dedup_exact",
     "minhash_lsh_near_dups",
     "cosine_topk_bruteforce",
+    "ivf_ann_topk",
+    "multimodal_payload_stats",
 ]
 
 

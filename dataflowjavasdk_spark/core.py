@@ -212,6 +212,14 @@ class PCollection:
     def with_singleton_view(self, side: "PCollection") -> "PCollection":
         return self._with(_join.View.as_singleton(self.df, side.df))
 
+    def co_group_by_key(
+        self, others: dict[str, "PCollection"], keys: Sequence[str], name: str = "self"
+    ) -> "PCollection":
+        """CoGroupByKey over this + N tagged collections → CoGbkResult shape
+        (one array-of-structs column per tag, empty array when absent)."""
+        dfs = {name: self.df, **{tag: pc.df for tag, pc in others.items()}}
+        return self._with(_join.co_group_arrays(dfs, keys))
+
     # -- Set ops (§2.4) ---------------------------------------------------
     def flatten_with(self, *others: "PCollection") -> "PCollection":
         return self._with(_flatten.pcollections(self.df, *[o.df for o in others]))

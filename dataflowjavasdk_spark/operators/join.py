@@ -79,9 +79,44 @@ def co_group_by_key(
             .applyInPandas(apply, schema=schema)
         )
     raise NotImplementedError(
-        "co_group_by_key currently supports exactly 2 inputs; for N-way, "
-        "pre-aggregate each side and join (the scalable plan)."
+        "co_group_by_key with a custom fn supports exactly 2 inputs; for "
+        "N-way use co_group_arrays (CoGbkResult-shaped) or pre-aggregate "
+        "each side and join (the scalable plan)."
     )
+
+
+def co_group_arrays(dfs: dict[str, DataFrame], keys: Sequence[str]) -> DataFrame:
+    """N-way CoGroupByKey producing the CoGbkResult shape relationally:
+    one row per distinct key, one array-of-structs column per input (named
+    after its TupleTag), empty array where an input lacks the key — exactly
+    CoGbkResult.getAll(tag) (historical sdk/transforms/join/CoGbkResult.java,
+    UnionCoder.java: the reference unions all inputs tagged, then groups;
+    we aggregate each input first so only grouped arrays shuffle).
+
+    Scale note: per-input collect_list bounds state to one key's values per
+    input — same footprint as the reference's per-key iterable buffers; the
+    outer joins that follow are key-only equi-joins of already-reduced sides.
+    """
+    names = list(dfs)
+    key_list = list(keys)
+    agged = []
+    for name in names:
+        df = dfs[name]
+        value_cols = [c for c in df.columns if c not in key_list]
+        agged.append(
+            df.groupBy(*key_list).agg(
+                F.collect_list(F.struct(*value_cols)).alias(name)
+            )
+        )
+    out = agged[0]
+    for nxt in agged[1:]:
+        out = out.join(nxt, key_list, "full")
+    # Missing tag for a key → empty iterable, not NULL (CoGbkResult contract).
+    for name in names:
+        out = out.withColumn(
+            name, F.coalesce(F.col(name), F.array().cast(out.schema[name].dataType))
+        )
+    return out
 
 
 class View:

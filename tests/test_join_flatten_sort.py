@@ -92,3 +92,32 @@ def test_sort_values_secondary_sort(spark):
     for part in parts:
         seen = [(r["k"], r["sec"]) for r in part]
         assert seen == sorted(seen)
+
+
+def test_co_group_arrays_three_inputs(spark, sides):
+    left, right = sides
+    p = Pipeline(spark)
+    third = p.create([("a", 1.5), ("e", 5.5)], "k string, tv double")
+    out = join.co_group_arrays(
+        {"l": left.df, "r": right.df, "t": third.df}, ["k"]
+    )
+    got = {
+        r["k"]: (sorted(x.lv for x in r["l"]),
+                 sorted(x.rv for x in r["r"]),
+                 sorted(x.tv for x in r["t"]))
+        for r in out.collect()
+    }
+    assert got == {
+        "a": ([1], [10], [1.5]),
+        "b": ([2], [20], []),
+        "c": ([3], [], []),
+        "d": ([], [40], []),
+        "e": ([], [], [5.5]),
+    }
+
+
+def test_co_group_by_key_facade(spark, sides):
+    left, right = sides
+    out = left.co_group_by_key({"r": right}, ["k"], name="l")
+    got = {r["k"]: (len(r["l"]), len(r["r"])) for r in out.collect()}
+    assert got == {"a": (1, 1), "b": (1, 1), "c": (1, 0), "d": (0, 1)}
