@@ -1,0 +1,187 @@
+"""Property-based tests (SURVEY.md §5.2.3) — the CoderProperties /
+WindowFnTestUtils / SourceTestUtils analog: hypothesis generates adversarial
+inputs, properties assert the model's invariants.
+
+Spark actions are ~100ms each, so examples are capped; hypothesis still
+explores boundaries (epoch edges, empty strings, single-element groups) far
+better than hand-picked fixtures.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_settings = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# Event-time seconds within a few days around an arbitrary epoch point;
+# wide enough to cross window boundaries, small enough to stay readable.
+_ts_secs = st.integers(min_value=1_700_000_000, max_value=1_700_300_000)
+
+
+@given(ts_list=st.lists(_ts_secs, min_size=1, max_size=30), size=st.sampled_from([60, 300, 3600]))
+@_settings
+def test_fixed_windows_partition_time(spark, ts_list, size):
+    """FixedWindows law (WindowFnTestUtils analog): every element lands in
+    exactly one window; window_start = ts - ts % size; start <= ts < end;
+    end - start = size."""
+    df = spark.createDataFrame([(t,) for t in ts_list], "secs long").select(
+        F.col("secs"), F.timestamp_seconds("secs").alias("ts")
+    )
+    out = df.select(
+        "secs", F.window("ts", f"{size} seconds").alias("w")
+    ).collect()
+    assert len(out) == len(ts_list)  # exactly one window per element
+    for r in out:
+        start = int(r["w"]["start"].replace(tzinfo=datetime.timezone.utc).timestamp())
+        end = int(r["w"]["end"].replace(tzinfo=datetime.timezone.utc).timestamp())
+        assert start == r["secs"] - r["secs"] % size
+        assert start <= r["secs"] < end
+        assert end - start == size
+
+
+@given(
+    ts_list=st.lists(_ts_secs, min_size=1, max_size=20),
+    period=st.sampled_from([60, 300]),
+    mult=st.integers(min_value=2, max_value=4),
+)
+@_settings
+def test_sliding_windows_overlap_count(spark, ts_list, period, mult):
+    """SlidingWindows law: with size = mult × period, every element belongs
+    to exactly `mult` windows, all of which contain it."""
+    size = mult * period
+    df = spark.createDataFrame([(t,) for t in ts_list], "secs long").select(
+        F.col("secs"), F.timestamp_seconds("secs").alias("ts")
+    )
+    out = df.select(
+        "secs", F.window("ts", f"{size} seconds", f"{period} seconds").alias("w")
+    ).collect()
+    per_elem: dict[int, int] = {}
+    for r in out:
+        start = int(r["w"]["start"].replace(tzinfo=datetime.timezone.utc).timestamp())
+        end = int(r["w"]["end"].replace(tzinfo=datetime.timezone.utc).timestamp())
+        assert start <= r["secs"] < end and end - start == size
+        per_elem[r["secs"]] = per_elem.get(r["secs"], 0) + 1
+    counts = {}
+    for t in ts_list:
+        counts[t] = counts.get(t, 0) + 1
+    assert per_elem == {t: mult * n for t, n in counts.items()}
+
+
+def _sessions_reference(pairs: list[tuple[int, int]], gap: int) -> set[tuple[int, int, int]]:
+    """The lag/cumsum sessionization definition, in plain Python:
+    (user, session_start, n_events) triples."""
+    by_user: dict[int, list[int]] = {}
+    for u, t in pairs:
+        by_user.setdefault(u, []).append(t)
+    out = set()
+    for u, ts in by_user.items():
+        ts.sort()
+        start, n = ts[0], 1
+        for prev, cur in zip(ts, ts[1:]):
+            if cur - prev < gap:
+                n += 1
+            else:
+                out.add((u, start, n))
+                start, n = cur, 1
+        out.add((u, start, n))
+    return out
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3), _ts_secs),
+        min_size=1,
+        max_size=40,
+    ),
+    gap=st.sampled_from([60, 600, 1800]),
+)
+@_settings
+def test_session_windows_match_reference_merge(spark, pairs, gap):
+    """Sessions law (the heart of merging WindowFns): Spark's
+    session_window gap-merge produces exactly the sessions of the
+    sorted-scan reference algorithm — same (user, start, count) triples."""
+    df = spark.createDataFrame(pairs, "user long, secs long").select(
+        "user", F.timestamp_seconds("secs").alias("ts")
+    )
+    got = {
+        (r["user"], int(r["start"].replace(tzinfo=datetime.timezone.utc).timestamp()), r["n"])
+        for r in (
+            df.groupBy(F.session_window("ts", f"{gap} seconds").alias("w"), "user")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("user", F.col("w.start").alias("start"), "n")
+            .collect()
+        )
+    }
+    assert got == _sessions_reference(pairs, gap)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**31), max_value=2**31 - 1),
+            st.text(
+                alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FA0),
+                max_size=20,
+            ),
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            st.booleans(),
+            st.lists(st.integers(min_value=-1000, max_value=1000), max_size=5),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@_settings
+def test_parquet_round_trip(spark, tmp_path_factory, rows):
+    """Source/sink round-trip (SourceTestUtils/CoderProperties analog):
+    write → read preserves the bag exactly for every SQL type we map
+    coders onto (int, string incl. non-ASCII, double, bool, array)."""
+    path = str(tmp_path_factory.mktemp("rt") / "t.parquet")
+    schema = "i int, s string, d double, b boolean, a array<int>"
+    df = spark.createDataFrame(rows, schema)
+    df.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    norm = lambda rs: sorted((r.i, r.s, r.d, r.b, tuple(r.a)) for r in rs)
+    assert norm(back.collect()) == norm(df.collect())
+    assert back.schema == df.schema
+
+
+@given(
+    cents=st.lists(
+        st.integers(min_value=-10_000_00, max_value=10_000_00),
+        min_size=1,
+        max_size=50,
+    ),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@_settings
+def test_decimal_sum_order_independent(spark, cents, seed):
+    """The engine's exact-decimal aggregation invariant (queries/helpers.py):
+    summing 2dp doubles through DECIMAL equals the true rational sum no
+    matter the row order / partitioning — the property that makes every
+    oracle value-hash deterministic."""
+    import random
+
+    vals = [c / 100.0 for c in cents]
+    shuffled = vals[:]
+    random.Random(seed).shuffle(shuffled)
+    expected = float(sum(decimal.Decimal(c) for c in cents) / 100)
+
+    def spark_sum(xs: list[float], parts: int) -> float:
+        df = spark.createDataFrame([(x,) for x in xs], "v double").repartition(parts)
+        return df.agg(
+            F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("s")
+        ).collect()[0]["s"]
+
+    assert spark_sum(vals, 1) == expected
+    assert spark_sum(shuffled, 7) == expected
