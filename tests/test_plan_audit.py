@@ -57,3 +57,34 @@ def test_relational_queries_stay_jvm_side(spark):
             continue
         p = _plan(spark, name)
         assert p.python_evals == 0, f"{name} has Python in the plan"
+
+
+def test_q7_broadcasts_all_dims_twice_joined_nation(spark):
+    p = _plan(spark, "q7_volume_shipping")
+    assert p.broadcast_joins >= 4  # customer, supplier, nation ×2
+    assert p.sort_merge_joins == 0
+    assert p.python_evals == 0
+
+
+def test_q14_pushes_shipdate_range_and_broadcasts_part(spark):
+    p = _plan(spark, "q14_promo_revenue")
+    assert p.pushes("GreaterThanOrEqual(l_shipdate")
+    assert p.pushes("LessThan(l_shipdate")
+    assert p.broadcast_joins >= 1
+    assert p.sort_merge_joins == 0
+
+
+def test_ivf_ann_no_wide_joins(spark):
+    # codebook + query set broadcast; the corpus is never shuffle-joined.
+    p = _plan(spark, "ivf_ann_topk")
+    assert p.sort_merge_joins == 0
+    assert p.shuffled_hash_joins == 0
+    assert p.python_evals == 0
+
+
+def test_multimodal_prunes_scan(spark):
+    # n_chars feeds only the (unconsumed) meta struct, and Catalyst prunes
+    # it out of the scan entirely — the payload path reads 3 columns.
+    p = _plan(spark, "multimodal_payload_stats")
+    assert p.reads_only("text", {"source", "lang", "text"})
+    assert p.python_evals == 0
