@@ -508,3 +508,90 @@ def calendar_week_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value").alias("sum_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue. The
+    scalar-subquery max becomes a 1-row broadcast (Combine.globally
+    asSingletonView again); equality on the exact-decimal revenue is safe
+    because both sides are the same bit pattern. Revenue aggregates once;
+    the max pass reuses that tiny relation."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    su = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(disc_price()).cast("double").alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        su.join(revenue, su.s_suppkey == revenue.supplier_no)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH avgq AS (
+      SELECT l_partkey,
+             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                    / count(*)) AS thr
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           count(*) AS n_small
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN avgq ON avgq.l_partkey = lineitem.l_partkey
+    WHERE p_brand = 'Brand#5' AND l_quantity < thr
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue lost to small-quantity orders — the classic
+    correlated scalar subquery (per-part average), decorrelated into an
+    aggregate + join; Catalyst does the same rewrite for the SQL form. The
+    0.2×avg threshold is one multiply of one exact division, bit-identical
+    cross-engine. Per-part averages shuffle on partkey (same key as the
+    join — one co-partitioned exchange feeds both)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
+    avgq = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("thr")
+    )
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(avgq, li.l_partkey == avgq.avg_partkey)
+        .filter(F.col("l_quantity") < F.col("thr"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0)
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
