@@ -179,3 +179,63 @@ def global_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value").alias("sum_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "session_windows_dynamic_gap",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN event_type = 'click' THEN INTERVAL 10 MINUTE
+                  ELSE INTERVAL 30 MINUTE END AS gap
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, ts, value, gap,
+             max(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS prev_end
+      FROM g
+    ),
+    f AS (
+      SELECT user_id, ts, value, gap,
+             CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END
+               AS new_s
+      FROM w
+    ),
+    n AS (
+      SELECT user_id, ts, value, gap,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts + gap) AS session_end,
+           count(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM n GROUP BY user_id, sid
+    """,
+)
+def session_windows_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions.withGapDuration with a per-element gap (the dynamic-gap
+    form Beam added for data-dependent sessions): clicks close after 10
+    minutes, everything else after 30. Spark's session_window accepts a
+    Column gap natively; the oracle is interval-union sessionization — a
+    new session starts when ts >= the running max of (ts + gap) over all
+    earlier events, and the session end is the max merged interval end."""
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "click", F.lit("10 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
