@@ -595,3 +595,45 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_small"),
         )
     )
+
+
+@query(
+    "value_moments_per_type",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, count(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           s1 / n AS mean_value,
+           round((s2 - s1 * s1 / n) / n, 6) AS var_pop
+    FROM m
+    """,
+)
+def value_moments_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean + population variance per key via exact decimal moments — the
+    order-independent form of Combine.perKey(Mean/Variance). Built-in
+    var_pop sums doubles in partition order (nondeterministic across
+    engines); here s1 and s2 are exact decimal sums and the final
+    mean/variance are a fixed sequence of IEEE ops on those exact values;
+    var_pop is rounded to 6 dp because the s2 - s1²/n cancellation leaves
+    ~1 ulp of engine-dependent noise (measured: 9e-13 on one group). Same single-shuffle plan as any
+    multi-aggregate groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,6)")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("s1"),
+        F.sum(v * v).cast("double").alias("s2"),
+    )
+    return m.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean_value"),
+        F.round(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n"), 6
+        ).alias("var_pop"),
+    )

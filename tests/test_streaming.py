@@ -118,3 +118,21 @@ def test_session_window_streaming(spark, harness):
     got = {(str(r["ws"]), r["key"]): r["n"] for r in out}
     assert got[("2024-01-01 00:00:10", "a")] == 3
     assert got[("2024-01-01 00:03:20", "a")] == 1
+
+
+def test_late_data_beyond_watermark_dropped(spark, harness):
+    """SURVEY §2.8: rows later than the watermark horizon are dropped —
+    Beam's allowedLateness expiry ≡ Spark's withWatermark delay. A row for
+    an already-closed window must not re-emit or alter that window."""
+    # Window [0,60) closes once the watermark (max ts − 0s delay) passes 60.
+    harness.feed(_batch(spark, _rows(spark, (1, 10, "a", 1), (2, 200, "a", 1))))
+    out1 = harness.run_round(windowed_count, output_mode="append")
+    got1 = {(str(r["ws"]), r["key"]): r["n"] for r in out1}
+    assert got1 == {("2024-01-01 00:00:00", "a"): 1}
+
+    # A very late row for the closed [0,60) window: beyond the horizon.
+    harness.feed(_batch(spark, _rows(spark, (3, 15, "a", 1))))
+    out2 = harness.run_round(windowed_count, output_mode="append")
+    assert [
+        r for r in out2 if str(r["ws"]) == "2024-01-01 00:00:00"
+    ] == [], "late row re-opened a closed window"
