@@ -637,3 +637,76 @@ def value_moments_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n"), 6
         ).alias("var_pop"),
     )
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM({SQL_DISC_PRICE}
+                    - CAST(0.4 AS DECIMAL(2,1))
+                      * CAST(p_retailprice AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_profit
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style product profit per supplier-nation per year (adapted:
+    no partsupp table, so supply cost is modeled as 40% of p_retailprice —
+    the join/aggregation shape is Q9's exactly). All of part/supplier/
+    nation broadcast; profit is pure decimal arithmetic summed exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    pa = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    cost = (
+        F.lit(0.4).cast("decimal(2,1)")
+        * F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(12,2)")
+    )
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(disc_price() - cost).cast("double").alias("sum_profit"))
+    )
+
+
+@query(
+    "q16_part_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#3'
+      AND p_type NOT IN ('PROMO', 'ECONOMY')
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier counts per part attribute (adapted: the
+    part-supplier relationship comes from lineitem instead of the absent
+    partsupp). Exclusion predicates (<>, NOT IN, IN-list) all push into the
+    part scan; count(DISTINCT) plans as the two-phase distinct aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (~F.col("p_type").isin("PROMO", "ECONOMY"))
+        & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    )
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
