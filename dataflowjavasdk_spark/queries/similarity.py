@@ -130,3 +130,39 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_norm2"),
     )
+
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_sql_cosine('a.embedding', 'b.embedding')} AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.35
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the dedup-family twin of the
+    ANN queries: emit (a, b) with cosine ≥ τ, candidates blocked by an
+    equi-join key (label here; at 100 TB an LSH bucket or IVF cell — never
+    an unblocked cross join). The fixture embeddings are random, so τ=0.35
+    sits at the tail of the within-label similarity distribution (max
+    observed 0.47) purely to exercise the operator; real near-dup corpora
+    use τ≈0.95+. Deterministic: the cosine fold is bit-identical
+    cross-engine, so the threshold comparison can never disagree."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("label"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+    )
+    return (
+        a.join(b, (a.label == b.label_b) & (a.vec_a < b.vec_b))
+        .withColumn("cosine", S.cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cosine") >= 0.35)
+        .select("label", "vec_a", "vec_b", "cosine")
+    )
