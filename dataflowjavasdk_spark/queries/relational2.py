@@ -361,3 +361,33 @@ def wordcount_via_facade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count_per_element("word", out="n")
         .df
     )
+
+
+@query(
+    "deterministic_sample_global",
+    oracle="""
+    SELECT o_orderkey, rk FROM (
+      SELECT o_orderkey,
+             row_number() OVER (
+               ORDER BY ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT,
+                        o_orderkey) AS rk
+      FROM orders
+    ) WHERE rk <= 100
+    """,
+)
+def deterministic_sample_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample.fixedSizeGlobally(100) (historical sdk/transforms/Sample.java
+    reservoir sample) with a deterministic PRG: rank by md5(key) = one
+    fixed uniform permutation. Plans as TakeOrderedAndProject over the
+    hash ordering — per-partition bounded heaps, exactly the reservoir's
+    memory bound, no global sort."""
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.select(
+            "o_orderkey",
+            F.row_number()
+            .over(W.orderBy(md5_long(F.col("o_orderkey").cast("string")), F.col("o_orderkey")))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") <= 100)
+    )

@@ -185,3 +185,29 @@ def test_decimal_sum_order_independent(spark, cents, seed):
 
     assert spark_sum(vals, 1) == expected
     assert spark_sum(shuffled, 7) == expected
+
+
+@given(
+    lines=st.lists(
+        st.text(
+            alphabet=st.characters(
+                min_codepoint=33, max_codepoint=0x2FA0, exclude_characters="\r\n"
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_settings
+def test_text_gzip_round_trip(spark, tmp_path_factory, lines):
+    """TextIO.Read/Write with compression (historical sdk/io/TextIO.java +
+    CompressedSource.java): line-oriented write → gzip codec → read back
+    preserves the bag of lines; codec negotiation is by file extension,
+    as the reference's CompressedSource did."""
+    path = str(tmp_path_factory.mktemp("txt") / "out")
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    df.write.mode("overwrite").option("compression", "gzip").text(path)
+    back = spark.read.text(path)
+    assert sorted(r.value for r in back.collect()) == sorted(lines)
