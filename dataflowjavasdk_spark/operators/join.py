@@ -143,3 +143,60 @@ class View:
         """View.asMultimap: same join; duplicate side keys fan out — the
         multimap's multiple-values-per-key contract."""
         return main.join(F.broadcast(side), on, how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """As-of (point-in-time) left join: for each left row, attach the value
+    columns of the most recent right row with right_ts <= left_ts on the
+    same key — NULLs when no prior right row exists.
+
+    Absent in the reference (and in Spark's join set); a training-data /
+    feature-store staple, so built Spark-first rather than via a pairwise
+    range join: tag both sides, union, and run one last(ignorenulls) window
+    over (key, time, tag) — a SINGLE shuffle on the key, linear scan within
+    partitions, no row-count blowup. A range-condition join would be
+    O(left × right) per key before filtering; this is O(left + right).
+
+    Right rows must be unique per (on, right_ts) for determinism (dedupe
+    upstream with an argmax if not — events fixture satisfies it).
+    """
+    from pyspark.sql.window import Window as W
+
+    keys = list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in {*keys, right_ts}]
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__asof_ts"),
+        F.lit(0).alias("__asof_tag"),
+        *[F.col(c) for c in right_cols],
+    )
+    l = left.withColumn("__asof_ts", F.col(left_ts)).withColumn(
+        "__asof_tag", F.lit(1)
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    # tag order puts the right row first at ts equality → `>=` semantics,
+    # matching ANSI/DuckDB ASOF JOIN.
+    w = (
+        W.partitionBy(*keys)
+        .orderBy("__asof_ts", "__asof_tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"__asof_{c}")
+            for c in right_cols
+        ],
+    )
+    out_cols = [c for c in left.columns] + [
+        F.col(f"__asof_{c}").alias(c) for c in right_cols
+    ]
+    return filled.filter(F.col("__asof_tag") == 1).select(*out_cols)

@@ -260,3 +260,42 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+
+
+@query(
+    "asof_join_click_purchase",
+    oracle="""
+    SELECT l.user_id, l.event_id, l.ts,
+           r.event_id AS purchase_id, r.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/join.py asof_join — absent in both the
+    reference and Spark's native join set): each click event picks up the
+    user's most recent prior purchase, NULL if none. Oracle: DuckDB's
+    native ASOF LEFT JOIN, so the union+window implementation is checked
+    against an independent engine's definition of the operator. One
+    shuffle on user_id, linear within partitions (SCALE.md)."""
+    from dataflowjavasdk_spark.operators.join import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["purchase_id", "purchase_value"],
+    )

@@ -121,3 +121,25 @@ def test_co_group_by_key_facade(spark, sides):
     out = left.co_group_by_key({"r": right}, ["k"], name="l")
     got = {r["k"]: (len(r["l"]), len(r["r"])) for r in out.collect()}
     assert got == {"a": (1, 1), "b": (1, 1), "c": (1, 0), "d": (0, 1)}
+
+
+def test_asof_join_semantics(spark):
+    p = Pipeline(spark)
+    left = p.create(
+        [(1, 5, 102), (1, 10, 100), (1, 20, 101), (2, 7, 103)],
+        "k int, ts int, lid int",
+    )
+    right = p.create(
+        [(1, 10, 900, 1.5), (1, 15, 901, 2.5), (2, 99, 902, 3.5)],
+        "k int, ts int, rid int, rv double",
+    )
+    out = join.asof_join(left.df, right.df, on=["k"], left_ts="ts", right_ts="ts")
+    got = sorted((r.k, r.ts, r.lid, r.rid, r.rv) for r in out.collect())
+    # ts=5: no prior right → NULLs; ts=10: equality counts (>=); ts=20:
+    # most recent of {10,15} → 15; k=2: right exists but only later → NULL.
+    assert got == [
+        (1, 5, 102, None, None),
+        (1, 10, 100, 900, 1.5),
+        (1, 20, 101, 901, 2.5),
+        (2, 7, 103, None, None),
+    ]
