@@ -299,3 +299,44 @@ def asof_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         right_cols=["purchase_id", "purchase_value"],
     )
+
+
+@query(
+    "range_join_click_purchase",
+    oracle="""
+    SELECT l.user_id, l.event_id AS click_id,
+           r.event_id AS purchase_id,
+           date_diff('microseconds', l.ts, r.ts) AS delta_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts - INTERVAL 10 MINUTE
+     AND r.ts <= l.ts + INTERVAL 10 MINUTE
+    """,
+)
+def range_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/join.py range_join — banded-bucket strategy):
+    click-purchase pairs within ±10 minutes per user. The oracle is the
+    naive inequality join (fine for DuckDB at oracle scale); the engine
+    side never forms the per-user cartesian product."""
+    from dataflowjavasdk_spark.operators.join import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    out = range_join(
+        clicks, purchases, on=["user_id"], left_ts="ts", right_ts="pts",
+        lower=-600, upper=600,
+    )
+    return out.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("pts") - F.unix_micros("ts")).alias("delta_us"),
+    )

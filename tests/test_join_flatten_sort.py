@@ -143,3 +143,22 @@ def test_asof_join_semantics(spark):
         (1, 20, 101, 901, 2.5),
         (2, 7, 103, None, None),
     ]
+
+
+def test_range_join_band_boundaries(spark):
+    """Banded range join must not lose pairs that straddle band edges or
+    admit pairs just outside the bounds (inclusive [lower, upper])."""
+    p = Pipeline(spark)
+    left = p.create([(1, 1000, 1)], "k int, ts int, lid int")
+    # bounds [-10, +10] → width 20, bands around 1000: rows at 989 (out),
+    # 990 (edge in), 1000, 1010 (edge in), 1011 (out), across band breaks.
+    right = p.create(
+        [(1, 989, 10), (1, 990, 11), (1, 1000, 12), (1, 1010, 13), (1, 1011, 14),
+         (2, 1000, 15)],
+        "k int, ts int, rid int",
+    )
+    out = join.range_join(
+        left.df, right.df.withColumnRenamed("ts", "rts"),
+        on=["k"], left_ts="ts", right_ts="rts", lower=-10, upper=10,
+    )
+    assert sorted(r.rid for r in out.collect()) == [11, 12, 13]
