@@ -211,3 +211,72 @@ def test_text_gzip_round_trip(spark, tmp_path_factory, lines):
     df.write.mode("overwrite").option("compression", "gzip").text(path)
     back = spark.read.text(path)
     assert sorted(r.value for r in back.collect()) == sorted(lines)
+
+
+def _asof_reference(lefts, rights):
+    """Plain-Python as-of: most recent right (ts, rid) with ts <= left ts."""
+    out = []
+    for k, lts, lid in lefts:
+        best = None
+        for rk, rts, rid in rights:
+            if rk == k and rts <= lts and (best is None or rts > best[0] or (rts == best[0] and rid > best[1])):
+                best = (rts, rid)
+        out.append((k, lts, lid, best[1] if best else None))
+    return sorted(out)
+
+
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 100), st.integers(0, 10**6)),
+        min_size=1, max_size=15, unique_by=lambda t: t[2],
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 100), st.integers(0, 10**6)),
+        min_size=0, max_size=15, unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+@_settings
+def test_asof_join_matches_reference(spark, lefts, rights):
+    """asof_join law: equals the brute-force most-recent-prior lookup on
+    arbitrary keyed series (right unique per (key, ts) — the operator's
+    documented precondition)."""
+    from dataflowjavasdk_spark.operators.join import asof_join
+
+    l = spark.createDataFrame(lefts, "k int, ts int, lid long")
+    r = spark.createDataFrame(rights or [(99, 0, 0)], "k int, rts int, rid long")
+    out = asof_join(l, r.withColumnRenamed("rts", "ts"), on=["k"],
+                    left_ts="ts", right_ts="ts", right_cols=["rid"])
+    got = sorted((x.k, x.ts, x.lid, x.rid) for x in out.collect())
+    assert got == _asof_reference(lefts, rights or [(99, 0, 0)])
+
+
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 200), st.integers(0, 10**6)),
+        min_size=1, max_size=12, unique_by=lambda t: t[2],
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 200), st.integers(0, 10**6)),
+        min_size=0, max_size=12, unique_by=lambda t: t[2],
+    ),
+    lower=st.integers(-30, 0),
+    upper=st.integers(0, 30),
+)
+@_settings
+def test_range_join_matches_reference(spark, lefts, rights, lower, upper):
+    """range_join law: the banded implementation equals the brute-force
+    inequality join for arbitrary bounds, including lower == upper."""
+    from dataflowjavasdk_spark.operators.join import range_join
+
+    l = spark.createDataFrame(lefts, "k int, ts int, lid long")
+    r = spark.createDataFrame(rights or [(99, 0, 0)], "k int, rts int, rid long")
+    out = range_join(l, r, on=["k"], left_ts="ts", right_ts="rts",
+                     lower=lower, upper=upper)
+    got = sorted((x.lid, x.rid) for x in out.collect())
+    expect = sorted(
+        (lid, rid)
+        for (lk, lts, lid) in lefts
+        for (rk, rts, rid) in (rights or [(99, 0, 0)])
+        if lk == rk and lts + lower <= rts <= lts + upper
+    )
+    assert got == expect
