@@ -239,3 +239,43 @@ def session_windows_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "rollup_hourly_to_daily",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, event_type,
+           count(*) AS n_events,
+           {sql_dsum('value')} AS sum_value,
+           CAST(max(value) AS DOUBLE) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_hourly_to_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: the daily aggregate is
+    computed FROM the hourly partial aggregate, never from raw events —
+    count/sum/max re-aggregate losslessly (algebraic CombineFns, the
+    property Dataflow's combiner lifting relies on). The oracle aggregates
+    the raw table directly, so the equality check proves the two-level
+    rollup is exact. At 100 TB this is the pattern for materialized
+    rollup tables: the hourly relation is ~3 orders of magnitude smaller
+    than raw events, and every coarser window (day/week/month) reads it
+    instead of rescanning the facts."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_dec"),
+        F.max("value").alias("max_value"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("hour_start")).alias("day_start"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").cast("double").alias("sum_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )

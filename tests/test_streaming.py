@@ -136,3 +136,52 @@ def test_late_data_beyond_watermark_dropped(spark, harness):
     assert [
         r for r in out2 if str(r["ws"]) == "2024-01-01 00:00:00"
     ] == [], "late row re-opened a closed window"
+
+
+def test_per_window_destination_partitions(spark, harness, tmp_path):
+    """BigQueryIO streaming's per-window destination tables (SURVEY §2.6):
+    foreachBatch + partitionBy(window_start) — each event-time window lands
+    in its own partition directory of the sink."""
+    import os
+
+    out_dir = str(tmp_path / "sink")
+    harness.feed(
+        _batch(spark, _rows(spark, (1, 10, "a", 1), (2, 70, "a", 1), (3, 200, "b", 1)))
+    )
+
+    def windowed(stream):
+        return (
+            SC.with_watermark(stream, "ts", "0 seconds")
+            .groupBy(F.window("ts", "60 seconds").alias("w"), "key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").cast("string").alias("window_start"), "key", "n")
+        )
+
+    source = SC.read_stream_dropdir(spark, harness.input_dir, harness.schema)
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").partitionBy("window_start").parquet(out_dir)
+
+    q = (
+        windowed(source)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", harness.checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from urllib.parse import unquote
+
+    parts = sorted(
+        unquote(d.split("=", 1)[1])
+        for d in os.listdir(out_dir)
+        if d.startswith("window_start=")
+    )
+    assert parts == [
+        "2024-01-01 00:00:00",
+        "2024-01-01 00:01:00",
+        "2024-01-01 00:03:00",
+    ]
+    back = spark.read.parquet(out_dir)
+    assert back.count() == 3
