@@ -160,6 +160,78 @@ class AfterAll(Trigger):
 
 
 @dataclass(frozen=True)
+class Never(Trigger):
+    """Never.ever() (historical sdk/transforms/windowing/Never.java): a
+    trigger that never fires — as OrFinally's main it means "only the
+    until-condition ever emits"."""
+
+    def should_fire(self, dyn, path, now_ms):
+        return False
+
+
+@dataclass(frozen=True)
+class AfterEach(Trigger):
+    """AfterEach.inOrder(t1, t2, ...) (historical
+    sdk/transforms/windowing/AfterEach.java): runs sub-triggers in
+    sequence — the active one fires, finishes, and hands over to the next;
+    after the last finishes the trigger is done. (A sub-trigger here
+    finishes on its first fire, Beam's semantics for non-repeated
+    sub-triggers.)"""
+
+    triggers: tuple[Trigger, ...]
+
+    def _i(self, dyn, path) -> int:
+        return dyn.get(path + ".i", 0)
+
+    def on_elements(self, dyn, path, n_new, now_ms):
+        i = self._i(dyn, path)
+        if i < len(self.triggers):
+            self.triggers[i].on_elements(dyn, f"{path}.e{i}", n_new, now_ms)
+
+    def should_fire(self, dyn, path, now_ms):
+        i = self._i(dyn, path)
+        return i < len(self.triggers) and self.triggers[i].should_fire(
+            dyn, f"{path}.e{i}", now_ms
+        )
+
+    def on_fire(self, dyn, path):
+        i = self._i(dyn, path)
+        if i < len(self.triggers):
+            self.triggers[i].on_fire(dyn, f"{path}.e{i}")
+            dyn[path + ".i"] = i + 1
+
+
+@dataclass(frozen=True)
+class OrFinally(Trigger):
+    """t.orFinally(until) (historical OrFinallyTrigger in
+    sdk/transforms/windowing/Trigger.java): behaves as `main` until
+    `until` fires once, which finishes the trigger permanently. The
+    kernel calls should_fire exactly once before on_fire, so the
+    until-branch decision is stashed in dynamic state between the two."""
+
+    main: Trigger
+    until: Trigger
+
+    def on_elements(self, dyn, path, n_new, now_ms):
+        if dyn.get(path + ".done"):
+            return
+        self.main.on_elements(dyn, f"{path}.m", n_new, now_ms)
+        self.until.on_elements(dyn, f"{path}.u", n_new, now_ms)
+
+    def should_fire(self, dyn, path, now_ms):
+        if dyn.get(path + ".done"):
+            return False
+        u = self.until.should_fire(dyn, f"{path}.u", now_ms)
+        dyn[path + ".upending"] = u
+        return u or self.main.should_fire(dyn, f"{path}.m", now_ms)
+
+    def on_fire(self, dyn, path):
+        self.main.on_fire(dyn, f"{path}.m")
+        if dyn.pop(path + ".upending", False):
+            dyn[path + ".done"] = True
+
+
+@dataclass(frozen=True)
 class AfterWatermark(Trigger):
     """AfterWatermark.pastEndOfWindow().withEarlyFirings(e).withLateFirings(l)
     — the root trigger (historical sdk/transforms/windowing/

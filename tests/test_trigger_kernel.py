@@ -130,3 +130,63 @@ def test_stragglers_beyond_lateness_are_dropped(spark, harness):
     harness.feed(_batch(spark, [(3, 20, "a", 9), (4, 600, "a", 0)]))
     out2 = harness.run_round(build, output_mode="update")
     assert [p for p in _panes(out2) if p[0] == "2024-01-01 00:00:00"] == []
+
+
+def test_after_each_advances_through_subtriggers(spark, harness):
+    """AfterEach.inOrder(count>=2, count>=3): first EARLY pane after 2
+    elements, second after 3 MORE, then no further early panes."""
+    from dataflowjavasdk_spark.streaming.triggers import AfterEach
+
+    trig = AfterWatermark(early=AfterEach(triggers=(AfterCount(2), AfterCount(3))))
+    # 2 elements → first sub-trigger fires.
+    harness.feed(_batch(spark, [(1, 1, "a", 1), (2, 2, "a", 1)]))
+    out1 = harness.run_round(_build(trig, ACCUMULATING), "update")
+    assert [p[1] for p in _panes(out1)] == ["EARLY"]
+    # 2 more: second sub-trigger needs 3, not there yet.
+    harness.feed(_batch(spark, [(3, 3, "a", 1), (4, 4, "a", 1)]))
+    out2 = harness.run_round(_build(trig, ACCUMULATING), "update")
+    assert _panes(out2) == []
+    # 1 more completes the second sub-trigger → second EARLY pane.
+    harness.feed(_batch(spark, [(5, 5, "a", 1)]))
+    out3 = harness.run_round(_build(trig, ACCUMULATING), "update")
+    assert [p[1] for p in _panes(out3)] == ["EARLY"]
+    # Sequence exhausted: more elements never fire early again.
+    harness.feed(_batch(spark, [(6, 6, "a", 1), (7, 7, "a", 1), (8, 8, "a", 1)]))
+    out4 = harness.run_round(_build(trig, ACCUMULATING), "update")
+    assert _panes(out4) == []
+
+
+def test_or_finally_stops_after_until_fires(spark, harness):
+    """Repeatedly(count>=1).orFinally(count>=3): every element fires an
+    EARLY pane until the 3rd arrives, then the trigger finishes — later
+    elements produce no early panes."""
+    from dataflowjavasdk_spark.streaming.triggers import OrFinally, Repeatedly
+
+    trig = AfterWatermark(
+        early=OrFinally(main=Repeatedly(AfterCount(1)), until=AfterCount(3))
+    )
+    harness.feed(_batch(spark, [(1, 1, "a", 1)]))
+    assert [p[1] for p in _panes(harness.run_round(_build(trig, ACCUMULATING), "update"))] == ["EARLY"]
+    harness.feed(_batch(spark, [(2, 2, "a", 1)]))
+    assert [p[1] for p in _panes(harness.run_round(_build(trig, ACCUMULATING), "update"))] == ["EARLY"]
+    # 3rd element: until fires (this pane still emits), then done.
+    harness.feed(_batch(spark, [(3, 3, "a", 1)]))
+    assert [p[1] for p in _panes(harness.run_round(_build(trig, ACCUMULATING), "update"))] == ["EARLY"]
+    harness.feed(_batch(spark, [(4, 4, "a", 1), (5, 5, "a", 1)]))
+    assert _panes(harness.run_round(_build(trig, ACCUMULATING), "update")) == []
+
+
+def test_never_trigger_only_on_time_pane(spark, harness):
+    """Never as the early trigger: no speculative panes at all; the only
+    pane is ON_TIME at the watermark crossing."""
+    from dataflowjavasdk_spark.streaming.triggers import Never
+
+    trig = AfterWatermark(early=Never())
+    harness.feed(_batch(spark, [(1, 1, "a", 1), (2, 2, "a", 1), (3, 3, "a", 1)]))
+    out1 = harness.run_round(_build(trig, ACCUMULATING), "update")
+    assert _panes(out1) == []
+    # Advance the watermark past the window end → exactly one ON_TIME pane.
+    harness.feed(_batch(spark, [(9, 500, "a", 1)]))
+    out2 = harness.run_round(_build(trig, ACCUMULATING), "update")
+    win0 = [p for p in _panes(out2) if p[0] == "2024-01-01 00:00:00"]
+    assert [(p[1], p[3]) for p in win0] == [("ON_TIME", 3)]
