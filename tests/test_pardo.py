@@ -96,3 +96,30 @@ def test_counting_input_and_observe(spark):
     pc = Pipeline(spark).counting_input(100)
     observed = pc.observe("metrics", F.sum("value"), F.count(F.lit(1)))
     assert observed.df.count() == 100
+
+
+def test_python_udtf_as_table_function(spark):
+    """DoFn-as-UDTF (SURVEY §2.11): a true table function — 1 row → N rows
+    with multiple output columns — via pyspark.sql.functions.udtf, usable
+    both as a function call and from SQL with LATERAL."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="word string, pos int")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split()):
+                yield w, i
+
+    got = sorted(tuple(r) for r in SplitWords(lit("the quick fox")).collect())
+    assert got == [("fox", 2), ("quick", 1), ("the", 0)]
+
+    spark.udtf.register("split_words", SplitWords)
+    spark.createDataFrame([("a b",), ("c",)], "text string").createOrReplaceTempView(
+        "udtf_docs"
+    )
+    rows = spark.sql(
+        "SELECT text, word, pos FROM udtf_docs, LATERAL split_words(text)"
+    ).collect()
+    assert sorted(tuple(r) for r in rows) == [
+        ("a b", "a", 0), ("a b", "b", 1), ("c", "c", 0)
+    ]
