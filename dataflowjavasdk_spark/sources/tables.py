@@ -60,3 +60,14 @@ def load_tables(
 ) -> dict[str, DataFrame]:
     sf_dir = sf_dir or DEFAULT_SF_DIR
     return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Register every fixture table as a temp view, making the engine's
+    full surface reachable from raw `spark.sql(...)` — the SQL entry point
+    the reference never had (SURVEY.md §3: its only query language was the
+    fluent Java API). ANSI queries (the TPC-H set) run verbatim;
+    tests/test_sql_surface.py proves SQL and DataFrame plans agree."""
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
