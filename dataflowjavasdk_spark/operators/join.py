@@ -246,3 +246,33 @@ def range_join(
         F.col(right_ts).cast("long") <= F.col("__hi")
     )
     return joined.filter(exact).drop("__band", "__lo", "__hi")
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: Sequence[str],
+    fanout: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to hot keys on the `skewed` side: salt the
+    skewed side into `fanout` sub-keys, replicate `other` once per salt,
+    join on (key, salt). Each hot key's rows spread over `fanout` reducers
+    instead of one — the join-side twin of Combine.withHotKeyFanout
+    (aggregation salting). AQE's skew-join split does this adaptively at
+    stage boundaries; the explicit form is for engines/plans where AQE
+    can't see the skew (e.g. skew introduced mid-stage) and as the
+    documented 100 TB escape hatch.
+
+    The salt derives from a hash of all skewed-side columns (not rand()),
+    so the operator stays deterministic. Row multiplicity is preserved:
+    every skewed row gets exactly one salt; `other` rows are replicated
+    but each joins only its salt's partition.
+    """
+    keys = list(on)
+    salt = F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(fanout))
+    l = skewed.withColumn("__salt", salt)
+    r = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(fanout - 1)))
+    )
+    return l.join(r, [*keys, "__salt"], how).drop("__salt")

@@ -162,3 +162,22 @@ def test_range_join_band_boundaries(spark):
         on=["k"], left_ts="ts", right_ts="rts", lower=-10, upper=10,
     )
     assert sorted(r.rid for r in out.collect()) == [11, 12, 13]
+
+
+def test_salted_join_equals_plain_join(spark):
+    p = Pipeline(spark)
+    # one hot key (k=1 dominates), plus normal keys and a right-miss.
+    left = p.create(
+        [(1, i) for i in range(50)] + [(2, 100), (3, 101)],
+        "k int, lv int",
+    )
+    right = p.create([(1, 7), (2, 8), (4, 9)], "k int, rv int")
+    plain = sorted(
+        (r.k, r.lv, r.rv)
+        for r in left.df.join(right.df, "k", "inner").collect()
+    )
+    salted = sorted(
+        (r.k, r.lv, r.rv)
+        for r in join.salted_join(left.df, right.df, ["k"], fanout=4).collect()
+    )
+    assert salted == plain and len(plain) == 51
