@@ -46,8 +46,21 @@ class Pipeline:
         """Create.of — in-memory bounded source."""
         return PCollection(_pardo.create(self.spark, values, schema))
 
-    def read_parquet(self, path: str) -> "PCollection":
-        return PCollection(self.spark.read.parquet(path))
+    def read_parquet(
+        self, path: str, bounded: bool = True, schema: str | None = None
+    ) -> "PCollection":
+        """The unified-model switch (SURVEY §7.0): the same pipeline code
+        runs batch (`bounded=True`) or streaming (`bounded=False` →
+        readStream over the directory; `schema` required — streaming
+        sources cannot infer). Downstream PCollection ops are identical;
+        only the sink side differs (writeStream/foreachBatch)."""
+        if bounded:
+            return PCollection(self.spark.read.parquet(path))
+        if schema is None:
+            raise ValueError("unbounded read_parquet requires an explicit schema")
+        return PCollection(
+            self.spark.readStream.schema(schema).parquet(path)
+        )
 
     def read_text(self, path: str) -> "PCollection":
         """TextIO.Read — one row per line, column `value` (historical

@@ -185,3 +185,43 @@ def test_per_window_destination_partitions(spark, harness, tmp_path):
     ]
     back = spark.read.parquet(out_dir)
     assert back.count() == 3
+
+
+def test_facade_unified_batch_and_streaming(spark, harness):
+    """SURVEY §7.0's unified-model promise, concretely: ONE pipeline
+    function — written once against the PCollection façade — produces the
+    same per-window counts whether its source is bounded (read.parquet)
+    or unbounded (readStream + watermark + availableNow drain)."""
+    from dataflowjavasdk_spark.core import Pipeline, PCollection
+
+    def pipeline_logic(pc):
+        # windowed count per key — plain Column ops, no batch/stream split
+        return (
+            pc.with_timestamps(F.col("ts"))
+            .apply(
+                lambda df: df.groupBy(
+                    F.window("ts", "60 seconds").alias("w"), "key"
+                )
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.col("w.start").alias("ws"), "key", "n")
+            )
+        )
+
+    rows = _rows(spark, (1, 10, "a", 1), (2, 20, "a", 1), (3, 70, "b", 1))
+    batch_df = _batch(spark, rows)
+    harness.feed(batch_df)
+
+    # Batch run of the same logic, directly on the fed parquet directory.
+    p = Pipeline(spark)
+    batch_out = pipeline_logic(p.read_parquet(harness.input_dir)).collect()
+
+    # Streaming run: unbounded source + complete drain via the harness.
+    def build(stream):
+        pc = PCollection(SC.with_watermark(stream, "ts", "0 seconds"))
+        return pipeline_logic(pc).df
+
+    stream_out = harness.run_round(build, output_mode="update")
+
+    norm = lambda rows: sorted((str(r["ws"]), r["key"], r["n"]) for r in rows)
+    assert norm(batch_out) == norm(stream_out)
+    assert len(batch_out) == 2
