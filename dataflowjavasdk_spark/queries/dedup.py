@@ -240,3 +240,26 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash(T.tokens("text")).alias("simhash"),
         F.shiftrightunsigned(simhash(T.tokens("text")), 48).alias("bucket16"),
     )
+
+
+@query("near_dup_clusters", oracle=None)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS: connected components over the Jaccard pair graph
+    (functions/graph.py min-label propagation) — the step that turns
+    candidate pairs into dedup clusters, keeping one representative per
+    component (the minimum doc_id, a deterministic canonical choice).
+    Singleton docs are their own cluster. No SQL oracle: iterative
+    fixpoint, the driver contract's documented rows-only case; the
+    component algorithm is unit-tested on known graphs instead
+    (tests/test_dedup_similarity.py)."""
+    from dataflowjavasdk_spark.functions.graph import connected_components
+
+    pairs = near_dup_pairs_jaccard(spark, sf_dir).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(pairs, "src", "dst")
+    docs = _corpus(spark, sf_dir).select("doc_id")
+    return docs.join(comp, docs.doc_id == comp.node, "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+    )

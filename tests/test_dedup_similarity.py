@@ -123,3 +123,32 @@ def test_cosine_self_similarity(spark):
     got = emb.select(S.cosine(F.col("embedding"), F.col("embedding")).alias("c")).collect()
     for r in got:
         assert r["c"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_connected_components_known_graph(spark):
+    from dataflowjavasdk_spark.functions.graph import connected_components
+
+    # components: {1,2,3,4} (chain), {10,11} (pair), {20} appears via self-edge
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)], "src long, dst long"
+    )
+    got = {
+        r.node: r.component for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_near_dup_clusters_cover_corpus(spark):
+    from dataflowjavasdk_spark.queries.registry import get
+    from tests.conftest import SMOKE_SF
+
+    pairs = get("near_dup_pairs_jaccard").fn(spark, SMOKE_SF)
+    clusters = get("near_dup_clusters").fn(spark, SMOKE_SF)
+    docs = get("dedup_exact").fn(spark, SMOKE_SF)  # corpus-derived
+    rows = clusters.collect()
+    by_doc = {r.doc_id: r.cluster_id for r in rows}
+    # every doc appears exactly once, cluster id is a member min
+    assert len(by_doc) == len(rows)
+    for a, b in [(p.id_a, p.id_b) for p in pairs.collect()]:
+        assert by_doc[a] == by_doc[b], "paired docs must share a cluster"
+        assert by_doc[a] <= min(a, b)
