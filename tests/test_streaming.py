@@ -225,3 +225,36 @@ def test_facade_unified_batch_and_streaming(spark, harness):
     norm = lambda rows: sorted((str(r["ws"]), r["key"], r["n"]) for r in rows)
     assert norm(batch_out) == norm(stream_out)
     assert len(batch_out) == 2
+
+
+def test_stateful_par_do_value_and_bag_state(spark, harness):
+    """§2.9 stateful DoFn surface: ValueState accumulates across
+    micro-batches; BagState buffers element ids; the running count emitted
+    per batch reflects all data seen so far for the key."""
+    import pandas as pd
+
+    from dataflowjavasdk_spark.streaming.state import stateful_par_do
+
+    def fn(key, rows, state):
+        if len(rows) == 0:
+            return None
+        total = state.value("count", 0) + len(rows)
+        state.set("count", total)
+        state.bag_add("ids", [int(x) for x in rows["event_id"]])
+        return pd.DataFrame(
+            {"key": [key[0]], "n": [total], "n_ids": [len(state.bag("ids"))]}
+        )
+
+    def build(stream):
+        return stateful_par_do(
+            stream, keys=["key"], fn=fn,
+            output_schema="key string, n long, n_ids long",
+        )
+
+    harness.feed(_batch(spark, _rows(spark, (1, 10, "a", 1), (2, 20, "a", 1), (3, 30, "b", 1))))
+    out1 = {(r["key"]): (r["n"], r["n_ids"]) for r in harness.run_round(build, "update")}
+    assert out1 == {"a": (2, 2), "b": (1, 1)}
+
+    harness.feed(_batch(spark, _rows(spark, (4, 40, "a", 1))))
+    out2 = {(r["key"]): (r["n"], r["n_ids"]) for r in harness.run_round(build, "update")}
+    assert out2 == {"a": (3, 3)}  # state persisted across rounds
