@@ -258,3 +258,45 @@ def test_stateful_par_do_value_and_bag_state(spark, harness):
     harness.feed(_batch(spark, _rows(spark, (4, 40, "a", 1))))
     out2 = {(r["key"]): (r["n"], r["n_ids"]) for r in harness.run_round(build, "update")}
     assert out2 == {"a": (3, 3)}  # state persisted across rounds
+
+
+def test_stateful_par_do_timer_fires_and_clears(spark, harness):
+    """§2.9 @TimerId: an event-time timer set at (last_seen + 60s) fires
+    once the watermark passes it — the key emits its final count with
+    empty input rows, then clear_all drops the state (Beam state GC)."""
+    import pandas as pd
+
+    from dataflowjavasdk_spark.streaming.state import stateful_par_do
+
+    def fn(key, rows, state):
+        if state.timer_fired:
+            total = state.value("count", 0)
+            state.clear_all()
+            return pd.DataFrame({"key": [key[0]], "n": [total], "final": [True]})
+        if len(rows) == 0:
+            return None
+        total = state.value("count", 0) + len(rows)
+        state.set("count", total)
+        last_ms = int(rows["ts"].max().timestamp() * 1000)
+        state.set_timer(last_ms + 60_000)
+        return pd.DataFrame({"key": [key[0]], "n": [total], "final": [False]})
+
+    def build(stream):
+        return stateful_par_do(
+            stream, keys=["key"], fn=fn,
+            output_schema="key string, n long, final boolean",
+        )
+
+    harness.feed(_batch(spark, _rows(spark, (1, 10, "a", 1), (2, 20, "a", 1))))
+    out1 = [(r["key"], r["n"], r["final"]) for r in harness.run_round(build, "update")]
+    assert out1 == [("a", 2, False)]
+
+    # a far-future row for another key advances the watermark past a's timer
+    harness.feed(_batch(spark, _rows(spark, (3, 500, "b", 1))))
+    out2 = sorted((r["key"], r["n"], r["final"]) for r in harness.run_round(build, "update"))
+    assert ("a", 2, True) in out2  # timer fired with the buffered count
+
+    # a's state was cleared: new data starts the count from zero
+    harness.feed(_batch(spark, _rows(spark, (4, 600, "a", 1))))
+    out3 = [(r["key"], r["n"], r["final"]) for r in harness.run_round(build, "update") if r["key"] == "a"]
+    assert out3 == [("a", 1, False)]
