@@ -46,6 +46,8 @@ HEADLINE = [
     "cosine_topk_bruteforce",
     "ivf_ann_topk",
     "multimodal_payload_stats",
+    # composed end-to-end curation flagship
+    "training_data_pipeline",
 ]
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from dataflowjavasdk_spark.functions import similarity as S
 from dataflowjavasdk_spark.functions import text as T
@@ -262,4 +263,119 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(comp, docs.doc_id == comp.node, "left").select(
         "doc_id",
         F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+    )
+
+
+@query(
+    "training_data_pipeline",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    toks AS (
+      SELECT doc_id, text,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok
+      FROM corpus
+    ),
+    quality AS (SELECT * FROM toks WHERE n_tok >= 10),
+    exact AS (
+      SELECT doc_id, text, n_tok,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+      FROM quality
+    ),
+    kept AS (SELECT doc_id, text, n_tok FROM exact WHERE rk = 1),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(list_filter(string_split(text,' '), t -> t <> '')) - 1, 1)),
+               i -> array_to_string(
+                      array_slice(list_filter(string_split(text,' '), t -> t <> ''),
+                                  i, i + 2), ' ')
+             )) AS grams
+      FROM kept
+    ),
+    exploded AS (SELECT doc_id, unnest(grams) AS gram, len(grams) AS n FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*) AS inter, any_value(a.n) AS n_a, any_value(b.n) AS n_b
+      FROM exploded a JOIN exploded b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    dropped AS (
+      SELECT DISTINCT id_b AS doc_id FROM pairs
+      WHERE inter::DOUBLE / greatest(n_a + n_b - inter, 1)::DOUBLE >= 0.5
+    ),
+    final AS (
+      SELECT k.* FROM kept k
+      WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.doc_id = k.doc_id)
+    )
+    SELECT dd.source,
+           count(*) AS n_docs,
+           SUM(f.n_tok) AS total_tokens
+    FROM final f JOIN documents dd ON dd.doc_id = f.doc_id % 1000000
+    GROUP BY dd.source
+    """,
+)
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline — the composed flagship of the
+    training-data operators, one oracle-checked plan:
+
+      corpus (dup-injected) → quality filter (≥10 tokens)
+      → exact dedup (md5 content address, keep min doc_id)
+      → near-dup drop (3-gram Jaccard ≥ 0.5, greedy keep-lower-id)
+      → per-source kept-doc and token counts.
+
+    Every stage is the scale-shaped form: per-row expressions for
+    fingerprints, one equi-join per blocking key, anti-join for the drop
+    set, broadcast dimension join for metadata. This is the query a user
+    of the reference's pipeline model would run daily at 100 TB."""
+    corpus = _corpus(spark, sf_dir)
+    toks = corpus.withColumn("n_tok", F.size(T.tokens("text")))
+    quality = toks.filter(F.col("n_tok") >= 10)
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        quality.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    sh = kept.select("doc_id", S.shingles("text", 3).alias("grams")).withColumn(
+        "n", F.size("grams")
+    )
+    ex = sh.select("doc_id", "n", F.explode("grams").alias("gram"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first(F.col("a.n")).alias("n_a"),
+            F.first(F.col("b.n")).alias("n_b"),
+        )
+    )
+    dropped = (
+        pairs.filter(
+            F.col("inter").cast("double")
+            / F.greatest(F.col("n_a") + F.col("n_b") - F.col("inter"), F.lit(1)).cast(
+                "double"
+            )
+            >= 0.5
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    final = kept.join(dropped, "doc_id", "left_anti")
+    meta = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("orig_id"), "source"
+    )
+    return (
+        final.withColumn("orig_id", F.col("doc_id") % 1_000_000)
+        .join(F.broadcast(meta), "orig_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
     )
