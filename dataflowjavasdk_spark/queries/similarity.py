@@ -166,3 +166,42 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.35)
         .select("label", "vec_a", "vec_b", "cosine")
     )
+
+
+@query("ann_lsh_multitable", oracle=None)
+def ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-amplified LSH ANN: two independent hyperplane tables; a corpus
+    vector is a candidate if it collides with the query in EITHER table —
+    the recall-raising construction the single-table variant documents.
+    Implemented as a union of two equi-joins (each hash-partitioned — the
+    OR never becomes a non-equi join) + distinct. Rows-only; recall ≥ the
+    single-table query is asserted in tests/test_dedup_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    tabled = emb.withColumn(
+        "b0", S.random_hyperplane_bucket(F.col("embedding"), planes=8, dim=64)
+    ).withColumn(
+        # a disjoint plane family: offset the plane index namespace
+        "b1",
+        S.random_hyperplane_bucket(F.col("embedding"), planes=16, dim=64) % 256,
+    )
+    q = tabled.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("b0").alias("qb0"),
+        F.col("b1").alias("qb1"),
+    )
+    def table_join(bucket_col: str, q_bucket: str):
+        return tabled.join(
+            F.broadcast(q),
+            (F.col(bucket_col) == F.col(q_bucket))
+            & (F.col("vec_id") != F.col("query_id")),
+        ).select("query_id", F.col("vec_id").alias("neighbor_id"), "qv", "embedding")
+
+    cands = table_join("b0", "qb0").unionByName(table_join("b1", "qb1")).distinct()
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        S.cosine(F.col("qv"), F.col("embedding")).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)

@@ -152,3 +152,43 @@ def test_near_dup_clusters_cover_corpus(spark):
     for a, b in [(p.id_a, p.id_b) for p in pairs.collect()]:
         assert by_doc[a] == by_doc[b], "paired docs must share a cluster"
         assert by_doc[a] <= min(a, b)
+
+
+def test_multitable_lsh_recall_at_least_single_table(spark):
+    """OR-amplification property: two hash tables can only widen the
+    candidate set, so top-5 recall vs brute force is >= the single table's."""
+    from dataflowjavasdk_spark.queries.registry import get
+    from tests.conftest import SMOKE_SF
+
+    def topk_set(name):
+        return {
+            (r.query_id, r.neighbor_id)
+            for r in get(name).fn(spark, SMOKE_SF).collect()
+        }
+
+    exact = topk_set("cosine_topk_bruteforce")
+    single = topk_set("ann_lsh_topk")
+    multi = topk_set("ann_lsh_multitable")
+    recall_single = len(single & exact) / len(exact)
+    recall_multi = len(multi & exact) / len(exact)
+    assert recall_multi >= recall_single
+    # superset-candidates property: per query, the multi-table top-5's
+    # worst cosine is never worse than the single table's (more candidates
+    # can only improve the heap). Fixture embeddings are random, so
+    # absolute recall is meaningless at smoke scale — the dominance
+    # property is the invariant.
+    from dataflowjavasdk_spark.queries.registry import get as _get
+
+    def ranked(name):
+        rows = _get(name).fn(spark, SMOKE_SF).collect()
+        out = {}
+        for r in rows:
+            out.setdefault(r.query_id, []).append(r.cosine)
+        return {q: sorted(v, reverse=True) for q, v in out.items()}
+
+    rs, rm = ranked("ann_lsh_topk"), ranked("ann_lsh_multitable")
+    for qid, scores in rs.items():
+        mscores = rm.get(qid, [])
+        assert len(mscores) >= len(scores)
+        for i, sc in enumerate(scores):
+            assert mscores[i] >= sc - 1e-12

@@ -65,3 +65,19 @@ def test_fingerprint_normalization(spark):
     got = {r["id"]: r["fp"] for r in df.select("id", T.fingerprint("s").alias("fp")).collect()}
     assert got["a"] == got["b"]  # case + whitespace normalized
     assert got["a"] != got["c"]
+
+
+def test_variant_json_path(spark):
+    """SURVEY §1.3: TableRowJsonCoder's arbitrary-JSON rows map to PySpark
+    4's VariantType — parse once, extract typed paths without a declared
+    schema."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [('{"a": {"b": 3, "tags": ["x", "y"]}}',), ('{"a": {"b": 7}}',)], "j string"
+    )
+    out = df.select(
+        F.variant_get(F.try_parse_json("j"), "$.a.b", "int").alias("b"),
+        F.variant_get(F.try_parse_json("j"), "$.a.tags[0]", "string").alias("t0"),
+    )
+    assert sorted(tuple(r) for r in out.collect()) == [(3, "x"), (7, None)]
