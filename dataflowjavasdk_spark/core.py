@@ -233,6 +233,31 @@ class PCollection:
         dfs = {name: self.df, **{tag: pc.df for tag, pc in others.items()}}
         return self._with(_join.co_group_arrays(dfs, keys))
 
+    def asof_join(
+        self, right: "PCollection", on: Sequence[str], left_ts: str,
+        right_ts: str, right_cols: Sequence[str] | None = None,
+    ) -> "PCollection":
+        """Point-in-time join (operators/join.py asof_join)."""
+        return self._with(
+            _join.asof_join(self.df, right.df, on, left_ts, right_ts, right_cols)
+        )
+
+    def range_join(
+        self, right: "PCollection", on: Sequence[str], left_ts: str,
+        right_ts: str, lower: int, upper: int,
+    ) -> "PCollection":
+        """Interval join via banded buckets (operators/join.py range_join)."""
+        return self._with(
+            _join.range_join(self.df, right.df, on, left_ts, right_ts, lower, upper)
+        )
+
+    def salted_join(
+        self, other: "PCollection", on: Sequence[str], fanout: int = 8,
+        how: str = "inner",
+    ) -> "PCollection":
+        """Hot-key-resilient equi-join (operators/join.py salted_join)."""
+        return self._with(_join.salted_join(self.df, other.df, on, fanout, how))
+
     # -- Set ops (§2.4) ---------------------------------------------------
     def flatten_with(self, *others: "PCollection") -> "PCollection":
         return self._with(_flatten.pcollections(self.df, *[o.df for o in others]))
