@@ -137,6 +137,10 @@ class PCollection:
     def partition(self, n: int, fn: Column) -> list["PCollection"]:
         return [self._with(df) for df in _pardo.partition(self.df, n, fn)]
 
+    def reshuffle(self, num_partitions: int | None = None) -> "PCollection":
+        """Reshuffle (fusion break / load rebalance; operators/pardo.py)."""
+        return self._with(_pardo.reshuffle(self.df, num_partitions))
+
     # -- Windowing (§2.7) ----------------------------------------------
     def window_into(self, fn: WindowFn, ts_col: str | None = None) -> "PCollection":
         """Window.into(fn): records the strategy; assignment materializes
@@ -188,6 +192,14 @@ class PCollection:
 
     def count_per_element(self, col: str, out: str = "n") -> "PCollection":
         return self._with(_combine.Count.per_element(self.df, col, out))
+
+    def group_into_batches(
+        self, keys: Sequence[str], values_col: str, batch_size: int
+    ) -> "PCollection":
+        """Bounded-size batches per key (operators/combine.py)."""
+        return self._with(
+            _combine.GroupIntoBatches.per_key(self.df, keys, values_col, batch_size)
+        )
 
     def distinct(self) -> "PCollection":
         return self._with(_combine.RemoveDuplicates.create(self.df))

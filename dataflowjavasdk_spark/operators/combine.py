@@ -268,6 +268,38 @@ class ApproximateUnique:
         return df.groupBy(*keys).agg(F.approx_count_distinct(col, rsd).alias(out))
 
 
+class GroupIntoBatches:
+    """Bounded-size batches per key (extension; Beam later standardized this
+    as GroupIntoBatches — the 1.x reference reached for it via manual
+    stateful DoFns). Use when a downstream call is amortized per batch
+    (bulk RPC, model inference): values for one key are split into batches
+    of ≤ `batch_size`.
+
+    Plan: one shuffle on the keys (for the window), row_number per key,
+    integer-divide into batch ids, then a per-(key,batch) collect_list.
+    The second groupBy reuses the first shuffle's partitioning (keys is a
+    prefix of the grouping), so batching costs ONE exchange. Per-batch
+    memory is bounded by batch_size — this is exactly why the operator
+    exists at scale (an unbatched collect_list of a hot key OOMs)."""
+
+    @staticmethod
+    def per_key(
+        df: DataFrame,
+        keys: Sequence[str],
+        values_col: str,
+        batch_size: int,
+        batch_id: str = "batch_id",
+        out: str = "batch",
+    ) -> DataFrame:
+        w = W.partitionBy(*keys).orderBy(F.col(values_col))
+        indexed = df.withColumn(
+            batch_id, ((F.row_number().over(w) - F.lit(1)) / F.lit(batch_size)).cast("long")
+        )
+        return indexed.groupBy(*keys, batch_id).agg(
+            F.collect_list(values_col).alias(out)
+        )
+
+
 class RemoveDuplicates:
     """RemoveDuplicates / withRepresentativeValues (historical
     sdk/transforms/RemoveDuplicates.java)."""

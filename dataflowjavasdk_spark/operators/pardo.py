@@ -159,3 +159,22 @@ def partition(df: DataFrame, n: int, fn: Column) -> list[DataFrame]:
 def create(spark, values: list, schema) -> DataFrame:
     """Create.of (historical sdk/transforms/Create.java): in-memory source."""
     return spark.createDataFrame(values, schema)
+
+
+def reshuffle(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Reshuffle (historical sdk/util/Reshuffle.java): a fusion break that
+    redistributes rows so downstream work is load-balanced independently of
+    upstream partitioning. The reference implemented it as a random-key
+    GroupByKey + ungroup; here it is a single round-robin exchange
+    (Exchange RoundRobinPartitioning) — same rebalancing, no key
+    materialization. Use before expensive per-row work whose input arrives
+    skewed (e.g. a filter that kept 0.1% of rows in a few partitions).
+
+    At 100 TB: this is the one shuffle you ADD on purpose; size it with
+    `num_partitions` (default: spark.sql.shuffle.partitions) so each task
+    gets 128-256 MB."""
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    return df.repartition(num_partitions)

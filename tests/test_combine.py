@@ -119,3 +119,18 @@ def test_remove_duplicates(spark):
     assert rows(pc.distinct()) == [(1, "a"), (2, "b")]
     by_key = pc.distinct_by(["id"])
     assert by_key.df.count() == 2
+
+
+def test_group_into_batches_bounded_and_lossless(spark):
+    """GroupIntoBatches: every batch ≤ batch_size; union of batches is the
+    original multiset per key; hot key 'a' (7 values) splits into 3 batches."""
+    data = [("a", i) for i in range(7)] + [("b", 10), ("b", 11)]
+    pc = Pipeline(spark).create(data, "key string, v int")
+    out = pc.group_into_batches(["key"], "v", batch_size=3).collect()
+    by_key = {}
+    for r in out:
+        assert len(r["batch"]) <= 3
+        by_key.setdefault(r["key"], []).extend(r["batch"])
+    assert sorted(by_key["a"]) == list(range(7))
+    assert sorted(by_key["b"]) == [10, 11]
+    assert sum(1 for r in out if r["key"] == "a") == 3

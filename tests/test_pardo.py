@@ -123,3 +123,14 @@ def test_python_udtf_as_table_function(spark):
     assert sorted(tuple(r) for r in rows) == [
         ("a b", "a", 0), ("a b", "b", 1), ("c", "c", 0)
     ]
+
+
+def test_reshuffle_preserves_rows_and_rebalances(spark):
+    """Reshuffle: identity on content; adds one round-robin exchange that
+    spreads a skewed input (everything in 1 partition) across tasks."""
+    pc = Pipeline(spark).counting_input(1000).apply(lambda df: df.coalesce(1))
+    assert pc.df.rdd.getNumPartitions() == 1
+    out = pc.reshuffle(8)
+    assert out.df.rdd.getNumPartitions() == 8
+    assert sorted(r[0] for r in out.collect()) == list(range(1000))
+    assert "RoundRobinPartitioning" in out.df._jdf.queryExecution().executedPlan().toString()
