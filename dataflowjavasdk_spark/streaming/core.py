@@ -79,6 +79,55 @@ def stream_static_join(stream: DataFrame, static: DataFrame, on, how: str = "inn
     return stream.join(static, on, how)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    left_delay: str,
+    right_delay: str,
+    lower: str = "0 seconds",
+    upper: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream join — CoGroupByKey over two UNBOUNDED inputs, the
+    reference's flagship streaming shape (historical
+    sdk/transforms/join/CoGroupByKey.java under a windowing strategy).
+
+    Beam scopes the join by putting both inputs in the same window; Spark
+    scopes it by an event-time RANGE condition
+    (left_ts + lower ≤ right_ts ≤ left_ts + upper) plus watermarks on both
+    sides. The range bound is what lets each side EVICT state: a buffered
+    left row can be dropped once the right watermark passes
+    left_ts + upper — without it state grows forever, which is why Spark
+    requires it for outer joins. Inner joins emit eagerly as matches
+    arrive; outer joins emit their NULL rows only when the watermark
+    proves no match can still come (≡ AfterWatermark.pastEndOfWindow for
+    the empty-side case).
+
+    `left_ts`/`right_ts` must be distinct names; the right key columns are
+    dropped from the output (KV join shape). At 100 TB: per-key state is
+    bounded by (upper - lower) + watermark delay worth of rows per side —
+    size the range to the business rule, never "large, to be safe"."""
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must be distinct column names")
+    l = left.withWatermark(left_ts, left_delay).alias("l")
+    r = right.withWatermark(right_ts, right_delay).alias("r")
+    from pyspark.sql import functions as F
+
+    cond = None
+    for k in on:
+        c = F.col(f"l.{k}") == F.col(f"r.{k}")
+        cond = c if cond is None else (cond & c)
+    lo = F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {lower}")
+    hi = F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}")
+    time_cond = (F.col(f"r.{right_ts}") >= lo) & (F.col(f"r.{right_ts}") <= hi)
+    cond = time_cond if cond is None else (cond & time_cond)
+    joined = l.join(r, cond, how)
+    return joined.drop(*[r[k] for k in on])
+
+
 class MicroBatchHarness:
     """Controlled-replay streaming harness (the ReduceFnTester analog).
 
@@ -118,6 +167,70 @@ class MicroBatchHarness:
         """One availableNow round: rows the sink received this round."""
         source = read_stream_dropdir(self.spark, self.input_dir, self.schema)
         result = build(source)
+        collected: list = []
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            collected.extend(batch_df.collect())
+
+        q = (
+            result.writeStream.foreachBatch(sink)
+            .outputMode(output_mode)
+            .option("checkpointLocation", self.checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return collected
+
+    def close(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)
+
+
+class MultiStreamHarness:
+    """N-source controlled-replay harness: MicroBatchHarness generalized to
+    multiple unbounded inputs (what testing stream-stream joins needs —
+    ReduceFnTester only ever had one input; this is the analog for
+    CoGroupByKey pipelines). Each named source gets its own drop-dir; the
+    build callable receives {name: streaming DataFrame}; one shared
+    checkpoint carries join/agg state and BOTH watermarks across rounds
+    (Spark advances the query watermark as the MIN across sources —
+    the reference's "slowest input holds back the watermark" rule)."""
+
+    def __init__(self, spark: SparkSession, schemas: dict[str, str], root: str | None = None):
+        self.spark = spark
+        self.schemas = schemas
+        self.root = root or tempfile.mkdtemp(prefix="msh_")
+        self.checkpoint = os.path.join(self.root, "checkpoint")
+        self.input_dirs = {}
+        self._feed_i = 0
+        for name in schemas:
+            d = os.path.join(self.root, f"input_{name}")
+            os.makedirs(d, exist_ok=True)
+            self.input_dirs[name] = d
+
+    def feed(self, name: str, df: DataFrame) -> None:
+        staging = os.path.join(self.root, f"staging_{self._feed_i}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        for f in os.listdir(staging):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(staging, f),
+                    os.path.join(self.input_dirs[name], f"batch_{self._feed_i}_{f}"),
+                )
+        self._feed_i += 1
+
+    def run_round(
+        self,
+        build: Callable[[dict[str, DataFrame]], DataFrame],
+        output_mode: str = "append",
+    ) -> list:
+        sources = {
+            name: read_stream_dropdir(
+                self.spark, d, self.schemas[name], max_files_per_trigger=None
+            )
+            for name, d in self.input_dirs.items()
+        }
+        result = build(sources)
         collected: list = []
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:

@@ -300,3 +300,68 @@ def test_stateful_par_do_timer_fires_and_clears(spark, harness):
     harness.feed(_batch(spark, _rows(spark, (4, 600, "a", 1))))
     out3 = [(r["key"], r["n"], r["final"]) for r in harness.run_round(build, "update") if r["key"] == "a"]
     assert out3 == [("a", 1, False)]
+
+
+CLICKS = "user string, click_ts timestamp"
+BUYS = "user string, buy_ts timestamp, amount double"
+
+
+def _ts(sec):
+    import datetime
+
+    return datetime.datetime(2024, 1, 1, 0, 0, 0) + datetime.timedelta(seconds=sec)
+
+
+@pytest.fixture()
+def two_streams(spark):
+    h = SC.MultiStreamHarness(spark, {"clicks": CLICKS, "buys": BUYS})
+    yield h
+    h.close()
+
+
+def _click_buy_join(how):
+    def build(sources):
+        return SC.stream_stream_join(
+            sources["clicks"], sources["buys"], ["user"],
+            "click_ts", "buy_ts", "0 seconds", "0 seconds",
+            lower="0 seconds", upper="10 minutes", how=how,
+        )
+
+    return build
+
+
+def test_stream_stream_inner_join_emits_matches_in_range(spark, two_streams):
+    """CoGroupByKey over two unbounded inputs: only the purchase within
+    [click_ts, click_ts + 10 min] joins; inner matches emit eagerly."""
+    two_streams.feed("clicks", spark.createDataFrame(
+        [("u1", _ts(0)), ("u2", _ts(0))], CLICKS))
+    two_streams.feed("buys", spark.createDataFrame(
+        [("u1", _ts(300), 5.0), ("u2", _ts(1200), 7.0)], BUYS))
+    out = two_streams.run_round(_click_buy_join("inner"))
+    assert [(r["user"], r["amount"]) for r in out] == [("u1", 5.0)]
+
+
+def test_stream_stream_left_outer_null_after_watermark(spark, two_streams):
+    """Outer join: the unmatched click emits its NULL row only once the
+    watermark proves no in-range purchase can still arrive (state evicted
+    at watermark > click_ts + upper) — AfterWatermark semantics for the
+    empty-side pane. The watermark is the MIN across both sources."""
+    two_streams.feed("clicks", spark.createDataFrame(
+        [("u1", _ts(0)), ("u2", _ts(0))], CLICKS))
+    two_streams.feed("buys", spark.createDataFrame(
+        [("u1", _ts(300), 5.0)], BUYS))
+    out1 = two_streams.run_round(_click_buy_join("left_outer"))
+    assert [(r["user"], r["amount"]) for r in out1] == [("u1", 5.0)]
+
+    # Advance BOTH watermarks past 0s + 10 min; u2's null pane fires.
+    later = []
+    for rnd in range(2):
+        two_streams.feed("clicks", spark.createDataFrame(
+            [(f"x{rnd}", _ts(3600 + rnd))], CLICKS))
+        two_streams.feed("buys", spark.createDataFrame(
+            [(f"x{rnd}", _ts(7200 + rnd), 0.0)], BUYS))
+        later += two_streams.run_round(_click_buy_join("left_outer"))
+    nulls = [(r["user"], r["amount"]) for r in later if r["amount"] is None]
+    assert ("u2", None) in nulls
+    # u1 matched in round 1 — it must NOT get a second (null) emission.
+    assert all(u != "u1" for u, _ in nulls)
