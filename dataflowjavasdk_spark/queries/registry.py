@@ -79,6 +79,7 @@ def _load_all() -> None:
         "text",
         "similarity",
         "dedup",
+        "sketches",
     ):
         try:
             importlib.import_module(f"dataflowjavasdk_spark.queries.{mod}")

@@ -1,0 +1,57 @@
+"""DataSketches HLL/Theta query tests: estimates land within rated error
+of the exact ROLLUP twin, and sketch-merge is lossless vs one global
+sketch (the property that makes the materialized-sketch pattern sound)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataflowjavasdk_spark.queries.registry import get
+from dataflowjavasdk_spark.sources.tables import load_table
+from tests.conftest import SMOKE_SF
+
+
+def test_hll_rollup_matches_exact_within_rated_error(spark):
+    exact = {
+        r["scope"]: r["exact_users"]
+        for r in get("distinct_users_rollup").fn(spark, SMOKE_SF).collect()
+    }
+    approx = {
+        r["scope"]: r["approx_users"]
+        for r in get("hll_distinct_rollup").fn(spark, SMOKE_SF).collect()
+    }
+    assert set(approx) == set(exact)
+    for scope, est in approx.items():
+        # lgK=14 HLL rated RSE ~0.8%; 5% absolute bound is generous.
+        assert abs(est - exact[scope]) <= max(1, 0.05 * exact[scope]), scope
+
+
+def test_hll_union_of_parts_equals_global_sketch(spark):
+    """Merge losslessness: union(per-type sketches) estimates exactly what
+    one sketch over all rows estimates (same lgK → same registers)."""
+    events = load_table(spark, SMOKE_SF, "events")
+    merged = (
+        events.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]["est"]
+    )
+    direct = events.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias("est")
+    ).collect()[0]["est"]
+    assert merged == direct
+
+
+def test_theta_overlap_matches_exact_set_algebra(spark):
+    events = load_table(spark, SMOKE_SF, "events")
+    users = lambda t: {  # noqa: E731
+        r["user_id"]
+        for r in events.filter(F.col("event_type") == t).select("user_id").distinct().collect()
+    }
+    clicks, buys = users("click"), users("purchase")
+    got = get("theta_audience_overlap").fn(spark, SMOKE_SF).collect()[0]
+    # Theta is exact until the sketch saturates (4096 retained hashes);
+    # these cardinalities are far below that.
+    assert got["approx_union"] == len(clicks | buys)
+    assert got["approx_overlap"] == len(clicks & buys)
+    assert got["approx_click_only"] == len(clicks - buys)
