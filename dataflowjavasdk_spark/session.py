@@ -90,6 +90,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Managed-table root for bucketed tables (write_bucketed). Static
+        # conf — takes effect only for a fresh JVM; kept out of the repo.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
+        )
     )
     for key, value in _RUNTIME_CONFS.items():
         builder = builder.config(key, value)

@@ -62,6 +62,34 @@ def load_tables(
     return {name: load_table(spark, sf_dir, name) for name in names}
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    num_buckets: int,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by join/group keys.
+
+    This is the co-location primitive for repeated fact⋈fact work at
+    100 TB: two tables bucketed into the same `num_buckets` on the same
+    keys join with ZERO exchange (and with `sort_by`, zero sort) — the
+    shuffle is paid once at write time, then every downstream join,
+    aggregation on the keys, or incremental merge reuses the layout.
+    The reference had no analog: Dataflow re-shuffles every GroupByKey;
+    this is Spark's materialized-partitioning advantage (asserted in
+    tests/test_bucketing.py — the joined plan contains no Exchange).
+
+    Sizing: num_buckets ≈ table-bytes / 256 MB, rounded to a power of two;
+    both sides MUST agree on it (Spark requires equal bucket counts to
+    elide the exchange; mismatched counts fall back to a shuffle)."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *keys)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.format("parquet").saveAsTable(table)
+
+
 def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
     """Register every fixture table as a temp view, making the engine's
     full surface reachable from raw `spark.sql(...)` — the SQL entry point
