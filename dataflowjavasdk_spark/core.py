@@ -68,6 +68,42 @@ class Pipeline:
         reference's CompressedSource did)."""
         return PCollection(self.spark.read.text(path))
 
+    def read_csv(
+        self, path: str, schema: str | None = None, header: bool = True, **options
+    ) -> "PCollection":
+        """Delimited text (the reference pattern TextIO.Read + a parsing
+        ParDo, e.g. examples/cookbook — here the parse happens inside the
+        scan, so malformed-row policy and type coercion are scan options
+        and pushdown still applies to the parsed columns). An explicit
+        `schema` avoids the inference pass — mandatory at 100 TB."""
+        reader = self.spark.read.option("header", str(header).lower())
+        if schema is not None:
+            reader = reader.schema(schema)
+        else:
+            reader = reader.option("inferSchema", "true")
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return PCollection(reader.csv(path))
+
+    def read_json(self, path: str, schema: str | None = None, **options) -> "PCollection":
+        """Newline-delimited JSON (TextIO + JSON-coder ParDo analog).
+        Schema-on-read: give `schema` to skip inference and to prune the
+        parse itself (Spark parses only the requested fields)."""
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return PCollection(reader.json(path))
+
+    def read_xml(self, path: str, row_tag: str, schema: str | None = None) -> "PCollection":
+        """XML records (historical sdk/io/XmlSource.java — JAXB-based; here
+        Spark 4's native xml datasource, rowTag ≡ the JAXB record type)."""
+        reader = self.spark.read.format("xml").option("rowTag", row_tag)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return PCollection(reader.load(path))
+
     def counting_input(self, n: int) -> "PCollection":
         """CountingInput.upTo(n) (historical sdk/io/CountingInput.java)."""
         return PCollection(self.spark.range(n).withColumnRenamed("id", "value"))

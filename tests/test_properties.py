@@ -280,3 +280,66 @@ def test_range_join_matches_reference(spark, lefts, rights, lower, upper):
         if lk == rk and lts + lower <= rts <= lts + upper
     )
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**31), max_value=2**31 - 1),
+            # XML 1.0 forbids most control chars; CSV delimiters/quotes and
+            # the null sentinel are excluded so one strategy serves all
+            # three formats.
+            st.text(
+                alphabet=st.characters(
+                    codec="utf-8",
+                    categories=("L", "N", "P", "S"),
+                    exclude_characters='",\\\n\r',
+                ),
+                min_size=1,
+                max_size=20,
+            ),
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_csv_json_xml_round_trips(spark, tmp_path_factory, rows):
+    """Source/sink §2.6: csv, json-lines, and xml round-trip losslessly
+    with an explicit schema (no inference in the loop)."""
+    from dataflowjavasdk_spark.core import Pipeline
+
+    schema = "id int, s string, v float"
+    df = spark.createDataFrame(rows, schema).coalesce(2)
+    expect = sorted((r.id, r.s, r.v) for r in df.collect())
+    base = str(tmp_path_factory.mktemp("io_rt"))
+    p = Pipeline(spark)
+
+    df.write.mode("overwrite").option("header", "true").option(
+        "nullValue", "\\N"
+    ).csv(base + "/c")
+    got = p.read_csv(base + "/c", schema=schema, nullValue="\\N")
+    assert sorted((r.id, r.s, r.v) for r in got.collect()) == expect
+
+    df.write.mode("overwrite").json(base + "/j")
+    got = p.read_json(base + "/j", schema=schema)
+    assert sorted((r.id, r.s, r.v) for r in got.collect()) == expect
+
+    df.write.mode("overwrite").format("xml").option("rowTag", "row").save(base + "/x")
+    got = p.read_xml(base + "/x", row_tag="row", schema=schema)
+    assert sorted((r.id, r.s, r.v) for r in got.collect()) == expect
+
+
+def test_csv_null_vs_empty_distinct(spark, tmp_path_factory):
+    """CSV's classic ambiguity, resolved by an explicit null sentinel:
+    empty string and NULL survive a round trip as distinct values."""
+    from dataflowjavasdk_spark.core import Pipeline
+
+    base = str(tmp_path_factory.mktemp("csv_ne"))
+    df = spark.createDataFrame([(1, ""), (2, None), (3, "x")], "id int, s string")
+    df.write.mode("overwrite").option("header", "true").option(
+        "nullValue", "\\N"
+    ).csv(base)
+    got = Pipeline(spark).read_csv(base, schema="id int, s string", nullValue="\\N")
+    assert sorted((r.id, r.s) for r in got.collect()) == [(1, ""), (2, None), (3, "x")]
