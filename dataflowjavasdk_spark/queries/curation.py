@@ -1,0 +1,99 @@
+"""Training-data curation queries beyond dedup (SURVEY.md §2 "training
+pipeline extensions"): tokenizer-accurate counting and benchmark
+decontamination — the two checks every pretraining corpus runs after
+dedup (queries/dedup.py) and quality filtering (queries/text.py).
+
+Both are pure Column expressions over `documents`; the only shuffle in
+decontamination is the shingle equi-join (blocking-key shape — never
+all-pairs), identical at 100 TB to the near-dup join in dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataflowjavasdk_spark.queries.registry import query
+from dataflowjavasdk_spark.sources.tables import load_table
+
+# GPT-style pre-tokenizer classes: letter runs, single digits, other marks.
+# Kept to constructs RE2 (DuckDB) and Java regex interpret identically.
+_BPE_PAT = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+@query(
+    "bpe_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_PAT}')) AS n_bpe,
+           len(list_distinct(regexp_extract_all(text, '{_BPE_PAT}'))) AS n_unique,
+           round(len(list_distinct(regexp_extract_all(text, '{_BPE_PAT}')))::DOUBLE
+                 / greatest(len(regexp_extract_all(text, '{_BPE_PAT}')), 1)::DOUBLE,
+                 9) AS ttr
+    FROM documents
+    """,
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a GPT-style pre-tokenizer regex (letter
+    runs / digits / punctuation marks) rather than whitespace — the count
+    that actually predicts LLM token cost. ttr = type-token ratio, a
+    cheap lexical-diversity quality signal. Zero shuffles; scan-speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), 0)
+    n = F.size(toks)
+    uniq = F.size(F.array_distinct(toks))
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_bpe"),
+        uniq.cast("long").alias("n_unique"),
+        F.round(
+            uniq.cast("double") / F.greatest(n, F.lit(1)).cast("double"), 9
+        ).alias("ttr"),
+    )
+
+
+@query(
+    "ngram_decontamination",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(tk) - 6, 1)),
+               i -> array_to_string(array_slice(tk, i, i + 7), ' ')
+             )) AS grams
+      FROM toks WHERE len(tk) >= 8
+    ),
+    exploded AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+    bench AS (SELECT DISTINCT gram FROM exploded WHERE doc_id % 20 = 0)
+    SELECT e.doc_id, count(DISTINCT e.gram) AS n_shared
+    FROM exploded e JOIN bench b ON e.gram = b.gram
+    WHERE e.doc_id % 20 <> 0
+    GROUP BY e.doc_id
+    """,
+)
+def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    8-token n-gram with the held-out set (here: every 20th doc stands in
+    for the benchmark). The industry-standard leakage check (GPT-3 §C /
+    PaLM-style 8-gram overlap). Plan: distinct benchmark grams are the
+    blocking keys — dedup them FIRST (the benchmark is small), then one
+    equi-join against corpus grams; at 100 TB the benchmark-gram side
+    broadcasts and the corpus is a single scan."""
+    from dataflowjavasdk_spark.functions import similarity as S
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", S.shingles("text", 8).alias("grams"))
+    exploded = sh.select("doc_id", F.explode("grams").alias("gram"))
+    bench = (
+        exploded.filter(F.col("doc_id") % 20 == 0).select("gram").distinct()
+    )
+    corpus = exploded.filter(F.col("doc_id") % 20 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared"))
+    )

@@ -80,6 +80,7 @@ def _load_all() -> None:
         "similarity",
         "dedup",
         "sketches",
+        "curation",
     ):
         try:
             importlib.import_module(f"dataflowjavasdk_spark.queries.{mod}")

@@ -365,3 +365,36 @@ def test_stream_stream_left_outer_null_after_watermark(spark, two_streams):
     assert ("u2", None) in nulls
     # u1 matched in round 1 — it must NOT get a second (null) emission.
     assert all(u != "u1" for u, _ in nulls)
+
+
+def session_count(stream):
+    return (
+        SC.with_watermark(stream, "ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 seconds").alias("w"), "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "key", "n"
+        )
+    )
+
+
+def test_streaming_session_windows_merge_and_close(spark, harness):
+    """Sessions (merging WindowFn) under a watermark in TRUE streaming
+    mode: rows within the 30 s gap merge into one growing session; the
+    session closes (append-mode emission) only when the watermark passes
+    its end. The reference's hardest windowing case (MergingWindowFn +
+    AfterWatermark) — here it's Spark's session_window state merge."""
+    # a: rows at 0 and 20 chain one session [0, 50); b: singleton at 10.
+    harness.feed(_batch(spark, _rows(spark, (1, 0, "a", 1), (2, 20, "a", 1), (3, 10, "b", 1))))
+    out1 = harness.run_round(session_count, output_mode="append")
+    # Watermark only reached 20 — no session end (40/50) passed; nothing final.
+    assert out1 == []
+
+    # A far-future row closes both sessions; a's merged across the gap.
+    harness.feed(_batch(spark, _rows(spark, (4, 500, "a", 1))))
+    out2 = harness.run_round(session_count, output_mode="append")
+    got = {(str(r["ws"]), str(r["we"]), r["key"]): r["n"] for r in out2}
+    assert got == {
+        ("2024-01-01 00:00:00", "2024-01-01 00:00:50", "a"): 2,
+        ("2024-01-01 00:00:10", "2024-01-01 00:00:40", "b"): 1,
+    }
