@@ -1,0 +1,68 @@
+"""Scale-behavior tests: the runtime mechanisms SCALE.md promises —
+AQE skew-join splitting (the dynamic-work-rebalancing stand-in) and
+partition-pruned reads — demonstrated on data shaped to trigger them."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def skew_confs(spark):
+    """Shrink AQE's skew thresholds so local-size data exhibits the same
+    runtime re-planning a hot key triggers at cluster scale."""
+    saved = {}
+    wanted = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    for k, v in wanted.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    yield spark
+    for k, v in saved.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partition(skew_confs):
+    """One key owns ~90% of the fact rows. AQE must mark the sort-merge
+    join skewed and split the hot partition instead of letting one task
+    carry it — visible as isSkew=true in the final adaptive plan."""
+    spark = skew_confs
+    fact = spark.range(0, 200_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.concat(F.lit("payload_"), F.col("id")).alias("payload"),
+    )
+    dim = spark.range(0, 200_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+    )
+    joined = fact.join(dim, "k").select(F.count(F.lit(1)).alias("n"))
+    assert joined.collect()[0]["n"] == 200_000
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in plan and "skewed" in plan, plan
+
+
+def test_partition_pruned_read(spark, tmp_path_factory):
+    """Hive-partitioned parquet (FileBasedSink-per-window analog on the
+    READ side): a filter on the partition column must prune at planning
+    time — the scan lists only matching directories, so at 100 TB a
+    one-day query touches one day of files."""
+    base = str(tmp_path_factory.mktemp("pp")) + "/t"
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 10).alias("day"), F.col("id").alias("v")
+    )
+    df.write.mode("overwrite").partitionBy("day").parquet(base)
+
+    read = spark.read.parquet(base).filter(F.col("day") == 3).select("v")
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    # The day predicate must land in PartitionFilters (directory pruning),
+    # NOT PushedFilters (row-group skipping inside files already opened).
+    assert "PartitionFilters" in plan and "= 3)" in plan.split("PartitionFilters")[1].split("]")[0], plan
+    assert read.count() == 100

@@ -398,3 +398,72 @@ def test_streaming_session_windows_merge_and_close(spark, harness):
         ("2024-01-01 00:00:00", "2024-01-01 00:00:50", "a"): 2,
         ("2024-01-01 00:00:10", "2024-01-01 00:00:40", "b"): 1,
     }
+
+
+def sliding_count(stream):
+    return (
+        SC.with_watermark(stream, "ts", "0 seconds")
+        .groupBy(F.window("ts", "60 seconds", "30 seconds").alias("w"), "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "key", "n")
+    )
+
+
+def test_streaming_sliding_windows_assign_to_overlaps(spark, harness):
+    """SlidingWindows in true streaming: a row at t=40 belongs to BOTH
+    [0,60) and [30,90); each pane finalizes when the watermark passes its
+    own end — staggered emission across rounds."""
+    harness.feed(_batch(spark, _rows(spark, (1, 40, "a", 1))))
+    out1 = harness.run_round(sliding_count, output_mode="append")
+    # Watermark 40: neither window closed; [-30,30) got no rows (no pane).
+    assert out1 == []
+    harness.feed(_batch(spark, _rows(spark, (2, 70, "a", 1))))
+    out2 = harness.run_round(sliding_count, output_mode="append")
+    # Watermark 70 closes [0,60): contains only the t=40 row.
+    assert {(str(r["ws"]), r["key"], r["n"]) for r in out2} == {
+        ("2024-01-01 00:00:00", "a", 1)
+    }
+    harness.feed(_batch(spark, _rows(spark, (3, 500, "a", 1))))
+    out3 = harness.run_round(sliding_count, output_mode="append")
+    # [30,90) closes with both rows; [60,120) with the t=70 row.
+    assert {(str(r["ws"]), r["key"], r["n"]) for r in out3} == {
+        ("2024-01-01 00:00:30", "a", 2),
+        ("2024-01-01 00:01:00", "a", 1),
+    }
+
+
+def test_exactly_once_file_sink_across_restarts(spark, harness, tmp_path_factory):
+    """FileBasedSink exactly-once (temp-write + manifest commit): the
+    parquet streaming sink with a checkpoint never duplicates output even
+    though each availableNow round restarts the query from scratch — the
+    reference's finalize/rename protocol, done by Spark's sink manifest."""
+    out_dir = str(tmp_path_factory.mktemp("eos")) + "/out"
+
+    def run_sink_round():
+        src = SC.read_stream_dropdir(spark, harness.input_dir, SCHEMA)
+        q = (
+            windowed_count(src)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", harness.checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    harness.feed(_batch(spark, _rows(spark, (1, 10, "a", 1), (2, 20, "a", 1), (3, 70, "a", 1))))
+    run_sink_round()
+    harness.feed(_batch(spark, _rows(spark, (4, 500, "a", 1))))
+    run_sink_round()
+    # Re-running with no new data must add nothing (idempotent restart).
+    run_sink_round()
+
+    got = sorted(
+        (str(r["ws"]), r["key"], r["n"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got == [
+        ("2024-01-01 00:00:00", "a", 2),
+        ("2024-01-01 00:01:00", "a", 1),
+    ]
