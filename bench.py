@@ -48,6 +48,14 @@ HEADLINE = [
     "multimodal_payload_stats",
     # composed end-to-end curation flagship
     "training_data_pipeline",
+    # curation additions (BPE tokens, 8-gram decontamination)
+    "bpe_token_stats",
+    "ngram_decontamination",
+    # custom join operator (no native Spark/reference analog)
+    "asof_join_click_purchase",
+    # sketch rollups (exact twin + mergeable HLL)
+    "distinct_users_rollup",
+    "hll_distinct_rollup",
 ]
 
 
