@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dataflowjavasdk_spark.functions.text import md5_long
 from dataflowjavasdk_spark.queries.registry import query
 from dataflowjavasdk_spark.sources.tables import load_table
 
@@ -96,4 +97,49 @@ def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.join(F.broadcast(bench), "gram")
         .groupBy("doc_id")
         .agg(F.countDistinct("gram").alias("n_shared"))
+    )
+
+
+@query(
+    "stratified_source_mix",
+    oracle="""
+    WITH rated AS (
+      SELECT doc_id, source, n_chars,
+             CASE
+               WHEN source IN ('src0','src1','src2','src3') THEN 1.0
+               WHEN source IN ('src4','src5','src6','src7') THEN 0.5
+               ELSE 0.2
+             END AS rate,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS bucket
+      FROM documents
+    )
+    SELECT source, count(*) AS n_kept, sum(n_chars) AS chars_kept
+    FROM rated
+    WHERE bucket < (rate * 10000)::BIGINT
+    GROUP BY source
+    """,
+)
+def stratified_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source mixing — the data-recipe step of corpus curation: downsample
+    each source to a target rate (here: keep src0-3 fully, src4-7 at 50%,
+    the long tail at 20%). The keep/drop decision is a deterministic
+    per-row hash threshold (md5(doc_id) mod 10000 < rate·10000):
+    reproducible across engines, runs, AND data arrivals — re-running on a
+    grown corpus keeps exactly the old rows plus the same fraction of new
+    ones (rand(seed) guarantees neither). Zero shuffles before the final
+    per-source stats; at 100 TB the filter is scan-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3"), F.lit(1.0))
+        .when(F.col("source").isin("src4", "src5", "src6", "src7"), F.lit(0.5))
+        .otherwise(F.lit(0.2))
+    )
+    bucket = F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(10000))
+    return (
+        docs.filter(bucket < (rate * 10000).cast("long"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
     )

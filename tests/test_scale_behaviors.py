@@ -66,3 +66,24 @@ def test_partition_pruned_read(spark, tmp_path_factory):
     # NOT PushedFilters (row-group skipping inside files already opened).
     assert "PartitionFilters" in plan and "= 3)" in plan.split("PartitionFilters")[1].split("]")[0], plan
     assert read.count() == 100
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path_factory):
+    """Long-lived 100 TB tables evolve: day-1 files lack a column day-2
+    files carry. mergeSchema reads both vintages as one relation (missing
+    column → NULL), and the new column still prunes/pushes on the new
+    files — no rewrite of old data."""
+    base = str(tmp_path_factory.mktemp("evo")) + "/t"
+    spark.createDataFrame([(1, "a")], "id int, s string").write.parquet(base + "/d=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id int, s string, score double"
+    ).write.parquet(base + "/d=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    rows = {(r.id, r.s, r.score) for r in merged.select("id", "s", "score").collect()}
+    assert rows == {(1, "a", None), (2, "b", 9.5)}
+
+    filtered = merged.filter(F.col("score") > 5.0).select("id")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(score), GreaterThan(score,5.0)]" in plan, plan
+    assert [r.id for r in filtered.collect()] == [2]
