@@ -66,7 +66,12 @@ def audit(df: DataFrame) -> PlanAudit:
         sort_merge_joins=names.count("SortMergeJoin"),
         shuffled_hash_joins=names.count("ShuffledHashJoin"),
         exchanges=names.count("Exchange"),
-        wholestage_codegen=text.count("WholeStageCodegen"),
+        # formatted explain tags operators "[codegen id : N]"; simple mode
+        # prints WholeStageCodegen nodes — count whichever is present.
+        wholestage_codegen=(
+            len(set(re.findall(r"codegen id : (\d+)", text)))
+            or text.count("WholeStageCodegen")
+        ),
         python_evals=sum(
             names.count(n)
             for n in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas")

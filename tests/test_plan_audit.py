@@ -88,3 +88,31 @@ def test_multimodal_prunes_scan(spark):
     p = _plan(spark, "multimodal_payload_stats")
     assert p.reads_only("text", {"source", "lang", "text"})
     assert p.python_evals == 0
+
+
+def test_ngram_decontamination_broadcasts_benchmark(spark):
+    # Benchmark grams (small side) broadcast; corpus is never shuffle-joined.
+    p = _plan(spark, "ngram_decontamination")
+    assert p.broadcast_joins >= 1
+    assert p.sort_merge_joins == 0
+    assert p.python_evals == 0
+
+
+def test_bpe_token_stats_prunes_scan(spark):
+    p = _plan(spark, "bpe_token_stats")
+    assert p.reads_only("text", {"doc_id", "text"})
+    assert p.python_evals == 0
+
+
+def test_stratified_mix_is_scan_side(spark):
+    # One aggregate shuffle; the rate filter runs in the scan stage.
+    p = _plan(spark, "stratified_source_mix")
+    assert p.reads_only("source", {"doc_id", "source", "n_chars"})
+    assert p.python_evals == 0
+
+
+def test_sketch_rollups_shuffle_only_partials(spark):
+    # HLL rollup: partial sketches shuffle, never raw user_ids.
+    p = _plan(spark, "hll_distinct_rollup")
+    assert p.python_evals == 0
+    assert "ObjectHashAggregate" in p.text and "partial_hll_sketch_agg" in p.text
