@@ -216,6 +216,17 @@ class PCollection:
             )
         return self._with(_combine.Combine.per_key(self.df, keys, col, fn, out, out_type))
 
+    def combine_per_key_lifted(
+        self, keys: Sequence[str], fn: _combine.CombineFn, col: str,
+        out: str, out_type: str = "double",
+    ) -> "PCollection":
+        """Combine.perKey with combiner lifting: map-side partial
+        accumulators, shuffle carries (key, accumulator) only — use for
+        custom Python CombineFns on large inputs (operators/combine.py)."""
+        return self._with(
+            _combine.Combine.per_key_lifted(self.df, keys, col, fn, out, out_type)
+        )
+
     def combine_globally(self, fn: _combine.CombineFn, col: str, out: str, out_type: str = "double") -> "PCollection":
         return self._with(_combine.Combine.globally(self.df, col, fn, out, out_type))
 

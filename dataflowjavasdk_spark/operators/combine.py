@@ -101,6 +101,55 @@ class Combine:
         return df.groupBy(*keys).applyInPandas(apply, schema=schema)
 
     @staticmethod
+    def per_key_lifted(
+        df: DataFrame,
+        keys: Sequence[str],
+        col: str,
+        fn: CombineFn,
+        out: str,
+        out_type: str = "double",
+    ) -> DataFrame:
+        """Combine.perKey with COMBINER LIFTING for custom Python fns — the
+        reference runner's signature optimization (historical
+        sdk/runners/worker PartialGroupByKeyOperation): addInput runs
+        map-side per Arrow batch, so the shuffle carries one pickled
+        accumulator per (key, batch) instead of every raw value;
+        mergeAccumulators + extractOutput run reduce-side per key.
+
+        At 100 TB this is the difference between shuffling the dataset and
+        shuffling #keys × #partitions small blobs. Requires only what the
+        CombineFn contract already promises (merge-associativity).
+        Asserted equivalent to the unlifted path in tests/test_combine.py;
+        the plan shape (MapInPandas BEFORE the exchange) is asserted too."""
+        import pickle
+
+        key_list = list(keys)
+        dtypes = dict(df.dtypes)
+        key_fields = ", ".join(f"{k} {dtypes[k]}" for k in key_list)
+        partial_schema = f"{key_fields}, __acc__ binary"
+        final_schema = f"{key_fields}, {out} {out_type}"
+
+        def partials(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                rows = []
+                for kv, grp in pdf.groupby(key_list, sort=False, dropna=False):
+                    kt = kv if isinstance(kv, tuple) else (kv,)
+                    acc = fn.add_inputs(fn.create_accumulator(), grp[col])
+                    rows.append((*kt, pickle.dumps(acc)))
+                yield pd.DataFrame(rows, columns=[*key_list, "__acc__"])
+
+        def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+            accs = [pickle.loads(b) for b in pdf["__acc__"]]
+            row = {k: pdf[k].iloc[0] for k in key_list}
+            row[out] = fn.extract_output(fn.merge_accumulators(accs))
+            return pd.DataFrame([row])
+
+        partial = df.select(*key_list, col).mapInPandas(partials, partial_schema)
+        return partial.groupBy(*key_list).applyInPandas(finalize, final_schema)
+
+    @staticmethod
     def globally(
         df: DataFrame, col: str, fn: CombineFn, out: str, out_type: str = "double"
     ) -> DataFrame:

@@ -134,3 +134,35 @@ def test_group_into_batches_bounded_and_lossless(spark):
     assert sorted(by_key["a"]) == list(range(7))
     assert sorted(by_key["b"]) == [10, 11]
     assert sum(1 for r in out if r["key"] == "a") == 3
+
+
+def test_combine_per_key_lifted_matches_unlifted(spark):
+    """Combiner lifting: same result as the raw-shuffle path on a larger
+    keyed input, and the plan shuffles AFTER the map-side partials
+    (MapInPandas precedes the exchange)."""
+    data = [(i % 7, float(i)) for i in range(5000)]
+    df = Pipeline(spark).create(data, "id long, v double").df.repartition(8)
+    lifted = combine.Combine.per_key_lifted(df, ["id"], "v", MeanFn(), "mean_v")
+    unlifted = combine.Combine.per_key(df, ["id"], "v", MeanFn(), "mean_v")
+    got = sorted(map(tuple, lifted.collect()))
+    assert got == sorted(map(tuple, unlifted.collect()))
+    expect = {
+        k: sum(v for i, v in data if i == k) / sum(1 for i, _ in data if i == k)
+        for k in range(7)
+    }
+    for k, m in got:
+        assert abs(m - expect[k]) < 1e-9
+
+    plan = lifted._jdf.queryExecution().executedPlan().toString()
+    assert plan.index("MapInPandas") > plan.index("Exchange"), plan
+    # (executedPlan prints top-down: the exchange CONSUMES MapInPandas
+    # output, so MapInPandas appears below/after it in the string.)
+
+
+def test_combine_per_key_lifted_empty_and_single_key(spark):
+    df = Pipeline(spark).create([(1, 2.0)], "id long, v double").df
+    out = combine.Combine.per_key_lifted(df, ["id"], "v", MeanFn(), "m")
+    assert sorted(map(tuple, out.collect())) == [(1, 2.0)]
+    empty = df.filter(F.col("v") > 100)
+    out2 = combine.Combine.per_key_lifted(empty, ["id"], "v", MeanFn(), "m")
+    assert out2.collect() == []
