@@ -467,3 +467,26 @@ def test_exactly_once_file_sink_across_restarts(spark, harness, tmp_path_factory
         ("2024-01-01 00:00:00", "a", 2),
         ("2024-01-01 00:01:00", "a", 1),
     ]
+
+
+def test_rocksdb_state_store_provider_works(spark, harness):
+    """SCALE.md's large-key-space posture: the RocksDB state store (state
+    spills to local disk instead of JVM heap) runs the same windowed
+    aggregate unchanged — the conf IS the migration."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        harness.feed(_batch(spark, _rows(spark, (1, 10, "a", 1), (2, 20, "a", 1), (3, 70, "a", 1))))
+        out1 = harness.run_round(windowed_count, output_mode="append")
+        assert {(str(r["ws"]), r["key"], r["n"]) for r in out1} == {
+            ("2024-01-01 00:00:00", "a", 2)
+        }
+        harness.feed(_batch(spark, _rows(spark, (4, 500, "a", 1))))
+        out2 = harness.run_round(windowed_count, output_mode="append")
+        assert {(str(r["ws"]), r["key"], r["n"]) for r in out2} == {
+            ("2024-01-01 00:01:00", "a", 1)
+        }
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
