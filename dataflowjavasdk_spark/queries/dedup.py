@@ -185,7 +185,59 @@ def near_dup_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", jacc.alias("jacc")).filter(F.col("jacc") >= 0.5)
 
 
-@query("minhash_lsh_near_dups", oracle=None)
+@query(
+    "minhash_lsh_near_dups",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM corpus
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 1, 1)),
+               i -> array_to_string(array_slice(toks, i, i + 2), ' ')
+             )) AS grams
+      FROM tok
+    ),
+    sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 16), j ->
+               list_reduce(
+                 list_prepend(1152921504606846976::BIGINT,
+                   list_transform(grams, s ->
+                     ('0x' || substr(md5(j::VARCHAR || ':' || s), 1, 15))::BIGINT)),
+                 (a, b) -> least(a, b))
+             ) AS sigs
+      FROM sh
+    ),
+    banded AS (
+      SELECT doc_id,
+             unnest(range(0, 4)) AS band,
+             unnest(list_transform(range(0, 4), b ->
+               ('0x' || substr(md5(b::VARCHAR || '|' ||
+                  array_to_string(list_transform(
+                    array_slice(sigs, b * 4 + 1, b * 4 + 4),
+                    v -> v::VARCHAR), ',')), 1, 15))::BIGINT
+             )) AS bucket
+      FROM sig
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           len(list_filter(sa.grams, g -> list_contains(sb.grams, g)))::DOUBLE
+             / greatest(len(list_distinct(sa.grams || sb.grams)), 1)::DOUBLE AS jacc
+    FROM pairs
+    JOIN sh sa ON sa.doc_id = id_a
+    JOIN sh sb ON sb.doc_id = id_b
+    WHERE len(list_filter(sa.grams, g -> list_contains(sb.grams, g)))::DOUBLE
+            / greatest(len(list_distinct(sa.grams || sb.grams)), 1)::DOUBLE >= 0.5
+    """,
+)
 def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end MinHash+LSH near-dedup: signature (16 hashes) → banding
     (4 bands × 4 rows) → candidate pairs via band-bucket equi-join → exact
