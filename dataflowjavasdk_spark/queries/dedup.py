@@ -295,12 +295,56 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("near_dup_clusters", oracle=None)
+@query(
+    "near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE corpus AS ({_CORPUS_SQL}),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(list_filter(string_split(text,' '), t -> t <> '')) - 1, 1)),
+               i -> array_to_string(
+                      array_slice(list_filter(string_split(text,' '), t -> t <> ''),
+                                  i, i + 2), ' ')
+             )) AS grams
+      FROM corpus
+    ),
+    exploded AS (SELECT doc_id, unnest(grams) AS gram, len(grams) AS n FROM sh),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*) AS inter, any_value(a.n) AS n_a, any_value(b.n) AS n_b
+      FROM exploded a JOIN exploded b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM cand
+      WHERE inter::DOUBLE / greatest(n_a + n_b - inter, 1)::DOUBLE >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach AS (
+      SELECT a AS node, b AS r FROM edges
+      UNION
+      SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a
+    ),
+    comp AS (
+      SELECT node, least(node, min(r)) AS component FROM reach GROUP BY node
+    )
+    SELECT c.doc_id, coalesce(comp.component, c.doc_id) AS cluster_id
+    FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id
+    """,
+)
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUPS: connected components over the Jaccard pair graph
     (functions/graph.py min-label propagation) — the step that turns
     candidate pairs into dedup clusters, keeping one representative per
     component (the minimum doc_id, a deterministic canonical choice).
+    SQL-oracled: the component labeling is algorithm-independent (min
+    reachable id), so DuckDB verifies it with a recursive-CTE transitive
+    closure over the same Jaccard-thresholded pair graph.
     Singleton docs are their own cluster. No SQL oracle: iterative
     fixpoint, the driver contract's documented rows-only case; the
     component algorithm is unit-tested on known graphs instead
