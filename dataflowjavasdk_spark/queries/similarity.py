@@ -33,6 +33,19 @@ def _sql_cosine(a: str, b: str) -> str:
     return f"({dot}) / sqrt(({na}) * ({nb}))"
 
 
+def _sql_bucket(v: str) -> str:
+    """DuckDB twin of functions/similarity.py random_hyperplane_bucket
+    (8 planes, dim 64): identical md5-derived plane components and the
+    same sequential left-fold dot, so bucket ids match bit-for-bit."""
+    return f"""list_reduce(list_prepend(0, list_transform(range(0, 8), p ->
+      CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+        list_transform(range(0, 64), d ->
+          {v}[d + 1]::DOUBLE *
+          (((('0x' || substr(md5('plane:' || p::VARCHAR || ':' || d::VARCHAR), 1, 15))::BIGINT % 2001)::DOUBLE - 1000.0) / 1000.0)
+        )), (a, b) -> a + b) >= 0 THEN 1 ELSE 0 END)),
+      (acc, b) -> acc * 2 + b)"""
+
+
 @query(
     "cosine_topk_bruteforce",
     oracle=f"""
@@ -75,13 +88,37 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
 
 
-@query("ann_lsh_topk", oracle=None)
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
+          FROM b WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_sql_cosine('q.qv', 'e.embedding')} AS cosine
+      FROM q JOIN b e ON e.bucket = q.qbucket AND e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 5
+    """,
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors via sign-random-projection LSH:
     bucket every vector by 8 deterministic hyperplane signs (per-row
     expression, zero shuffle), then score only within the query's bucket —
-    the candidate set shrinks ~2^8 vs brute force. Rows-only check;
-    recall vs brute force is unit-tested (tests/test_dedup_similarity.py).
+    the candidate set shrinks ~2^8 vs brute force. Fully SQL-oracled —
+    the hyperplanes are md5-derived and the dot a bit-identical left fold,
+    so DuckDB reproduces buckets AND ranks exactly; recall vs brute force
+    is additionally unit-tested (tests/test_dedup_similarity.py).
     At scale: multiple hash tables (OR-amplification) raise recall; each
     is one more bucket column, same join shape."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
