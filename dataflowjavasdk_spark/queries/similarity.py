@@ -33,11 +33,11 @@ def _sql_cosine(a: str, b: str) -> str:
     return f"({dot}) / sqrt(({na}) * ({nb}))"
 
 
-def _sql_bucket(v: str) -> str:
+def _sql_bucket(v: str, planes: int = 8) -> str:
     """DuckDB twin of functions/similarity.py random_hyperplane_bucket
-    (8 planes, dim 64): identical md5-derived plane components and the
-    same sequential left-fold dot, so bucket ids match bit-for-bit."""
-    return f"""list_reduce(list_prepend(0, list_transform(range(0, 8), p ->
+    (dim 64): identical md5-derived plane components and the same
+    sequential left-fold dot, so bucket ids match bit-for-bit."""
+    return f"""list_reduce(list_prepend(0, list_transform(range(0, {planes}), p ->
       CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
         list_transform(range(0, 64), d ->
           {v}[d + 1]::DOUBLE *
@@ -205,14 +205,46 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_lsh_multitable", oracle=None)
+@query(
+    "ann_lsh_multitable",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_sql_bucket('embedding', 8)} AS b0,
+             ({_sql_bucket('embedding', 16)}) % 256 AS b1
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, b0 AS qb0, b1 AS qb1
+          FROM b WHERE vec_id < 5),
+    pairs AS (
+      SELECT DISTINCT q.query_id, e.vec_id AS neighbor_id
+      FROM q JOIN b e
+        ON (e.b0 = q.qb0 OR e.b1 = q.qb1) AND e.vec_id <> q.query_id
+    ),
+    scored AS (
+      SELECT p.query_id, p.neighbor_id,
+             {_sql_cosine('q.qv', 'e.embedding')} AS cosine
+      FROM pairs p
+      JOIN q ON q.query_id = p.query_id
+      JOIN b e ON e.vec_id = p.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 5
+    """,
+)
 def ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OR-amplified LSH ANN: two independent hyperplane tables; a corpus
     vector is a candidate if it collides with the query in EITHER table —
     the recall-raising construction the single-table variant documents.
     Implemented as a union of two equi-joins (each hash-partitioned — the
-    OR never becomes a non-equi join) + distinct. Rows-only; recall ≥ the
-    single-table query is asserted in tests/test_dedup_similarity.py."""
+    OR never becomes a non-equi join) + distinct. Fully SQL-oracled (both
+    plane families are md5-deterministic); recall ≥ the single-table
+    query is additionally asserted in tests/test_dedup_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     tabled = emb.withColumn(
         "b0", S.random_hyperplane_bucket(F.col("embedding"), planes=8, dim=64)
