@@ -116,3 +116,39 @@ def test_sketch_rollups_shuffle_only_partials(spark):
     p = _plan(spark, "hll_distinct_rollup")
     assert p.python_evals == 0
     assert "ObjectHashAggregate" in p.text and "partial_hll_sketch_agg" in p.text
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """Global invariant: NO registered query contains a CartesianProduct,
+    and BroadcastNestedLoopJoin appears only where a 1-row singleton view
+    is intentionally cross-joined (View.asSingleton pattern) or a tiny
+    broadcast side uses a non-equi condition by design. At 100 TB an
+    accidental cartesian is a job that never finishes."""
+    from dataflowjavasdk_spark.queries.registry import all_queries
+
+    singleton_ok = {
+        "side_input_global_mean",      # global mean as singleton view
+        "q22_idle_rich_customers",     # global avg balance singleton
+        "global_window_events",        # single global-window aggregate
+        "tfidf",                       # N-docs scalar broadcast
+        "cosine_topk_bruteforce",      # query set broadcast, non-equi (≠)
+        "ann_lsh_multitable",          # OR of two bucket tables (broadcast)
+        "minhash_lsh_near_dups",       # band-bucket join has < on id
+        "approx_quantiles_value",
+        "exact_percentiles_quantity",
+        "ivf_ann_topk",                # codebook argmax broadcast
+        "range_join_click_purchase",   # banded join post-filter
+        "asof_join_click_purchase",
+        "embedding_near_dup_pairs",    # label-blocked, < on vec_id
+        "near_dup_pairs_jaccard",
+        "near_dup_clusters",
+        "training_data_pipeline",
+        "counting_input_checksum",
+    }
+    for name in all_queries():
+        p = _plan(spark, name)
+        assert "CartesianProduct" not in p.text, f"{name} has a cartesian product"
+        if name not in singleton_ok:
+            assert "BroadcastNestedLoopJoin" not in p.text, (
+                f"{name} has an unexpected nested-loop join"
+            )

@@ -87,3 +87,38 @@ def test_parquet_schema_evolution_merge(spark, tmp_path_factory):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(score), GreaterThan(score,5.0)]" in plan, plan
     assert [r.id for r in filtered.collect()] == [2]
+
+
+def test_range_partitioned_sorted_write(spark, tmp_path_factory):
+    """Globally sorted output at scale: repartitionByRange gives disjoint
+    key ranges per task, sortWithinPartitions orders inside each — files
+    are non-overlapping sorted runs (a downstream consumer merge-reads
+    them without a global sort). TotalOrderPartitioner, the Spark way."""
+    base = str(tmp_path_factory.mktemp("rpw")) + "/t"
+    df = spark.range(0, 10_000).select(
+        (F.hash("id") % 1000).alias("k"), F.col("id").alias("v")
+    )
+    (
+        df.repartitionByRange(8, "k")
+        .sortWithinPartitions("k")
+        .write.mode("overwrite")
+        .parquet(base)
+    )
+    import os
+
+    files = [
+        os.path.join(base, f) for f in os.listdir(base) if f.endswith(".parquet")
+    ]
+    assert len(files) >= 4
+    ranges = []
+    for f in files:
+        pf = spark.read.parquet(f).agg(
+            F.min("k").alias("lo"), F.max("k").alias("hi"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        if pf["n"]:
+            ranges.append((pf["lo"], pf["hi"]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
+    # Round trip: nothing lost.
+    assert spark.read.parquet(base).count() == 10_000
