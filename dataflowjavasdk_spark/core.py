@@ -98,7 +98,12 @@ class Pipeline:
 
     def read_xml(self, path: str, row_tag: str, schema: str | None = None) -> "PCollection":
         """XML records (historical sdk/io/XmlSource.java — JAXB-based; here
-        Spark 4's native xml datasource, rowTag ≡ the JAXB record type)."""
+        Spark 4's native xml datasource, rowTag ≡ the JAXB record type).
+
+        Known upstream quirk (verified on Spark 4.1.2): the xml parser
+        fails on exactly Int.MinValue (-2147483648) in an `int` field —
+        the whole record comes back NULL (PERMISSIVE). Other boundary
+        values round-trip fine; use `long` fields if INT_MIN is live."""
         reader = self.spark.read.format("xml").option("rowTag", row_tag)
         if schema is not None:
             reader = reader.schema(schema)

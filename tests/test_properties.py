@@ -286,7 +286,9 @@ def test_range_join_matches_reference(spark, lefts, rights, lower, upper):
 @given(
     rows=st.lists(
         st.tuples(
-            st.integers(min_value=-(2**31), max_value=2**31 - 1),
+            # INT_MIN excluded: Spark 4.1's xml parser nulls the record on
+            # exactly -2^31 (documented on Pipeline.read_xml).
+            st.integers(min_value=-(2**31) + 1, max_value=2**31 - 1),
             # XML 1.0 forbids most control chars; CSV delimiters/quotes and
             # the null sentinel are excluded so one strategy serves all
             # three formats.
