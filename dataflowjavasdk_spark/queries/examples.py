@@ -340,3 +340,81 @@ def range_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         (F.unix_micros("pts") - F.unix_micros("ts")).alias("delta_us"),
     )
+
+
+@query(
+    "ivf_ann_multiprobe",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+      WHERE vec_id < 8
+    ),
+    assigned AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_sql_cosine('e.embedding', 'c.cv')} DESC,
+                                         c.centroid_id) AS crk
+      FROM embeddings e CROSS JOIN centroids c
+    ),
+    cells AS (
+      SELECT vec_id, embedding, centroid_id AS cell FROM assigned WHERE crk = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS qv, centroid_id AS cell
+      FROM assigned WHERE crk <= 2 AND vec_id >= 5 AND vec_id < 10
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             {_sql_cosine('p.qv', 'c.embedding')} AS cosine
+      FROM probes p JOIN cells c ON c.cell = p.cell
+      WHERE c.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 5
+    """,
+)
+def ivf_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN (nprobe=2): the corpus stays in ONE cell each;
+    every query searches its 2 nearest cells — the standard recall knob
+    (cell-boundary neighbors are the ones single-probe misses). Cost is
+    nprobe/K of the corpus per query, still never a cross join; candidate
+    sets from distinct cells are disjoint, so no dedup step is needed.
+    Fully SQL-oracled like the single-probe variant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    scored_cent = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "centroid_id",
+        S.cosine(F.col("embedding"), F.col("cv")).alias("ccos"),
+    )
+    cw = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("centroid_id"))
+    assigned = scored_cent.withColumn("crk", F.row_number().over(cw))
+    cells = assigned.filter(F.col("crk") == 1).select(
+        "vec_id", "embedding", F.col("centroid_id").alias("cell")
+    )
+    probes = assigned.filter(
+        (F.col("crk") <= 2) & (F.col("vec_id") >= 5) & (F.col("vec_id") < 10)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("centroid_id").alias("cell"),
+    )
+    scored = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            S.cosine(F.col("qv"), F.col("embedding")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)

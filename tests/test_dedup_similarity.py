@@ -192,3 +192,24 @@ def test_multitable_lsh_recall_at_least_single_table(spark):
         assert len(mscores) >= len(scores)
         for i, sc in enumerate(scores):
             assert mscores[i] >= sc - 1e-12
+
+
+def test_ivf_multiprobe_dominates_single_probe(spark):
+    """nprobe=2's candidate set is a superset of nprobe=1's (the probe
+    cells include the query's own cell), so at every rank the multiprobe
+    cosine is >= the single-probe cosine."""
+    from dataflowjavasdk_spark.queries.registry import get
+    from tests.conftest import SMOKE_SF
+
+    single = {
+        (r["query_id"], r["rk"]): r["cosine"]
+        for r in get("ivf_ann_topk").fn(spark, SMOKE_SF).collect()
+    }
+    multi = {
+        (r["query_id"], r["rk"]): r["cosine"]
+        for r in get("ivf_ann_multiprobe").fn(spark, SMOKE_SF).collect()
+    }
+    assert single, "single-probe returned nothing"
+    for key, cos in single.items():
+        assert key in multi
+        assert multi[key] >= cos - 1e-12, key

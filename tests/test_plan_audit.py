@@ -137,6 +137,7 @@ def test_no_cartesian_products_anywhere(spark):
         "approx_quantiles_value",
         "exact_percentiles_quantity",
         "ivf_ann_topk",                # codebook argmax broadcast
+        "ivf_ann_multiprobe",          # same codebook broadcast, nprobe=2
         "range_join_click_purchase",   # banded join post-filter
         "asof_join_click_purchase",
         "embedding_near_dup_pairs",    # label-blocked, < on vec_id
