@@ -53,9 +53,13 @@ HEADLINE = [
     "ngram_decontamination",
     # custom join operator (no native Spark/reference analog)
     "asof_join_click_purchase",
-    # sketch rollups (exact twin + mergeable HLL)
+    # sketch rollups (exact twin + mergeable HLL + Theta set algebra)
     "distinct_users_rollup",
     "hll_distinct_rollup",
+    "theta_audience_overlap",
+    # source mixing + multi-probe IVF
+    "stratified_source_mix",
+    "ivf_ann_multiprobe",
 ]
 
 
