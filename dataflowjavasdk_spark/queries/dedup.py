@@ -475,3 +475,59 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("total_tokens"),
         )
     )
+
+
+@query("simhash_near_dup_pairs", oracle=None)
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS — the consumer of simhash_fingerprints:
+    pairs with Hamming distance ≤ 3 over the 64-bit fingerprints.
+    Blocking by pigeonhole: split 64 bits into 4 chunks of 16; any pair
+    within distance 3 agrees exactly on ≥ 1 chunk, so candidates come
+    from an equi-join on (chunk_idx, chunk_value) — never all-pairs —
+    then bit_count(a XOR b) verifies exactly. Same shuffle shape as the
+    MinHash band join; at 100 TB the join keys are 4 rows × 4 bytes per
+    doc. Rows-only (the fingerprint itself is the documented pandas-UDF
+    path); pair semantics unit-tested on constructed near-dups."""
+    corpus = _corpus(spark, sf_dir)
+    simhash = S.simhash64_udf()
+    fp = corpus.select("doc_id", simhash(T.tokens("text")).alias("sh"))
+    chunked = fp.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftrightunsigned(F.col("sh"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "sh", F.col("c.chunk_idx").alias("ci"), F.col("c.chunk_val").alias("cv"))
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )

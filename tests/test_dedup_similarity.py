@@ -213,3 +213,18 @@ def test_ivf_multiprobe_dominates_single_probe(spark):
     for key, cos in single.items():
         assert key in multi
         assert multi[key] >= cos - 1e-12, key
+
+
+def test_simhash_near_dup_pairs_finds_exact_dups(spark):
+    """The corpus contains synthetic exact duplicates (doc_id + 1,000,000
+    copies) — hamming 0 — and the banded join must surface them without
+    any all-pairs comparison."""
+    from dataflowjavasdk_spark.queries.registry import get
+    from tests.conftest import SMOKE_SF
+
+    pairs = get("simhash_near_dup_pairs").fn(spark, SMOKE_SF).collect()
+    assert pairs, "no near-dup pairs found"
+    exact = [(r["id_a"], r["id_b"]) for r in pairs if r["hamming"] == 0]
+    # every synthetic copy pairs with its original at distance 0
+    assert any(b - a == 1_000_000 for a, b in exact)
+    assert all(r["hamming"] <= 3 for r in pairs)

@@ -51,7 +51,7 @@ def test_relational_queries_stay_jvm_side(spark):
     # (pandas_udf). Every other registered query must be pure JVM.
     from dataflowjavasdk_spark.queries.registry import all_queries
 
-    allowed_python = {"simhash_fingerprints"}
+    allowed_python = {"simhash_fingerprints", "simhash_near_dup_pairs"}
     for name in all_queries():
         if name in allowed_python:
             continue
