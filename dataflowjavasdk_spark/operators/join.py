@@ -152,6 +152,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_cols: Sequence[str] | None = None,
+    suffix: str | None = None,
 ) -> DataFrame:
     """As-of (point-in-time) left join: for each left row, attach the value
     columns of the most recent right row with right_ts <= left_ts on the
@@ -166,17 +167,30 @@ def asof_join(
 
     Right rows must be unique per (on, right_ts) for determinism (dedupe
     upstream with an argmax if not — events fixture satisfies it).
+
+    Right value columns sharing a name with a left column (the classic
+    trades/quotes-both-have-'price' case) are carried through internally
+    renamed — they never merge with the left's own column in the union —
+    and emitted as ``{name}{suffix}``; if such a collision exists and no
+    ``suffix`` was given, raises ValueError rather than silently emitting
+    ambiguous duplicate names.
     """
     from pyspark.sql.window import Window as W
 
     keys = list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in {*keys, right_ts}]
+    collisions = [c for c in right_cols if c in left.columns]
+    if collisions and suffix is None:
+        raise ValueError(
+            f"asof_join: right columns {collisions} collide with left "
+            "columns; pass suffix= (e.g. '_right') or rename/drop them"
+        )
     r = right.select(
         *keys,
         F.col(right_ts).alias("__asof_ts"),
         F.lit(0).alias("__asof_tag"),
-        *[F.col(c) for c in right_cols],
+        *[F.col(c).alias(f"__asof_in_{c}") for c in right_cols],
     )
     l = left.withColumn("__asof_ts", F.col(left_ts)).withColumn(
         "__asof_tag", F.lit(1)
@@ -192,12 +206,13 @@ def asof_join(
     filled = unioned.select(
         "*",
         *[
-            F.last(c, ignorenulls=True).over(w).alias(f"__asof_{c}")
+            F.last(f"__asof_in_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
             for c in right_cols
         ],
     )
     out_cols = [c for c in left.columns] + [
-        F.col(f"__asof_{c}").alias(c) for c in right_cols
+        F.col(f"__asof_{c}").alias(c + suffix if c in collisions else c)
+        for c in right_cols
     ]
     return filled.filter(F.col("__asof_tag") == 1).select(*out_cols)
 
@@ -268,7 +283,20 @@ def salted_join(
     so the operator stays deterministic. Row multiplicity is preserved:
     every skewed row gets exactly one salt; `other` rows are replicated
     but each joins only its salt's partition.
+
+    `how` is restricted to joins where multiplicity survives salting:
+    for right/full outer, an `other` row whose salt partition finds no
+    match would emit one null-extended row PER REPLICA (up to `fanout`
+    duplicates), so those modes are rejected.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — other-side replication "
+            "would duplicate unmatched right/full outer rows; use "
+            "inner/left/left_semi/left_anti (or AQE skew join for outer)"
+        )
     keys = list(on)
     salt = F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(fanout))
     l = skewed.withColumn("__salt", salt)

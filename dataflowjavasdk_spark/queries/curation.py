@@ -113,7 +113,7 @@ def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
              ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS bucket
       FROM documents
     )
-    SELECT source, count(*) AS n_kept, sum(n_chars) AS chars_kept
+    SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
     FROM rated
     WHERE bucket < (rate * 10000)::BIGINT
     GROUP BY source

@@ -43,6 +43,106 @@ _CORPUS_SQL = """
 """
 
 
+# Candidate generation for exact-Jaccard near-dup detection ----------------
+#
+# Blocking grams are capped by document frequency: a gram appearing in more
+# than SHINGLE_DF_CAP docs generates O(df^2) candidate pairs (a stopword-like
+# shingle in 10^6 docs would emit 10^12 pairs on one key at 100 TB), and a
+# pair of near-dup docs sharing such a gram almost surely also shares a rare
+# gram, so dropping hot grams from *blocking only* loses no realistic pairs.
+# Jaccard is then computed exactly from the full (uncapped) gram sets of each
+# candidate pair, so emitted values are exact — the cap bounds candidate
+# count per gram at CAP^2 without approximating the similarity itself. The
+# DuckDB oracles apply the identical cap.
+SHINGLE_DF_CAP = 1000
+
+
+def _jaccard_pairs_capped(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact-Jaccard near-dup pairs from (doc_id, grams, n) with df-capped
+    blocking. grams must be distinct per doc (S.shingles guarantees it)."""
+    ex = sh.select("doc_id", F.explode("grams").alias("gram"))
+    gram_df = (
+        ex.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= SHINGLE_DF_CAP))
+        .select("gram")
+    )
+    kept = ex.join(gram_df, "gram")
+    a, b = kept.alias("a"), kept.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    ga = sh.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("grams").alias("grams_a"),
+        F.col("n").alias("n_a"),
+    )
+    gb = sh.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("grams").alias("grams_b"),
+        F.col("n").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    jacc = inter.cast("double") / F.greatest(
+        F.col("n_a") + F.col("n_b") - inter, F.lit(1)
+    ).cast("double")
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("id_a", "id_b", jacc.alias("jacc"))
+        .filter(F.col("jacc") >= threshold)
+    )
+
+
+def _jaccard_pairs_sql(source_cte: str, threshold: float = 0.5) -> str:
+    """DuckDB twin of _jaccard_pairs_capped over a CTE named ``source_cte``
+    holding (doc_id, text). Emits CTEs ending in ``jacc_pairs``."""
+    return f"""
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(list_filter(string_split(text,' '), t -> t <> '')) - 1, 1)),
+               i -> array_to_string(
+                      array_slice(list_filter(string_split(text,' '), t -> t <> ''),
+                                  i, i + 2), ' ')
+             )) AS grams
+      FROM {source_cte}
+    ),
+    exploded AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+    gram_df AS (
+      SELECT gram FROM exploded GROUP BY gram
+      HAVING count(*) >= 2 AND count(*) <= {SHINGLE_DF_CAP}
+    ),
+    kept_grams AS (
+      SELECT e.doc_id, e.gram FROM exploded e JOIN gram_df USING (gram)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM kept_grams a JOIN kept_grams b
+        ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    jacc_pairs AS (
+      SELECT id_a, id_b,
+             len(list_filter(sa.grams, g -> list_contains(sb.grams, g)))::DOUBLE
+               / greatest(len(sa.grams) + len(sb.grams)
+                          - len(list_filter(sa.grams, g -> list_contains(sb.grams, g))),
+                          1)::DOUBLE AS jacc
+      FROM cand
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+      WHERE len(list_filter(sa.grams, g -> list_contains(sb.grams, g)))::DOUBLE
+              / greatest(len(sa.grams) + len(sb.grams)
+                         - len(list_filter(sa.grams, g -> list_contains(sb.grams, g))),
+                         1)::DOUBLE >= {threshold}
+    )"""
+
+
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     exact = (
@@ -132,57 +232,26 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "near_dup_pairs_jaccard",
     oracle=f"""
-    WITH corpus AS ({_CORPUS_SQL}),
-    sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, greatest(len(list_filter(string_split(text,' '), t -> t <> '')) - 1, 1)),
-               i -> array_to_string(
-                      array_slice(list_filter(string_split(text,' '), t -> t <> ''),
-                                  i, i + 2), ' ')
-             )) AS grams
-      FROM corpus
-    ),
-    exploded AS (SELECT doc_id, unnest(grams) AS gram, len(grams) AS n FROM sh),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             count(*) AS inter, any_value(a.n) AS n_a, any_value(b.n) AS n_b
-      FROM exploded a JOIN exploded b ON a.gram = b.gram AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT id_a, id_b,
-           inter::DOUBLE / greatest(n_a + n_b - inter, 1)::DOUBLE AS jacc
-    FROM pairs
-    WHERE inter::DOUBLE / greatest(n_a + n_b - inter, 1)::DOUBLE >= 0.5
+    WITH corpus AS ({_CORPUS_SQL}),{_jaccard_pairs_sql("corpus")}
+    SELECT id_a, id_b, jacc FROM jacc_pairs
     """,
 )
 def near_dup_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs with shingle blocking: explode
-    distinct shingles, equi-join on the shingle (candidates = pairs sharing
-    ≥1 shingle — never all-pairs), count intersections, filter Jaccard ≥
-    0.5. This is the exact-verification stage of a MinHash pipeline run
-    standalone; at 100 TB the same plan runs after LSH banding narrows
-    candidates further."""
+    """Exact n-gram-Jaccard near-dup pairs with df-capped shingle blocking:
+    explode distinct shingles, drop grams seen in > SHINGLE_DF_CAP docs
+    (bounds candidates at CAP^2 per gram — the uncapped equi-join is
+    O(df^2) and melts down on stopword-like shingles at 100 TB), equi-join
+    the surviving grams for candidates, then verify each candidate pair
+    EXACTLY from its full gram sets (array_intersect), filter Jaccard ≥
+    0.5. Values are exact; only blocking is capped. This is the
+    exact-verification stage of a MinHash pipeline run standalone; at
+    100 TB the same plan runs after LSH banding narrows candidates
+    further."""
     corpus = _corpus(spark, sf_dir)
     sh = corpus.select(
         "doc_id", S.shingles("text", 3).alias("grams")
     ).withColumn("n", F.size("grams"))
-    ex = sh.select("doc_id", "n", F.explode("grams").alias("gram"))
-    a = ex.alias("a")
-    b = ex.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.any_value(F.col("a.n")).alias("n_a"),
-            F.any_value(F.col("b.n")).alias("n_b"),
-        )
-    )
-    jacc = F.col("inter").cast("double") / F.greatest(
-        F.col("n_a") + F.col("n_b") - F.col("inter"), F.lit(1)
-    ).cast("double")
-    return pairs.select("id_a", "id_b", jacc.alias("jacc")).filter(F.col("jacc") >= 0.5)
+    return _jaccard_pairs_capped(sh)
 
 
 @query(
@@ -377,35 +446,15 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
       FROM quality
     ),
-    kept AS (SELECT doc_id, text, n_tok FROM exact WHERE rk = 1),
-    sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, greatest(len(list_filter(string_split(text,' '), t -> t <> '')) - 1, 1)),
-               i -> array_to_string(
-                      array_slice(list_filter(string_split(text,' '), t -> t <> ''),
-                                  i, i + 2), ' ')
-             )) AS grams
-      FROM kept
-    ),
-    exploded AS (SELECT doc_id, unnest(grams) AS gram, len(grams) AS n FROM sh),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             count(*) AS inter, any_value(a.n) AS n_a, any_value(b.n) AS n_b
-      FROM exploded a JOIN exploded b ON a.gram = b.gram AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    ),
-    dropped AS (
-      SELECT DISTINCT id_b AS doc_id FROM pairs
-      WHERE inter::DOUBLE / greatest(n_a + n_b - inter, 1)::DOUBLE >= 0.5
-    ),
+    kept AS (SELECT doc_id, text, n_tok FROM exact WHERE rk = 1),{_jaccard_pairs_sql("kept")},
+    dropped AS (SELECT DISTINCT id_b AS doc_id FROM jacc_pairs),
     final AS (
       SELECT k.* FROM kept k
       WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.doc_id = k.doc_id)
     )
     SELECT dd.source,
            count(*) AS n_docs,
-           SUM(f.n_tok) AS total_tokens
+           CAST(SUM(f.n_tok) AS BIGINT) AS total_tokens
     FROM final f JOIN documents dd ON dd.doc_id = f.doc_id % 1000000
     GROUP BY dd.source
     """,
@@ -416,7 +465,8 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
       corpus (dup-injected) → quality filter (≥10 tokens)
       → exact dedup (md5 content address, keep min doc_id)
-      → near-dup drop (3-gram Jaccard ≥ 0.5, greedy keep-lower-id)
+      → near-dup drop (3-gram Jaccard ≥ 0.5 via df-capped blocking +
+        exact verify — see _jaccard_pairs_capped; greedy keep-lower-id)
       → per-source kept-doc and token counts.
 
     Every stage is the scale-shaped form: per-row expressions for
@@ -435,30 +485,8 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = kept.select("doc_id", S.shingles("text", 3).alias("grams")).withColumn(
         "n", F.size("grams")
     )
-    ex = sh.select("doc_id", "n", F.explode("grams").alias("gram"))
-    a = ex.alias("a")
-    b = ex.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.first(F.col("a.n")).alias("n_a"),
-            F.first(F.col("b.n")).alias("n_b"),
-        )
-    )
     dropped = (
-        pairs.filter(
-            F.col("inter").cast("double")
-            / F.greatest(F.col("n_a") + F.col("n_b") - F.col("inter"), F.lit(1)).cast(
-                "double"
-            )
-            >= 0.5
-        )
+        _jaccard_pairs_capped(sh)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )

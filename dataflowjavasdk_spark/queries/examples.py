@@ -76,7 +76,7 @@ def top_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SESSIONIZED}
     SELECT user_id,
            count(*) AS n_sessions,
-           SUM(n_events) AS total_events,
+           CAST(SUM(n_events) AS BIGINT) AS total_events,
            SUM(date_diff('microseconds', session_start, last_ts))
              / count(*) AS mean_session_us,
            max(n_events) AS max_session_events
@@ -112,8 +112,8 @@ def session_stats_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     "counting_input_checksum",
     oracle="""
     SELECT count(*) AS n,
-           SUM(range) AS total,
-           SUM(CASE WHEN range % 7 = 0 THEN 1 ELSE 0 END) AS n_div7
+           CAST(SUM(range) AS BIGINT) AS total,
+           CAST(SUM(CASE WHEN range % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_div7
     FROM range(0, 1000000)
     """,
 )
@@ -135,7 +135,7 @@ def counting_input_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source, lang,
            count(*) AS n_docs,
-           SUM(octet_length(encode(text))) AS total_bytes,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            count(DISTINCT md5(text)) AS n_unique_payloads,
            max(octet_length(encode(text))) AS max_bytes
     FROM documents

@@ -45,14 +45,78 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-def all_queries() -> dict[str, QueryFn]:
+# Emission order for the driver contract. The driver's correctness run
+# checks a bounded prefix of ``queries()`` (50 entries in round 1), so the
+# dict is ordered: (1) queries whose oracle changed and need a fresh driver
+# check, (2) queries with no driver-green row yet (flagship, windowing,
+# text/dedup/similarity/sketches/curation, examples remainder), (3) new
+# queries added this round, then (4) the long tail that is already
+# driver-green from a prior round (CORRECTNESS_r01.json). Names not listed
+# here follow in registration order; listed-but-unregistered names are
+# ignored (guarded by a registry test).
+_PRIORITY: tuple[str, ...] = (
+    # (1) oracle fixed this round — must be re-checked by the driver
+    "json_props_per_type",
+    "q12_priority_shipping",
+    "session_stats_per_user",
+    "approx_distinct_users",
+    "approx_quantiles_value",
+    # (2) no driver row in CORRECTNESS_r01.json yet
+    "tumbling_hourly_events",
+    "sliding_windows_events",
+    "session_windows_events",
+    "calendar_day_events",
+    "global_window_events",
+    "session_windows_dynamic_gap",
+    "rollup_hourly_to_daily",
+    "wordcount",
+    "tfidf",
+    "token_count_stats",
+    "language_id_quality",
+    "doc_fingerprints",
+    "dedup_exact",
+    "minhash_signatures",
+    "near_dup_pairs_jaccard",
+    "minhash_lsh_near_dups",
+    "simhash_fingerprints",
+    "near_dup_clusters",
+    "training_data_pipeline",
+    "simhash_near_dup_pairs",
+    "cosine_topk_bruteforce",
+    "ann_lsh_topk",
+    "embedding_label_stats",
+    "embedding_near_dup_pairs",
+    "ann_lsh_multitable",
+    "distinct_users_rollup",
+    "hll_distinct_rollup",
+    "theta_audience_overlap",
+    "bpe_token_stats",
+    "ngram_decontamination",
+    "stratified_source_mix",
+    "counting_input_checksum",
+    "multimodal_payload_stats",
+    "ivf_ann_topk",
+    "asof_join_click_purchase",
+    "range_join_click_purchase",
+    "ivf_ann_multiprobe",
+    # (3) new this round — no prior driver row exists at all
+)
+
+
+def _ordered() -> list[RegisteredQuery]:
     _load_all()
-    return {name: rq.fn for name, rq in _REGISTRY.items()}
+    prioritized = [_REGISTRY[n] for n in _PRIORITY if n in _REGISTRY]
+    named = set(_PRIORITY)
+    tail = [rq for name, rq in _REGISTRY.items() if name not in named]
+    return prioritized + tail
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return {rq.name: rq.fn for rq in _ordered()}
 
 
 def all_oracles() -> dict[str, str]:
-    _load_all()
-    return {name: rq.oracle for name, rq in _REGISTRY.items() if rq.oracle}
+    return {rq.name: rq.oracle for rq in _ordered() if rq.oracle}
 
 
 def get(name: str) -> RegisteredQuery:

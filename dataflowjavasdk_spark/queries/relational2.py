@@ -19,7 +19,7 @@ from dataflowjavasdk_spark.sources.tables import load_table
     "json_props_per_type",
     oracle=f"""
     SELECT event_type,
-           SUM(json_extract_string(props, '$.k')::INT) AS sum_k,
+           CAST(SUM(json_extract_string(props, '$.k')::INT) AS BIGINT) AS sum_k,
            count(*) AS n
     FROM events GROUP BY event_type
     """,

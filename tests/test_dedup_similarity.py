@@ -228,3 +228,38 @@ def test_simhash_near_dup_pairs_finds_exact_dups(spark):
     # every synthetic copy pairs with its original at distance 0
     assert any(b - a == 1_000_000 for a, b in exact)
     assert all(r["hamming"] <= 3 for r in pairs)
+
+
+def test_jaccard_df_cap_bounds_candidates(spark):
+    """The df-capped blocking must (a) exclude hot grams from candidate
+    generation — bounding pairs at CAP^2 per gram — while (b) still finding
+    near-dups that share at least one rare gram, with EXACT Jaccard values
+    computed from the full (uncapped) gram sets."""
+    import dataflowjavasdk_spark.queries.dedup as D
+    from dataflowjavasdk_spark.functions import similarity as S
+
+    cap = D.SHINGLE_DF_CAP
+    try:
+        D.SHINGLE_DF_CAP = 3  # make the cap observable at fixture scale
+        # 6 docs all share the hot shingle "the quick fox" (df=6 > cap=3);
+        # docs 0/1 additionally share rare grams (true near-dups).
+        rare = "alpha beta gamma delta epsilon zeta"
+        docs = [(0, f"the quick fox {rare}"), (1, f"the quick fox {rare} eta")]
+        docs += [(i, f"the quick fox unique{i} only{i} here{i}") for i in range(2, 6)]
+        sh = (
+            spark.createDataFrame(docs, "doc_id long, text string")
+            .select("doc_id", S.shingles("text", 3).alias("grams"))
+            .withColumn("n", F.size("grams"))
+        )
+        pairs = D._jaccard_pairs_capped(sh, threshold=0.0).collect()
+        got = {(r["id_a"], r["id_b"]): r["jacc"] for r in pairs}
+        # Docs 2..5 share ONLY the hot gram → blocked out entirely. If the
+        # cap were ignored, all 15 pairs would appear.
+        assert set(got) == {(0, 1)}
+        # Exact Jaccard from FULL gram sets (hot gram included in the
+        # values even though excluded from blocking):
+        # doc0 (9 tokens) = 7 grams, doc1 (10 tokens) = 8 grams, all 7 of
+        # doc0's shared → inter=7, union=8.
+        assert got[(0, 1)] == pytest.approx(7 / 8)
+    finally:
+        D.SHINGLE_DF_CAP = cap

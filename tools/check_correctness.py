@@ -39,6 +39,53 @@ def _sortable(row):
     return tuple(str(v) for v in row)
 
 
+def _type_family(t) -> str:
+    """Coarse type family for cross-engine compatibility checks.
+
+    The driver's value-hash is computed on *unnormalized* values, so a
+    DuckDB HUGEINT/DECIMAL result hashes differently from a Spark BIGINT
+    even when numerically identical (the round-1 hash-fail root cause).
+    Comparing families (int vs decimal vs float ...) catches that class
+    locally without false-flagging benign width differences (int32/int64).
+    """
+    s = str(t).lower()
+    if "decimal" in s:
+        return "decimal"
+    if any(k in s for k in ("int8", "int16", "int32", "int64", "uint", "long", "integer", "short", "byte")):
+        return "int"
+    if any(k in s for k in ("float", "double")):
+        return "float"
+    if "bool" in s:
+        return "bool"
+    if "timestamp" in s:
+        return "timestamp"
+    if s.startswith("date") and "datetime" not in s:
+        return "date"
+    if any(k in s for k in ("string", "varchar", "utf8")):
+        return "string"
+    if any(k in s for k in ("binary", "blob")):
+        return "binary"
+    if any(k in s for k in ("list", "array")):
+        return "list"
+    if "struct" in s:
+        return "struct"
+    if "map" in s:
+        return "map"
+    return s
+
+
+def compare_type_families(spark_schema, arrow_schema) -> list[str]:
+    spark_fams = {f.name: _type_family(f.dataType) for f in spark_schema.fields}
+    duck_fams = {f.name: _type_family(f.type) for f in arrow_schema}
+    issues = []
+    for name in sorted(set(spark_fams) & set(duck_fams)):
+        if spark_fams[name] != duck_fams[name]:
+            issues.append(
+                f"typefam {name}: spark={spark_fams[name]} oracle={duck_fams[name]}"
+            )
+    return issues
+
+
 def compare(spark_rows, spark_cols, duck_rows, duck_cols):
     issues = []
     if len(spark_rows) != len(duck_rows):
@@ -118,11 +165,13 @@ def main() -> int:
             cur = con.execute(sql)
             duck_cols = [d[0] for d in cur.description]
             duck_rows = cur.fetchall()
+            arrow_tb = con.execute(sql).fetch_arrow_table()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: oracle error: {exc}")
             failed.append(name)
             continue
         issues, _ = compare(spark_rows, spark_cols, duck_rows, duck_cols)
+        issues.extend(compare_type_families(sdf.schema, arrow_tb.schema))
         if issues:
             print(f"FAIL {name}: " + "; ".join(issues))
             failed.append(name)
