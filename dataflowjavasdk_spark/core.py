@@ -29,8 +29,11 @@ from dataflowjavasdk_spark.operators import pardo as _pardo
 from dataflowjavasdk_spark.operators import sort as _sort
 from dataflowjavasdk_spark.operators.windowing import (
     GlobalWindows,
+    OutputTimeFn,
     WindowFn,
+    end_of_window_ts,
     group_by_window,
+    output_time_agg,
     window_into,
 )
 
@@ -207,12 +210,32 @@ class PCollection:
 
     def combine_per_key(self, keys: Sequence[str], aggs: dict[str, Column] | None = None,
                         fn: _combine.CombineFn | None = None, col: str | None = None,
-                        out: str | None = None, out_type: str = "double") -> "PCollection":
+                        out: str | None = None, out_type: str = "double",
+                        output_time: str | None = None) -> "PCollection":
         """Combine.perKey — Column aggs (fast path, many at once) or a
-        custom CombineFn. Windowed inputs group per (window, key)."""
+        custom CombineFn. Windowed inputs group per (window, key).
+
+        `output_time` (OutputTimeFn.{END_OF_WINDOW,EARLIEST,LATEST})
+        attaches the emitted-pane timestamp as an `emit_ts` column:
+        EARLIEST/LATEST ride along as min(ts)/max(ts) accumulators;
+        END_OF_WINDOW derives from the window struct (NULL under the
+        global window, whose end is unbounded)."""
         if aggs is not None:
             grouped = group_by_window(self.df, self.window_fn, list(keys), self.ts_col)
-            return self._with(grouped.agg(*[c.alias(n) for n, c in aggs.items()]))
+            agg_cols = [c.alias(n) for n, c in aggs.items()]
+            if output_time is None:
+                return self._with(grouped.agg(*agg_cols))
+            ota = output_time_agg(output_time, self.ts_col)
+            if ota is not None:
+                return self._with(grouped.agg(*agg_cols, ota.alias("emit_ts")))
+            res = grouped.agg(*agg_cols)
+            if isinstance(self.window_fn, GlobalWindows):
+                res = res.withColumn("emit_ts", F.lit(None).cast("timestamp"))
+            else:
+                res = res.withColumn("emit_ts", end_of_window_ts("window"))
+            return self._with(res)
+        if output_time is not None:
+            raise ValueError("output_time is supported on the Column-aggs path")
         assert fn is not None and col is not None and out is not None
         if not isinstance(self.window_fn, GlobalWindows):
             pc = self.assign_windows()
@@ -300,10 +323,13 @@ class PCollection:
     def asof_join(
         self, right: "PCollection", on: Sequence[str], left_ts: str,
         right_ts: str, right_cols: Sequence[str] | None = None,
+        suffix: str | None = None,
     ) -> "PCollection":
         """Point-in-time join (operators/join.py asof_join)."""
         return self._with(
-            _join.asof_join(self.df, right.df, on, left_ts, right_ts, right_cols)
+            _join.asof_join(
+                self.df, right.df, on, left_ts, right_ts, right_cols, suffix
+            )
         )
 
     def range_join(

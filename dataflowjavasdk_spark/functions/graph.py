@@ -20,13 +20,22 @@ def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 15,
+    max_iter: int = 50,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Undirected connected components by min-label propagation.
 
     Input: an edge list (any orientation, duplicates fine).
     Output: one row per node — (node, component) with component = the
     minimum node id reachable from it (a canonical, deterministic label).
+
+    Iterates until no label changes; raises RuntimeError if `max_iter`
+    rounds don't converge (min-label moves one hop per round, so max_iter
+    bounds the component diameter — a silent early exit would split long
+    near-dup chains into multiple cluster ids). Lineage is truncated with
+    an eager localCheckpoint every `checkpoint_every` rounds so the plan
+    doesn't grow one join deeper per round (planning time and stack depth
+    at 100 TB).
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -38,7 +47,8 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
-    for _ in range(max_iter):
+    prev_cached: DataFrame | None = None
+    for i in range(1, max_iter + 1):
         # each node adopts min(own label, neighbors' labels)
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
@@ -56,8 +66,19 @@ def connected_components(
             )
         )
         new_labels = new_labels.cache()
+        # the only driver-side value per round: does any label still move?
         changed = new_labels.filter(F.col("__changed")).limit(1).count()
         labels = new_labels.drop("__changed")
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = new_labels
+        if i % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+            prev_cached.unpersist()
+            prev_cached = None
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        f"(component diameter exceeds max_iter); raise max_iter"
+    )

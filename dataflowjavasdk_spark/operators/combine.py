@@ -183,8 +183,16 @@ class Combine:
         through a salt column. Level 1 aggregates (key, salt) — spreading a
         hot key over `fanout` reducers — level 2 re-aggregates per key.
         `agg` must be algebraic and `reagg` its re-combiner
-        (e.g. sum → sum, count → sum)."""
-        salted = df.withColumn("__salt__", F.pmod(F.monotonically_increasing_id(), F.lit(fanout)))
+        (e.g. sum → sum, count → sum).
+
+        The salt is a deterministic hash of the row's columns (matching
+        salted_join), NOT monotonically_increasing_id(): the latter depends
+        on partition layout, so task retries after an upstream shuffle could
+        recompute different salts for the same rows (the SPARK-23207 class
+        of partial-retry corruption)."""
+        salted = df.withColumn(
+            "__salt__", F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(fanout))
+        )
         level1 = salted.groupBy(*keys, "__salt__").agg(agg.alias("__partial__"))
         return level1.groupBy(*keys).agg(reagg("__partial__").alias(out))
 

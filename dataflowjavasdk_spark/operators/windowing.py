@@ -139,6 +139,45 @@ class CalendarWindows(WindowFn):
         return F.struct(start.alias("start"), end.alias("end"))
 
 
+class OutputTimeFn:
+    """OutputTimeFn (historical sdk/transforms/windowing/OutputTimeFn.java):
+    the event-time timestamp assigned to a grouped/combined output element.
+
+    - END_OF_WINDOW: the window's maximum timestamp (window.end − 1 ms,
+      Beam's maxTimestamp; Spark's native window_time is end − 1 µs —
+      we emit end − 1 ms for reference fidelity).
+    - EARLIEST: the earliest input timestamp among the pane's elements.
+    - LATEST: the latest input timestamp among the pane's elements.
+    """
+
+    END_OF_WINDOW = "end_of_window"
+    EARLIEST = "earliest"
+    LATEST = "latest"
+
+    ALL = (END_OF_WINDOW, EARLIEST, LATEST)
+
+
+def output_time_agg(policy: str, ts_col: str = "ts") -> Column | None:
+    """The aggregate expression carrying the OutputTimeFn through a
+    windowed groupBy — min(ts)/max(ts) for EARLIEST/LATEST (one extra
+    algebraic accumulator, partial-aggregated like any min/max), None for
+    END_OF_WINDOW (derived from the window struct post-agg, no state)."""
+    if policy == OutputTimeFn.EARLIEST:
+        return F.min(ts_col)
+    if policy == OutputTimeFn.LATEST:
+        return F.max(ts_col)
+    if policy == OutputTimeFn.END_OF_WINDOW:
+        return None
+    raise ValueError(f"unknown OutputTimeFn {policy!r}; one of {OutputTimeFn.ALL}")
+
+
+def end_of_window_ts(window_col: str = "window") -> Column:
+    """END_OF_WINDOW emitted timestamp: window.end − 1 ms (maxTimestamp)."""
+    return F.timestamp_millis(
+        F.unix_millis(F.col(f"{window_col}.end")) - F.lit(1)
+    )
+
+
 def window_into(df: DataFrame, fn: WindowFn, ts_col: str = "ts", out: str = "window") -> DataFrame:
     """Window.into(fn): attach the window column. Pure projection — the
     reference's metadata-only WindowingStrategy rewrite becomes an actual

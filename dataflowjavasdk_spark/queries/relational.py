@@ -383,15 +383,34 @@ def distinct_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("user_id", "event_type").distinct()
 
 
-@query("approx_distinct_users", oracle=None)
+@query(
+    "approx_distinct_users",
+    oracle="""
+    SELECT count(DISTINCT user_id) AS exact_users, TRUE AS within_3rsd
+    FROM events
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ApproximateUnique.globally (historical sdk/transforms/
     ApproximateUnique.java, sample-space heap sketch) → HyperLogLog++
-    (approx_count_distinct). No oracle: sketch estimates are
-    engine-specific; driver records rows-only. Accuracy is unit-tested
-    against the exact count in tests/ instead."""
+    (approx_count_distinct, rsd=0.02). Sketch estimates are
+    engine-specific, so the raw estimate can't be oracled; instead the
+    query emits the exact distinct count plus the bound verdict
+    |approx − exact| ≤ 3·rsd·exact computed INSIDE the query — the HLL
+    sketch still runs in this plan, and the oracle asserts the verdict is
+    TRUE, making accuracy driver-checkable rather than rows-only."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+    rsd = 0.02
+    return ev.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd).alias("__approx"),
+    ).select(
+        "exact_users",
+        (
+            F.abs(F.col("__approx") - F.col("exact_users"))
+            <= 3 * rsd * F.col("exact_users")
+        ).alias("within_3rsd"),
+    )
 
 
 @query(

@@ -228,15 +228,49 @@ def exact_percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_quantiles_value", oracle=None)
+@query(
+    "approx_quantiles_value",
+    oracle="""
+    SELECT count(*) AS n,
+           TRUE AS ok_p25, TRUE AS ok_p50, TRUE AS ok_p75, TRUE AS ok_p99
+    FROM events
+    """,
+)
 def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ApproximateQuantiles.globally (historical sdk/transforms/
     ApproximateQuantiles.java, Munro-Paterson) → Greenwald-Khanna
-    percentile_approx. Rows-only: sketch outputs are engine-specific;
-    accuracy vs exact percentiles is unit-tested."""
+    percentile_approx (accuracy=100 → rank error ≤ 1%). Sketch outputs
+    are engine-specific, so the query emits GK's guarantee as a verdict:
+    each approximate quantile q must lie within the exact
+    [percentile(q−0.01), percentile(q+0.01)] envelope, computed in the
+    same plan. The oracle asserts all verdicts TRUE — accuracy becomes
+    driver-checkable instead of rows-only."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.agg(
-        F.percentile_approx("value", [0.25, 0.5, 0.75, 0.99]).alias("quantiles")
+    acc = 100
+    eps = 1.0 / acc
+    qs = [0.25, 0.5, 0.75, 0.99]
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx("value", qs, acc).alias("__approx"),
+        *[
+            F.expr(f"percentile(value, {max(q - eps, 0.0)}D)").alias(f"__lo_{i}")
+            for i, q in enumerate(qs)
+        ],
+        *[
+            F.expr(f"percentile(value, {min(q + eps, 1.0)}D)").alias(f"__hi_{i}")
+            for i, q in enumerate(qs)
+        ],
+    )
+    labels = ["p25", "p50", "p75", "p99"]
+    return agg.select(
+        "n",
+        *[
+            (
+                (F.col("__approx")[i] >= F.col(f"__lo_{i}"))
+                & (F.col("__approx")[i] <= F.col(f"__hi_{i}"))
+            ).alias(f"ok_{labels[i]}")
+            for i in range(len(qs))
+        ],
     )
 
 

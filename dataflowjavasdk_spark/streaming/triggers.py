@@ -247,8 +247,16 @@ DISCARDING = "discarding"
 
 _STATE_SCHEMA = (
     "acc_count long, acc_sum double, pane_count long, pane_sum double, "
-    "pane_index long, on_time_fired boolean, dyn string"
+    "pane_index long, on_time_fired boolean, dyn string, "
+    # OutputTimeFn accumulators (epoch ms; -1 = unset): min/max input ts
+    # over all accumulated elements and over the current pane only.
+    "acc_min_ts long, acc_max_ts long, pane_min_ts long, pane_max_ts long"
 )
+
+# OutputTimeFn policies (historical sdk/transforms/windowing/OutputTimeFn.java)
+OUTPUT_END_OF_WINDOW = "end_of_window"
+OUTPUT_EARLIEST = "earliest"
+OUTPUT_LATEST = "latest"
 
 
 def triggered_window_aggregate(
@@ -261,11 +269,20 @@ def triggered_window_aggregate(
     allowed_lateness: str = "0 seconds",
     ts_col: str = "ts",
     watermark_delay: str = "0 seconds",
+    output_time: str | None = None,
 ) -> DataFrame:
     """Count+sum per (key, fixed window) under the full trigger grammar.
 
     Output: keys..., window_start, window_end, n, total, pane_index,
-    pane_timing (EARLY|ON_TIME|LATE), is_first, is_last.
+    pane_timing (EARLY|ON_TIME|LATE), is_first, is_last
+    [, emit_ts when `output_time` is set].
+
+    `output_time` (end_of_window | earliest | latest) adds the pane's
+    emitted event-time timestamp: END_OF_WINDOW = window end − 1 ms
+    (Beam's maxTimestamp), EARLIEST/LATEST = min/max input timestamp of
+    the pane's contents (all accumulated elements under ACCUMULATING,
+    only the new ones under DISCARDING) — the reference's
+    OutputTimeFn.outputAtEarliest/LatestInputTimestamp.
     """
     lateness_ms = _duration_ms(allowed_lateness)
     # Spark's stateful operator drops input rows behind ITS watermark, but
@@ -283,6 +300,10 @@ def triggered_window_aggregate(
         "n long, total double, pane_index long, pane_timing string, "
         "is_first boolean, is_last boolean"
     )
+    if output_time is not None:
+        if output_time not in (OUTPUT_END_OF_WINDOW, OUTPUT_EARLIEST, OUTPUT_LATEST):
+            raise ValueError(f"unknown output_time {output_time!r}")
+        out_schema += ", emit_ts timestamp"
 
     windowed = (
         df.withWatermark(ts_col, f"{spark_delay_ms} milliseconds")
@@ -308,19 +329,26 @@ def triggered_window_aggregate(
         now_ms = int(_now() * 1000)
 
         if state.exists:
-            (acc_n, acc_sum, pane_n, pane_sum, pane_idx, on_time_fired, dyn_json) = state.get
+            (acc_n, acc_sum, pane_n, pane_sum, pane_idx, on_time_fired, dyn_json,
+             acc_min, acc_max, pane_min, pane_max) = state.get
             dyn = json.loads(dyn_json)
         else:
             acc_n = pane_n = pane_idx = 0
             acc_sum = pane_sum = 0.0
             on_time_fired = False
             dyn = {}
+            acc_min = pane_min = acc_max = pane_max = -1
 
         new_n, new_sum = 0, 0.0
+        new_min, new_max = -1, -1
         for pdf in pdfs:
             if len(pdf):
                 new_n += len(pdf)
                 new_sum += float(pdf["__v__"].sum())
+                lo = int(pd.Timestamp(pdf[ts_col].min()).timestamp() * 1000)
+                hi = int(pd.Timestamp(pdf[ts_col].max()).timestamp() * 1000)
+                new_min = lo if new_min < 0 else min(new_min, lo)
+                new_max = max(new_max, hi)
 
         # GC horizon: stragglers beyond window_end + lateness are dropped —
         # do not resurrect state the cleanup timeout already removed.
@@ -331,27 +359,48 @@ def triggered_window_aggregate(
         acc_sum += new_sum
         pane_n += new_n
         pane_sum += new_sum
+        if new_n:
+            acc_min = new_min if acc_min < 0 else min(acc_min, new_min)
+            acc_max = max(acc_max, new_max)
+            pane_min = new_min if pane_min < 0 else min(pane_min, new_min)
+            pane_max = max(pane_max, new_max)
 
         panes: list[dict] = []
 
+        def _emit_ts(lo: int, hi: int):
+            if output_time == OUTPUT_END_OF_WINDOW:
+                ms = w_end_ms - 1
+            elif output_time == OUTPUT_EARLIEST:
+                ms = lo
+            else:
+                ms = hi
+            return pd.Timestamp(ms, unit="ms") if ms >= 0 else pd.NaT
+
         def emit(timing: str, is_last: bool) -> None:
-            nonlocal pane_idx, pane_n, pane_sum
+            nonlocal pane_idx, pane_n, pane_sum, pane_min, pane_max
             n, total = (acc_n, acc_sum) if accumulation == ACCUMULATING else (pane_n, pane_sum)
-            panes.append(
-                dict(
-                    zip(keys, user_key),
-                    window_start=w_start,
-                    window_end=w_end,
-                    n=n,
-                    total=total,
-                    pane_index=pane_idx,
-                    pane_timing=timing,
-                    is_first=pane_idx == 0,
-                    is_last=is_last,
-                )
+            pane = dict(
+                zip(keys, user_key),
+                window_start=w_start,
+                window_end=w_end,
+                n=n,
+                total=total,
+                pane_index=pane_idx,
+                pane_timing=timing,
+                is_first=pane_idx == 0,
+                is_last=is_last,
             )
+            if output_time is not None:
+                lo, hi = (
+                    (acc_min, acc_max)
+                    if accumulation == ACCUMULATING
+                    else (pane_min, pane_max)
+                )
+                pane["emit_ts"] = _emit_ts(lo, hi)
+            panes.append(pane)
             pane_idx += 1
             pane_n, pane_sum = 0, 0.0
+            pane_min, pane_max = -1, -1
 
         before_end_of_window = watermark_ms < w_end_ms
 
@@ -362,7 +411,8 @@ def triggered_window_aggregate(
                 if trigger.early.should_fire(dyn, "e", now_ms):
                     trigger.early.on_fire(dyn, "e")
                     emit("EARLY", is_last=False)
-            state.update((acc_n, acc_sum, pane_n, pane_sum, pane_idx, False, json.dumps(dyn)))
+            state.update((acc_n, acc_sum, pane_n, pane_sum, pane_idx, False,
+                          json.dumps(dyn), acc_min, acc_max, pane_min, pane_max))
             # wake when the TRUE watermark passes the end of the window,
             # i.e. when the Spark watermark reaches w_end - lateness
             state.setTimeoutTimestamp(max(w_end_ms - lateness_ms, spark_wm + 1))
@@ -386,7 +436,8 @@ def triggered_window_aggregate(
             if final_horizon:
                 state.remove()
             else:
-                state.update((acc_n, acc_sum, pane_n, pane_sum, pane_idx, True, json.dumps(dyn)))
+                state.update((acc_n, acc_sum, pane_n, pane_sum, pane_idx, True,
+                              json.dumps(dyn), acc_min, acc_max, pane_min, pane_max))
                 # GC when true_wm reaches w_end + lateness ⟺ spark_wm reaches w_end
                 state.setTimeoutTimestamp(max(w_end_ms, spark_wm + 1))
 

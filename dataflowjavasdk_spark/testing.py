@@ -82,8 +82,12 @@ class PCollectionAssert:
 
     def satisfies(self, fn: Callable[[list], Any]) -> "PCollectionAssert":
         """SerializableFunction check: fn receives the collected rows (an
-        unordered bag) and raises/returns falsy-with-message on failure."""
-        fn(self._collected())
+        unordered bag); it may raise on failure, or return a falsy non-None
+        value (e.g. False or an empty/failure message) — both fail the
+        assertion. Returning None or a truthy value passes."""
+        result = fn(self._collected())
+        if result is not None and not result:
+            raise AssertionError(f"satisfies predicate failed: {result!r}")
         return self
 
 

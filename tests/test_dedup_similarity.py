@@ -263,3 +263,31 @@ def test_jaccard_df_cap_bounds_candidates(spark):
         assert got[(0, 1)] == pytest.approx(7 / 8)
     finally:
         D.SHINGLE_DF_CAP = cap
+
+
+def test_connected_components_long_path_converges(spark):
+    """A path graph with diameter > the old 15-round cap must resolve to a
+    single component (min-label needs one round per hop), exercising the
+    localCheckpoint lineage truncation along the way."""
+    from dataflowjavasdk_spark.functions.graph import connected_components
+
+    n = 20  # diameter 20 path: 0-1-2-...-20
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    labels = connected_components(edges)
+    comps = {r["component"] for r in labels.collect()}
+    assert comps == {0}
+    assert labels.count() == n + 1
+
+
+def test_connected_components_raises_when_capped(spark):
+    import pytest as _pytest
+
+    from dataflowjavasdk_spark.functions.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, max_iter=3)

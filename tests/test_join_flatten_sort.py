@@ -181,3 +181,39 @@ def test_salted_join_equals_plain_join(spark):
         for r in join.salted_join(left.df, right.df, ["k"], fanout=4).collect()
     )
     assert salted == plain and len(plain) == 51
+
+
+def test_asof_join_right_column_collision(spark):
+    """A right value column named like a left column must not silently
+    absorb the left row's own value (the trades/quotes-both-have-'price'
+    case): without a suffix it raises; with one, the as-of value arrives
+    under the suffixed name and the left's own column is untouched."""
+    import pytest as _pytest
+
+    from dataflowjavasdk_spark.operators import join
+
+    left = spark.createDataFrame(
+        [(1, 10, 999.0), (1, 20, 888.0)], "k int, ts int, price double"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 1.5), (1, 15, 2.5)], "k int, ts int, price double"
+    )
+    with _pytest.raises(ValueError, match="collide"):
+        join.asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts")
+    out = join.asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts", suffix="_quote"
+    )
+    rows = {r["ts"]: (r["price"], r["price_quote"]) for r in out.collect()}
+    # left's own price survives; as-of picks the latest right row <= ts
+    assert rows == {10: (999.0, 1.5), 20: (888.0, 2.5)}
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    import pytest as _pytest
+
+    from dataflowjavasdk_spark.operators import join
+
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with _pytest.raises(ValueError, match="salted_join"):
+            join.salted_join(df, df, on=["k"], how=how)

@@ -36,3 +36,18 @@ def test_satisfies_custom_predicate(spark):
     assert_that(pc).satisfies(all_nonneg).contains_in_any_order(
         [(i,) for i in range(100)]
     )
+
+
+def test_satisfies_falsy_return_fails(spark):
+    """A predicate written in the documented 'return falsy-with-message'
+    style must actually fail the assertion (was silently discarded)."""
+    import pytest as _pytest
+
+    from dataflowjavasdk_spark.core import PCollection
+    from dataflowjavasdk_spark.testing import assert_that
+
+    pc = PCollection(spark.createDataFrame([(1,)], "x int"))
+    with _pytest.raises(AssertionError, match="satisfies"):
+        assert_that(pc).satisfies(lambda rows: False)
+    assert_that(pc).satisfies(lambda rows: True)
+    assert_that(pc).satisfies(lambda rows: None)  # raise-style predicates

@@ -190,3 +190,65 @@ def test_never_trigger_only_on_time_pane(spark, harness):
     out2 = harness.run_round(_build(trig, ACCUMULATING), "update")
     win0 = [p for p in _panes(out2) if p[0] == "2024-01-01 00:00:00"]
     assert [(p[1], p[3]) for p in win0] == [("ON_TIME", 3)]
+
+
+def _build_ot(trigger, accumulation, output_time):
+    def build(stream):
+        return triggered_window_aggregate(
+            stream,
+            keys=["key"],
+            value_col="value",
+            window_size="60 seconds",
+            trigger=trigger,
+            accumulation=accumulation,
+            output_time=output_time,
+        )
+
+    return build
+
+
+def test_output_time_fn_all_three_policies(spark, harness):
+    """OutputTimeFn (historical sdk/transforms/windowing/OutputTimeFn.java):
+    pane timestamps under END_OF_WINDOW / EARLIEST / LATEST. Elements at
+    :10/:20/:30 in window [00:00, 01:00): emitted timestamps must be
+    00:00:59.999 (end − 1 ms), 00:00:10, and 00:00:30 respectively."""
+    import datetime
+
+    for policy, want in [
+        ("end_of_window", datetime.datetime(2024, 1, 1, 0, 0, 59, 999000)),
+        ("earliest", datetime.datetime(2024, 1, 1, 0, 0, 10)),
+        ("latest", datetime.datetime(2024, 1, 1, 0, 0, 30)),
+    ]:
+        h = SC.MicroBatchHarness(spark, SCHEMA)
+        try:
+            trig = AfterWatermark()
+            h.feed(_batch(spark, [(1, 10, "a", 1), (2, 20, "a", 2), (3, 30, "a", 3)]))
+            h.run_round(_build_ot(trig, ACCUMULATING, policy), output_mode="update")
+            h.feed(_batch(spark, [(4, 500, "a", 0)]))
+            out = h.run_round(_build_ot(trig, ACCUMULATING, policy), output_mode="update")
+            panes = [
+                r for r in out
+                if str(r["window_start"]) == "2024-01-01 00:00:00"
+            ]
+            assert len(panes) == 1, (policy, panes)
+            assert panes[0]["pane_timing"] == "ON_TIME"
+            assert panes[0]["emit_ts"] == want, policy
+        finally:
+            h.close()
+
+
+def test_output_time_discarding_uses_pane_elements_only(spark, harness):
+    """Under DISCARDING, EARLIEST/LATEST reflect only the current pane's
+    elements (the reference resets the timestamp hold after each firing)."""
+    import datetime
+
+    trig = AfterWatermark(early=AfterCount(2))
+    # EARLY pane: elements at :10 and :20 → latest = :20
+    harness.feed(_batch(spark, [(1, 10, "a", 1), (2, 20, "a", 2)]))
+    out1 = harness.run_round(_build_ot(trig, DISCARDING, "latest"), output_mode="update")
+    assert [r["emit_ts"] for r in out1] == [datetime.datetime(2024, 1, 1, 0, 0, 20)]
+    # next batch: :40 then watermark passes → ON_TIME pane sees only :40
+    harness.feed(_batch(spark, [(3, 40, "a", 3), (4, 500, "a", 0)]))
+    out2 = harness.run_round(_build_ot(trig, DISCARDING, "latest"), output_mode="update")
+    panes = [r for r in out2 if str(r["window_start"]) == "2024-01-01 00:00:00"]
+    assert [r["emit_ts"] for r in panes] == [datetime.datetime(2024, 1, 1, 0, 0, 40)]

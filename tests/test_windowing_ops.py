@@ -83,3 +83,46 @@ def test_calendar_windows_month(spark):
 def test_sessions_assign_raises(stamped):
     with pytest.raises(TypeError):
         windowing.Sessions("10 seconds").assign(F.col("ts"))
+
+
+def test_output_time_fn_batch_policies(stamped):
+    """Batch OutputTimeFn: combine_per_key(output_time=...) attaches
+    emit_ts — EARLIEST/LATEST as min/max(ts) accumulators, END_OF_WINDOW
+    as window.end − 1 ms (Beam's maxTimestamp)."""
+    fixed = stamped.window_into(windowing.FixedWindows("10 seconds"))
+    aggs = {"n": F.count(F.lit(1))}
+
+    def by_window(pc):
+        return {
+            _epoch(r["window"]["start"]): r["emit_ts"]
+            for r in pc.collect()
+        }
+
+    earliest = by_window(
+        fixed.combine_per_key(["key"], aggs, output_time=windowing.OutputTimeFn.EARLIEST)
+    )
+    latest = by_window(
+        fixed.combine_per_key(["key"], aggs, output_time=windowing.OutputTimeFn.LATEST)
+    )
+    eow = by_window(
+        fixed.combine_per_key(["key"], aggs, output_time=windowing.OutputTimeFn.END_OF_WINDOW)
+    )
+    assert {k: _epoch(v) for k, v in earliest.items()} == {0: 0, 10: 12, 30: 30}
+    assert {k: _epoch(v) for k, v in latest.items()} == {0: 9, 10: 12, 30: 30}
+    # end-of-window: 9.999s / 19.999s / 39.999s
+    assert {k: v.microsecond for k, v in eow.items()} == {0: 999000, 10: 999000, 30: 999000}
+    assert {k: _epoch(v.replace(microsecond=0)) for k, v in eow.items()} == {0: 9, 10: 19, 30: 39}
+
+
+def test_output_time_fn_global_window_null_end(spark):
+    """END_OF_WINDOW under the global window (unbounded end) emits NULL."""
+    pc = (
+        Pipeline(spark)
+        .create([("k", 1)], "key string, sec int")
+        .with_timestamps(F.timestamp_seconds(F.col("sec")))
+    )
+    out = pc.combine_per_key(
+        ["key"], {"n": F.count(F.lit(1))},
+        output_time=windowing.OutputTimeFn.END_OF_WINDOW,
+    ).collect()
+    assert out[0]["emit_ts"] is None

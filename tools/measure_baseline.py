@@ -1,0 +1,143 @@
+"""Re-measure BASELINE.md's PySpark comparables under bench.py's exact
+protocol (one shared warm session; per query: build plan, one warm-up
+execution, one timed execution materialized via toArrow()).
+
+Round-1 BASELINE rows for q1/q3/tumbling were measured with per-query
+session-cold costs that bench.py amortizes, which made BENCH_r01 look
+0.07–0.16× of baseline — a headroom illusion that would mask real
+round-over-round regressions (VERDICT.md round 1, "Next round" #8).
+
+The formulations here are deliberately PLAIN PySpark — the obvious
+DataFrame code a user would write against the parquet fixtures, no engine
+imports — so the row stays a fair external yardstick. DuckDB twins run
+under the same warm protocol for the oracle-speed column.
+
+Usage: python tools/measure_baseline.py [sf_dir]  → markdown rows on stdout
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+
+def spark_queries(spark):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    cu = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    od = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    ev_raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    # events.parquet is TIMESTAMP(NANOS): the plain-user workaround
+    # (nanosAsLong session conf + integer-division conversion).
+    ev = ev_raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+    def q1():
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum("l_extendedprice").alias("sum_base_price"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                ).alias("sum_charge"),
+                F.avg("l_quantity").alias("avg_qty"),
+                F.avg("l_extendedprice").alias("avg_price"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    def q3():
+        return (
+            cu.filter(F.col("c_mktsegment") == "BUILDING")
+            .join(od, F.col("c_custkey") == F.col("o_custkey"))
+            .filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+            .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("l_orderkey", "o_orderdate", "o_shippriority")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "o_orderdate")
+            .limit(10)
+        )
+
+    def tumbling():
+        return (
+            ev.groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        )
+
+    def approx_distinct():
+        return ev.agg(F.approx_count_distinct("user_id").alias("approx_users"))
+
+    return {
+        "q1_pricing_summary": q1,
+        "q3_join_agg": q3,
+        "tumbling_window_events": tumbling,
+        "approx_distinct": approx_distinct,
+    }
+
+
+DUCK_SQL = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus, sum(l_quantity), sum(l_extendedprice),
+               sum(l_extendedprice*(1-l_discount)),
+               sum(l_extendedprice*(1-l_discount)*(1+l_tax)),
+               avg(l_quantity), avg(l_extendedprice), count(*)
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q3_join_agg": """
+        SELECT l_orderkey, o_orderdate, o_shippriority,
+               sum(l_extendedprice*(1-l_discount)) AS revenue
+        FROM customer JOIN orders ON c_custkey=o_custkey
+        JOIN lineitem ON o_orderkey=l_orderkey
+        WHERE c_mktsegment='BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15'
+        GROUP BY 1,2,3 ORDER BY revenue DESC, o_orderdate LIMIT 10""",
+    "tumbling_window_events": """
+        SELECT date_trunc('hour', ts) AS h, event_type, count(*), sum(value)
+        FROM events GROUP BY 1, 2""",
+    "approx_distinct": "SELECT approx_count_distinct(user_id) FROM events",
+}
+
+
+def main() -> None:
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[*]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+    )
+    qs = spark_queries(spark)
+
+    con = duckdb.connect()
+    for t in ("lineitem", "customer", "orders", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    print(f"| metric | PySpark warm (bench protocol) | DuckDB warm | sf_dir={SF_DIR} |")
+    print("|---|---|---|---|")
+    for name, build in qs.items():
+        df = build()
+        df.toArrow()  # warm-up
+        t0 = time.perf_counter()
+        df.toArrow()
+        spark_ms = (time.perf_counter() - t0) * 1000
+
+        sql = DUCK_SQL[name]
+        con.execute(sql).fetchall()  # warm-up
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        duck_ms = (time.perf_counter() - t0) * 1000
+        print(f"| {name} | {spark_ms:.1f} ms | {duck_ms:.1f} ms | |")
+
+
+if __name__ == "__main__":
+    main()
