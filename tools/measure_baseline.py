@@ -58,9 +58,10 @@ def spark_queries(spark):
             .join(od, F.col("c_custkey") == F.col("o_custkey"))
             .filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
             .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-            .groupBy("l_orderkey", "o_orderdate", "o_shippriority")
+            .filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+            .groupBy("l_orderkey", "o_orderdate")
             .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
-            .orderBy(F.col("revenue").desc(), "o_orderdate")
+            .orderBy(F.col("revenue").desc(), "l_orderkey")
             .limit(10)
         )
 
@@ -90,12 +91,13 @@ DUCK_SQL = {
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q3_join_agg": """
-        SELECT l_orderkey, o_orderdate, o_shippriority,
+        SELECT l_orderkey, o_orderdate,
                sum(l_extendedprice*(1-l_discount)) AS revenue
         FROM customer JOIN orders ON c_custkey=o_custkey
         JOIN lineitem ON o_orderkey=l_orderkey
         WHERE c_mktsegment='BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15'
-        GROUP BY 1,2,3 ORDER BY revenue DESC, o_orderdate LIMIT 10""",
+          AND l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY 1,2 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "tumbling_window_events": """
         SELECT date_trunc('hour', ts) AS h, event_type, count(*), sum(value)
         FROM events GROUP BY 1, 2""",
