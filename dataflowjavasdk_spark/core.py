@@ -71,6 +71,23 @@ class Pipeline:
         reference's CompressedSource did)."""
         return PCollection(self.spark.read.text(path))
 
+    def read_avro(self, path: str) -> "PCollection":
+        """AvroIO.Read (historical sdk/io/AvroIO.java, AvroSource.java):
+        Avro object container files decoded by the engine's pure-Python
+        spec implementation (sources/avro.py — this container ships no
+        spark-avro jar). One task per file; schema from the first file's
+        header."""
+        from dataflowjavasdk_spark.sources.avro import read_avro
+
+        return PCollection(read_avro(self.spark, path))
+
+    def write_avro(self, pc: "PCollection", path: str, codec: str = "null") -> int:
+        """AvroIO.Write with FileBasedSink temp/rename commit; returns the
+        shard count (historical sdk/io/AvroIO.java + FileBasedSink.java)."""
+        from dataflowjavasdk_spark.sources.avro import write_avro
+
+        return write_avro(pc.df, path, codec=codec)
+
     def read_csv(
         self, path: str, schema: str | None = None, header: bool = True, **options
     ) -> "PCollection":

@@ -95,6 +95,79 @@ class Sessions(WindowFn):
         return F.session_window(ts, self.gap)
 
 
+class IntervalMergingWindowFn(WindowFn):
+    """Custom merging WindowFn (historical sdk/transforms/windowing/
+    MergingWindowFn.java): subclasses assign each element an arbitrary
+    provisional interval [start, end); overlapping intervals per key merge
+    into one window — Beam's IntervalWindow merge semantics, which every
+    standard merging WindowFn (Sessions included) instantiates.
+
+    Unlike Sessions/session_window, the interval need not be
+    [ts, ts + gap): it can extend backward, scale with element values,
+    etc. The merge itself runs distributed in two window-function passes
+    (see merge_intervals): one shuffle on the key, linear within
+    partitions — state never exceeds a partition's rows, same scale shape
+    as Spark's native MergingSessions."""
+
+    merging = True
+
+    def assign_interval(self, ts: Column) -> tuple[Column, Column]:
+        """Return (start, end) timestamp Columns for one element."""
+        raise NotImplementedError
+
+    def assign(self, ts: Column) -> Column:
+        raise TypeError(
+            "IntervalMergingWindowFn: windows exist only after grouping — "
+            "use merged_windows/group_by_window (the reference's "
+            "MergingWindowFn contract: mergeWindows runs at GBK time)."
+        )
+
+
+def merge_intervals(
+    df: DataFrame,
+    keys: list[str],
+    start: Column,
+    end: Column,
+    out: str = "window",
+) -> DataFrame:
+    """Per-key union of overlapping [start, end) intervals → one merged
+    `struct<start,end>` window column per element (the MergingWindowFn
+    merge step, batch form).
+
+    Classic two-pass plan: order by start per key; an interval opens a new
+    merged window iff its start exceeds the running max end of all prior
+    intervals; the running count of openings is the merged-window id;
+    min(start)/max(end) per id frame the merged window. Both passes are
+    window functions over the SAME (key, start) ordering — one shuffle
+    total, no iteration, no driver involvement."""
+    from pyspark.sql.window import Window as W
+
+    staged = df.withColumn("__start", start).withColumn("__end", end)
+    w_order = W.partitionBy(*keys).orderBy("__start", "__end")
+    prior_max_end = F.max("__end").over(
+        w_order.rowsBetween(W.unboundedPreceding, -1)
+    )
+    # >= : intervals are half-open, so [0,20) and [20,30) are adjacent,
+    # not overlapping — they stay separate (Beam IntervalWindow.intersects
+    # is strict; Spark's session_window closes the same way).
+    staged = staged.withColumn(
+        "__opens",
+        (prior_max_end.isNull() | (F.col("__start") >= prior_max_end)).cast("long"),
+    )
+    staged = staged.withColumn("__wid", F.sum("__opens").over(w_order))
+    w_grp = W.partitionBy(*keys, "__wid")
+    return (
+        staged.withColumn(
+            out,
+            F.struct(
+                F.min("__start").over(w_grp).alias("start"),
+                F.max("__end").over(w_grp).alias("end"),
+            ),
+        )
+        .drop("__start", "__end", "__opens", "__wid")
+    )
+
+
 class CalendarWindows(WindowFn):
     """CalendarWindows.days/weeks/months/years — calendar-aligned,
     variable-length windows (historical sdk/transforms/windowing/
@@ -193,4 +266,8 @@ def group_by_window(
     .agg(...). GlobalWindows degrades to a plain groupBy."""
     if isinstance(fn, GlobalWindows):
         return df.groupBy(*keys)
+    if isinstance(fn, IntervalMergingWindowFn):
+        s, e = fn.assign_interval(F.col(ts_col))
+        merged = merge_intervals(df, keys, s, e)
+        return merged.groupBy("window", *keys)
     return df.groupBy(fn.group_expr(F.col(ts_col)).alias("window"), *keys)

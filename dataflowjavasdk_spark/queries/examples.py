@@ -418,3 +418,37 @@ def ivf_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+
+
+@query(
+    "avro_roundtrip_checksum",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS text_len_sum
+    FROM documents
+    GROUP BY source
+    """,
+)
+def avro_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AvroIO.Read/Write end-to-end (historical sdk/io/AvroIO.java): the
+    documents table is written to Avro object container files (deflate) by
+    the engine's pure-Python spec codec (sources/avro.py — no spark-avro
+    jar in this container), read back distributed (one task per shard),
+    and checksummed per source. The oracle computes the same checksums
+    from the original parquet, so any encode/decode loss — string
+    mangling, count drift, dropped rows — breaks the hash match."""
+    import tempfile
+
+    from dataflowjavasdk_spark.sources.avro import read_avro, write_avro
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="avro_rt_")
+    write_avro(docs.repartition(4), d, codec="deflate")
+    back = read_avro(spark, d)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.length("text")).cast("long").alias("text_len_sum"),
+    )

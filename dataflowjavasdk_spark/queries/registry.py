@@ -100,6 +100,8 @@ _PRIORITY: tuple[str, ...] = (
     "range_join_click_purchase",
     "ivf_ann_multiprobe",
     # (3) new this round — no prior driver row exists at all
+    "avro_roundtrip_checksum",
+    "custom_merged_windows_events",
 )
 
 

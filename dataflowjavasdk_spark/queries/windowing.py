@@ -279,3 +279,74 @@ def rollup_hourly_to_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("max_value").alias("max_value"),
         )
     )
+
+
+@query(
+    "custom_merged_windows_events",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, value,
+             ts - INTERVAL 5 MINUTE AS s,
+             ts + INTERVAL ((event_id % 10) + 1) MINUTE AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, value, s, e,
+             CASE WHEN s >= COALESCE(
+                    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    TIMESTAMP '1900-01-01')
+                  THEN 1 ELSE 0 END AS opens
+      FROM iv
+    ),
+    numbered AS (
+      SELECT user_id, value, s, e,
+             SUM(opens) OVER (PARTITION BY user_id ORDER BY s, e
+                              ROWS UNBOUNDED PRECEDING) AS wid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(s) AS window_start,
+           max(e) AS window_end,
+           count(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM numbered
+    GROUP BY user_id, wid
+    """,
+)
+def custom_merged_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom merging WindowFn (historical sdk/transforms/windowing/
+    MergingWindowFn.java) beyond Sessions: each event spans the interval
+    [ts − 5 min, ts + (event_id % 10 + 1) min) — backward-extending AND
+    variable-width, so neither F.window nor session_window (whose
+    intervals are [ts, ts+gap)) can express it. Overlapping intervals
+    merge per user via the engine's distributed interval-merge
+    (operators/windowing.py merge_intervals: two window-function passes,
+    one shuffle on user_id). The oracle reproduces the merge with the
+    same lag/max-cumsum SQL — merged boundaries and aggregates must agree
+    exactly."""
+    from dataflowjavasdk_spark.operators.windowing import (
+        IntervalMergingWindowFn,
+        group_by_window,
+    )
+
+    class BackwardVariableWindows(IntervalMergingWindowFn):
+        def assign_interval(self, ts):
+            gap_min = (F.col("event_id") % 10 + 1).cast("int")
+            return (
+                ts - F.expr("INTERVAL 5 MINUTES"),
+                ts + F.make_interval(mins=gap_min),
+            )
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        group_by_window(ev, BackwardVariableWindows(), ["user_id"], "ts")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,122 @@
+"""AvroIO tests (historical tests/io/AvroSourceTest.java / AvroIOTest.java
+analog): pure-codec spec round trips (CoderProperties style), hypothesis
+property round trips through Spark, fixture-table equality, and the
+FileBasedSink temp/rename commit contract."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dataflowjavasdk_spark.core import PCollection, Pipeline
+from dataflowjavasdk_spark.sources import avro as A
+from dataflowjavasdk_spark.sources.tables import load_table
+from tests.conftest import SMOKE_SF
+
+_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def test_codec_roundtrip_all_types():
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "l", "type": "long"},
+            {"name": "i", "type": "int"},
+            {"name": "d", "type": "double"},
+            {"name": "f", "type": "float"},
+            {"name": "b", "type": "boolean"},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "by", "type": "bytes"},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+        ],
+    }
+    recs = [
+        {"l": -(2**62), "i": -2147483648, "d": 1.5, "f": 0.25, "b": True,
+         "s": "héllo", "by": b"\x00\xff", "arr": [1, -2, 3]},
+        {"l": 2**62, "i": 2147483647, "d": -0.0, "f": 2.0, "b": False,
+         "s": None, "by": b"", "arr": []},
+    ]
+    for codec in ("null", "deflate"):
+        blob = A.write_container(recs, schema, codec=codec)
+        got_schema, got = A.read_container(blob)
+        assert got == recs, codec
+        assert got_schema == schema
+
+
+def test_zigzag_edge_values():
+    import io as _io
+
+    for n in (0, -1, 1, 63, -64, 2**31 - 1, -(2**31), 2**62, -(2**62)):
+        assert A._zigzag_decode(_io.BytesIO(A._zigzag_encode(n))) == n
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**31), max_value=2**31 - 1),
+            st.text(max_size=12),
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            st.integers(min_value=1_500_000_000, max_value=1_900_000_000),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@_settings
+def test_spark_avro_round_trip_property(spark, tmp_path_factory, rows):
+    """Write → read preserves the bag exactly (long/string/double/timestamp),
+    through repartitioned multi-shard files."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path_factory.mktemp("avro_prop"))
+    df = spark.createDataFrame(rows, "k long, s string, v double, secs long").select(
+        "k", "s", "v", F.timestamp_seconds("secs").alias("ts")
+    )
+    p = Pipeline(spark)
+    p.write_avro(PCollection(df.repartition(3)), d, codec="deflate")
+    back = p.read_avro(d).df
+    assert back.schema == df.schema
+    assert sorted(map(str, back.collect())) == sorted(map(str, df.collect()))
+
+
+@pytest.mark.parametrize("table", ["orders", "documents", "embeddings", "events"])
+def test_fixture_table_round_trip(spark, tmp_path_factory, table):
+    """Every fixture table shape survives (timestamps from the nanos
+    workaround, array<float> embeddings, binary-ish text)."""
+    d = str(tmp_path_factory.mktemp(f"avro_{table}"))
+    df = load_table(spark, SMOKE_SF, table)
+    p = Pipeline(spark)
+    n_shards = p.write_avro(PCollection(df.repartition(2)), d)
+    assert n_shards >= 1
+    back = p.read_avro(d).df
+    assert sorted(map(str, back.collect())) == sorted(map(str, df.collect()))
+
+
+def test_write_commit_leaves_no_temporaries(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("avro_commit"))
+    df = spark.range(100).withColumnRenamed("id", "x")
+    Pipeline(spark).write_avro(PCollection(df.repartition(4)), d)
+    names = sorted(os.listdir(d))
+    assert all(n.endswith(".avro") for n in names), names
+    assert not os.path.exists(os.path.join(d, "_temporary"))
+    # shard naming is the reference's deterministic part-per-bundle scheme
+    assert all(n.startswith("part-") for n in names)
+
+
+def test_timestamp_microsecond_exactness(spark, tmp_path_factory):
+    """Timestamp µs survive exactly (integer arithmetic, no float seconds)."""
+    d = str(tmp_path_factory.mktemp("avro_ts"))
+    ts = datetime.datetime(2026, 8, 13, 1, 2, 3, 123457)
+    df = spark.createDataFrame([(ts,)], "ts timestamp")
+    Pipeline(spark).write_avro(PCollection(df), d)
+    got = Pipeline(spark).read_avro(d).df.collect()[0]["ts"]
+    assert got == ts

@@ -126,3 +126,48 @@ def test_output_time_fn_global_window_null_end(spark):
         output_time=windowing.OutputTimeFn.END_OF_WINDOW,
     ).collect()
     assert out[0]["emit_ts"] is None
+
+
+def test_interval_merge_semantics(spark):
+    """merge_intervals: overlapping [start,end) per key union into one
+    window; disjoint stay apart; adjacent (start == prior end) do NOT
+    merge (half-open intervals, Beam IntervalWindow semantics)."""
+    rows = [
+        # key a: [0,10) + [5,20) overlap → [0,20); [20,30) adjacent → separate
+        ("a", 0, 10), ("a", 5, 20), ("a", 20, 30),
+        # key b: fully nested [0,100) ⊃ [10,20) → one window [0,100)
+        ("b", 0, 100), ("b", 10, 20),
+    ]
+    df = spark.createDataFrame(rows, "key string, s int, e int").select(
+        "key",
+        F.timestamp_seconds("s").alias("s"),
+        F.timestamp_seconds("e").alias("e"),
+    )
+    out = windowing.merge_intervals(df, ["key"], F.col("s"), F.col("e"))
+    got = sorted(
+        (r["key"], _epoch(r["window"]["start"]), _epoch(r["window"]["end"]))
+        for r in out.collect()
+    )
+    assert got == [
+        ("a", 0, 20), ("a", 0, 20), ("a", 20, 30),
+        ("b", 0, 100), ("b", 0, 100),
+    ]
+
+
+def test_custom_merging_window_fn_via_group_by(spark):
+    """IntervalMergingWindowFn end-to-end through group_by_window."""
+    class Pad(windowing.IntervalMergingWindowFn):
+        def assign_interval(self, ts):
+            return ts - F.expr("INTERVAL 2 SECONDS"), ts + F.expr("INTERVAL 2 SECONDS")
+
+    rows = [("k", 0), ("k", 3), ("k", 20)]  # 0 and 3 overlap via ±2s padding
+    df = spark.createDataFrame(rows, "key string, sec int").select(
+        "key", F.timestamp_seconds("sec").alias("ts")
+    )
+    out = (
+        windowing.group_by_window(df, Pad(), ["key"], "ts")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    got = sorted((_epoch(r["window"]["start"]), r["n"]) for r in out)
+    assert got == [(-2, 2), (18, 1)]
