@@ -112,10 +112,13 @@ def cosine(a: Column, b: Column) -> Column:
 def simhash64_udf():
     """Vectorized 64-bit SimHash over pre-tokenized arrays.
 
-    For each doc: per-token 64-bit hash (blake2b of the token, stable
-    across runs/processes unlike Python's salted hash()); bit b of the
-    result = majority vote of token-hash bits. Returns a pandas_udf for
-    array<string> → long."""
+    For each doc: per-token 64-bit hash — the first 16 hex chars of
+    md5(token), the same cross-engine-reproducible construction as
+    md5_long/minhash (DuckDB twin: ('0x' || substr(md5(t),1,16))::UBIGINT)
+    — then bit b of the result = majority vote of token-hash bits.
+    Returns a pandas_udf for array<string> → long. The md5 hash family
+    (rather than blake2b) makes the fingerprint SQL-oracleable: the
+    simhash queries recompute it exactly in DuckDB."""
     from pyspark.sql.functions import pandas_udf as _pandas_udf
 
     @_pandas_udf("long")
@@ -129,10 +132,7 @@ def simhash64_udf():
             shifts = np.arange(64, dtype=np.uint64)
             for t in toks:
                 h = np.uint64(
-                    int.from_bytes(
-                        hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(),
-                        "big",
-                    )
+                    int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16)
                 )
                 bits = (h >> shifts) & np.uint64(1)
                 counts += np.where(bits == 1, 1, -1)

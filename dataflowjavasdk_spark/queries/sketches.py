@@ -57,36 +57,85 @@ def distinct_users_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("hll_distinct_rollup")
+@query(
+    "hll_distinct_rollup",
+    oracle="""
+    SELECT coalesce(event_type, 'ALL') AS scope,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS within_5pct
+    FROM events
+    GROUP BY ROLLUP(event_type)
+    """,
+)
 def hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL rollup: one DataSketches HLL sketch per event_type,
     estimates per type, and the 'ALL' row produced by UNIONING the per-type
     sketches (hll_union_agg) — never rescanning the input. This is the
     materialized-sketch pattern: store `sk` per day/source, answer any
-    rollup by union. Accuracy vs the exact twin asserted in
-    tests/test_sketches.py."""
+    rollup by union.
+
+    Sketch estimates are engine-specific, so (as with
+    approx_distinct_users) the query emits the exact count plus the
+    accuracy verdict |approx − exact| ≤ 5%·exact computed in-plan — the
+    sketch build, the union-merge, AND the estimate all still execute
+    here; the oracle asserts every verdict TRUE, turning the rated-error
+    claim into a driver-checked row (lgK=14 rated RSE ≈ 0.8%)."""
     events = load_table(spark, sf_dir, "events")
     per_type = events.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
     )
     typed = per_type.select(
         F.col("event_type").alias("scope"),
-        F.hll_sketch_estimate("sk").alias("approx_users"),
+        "exact_users",
+        F.hll_sketch_estimate("sk").alias("__approx"),
     )
-    merged = per_type.agg(F.hll_union_agg("sk").alias("sk")).select(
-        F.lit("ALL").alias("scope"),
-        F.hll_sketch_estimate("sk").alias("approx_users"),
+    # ALL row: union of sketches for the estimate; exact grand distinct
+    # needs its own pass (per-type exacts don't add — users overlap types).
+    exact_all = events.agg(F.countDistinct("user_id").alias("exact_users"))
+    merged = (
+        per_type.agg(F.hll_union_agg("sk").alias("sk"))
+        .crossJoin(F.broadcast(exact_all))
+        .select(
+            F.lit("ALL").alias("scope"),
+            "exact_users",
+            F.hll_sketch_estimate("sk").alias("__approx"),
+        )
     )
-    return typed.unionByName(merged)
+    return typed.unionByName(merged).select(
+        "scope",
+        "exact_users",
+        (
+            F.abs(F.col("__approx") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_5pct"),
+    )
 
 
-@query("theta_audience_overlap")
+@query(
+    "theta_audience_overlap",
+    oracle="""
+    WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT (SELECT count(*) FROM (SELECT user_id FROM c UNION SELECT user_id FROM p)) AS exact_union,
+           (SELECT count(*) FROM c WHERE user_id IN (SELECT user_id FROM p)) AS exact_overlap,
+           (SELECT count(*) FROM c WHERE user_id NOT IN (SELECT user_id FROM p)) AS exact_click_only,
+           TRUE AS union_ok, TRUE AS overlap_ok, TRUE AS click_only_ok
+    """,
+)
 def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience set algebra on Theta sketches: |click ∪ purchase|,
     |click ∩ purchase|, |click \\ purchase| over user_id — computed from two
     per-segment sketches, the question HLL cannot answer and the reason
     Theta exists. At scale: sketch each segment once (KBs), evaluate every
-    pairwise overlap from the sketch store."""
+    pairwise overlap from the sketch store.
+
+    As with the other sketch queries, estimates are engine-specific, so
+    the query emits exact set-algebra counts plus in-plan verdicts that
+    each Theta estimate lands within max(2, 5%) of exact — the sketches,
+    their union/intersection/difference, and the estimates all still
+    execute; the oracle asserts the verdicts, making Theta set algebra
+    driver-checked instead of rows-only."""
     events = load_table(spark, sf_dir, "events")
     segs = (
         events.filter(F.col("event_type").isin("click", "purchase"))
@@ -97,11 +146,43 @@ def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("event_type") == "click", F.col("sk"))).alias("click_sk"),
         F.max(F.when(F.col("event_type") == "purchase", F.col("sk"))).alias("purchase_sk"),
     )
-    return wide.select(
-        F.theta_sketch_estimate(F.theta_union("click_sk", "purchase_sk"))
-        .cast("long").alias("approx_union"),
-        F.theta_sketch_estimate(F.theta_intersection("click_sk", "purchase_sk"))
-        .cast("long").alias("approx_overlap"),
-        F.theta_sketch_estimate(F.theta_difference("click_sk", "purchase_sk"))
-        .cast("long").alias("approx_click_only"),
+    clicks = events.filter(F.col("event_type") == "click").select("user_id").distinct()
+    purchases = events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact = (
+        clicks.unionByName(purchases).distinct().agg(F.count(F.lit(1)).alias("exact_union"))
+        .crossJoin(
+            F.broadcast(
+                clicks.join(purchases, "user_id", "left_semi")
+                .agg(F.count(F.lit(1)).alias("exact_overlap"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                clicks.join(purchases, "user_id", "left_anti")
+                .agg(F.count(F.lit(1)).alias("exact_click_only"))
+            )
+        )
+    )
+
+    def ok(approx: F.Column, exact_col: str) -> F.Column:
+        return F.abs(approx - F.col(exact_col)) <= F.greatest(
+            F.lit(2.0), 0.05 * F.col(exact_col)
+        )
+
+    return wide.crossJoin(F.broadcast(exact)).select(
+        "exact_union",
+        "exact_overlap",
+        "exact_click_only",
+        ok(
+            F.theta_sketch_estimate(F.theta_union("click_sk", "purchase_sk")),
+            "exact_union",
+        ).alias("union_ok"),
+        ok(
+            F.theta_sketch_estimate(F.theta_intersection("click_sk", "purchase_sk")),
+            "exact_overlap",
+        ).alias("overlap_ok"),
+        ok(
+            F.theta_sketch_estimate(F.theta_difference("click_sk", "purchase_sk")),
+            "exact_click_only",
+        ).alias("click_only_ok"),
     )

