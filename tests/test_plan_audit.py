@@ -51,7 +51,13 @@ def test_relational_queries_stay_jvm_side(spark):
     # (pandas_udf). Every other registered query must be pure JVM.
     from dataflowjavasdk_spark.queries.registry import all_queries
 
-    allowed_python = {"simhash_fingerprints", "simhash_near_dup_pairs"}
+    allowed_python = {
+        "simhash_fingerprints",
+        "simhash_near_dup_pairs",
+        # AvroIO: the container ships no spark-avro jar, so decode is the
+        # documented Arrow-batched Python codec (sources/avro.py).
+        "avro_roundtrip_checksum",
+    }
     for name in all_queries():
         if name in allowed_python:
             continue
@@ -145,6 +151,9 @@ def test_no_cartesian_products_anywhere(spark):
         "near_dup_clusters",
         "training_data_pipeline",
         "counting_input_checksum",
+        "hll_distinct_rollup",         # 1-row exact-ALL broadcast (verdict)
+        "theta_audience_overlap",      # 1-row exact aggregates broadcast
+        "approx_distinct_users",       # 1-row verdict aggregate
     }
     for name in all_queries():
         p = _plan(spark, name)
