@@ -60,6 +60,11 @@ HEADLINE = [
     # source mixing + multi-probe IVF
     "stratified_source_mix",
     "ivf_ann_multiprobe",
+    # round-2 additions: AvroIO round trip, custom merging windows,
+    # SQL-oracled SimHash banded pairs
+    "avro_roundtrip_checksum",
+    "custom_merged_windows_events",
+    "simhash_near_dup_pairs",
 ]
 
 

@@ -464,7 +464,13 @@ def write_avro(df, path: str, codec: str = "null") -> int:
     for row in manifest:
         final = os.path.join(path, os.path.basename(row["shard"]))
         os.replace(row["shard"], final)
+    if not manifest:
+        # Empty input still commits a schema-bearing empty container, so
+        # the output is always readable (the reference's Write produces at
+        # least one shard for the same reason).
+        with open(os.path.join(path, "part-00000.avro"), "wb") as fh:
+            fh.write(write_container([], avro_schema, codec=codec))
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)  # abandoned speculative shards
-    return len(manifest)
+    return max(len(manifest), 1)

@@ -463,3 +463,176 @@ def _duration_ms(s: str) -> int:
         "day": 86_400_000, "days": 86_400_000,
     }[unit]
     return int(qty) * unit_ms
+
+
+def triggered_session_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    gap: str,
+    trigger: AfterWatermark,
+    accumulation: str = ACCUMULATING,
+    allowed_lateness: str = "0 seconds",
+    ts_col: str = "ts",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """The trigger grammar over MERGING session windows — the streaming
+    ReduceFnRunner for Sessions (historical sdk/util/ReduceFnRunner.java +
+    Sessions.java): per-key state holds the open session set; each element
+    is a proto-session [ts, ts + gap) merged into it (merging windows merge
+    their accumulators AND their trigger state — Beam's onMerge contract);
+    the watermark closes sessions (ON_TIME), late data within
+    allowed_lateness refines (LATE) or opens new sessions that may re-merge.
+
+    This is the piece native Structured Streaming cannot express:
+    session_window supports only watermark-close (append) semantics, while
+    this kernel runs early/late firings, accumulation modes, and PaneInfo
+    over merging windows. Output: keys..., window_start, window_end, n,
+    total, pane_index, pane_timing, is_first, is_last.
+
+    Scale: state per key = open sessions only (each a few scalars), the
+    same bound as Spark's native MergingSessions and Windmill's per-key
+    window state; one shuffle on the key.
+    """
+    gap_ms = _duration_ms(gap)
+    lateness_ms = _duration_ms(allowed_lateness)
+    spark_delay_ms = _duration_ms(watermark_delay) + lateness_ms
+    key_fields = ", ".join(f"{k} {dict(df.dtypes)[k]}" for k in keys)
+    out_schema = (
+        f"{key_fields}, window_start timestamp, window_end timestamp, "
+        "n long, total double, pane_index long, pane_timing string, "
+        "is_first boolean, is_last boolean"
+    )
+
+    windowed = df.withWatermark(ts_col, f"{spark_delay_ms} milliseconds").select(
+        *keys, F.col(value_col).alias("__v__"), F.col(ts_col)
+    )
+
+    def process(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        user_key = key
+        spark_wm = state.getCurrentWatermarkMs()
+        watermark_ms = spark_wm + lateness_ms  # Beam-true watermark
+        now_ms = int(_now() * 1000)
+
+        sessions: list[dict] = (
+            json.loads(state.get[0])["sessions"] if state.exists else []
+        )
+
+        # 1. fold new elements in as proto-sessions
+        new_protos: list[dict] = []
+        for pdf in pdfs:
+            for ts_v, v in zip(pdf[ts_col], pdf["__v__"]):
+                t_ms = int(pd.Timestamp(ts_v).value // 1_000_000)
+                # Beam drop rule: data later than the lateness horizon
+                # relative to ITS OWN session end can't resurrect GC'd
+                # state; Spark's watermark already culled older rows.
+                new_protos.append(
+                    dict(start=t_ms, end=t_ms + gap_ms, acc_n=1,
+                         acc_sum=float(v), pane_n=1, pane_sum=float(v),
+                         pane_idx=0, on_time_fired=False, dyn={},
+                         new_n=1)
+                )
+
+        # 2. merge: sort all intervals, union overlapping ones, merging
+        # accumulators and trigger state (onMerge: counts add, pane index
+        # continues from the max, on_time stays fired if any part fired).
+        for p in new_protos:
+            sessions.append(p)
+        sessions.sort(key=lambda s: (s["start"], s["end"]))
+        merged: list[dict] = []
+        for s in sessions:
+            if merged and s["start"] < merged[-1]["end"]:
+                m = merged[-1]
+                m["end"] = max(m["end"], s["end"])
+                m["acc_n"] += s["acc_n"]
+                m["acc_sum"] += s["acc_sum"]
+                m["pane_n"] += s["pane_n"]
+                m["pane_sum"] += s["pane_sum"]
+                m["pane_idx"] = max(m["pane_idx"], s["pane_idx"])
+                m["on_time_fired"] = m["on_time_fired"] or s["on_time_fired"]
+                m["new_n"] = m.get("new_n", 0) + s.get("new_n", 0)
+                # merge trigger dynamic state by summing counters
+                for dk, dv in s.get("dyn", {}).items():
+                    if isinstance(dv, (int, float)):
+                        m["dyn"][dk] = m["dyn"].get(dk, 0) + dv
+                    else:
+                        m["dyn"].setdefault(dk, dv)
+            else:
+                merged.append(s)
+        sessions = merged
+
+        panes: list[dict] = []
+
+        def emit(s: dict, timing: str, is_last: bool) -> None:
+            n, total = (
+                (s["acc_n"], s["acc_sum"])
+                if accumulation == ACCUMULATING
+                else (s["pane_n"], s["pane_sum"])
+            )
+            panes.append(
+                dict(
+                    zip(keys, user_key),
+                    window_start=pd.Timestamp(s["start"], unit="ms"),
+                    window_end=pd.Timestamp(s["end"], unit="ms"),
+                    n=n,
+                    total=total,
+                    pane_index=s["pane_idx"],
+                    pane_timing=timing,
+                    is_first=s["pane_idx"] == 0,
+                    is_last=is_last,
+                )
+            )
+            s["pane_idx"] += 1
+            s["pane_n"], s["pane_sum"] = 0, 0.0
+
+        # 3. run the trigger per session
+        keep: list[dict] = []
+        for s in sessions:
+            new_n = s.pop("new_n", 0)
+            final_horizon = watermark_ms >= s["end"] + lateness_ms
+            if watermark_ms < s["end"]:
+                if trigger.early is not None and new_n:
+                    trigger.early.on_elements(s["dyn"], "e", new_n, now_ms)
+                    if trigger.early.should_fire(s["dyn"], "e", now_ms):
+                        trigger.early.on_fire(s["dyn"], "e")
+                        emit(s, "EARLY", is_last=False)
+                keep.append(s)
+            else:
+                if not s["on_time_fired"]:
+                    emit(s, "ON_TIME", is_last=final_horizon)
+                    s["on_time_fired"] = True
+                elif new_n:
+                    fire_late = True
+                    if trigger.late is not None:
+                        trigger.late.on_elements(s["dyn"], "l", new_n, now_ms)
+                        fire_late = trigger.late.should_fire(s["dyn"], "l", now_ms)
+                        if fire_late:
+                            trigger.late.on_fire(s["dyn"], "l")
+                    if fire_late:
+                        emit(s, "LATE", is_last=final_horizon)
+                if not final_horizon:
+                    keep.append(s)  # still refinable within lateness
+
+        # 4. persist / GC / wake-up
+        if keep:
+            state.update((json.dumps({"sessions": keep}),))
+            targets = []
+            for s in keep:
+                if not s["on_time_fired"]:
+                    targets.append(s["end"] - lateness_ms)  # spark clock
+                else:
+                    targets.append(s["end"])  # GC point on spark clock
+            state.setTimeoutTimestamp(max(min(targets), spark_wm + 1))
+        elif state.exists:
+            state.remove()
+
+        if panes:
+            yield pd.DataFrame(panes)
+
+    return windowed.groupBy(*keys).applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType="sessions string",
+        outputMode="update",
+        timeoutConf="EventTimeTimeout",
+    )

@@ -120,3 +120,15 @@ def test_timestamp_microsecond_exactness(spark, tmp_path_factory):
     Pipeline(spark).write_avro(PCollection(df), d)
     got = Pipeline(spark).read_avro(d).df.collect()[0]["ts"]
     assert got == ts
+
+
+def test_empty_write_still_readable(spark, tmp_path_factory):
+    """An empty input commits one schema-bearing empty shard — the output
+    dir is always a readable dataset (reference Write ≥ 1 shard)."""
+    d = str(tmp_path_factory.mktemp("avro_empty"))
+    df = spark.range(0).withColumnRenamed("id", "x")
+    n = Pipeline(spark).write_avro(PCollection(df), d)
+    assert n == 1
+    back = Pipeline(spark).read_avro(d).df
+    assert back.count() == 0
+    assert back.schema == df.schema

@@ -345,3 +345,59 @@ def test_csv_null_vs_empty_distinct(spark, tmp_path_factory):
     ).csv(base)
     got = Pipeline(spark).read_csv(base, schema="id int, s string", nullValue="\\N")
     assert sorted((r.id, r.s) for r in got.collect()) == [(1, ""), (2, None), (3, "x")]
+
+
+@given(
+    intervals=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=200),
+            st.integers(min_value=1, max_value=50),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@_settings
+def test_interval_merge_matches_reference(spark, intervals):
+    """merge_intervals law (MergingWindowFn analog of the WindowFnTestUtils
+    properties): the distributed per-key union of half-open intervals
+    equals a sequential reference merge."""
+    from dataflowjavasdk_spark.operators.windowing import merge_intervals
+
+    rows = [(k, s, s + w) for (k, s, w) in intervals]
+    df = spark.createDataFrame(rows, "key string, s long, e long").select(
+        "key",
+        F.timestamp_seconds("s").alias("s"),
+        F.timestamp_seconds("e").alias("e"),
+    )
+    out = merge_intervals(df, ["key"], F.col("s"), F.col("e"))
+    got = sorted(
+        (
+            r["key"],
+            int(r["window"]["start"].replace(tzinfo=datetime.timezone.utc).timestamp()),
+            int(r["window"]["end"].replace(tzinfo=datetime.timezone.utc).timestamp()),
+        )
+        for r in out.collect()
+    )
+
+    # sequential reference: sort per key, merge while start < current end
+    def ref_merge(items):
+        merged = []
+        for s, e in sorted(items):
+            if merged and s < merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        return merged
+
+    per_key: dict = {}
+    for k, s, e in rows:
+        per_key.setdefault(k, []).append((s, e))
+    want = sorted(
+        (k, m[0], m[1])
+        for k, items in per_key.items()
+        for (s, e) in items
+        for m in [next(mm for mm in ref_merge(items) if mm[0] <= s and e <= mm[1])]
+    )
+    assert got == want

@@ -252,3 +252,97 @@ def test_output_time_discarding_uses_pane_elements_only(spark, harness):
     out2 = harness.run_round(_build_ot(trig, DISCARDING, "latest"), output_mode="update")
     panes = [r for r in out2 if str(r["window_start"]) == "2024-01-01 00:00:00"]
     assert [r["emit_ts"] for r in panes] == [datetime.datetime(2024, 1, 1, 0, 0, 40)]
+
+
+from dataflowjavasdk_spark.streaming.triggers import triggered_session_aggregate
+
+
+def _build_sess(trigger, accumulation, gap="60 seconds", lateness="0 seconds"):
+    def build(stream):
+        return triggered_session_aggregate(
+            stream,
+            keys=["key"],
+            value_col="value",
+            gap=gap,
+            trigger=trigger,
+            accumulation=accumulation,
+            allowed_lateness=lateness,
+        )
+
+    return build
+
+
+def test_session_kernel_merges_and_fires_on_time(spark, harness):
+    """Merging-window kernel (the Sessions ReduceFnRunner): elements at
+    :00/:30/:50 with a 60s gap form ONE session [0, 110); an element far
+    later advances the watermark and closes it as a single ON_TIME pane."""
+    trig = AfterWatermark()
+    harness.feed(_batch(spark, [(1, 0, "a", 1), (2, 30, "a", 2), (3, 50, "a", 3)]))
+    out1 = harness.run_round(_build_sess(trig, ACCUMULATING), output_mode="update")
+    assert out1 == []  # nothing fires before the watermark
+    harness.feed(_batch(spark, [(4, 1000, "a", 0)]))
+    out2 = harness.run_round(_build_sess(trig, ACCUMULATING), output_mode="update")
+    closed = [r for r in out2 if str(r["window_start"]) == "2024-01-01 00:00:00"]
+    assert len(closed) == 1
+    r = closed[0]
+    assert str(r["window_end"]) == "2024-01-01 00:01:50"  # :50 + 60s gap
+    assert (r["n"], r["total"], r["pane_timing"], r["is_first"], r["is_last"]) == (
+        3, 6.0, "ON_TIME", True, True,
+    )
+
+
+def test_session_kernel_separate_sessions_beyond_gap(spark, harness):
+    trig = AfterWatermark()
+    harness.feed(_batch(spark, [(1, 0, "a", 1), (2, 300, "a", 2)]))
+    harness.feed(_batch(spark, [(3, 1000, "a", 0)]))
+    out = harness.run_round(_build_sess(trig, ACCUMULATING), output_mode="update")
+    out += harness.run_round(_build_sess(trig, ACCUMULATING), output_mode="update")
+    on_time = {
+        str(r["window_start"]): (r["n"], str(r["window_end"]))
+        for r in out
+        if r["pane_timing"] == "ON_TIME"
+    }
+    # elements 300s apart with a 60s gap → two distinct closed sessions
+    assert on_time["2024-01-01 00:00:00"] == (1, "2024-01-01 00:01:00")
+    assert on_time["2024-01-01 00:05:00"] == (1, "2024-01-01 00:06:00")
+
+
+def test_session_kernel_early_firing_then_merge(spark, harness):
+    """An early pane fires by element count inside an open session; a
+    bridging element then MERGES two open sessions — the merged session's
+    accumulator is the union and the pane index continues (onMerge)."""
+    trig = AfterWatermark(early=AfterCount(2))
+    # round 1: one proto-session with 2 elements → EARLY pane at count 2
+    harness.feed(_batch(spark, [(1, 0, "a", 1), (2, 10, "a", 2)]))
+    out1 = harness.run_round(_build_sess(trig, ACCUMULATING), output_mode="update")
+    early = [tuple(r[c] for c in ("pane_timing", "n", "total")) for r in out1]
+    assert ("EARLY", 2, 3.0) in early  # the [0,70) session fired at count 2
+    # round 2 (watermark still at :10): an element at :120 opens a second
+    # session and a bridge at :61 merges [0,70) with [120,180) into [0,180)
+    # (:60 exactly would NOT merge — [60,120) and [120,180) are adjacent,
+    # and IntervalWindow.intersects is strict)
+    harness.feed(_batch(spark, [(3, 120, "a", 4), (4, 61, "a", 8)]))
+    out2 = harness.run_round(_build_sess(trig, ACCUMULATING), output_mode="update")
+    # round 3: advance the watermark far past the merged end → ON_TIME
+    harness.feed(_batch(spark, [(5, 1000, "a", 0)]))
+    out3 = harness.run_round(_build_sess(trig, ACCUMULATING), output_mode="update")
+    closed = [r for r in out2 + out3 if r["pane_timing"] == "ON_TIME" and r["n"] == 4]
+    assert len(closed) == 1
+    r = closed[0]
+    assert str(r["window_start"]) == "2024-01-01 00:00:00"
+    assert str(r["window_end"]) == "2024-01-01 00:03:00"  # 120+60s gap
+    assert r["total"] == 15.0
+    assert r["pane_index"] >= 1  # pane index continued past the early pane
+
+
+def test_session_kernel_discarding_resets_after_early(spark, harness):
+    trig = AfterWatermark(early=AfterCount(2))
+    harness.feed(_batch(spark, [(1, 0, "a", 1), (2, 10, "a", 2)]))
+    out1 = harness.run_round(_build_sess(trig, DISCARDING), output_mode="update")
+    assert [(r["pane_timing"], r["n"]) for r in out1] == [("EARLY", 2)]
+    harness.feed(_batch(spark, [(3, 20, "a", 5), (4, 1000, "a", 0)]))
+    out2 = harness.run_round(_build_sess(trig, DISCARDING), output_mode="update")
+    closed = [r for r in out2 if r["pane_timing"] == "ON_TIME"
+              and str(r["window_start"]) == "2024-01-01 00:00:00"]
+    # discarding: the on-time pane carries only the post-early element
+    assert [(r["n"], r["total"]) for r in closed] == [(1, 5.0)]
