@@ -140,6 +140,26 @@ def merge_intervals(
     min(start)/max(end) per id frame the merged window. Both passes are
     window functions over the SAME (key, start) ordering — one shuffle
     total, no iteration, no driver involvement."""
+    staged = _stage_intervals(df, keys, start, end)
+    from pyspark.sql.window import Window as W
+
+    w_grp = W.partitionBy(*keys, "__wid")
+    return (
+        staged.withColumn(
+            out,
+            F.struct(
+                F.min("__start").over(w_grp).alias("start"),
+                F.max("__end").over(w_grp).alias("end"),
+            ),
+        )
+        .drop("__start", "__end", "__opens", "__wid")
+    )
+
+
+def _stage_intervals(df: DataFrame, keys: list[str], start: Column, end: Column) -> DataFrame:
+    """Shared first half of the interval merge: assign (__start, __end),
+    flag merged-window openings, number windows with a running sum — two
+    window functions over one (key, start) ordering, one shuffle."""
     from pyspark.sql.window import Window as W
 
     staged = df.withColumn("__start", start).withColumn("__end", end)
@@ -154,18 +174,35 @@ def merge_intervals(
         "__opens",
         (prior_max_end.isNull() | (F.col("__start") >= prior_max_end)).cast("long"),
     )
-    staged = staged.withColumn("__wid", F.sum("__opens").over(w_order))
-    w_grp = W.partitionBy(*keys, "__wid")
-    return (
-        staged.withColumn(
-            out,
-            F.struct(
-                F.min("__start").over(w_grp).alias("start"),
-                F.max("__end").over(w_grp).alias("end"),
-            ),
+    return staged.withColumn("__wid", F.sum("__opens").over(w_order))
+
+
+class _MergedWindowGroupedData:
+    """GroupedData-shaped wrapper for the merging-window grouping path:
+    folds the merged window's bounds (min start / max end per window id)
+    into the SAME aggregation as the caller's aggregates, skipping the
+    per-element window-bounds pass merge_intervals needs — two window
+    functions and one aggregation total, instead of four window functions
+    plus an aggregation. Aggregate expressions operate on element columns
+    (the window struct exists only after this agg)."""
+
+    def __init__(self, staged: DataFrame, keys: list[str]):
+        self._staged = staged
+        self._keys = keys
+
+    def agg(self, *cols: Column) -> DataFrame:
+        out = self._staged.groupBy(*self._keys, "__wid").agg(
+            F.min("__start").alias("__ws"),
+            F.max("__end").alias("__we"),
+            *cols,
         )
-        .drop("__start", "__end", "__opens", "__wid")
-    )
+        return (
+            out.withColumn(
+                "window",
+                F.struct(F.col("__ws").alias("start"), F.col("__we").alias("end")),
+            )
+            .drop("__wid", "__ws", "__we")
+        )
 
 
 class CalendarWindows(WindowFn):
@@ -268,6 +305,5 @@ def group_by_window(
         return df.groupBy(*keys)
     if isinstance(fn, IntervalMergingWindowFn):
         s, e = fn.assign_interval(F.col(ts_col))
-        merged = merge_intervals(df, keys, s, e)
-        return merged.groupBy("window", *keys)
+        return _MergedWindowGroupedData(_stage_intervals(df, keys, s, e), keys)
     return df.groupBy(fn.group_expr(F.col(ts_col)).alias("window"), *keys)
