@@ -1,0 +1,88 @@
+"""Round-over-round bench regression check.
+
+Compares a BENCH_r{N}.json (or fresh `python bench.py` output) against:
+1. the previous round's BENCH_r{N-1}.json per query (drift ratio), and
+2. BASELINE.md's same-protocol rows for the externally-comparable
+   queries (q1/q3/tumbling — see tools/measure_baseline.py).
+
+Flags queries whose warm time regressed beyond the noise band (default
+1.5×, run-to-run spread is roughly ±30 %). Exit code 1 on any flag, so a
+round can gate on it.
+
+Usage: python tools/compare_bench.py NEW.json [OLD.json]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+NOISE = 1.5
+
+# BASELINE.md "Same-protocol rows" (ms) — keep in sync with that table.
+SAME_PROTOCOL_MS = {
+    "q1_pricing_summary": 77,
+    "q3_join_agg": 90,
+    "tumbling_hourly_events": 90,
+}
+BASELINE_GATE = 2.0  # the driver's "within 2x of BASELINE" bar
+
+
+def load(path: str) -> dict:
+    """Accept either bench.py's raw JSON line or the driver's BENCH_r{N}
+    wrapper ({'parsed': {...}} with the bench line under 'parsed')."""
+    with open(path) as fh:
+        d = json.load(fh)
+    if "queries" not in d and isinstance(d.get("parsed"), dict):
+        d = d["parsed"]
+    return d
+
+
+def main() -> int:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    new_path = sys.argv[1]
+    if len(sys.argv) > 2:
+        old_path = sys.argv[2]
+    else:
+        rounds = sorted(glob.glob(os.path.join(repo, "BENCH_r*.json")))
+        old_path = rounds[-1] if rounds else None
+
+    new = load(new_path)["queries"]
+    flags = []
+
+    if old_path:
+        old = load(old_path)["queries"]
+        print(f"vs {os.path.basename(old_path)}:")
+        for name, t_new in sorted(new.items()):
+            if name not in old:
+                print(f"  {name:34s} {t_new*1000:8.1f} ms  (new this round)")
+                continue
+            ratio = t_new / max(old[name], 1e-9)
+            mark = ""
+            if ratio > NOISE:
+                mark = "  <-- REGRESSED"
+                flags.append((name, f"{ratio:.2f}x vs prev round"))
+            print(f"  {name:34s} {t_new*1000:8.1f} ms  {ratio:5.2f}x{mark}")
+
+    print("\nvs BASELINE.md same-protocol rows:")
+    for name, base_ms in SAME_PROTOCOL_MS.items():
+        if name not in new:
+            continue
+        ratio = new[name] * 1000 / base_ms
+        mark = ""
+        if ratio > BASELINE_GATE:
+            mark = "  <-- OVER 2x GATE"
+            flags.append((name, f"{ratio:.2f}x vs baseline"))
+        print(f"  {name:34s} {new[name]*1000:8.1f} ms  {ratio:5.2f}x{mark}")
+
+    if flags:
+        print(f"\n{len(flags)} flag(s): {flags}")
+        return 1
+    print("\nno regressions flagged")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
