@@ -164,8 +164,15 @@ def _decode_value(schema: Any, buf: io.BytesIO) -> Any:
 
 # --- Container file --------------------------------------------------------
 
-def write_container(records, schema: dict, codec: str = "null") -> bytes:
-    """Encode records into one Avro Object Container File (bytes)."""
+def write_container(
+    records, schema: dict, codec: str = "null", block_rows: int = 1000
+) -> bytes:
+    """Encode records into one Avro Object Container File (bytes).
+
+    Rows are chunked into sync-delimited blocks of `block_rows` — the
+    spec's unit of splittability: a reader can seek anywhere, scan to the
+    next sync marker, and decode from there, which read_avro's
+    block-level splits exploit."""
     if codec not in ("null", "deflate"):
         raise ValueError("codec must be 'null' or 'deflate'")
     sync = uuid.uuid4().bytes
@@ -178,12 +185,12 @@ def write_container(records, schema: dict, codec: str = "null") -> bytes:
         out.write(_write_bytes(v))
     out.write(_zigzag_encode(0))
     out.write(sync)
-    block = b"".join(_encode_value(schema, r) for r in records)
-    n = len(records)
-    if n:
+    for i in range(0, len(records), block_rows):
+        chunk = records[i:i + block_rows]
+        block = b"".join(_encode_value(schema, r) for r in chunk)
         if codec == "deflate":
             block = zlib.compress(block)[2:-4]  # raw deflate per the spec
-        out.write(_zigzag_encode(n))
+        out.write(_zigzag_encode(len(chunk)))
         out.write(_zigzag_encode(len(block)))
         out.write(block)
         out.write(sync)
@@ -502,3 +509,130 @@ def write_stream_avro(stream_df, path: str, checkpoint: str, codec: str = "null"
         stream_df.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def _read_varint_from(fh) -> int:
+    """Zig-zag varint read directly from a file handle."""
+    shift = 0
+    acc = 0
+    while True:
+        byte = fh.read(1)
+        if not byte:
+            raise EOFError("truncated varint")
+        b = byte[0]
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def decode_range(
+    path: str, lo: int, hi: int, schema: Any, codec: str, sync: bytes,
+    data_offset: int,
+) -> list[dict]:
+    """Decode the blocks of one split [lo, hi): the Hadoop split protocol
+    for sync-delimited formats — a split owns every block whose start
+    boundary lies in [lo, hi); the first boundary at/after `lo` is found
+    by scanning for the 16-byte sync marker (a block may extend past `hi`
+    and is still fully read by its owner)."""
+    records: list[dict] = []
+    with open(path, "rb") as fh:
+        if lo <= data_offset:
+            boundary = data_offset
+        else:
+            # scan for the first sync ending at/after lo: the marker may
+            # straddle the split edge, so start 16 bytes early.
+            fh.seek(max(lo - SYNC_SIZE, 0))
+            window = fh.read((hi - lo) + 2 * SYNC_SIZE)
+            idx = window.find(sync)
+            if idx == -1:
+                return records  # no block starts in this split
+            boundary = max(lo - SYNC_SIZE, 0) + idx + SYNC_SIZE
+            if boundary < lo or boundary >= hi:
+                return records
+        fh.seek(boundary)
+        while boundary < hi:
+            try:
+                n = _read_varint_from(fh)
+            except EOFError:
+                break  # end of file
+            size = _read_varint_from(fh)
+            block = fh.read(size)
+            if codec == "deflate":
+                block = zlib.decompress(block, wbits=-15)
+            bbuf = io.BytesIO(block)
+            for _ in range(n):
+                records.append(_decode_value(schema, bbuf))
+            if fh.read(SYNC_SIZE) != sync:
+                raise ValueError(f"sync marker mismatch at {fh.tell()} in {path}")
+            boundary = fh.tell()
+    return records
+
+
+def read_avro_split(spark, path: str, split_bytes: int = 128 << 20):
+    """AvroIO.Read with BLOCK-LEVEL initial splitting (the reference's
+    BoundedSource.splitIntoBundles at sub-file granularity): the driver
+    reads only each file's header, cuts byte ranges of `split_bytes`, and
+    each task scans from its range start to the next sync marker and
+    decodes the blocks it owns — so a single huge .avro file fans out
+    across the cluster instead of becoming one straggler task. Dynamic
+    re-splitting (splitAtFraction) remains the documented gap; AQE
+    balances at stage boundaries."""
+    import glob as _glob
+
+    paths = sorted(
+        _glob.glob(os.path.join(path, "**", "*.avro"), recursive=True)
+        if os.path.isdir(path)
+        else _glob.glob(path)
+    )
+    if not paths:
+        raise FileNotFoundError(f"no avro files at {path}")
+
+    ranges = []
+    first_schema = None
+    for p in paths:
+        with open(p, "rb") as fh:
+            head = fh.read(1 << 20)
+        schema, codec, sync, data_offset = read_header(head)
+        if first_schema is None:
+            first_schema = schema
+        size = os.path.getsize(p)
+        lo = data_offset
+        while lo < size:
+            hi = min(lo + split_bytes, size)
+            ranges.append(
+                (p, lo, hi, json.dumps(schema), codec, sync, data_offset)
+            )
+            lo = hi
+    sschema = spark_schema_of(first_schema)
+
+    range_df = spark.createDataFrame(
+        ranges,
+        "path string, lo long, hi long, schema string, codec string, "
+        "sync binary, data_offset long",
+    ).repartition(max(len(ranges), 1))
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                recs = decode_range(
+                    row.path, int(row.lo), int(row.hi),
+                    json.loads(row.schema), row.codec, bytes(row.sync),
+                    int(row.data_offset),
+                )
+                rows = [
+                    {
+                        f.name: _from_py(r.get(f.name), f.dataType)
+                        for f in sschema.fields
+                    }
+                    for r in recs
+                ]
+                if rows:
+                    yield pd.DataFrame(
+                        rows, columns=[f.name for f in sschema.fields]
+                    )
+
+    return range_df.mapInPandas(decode, schema=sschema)

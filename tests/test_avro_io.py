@@ -187,3 +187,32 @@ def test_streaming_avro_sink_exactly_once(spark, tmp_path_factory):
     )
     assert before == after  # nothing re-written
     assert sorted(r["x"] for r in read_avro(spark, out_dir).collect()) == list(range(50))
+
+
+def test_block_level_split_read_exact(spark, tmp_path_factory):
+    """read_avro_split (block-level initial splitting): one multi-block
+    file decoded through many byte-range tasks loses nothing and
+    duplicates nothing, at any split size — each block is owned by
+    exactly the split containing its start boundary."""
+    d = str(tmp_path_factory.mktemp("avro_split"))
+    df = spark.range(5000).selectExpr("id AS x", "CAST(id AS STRING) AS s")
+    A.write_avro(df.coalesce(1), d, codec="deflate")
+    f = next(f for f in os.listdir(d) if f.endswith(".avro"))
+    size = os.path.getsize(os.path.join(d, f))
+    for split_bytes in (size + 1, 2048, 512):
+        back = A.read_avro_split(spark, d, split_bytes=split_bytes)
+        assert sorted(r["x"] for r in back.collect()) == list(range(5000)), split_bytes
+
+
+def test_multi_block_writer_layout(spark):
+    """write_container chunks rows into sync-delimited blocks (the spec's
+    splittability unit), and read_container walks them all."""
+    schema = {"type": "record", "name": "t",
+              "fields": [{"name": "x", "type": "long"}]}
+    recs = [{"x": i} for i in range(2500)]
+    blob = A.write_container(recs, schema, block_rows=100)
+    got_schema, got = A.read_container(blob)
+    assert got == recs
+    # 25 blocks → 25 sync markers beyond the header's
+    _, _, sync, offset = A.read_header(blob)
+    assert blob.count(sync) >= 26
