@@ -205,27 +205,32 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   i, i + 2), ' ')
              ) AS grams
       FROM corpus
-    )
-    SELECT doc_id,
-           list_transform(range(0, 16), j ->
-             list_reduce(
-               list_prepend(1152921504606846976::BIGINT,
-                 list_transform(grams, s ->
-                   ('0x' || substr(md5(j::VARCHAR || ':' || s), 1, 15))::BIGINT)),
-               (a, b) -> least(a, b))
-           ) AS signature
-    FROM sh
+    ),
+    js AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS hash_idx)
+    SELECT sh.doc_id, js.hash_idx,
+           list_reduce(
+             list_prepend(1152921504606846976::BIGINT,
+               list_transform(grams, s ->
+                 ('0x' || substr(md5(hash_idx::VARCHAR || ':' || s), 1, 15))::BIGINT)),
+             (a, b) -> least(a, b)) AS minhash
+    FROM sh CROSS JOIN js
     """,
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (16 hashes over token 3-gram shingles) as pure
-    expressions — md5-derived hash family, cross-engine exact. The
-    signature column is the input to LSH banding; computing it is a
-    projection (zero shuffle, scan-bound)."""
+    expressions — md5-derived hash family, cross-engine exact. Emitted in
+    exploded long form ``(doc_id, hash_idx, minhash)`` — one row per hash
+    slot — so every output column is a driver-hashable scalar (the round-2
+    array&lt;bigint&gt; shape crashed the driver's pandas canonicalizer). The
+    signature is the input to LSH banding; computing it is a projection
+    (zero shuffle, scan-bound) and posexplode is row-local (still no
+    shuffle)."""
     corpus = _corpus(spark, sf_dir)
     return corpus.select(
         "doc_id",
-        S.minhash_signature(S.shingles("text", 3), num_hashes=16).alias("signature"),
+        F.posexplode(
+            S.minhash_signature(S.shingles("text", 3), num_hashes=16)
+        ).alias("hash_idx", "minhash"),
     )
 
 
@@ -406,28 +411,8 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "near_dup_clusters",
     oracle=f"""
-    WITH RECURSIVE corpus AS ({_CORPUS_SQL}),
-    sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, greatest(len(list_filter(string_split(text,' '), t -> t <> '')) - 1, 1)),
-               i -> array_to_string(
-                      array_slice(list_filter(string_split(text,' '), t -> t <> ''),
-                                  i, i + 2), ' ')
-             )) AS grams
-      FROM corpus
-    ),
-    exploded AS (SELECT doc_id, unnest(grams) AS gram, len(grams) AS n FROM sh),
-    cand AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             count(*) AS inter, any_value(a.n) AS n_a, any_value(b.n) AS n_b
-      FROM exploded a JOIN exploded b ON a.gram = b.gram AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    ),
-    pairs AS (
-      SELECT id_a, id_b FROM cand
-      WHERE inter::DOUBLE / greatest(n_a + n_b - inter, 1)::DOUBLE >= 0.5
-    ),
+    WITH RECURSIVE corpus AS ({_CORPUS_SQL}),{_jaccard_pairs_sql("corpus")},
+    pairs AS (SELECT id_a, id_b FROM jacc_pairs),
     edges AS (
       SELECT id_a AS a, id_b AS b FROM pairs
       UNION
@@ -452,11 +437,12 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     component (the minimum doc_id, a deterministic canonical choice).
     SQL-oracled: the component labeling is algorithm-independent (min
     reachable id), so DuckDB verifies it with a recursive-CTE transitive
-    closure over the same Jaccard-thresholded pair graph.
-    Singleton docs are their own cluster. No SQL oracle: iterative
-    fixpoint, the driver contract's documented rows-only case; the
-    component algorithm is unit-tested on known graphs instead
-    (tests/test_dedup_similarity.py)."""
+    closure over the same Jaccard-thresholded pair graph — both sides now
+    build that graph with the identical df-capped blocking
+    (_jaccard_pairs_sql / _jaccard_pairs_capped), so a gram exceeding
+    SHINGLE_DF_CAP can never make engine and oracle diverge. Singleton
+    docs are their own cluster. The component algorithm is additionally
+    unit-tested on known graphs (tests/test_dedup_similarity.py)."""
     from dataflowjavasdk_spark.functions.graph import connected_components
 
     pairs = near_dup_pairs_jaccard(spark, sf_dir).select(
@@ -510,8 +496,13 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every stage is the scale-shaped form: per-row expressions for
     fingerprints, one equi-join per blocking key, anti-join for the drop
-    set, broadcast dimension join for metadata. This is the query a user
-    of the reference's pipeline model would run daily at 100 TB."""
+    set, and a plain equi-join for per-document metadata — NOT broadcast:
+    ``meta`` is a projection of the documents table itself, so its
+    cardinality grows with the corpus (forcing a broadcast of it was the
+    round-2 100 TB scale bug; AQE may still choose broadcast at toy
+    scale, which is fine because that choice is stats-driven). This is
+    the query a user of the reference's pipeline model would run daily at
+    100 TB."""
     corpus = _corpus(spark, sf_dir)
     toks = corpus.withColumn("n_tok", F.size(T.tokens("text")))
     quality = toks.filter(F.col("n_tok") >= 10)
@@ -535,7 +526,7 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         final.withColumn("orig_id", F.col("doc_id") % 1_000_000)
-        .join(F.broadcast(meta), "orig_id")
+        .join(meta, "orig_id")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -62,11 +62,19 @@ def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF (historical examples/complete/TfIdf.java — the multi-input
     CoGBK showcase). Relational plan: tf per (doc,term) via one aggregate +
-    count-over-window, document frequency via a second aggregate, idf
-    broadcast back onto tf. Smoothed idf = ln((N+1)/(df+1)); rounded to
-    9 dp (ln is the one libm call whose last ulp may differ per engine)."""
+    count-over-window, document frequency via a second aggregate joined
+    back onto tf. Smoothed idf = ln((N+1)/(df+1)); rounded to 9 dp (ln is
+    the one libm call whose last ulp may differ per engine).
+
+    100 TB shape (both were round-2 scale bugs, now fixed): (a) the corpus
+    size N is computed IN-PLAN as a 1-row aggregate broadcast-cross-joined
+    onto tf — a driver-side ``docs.count()`` would be a second full scan
+    of the corpus before the real job; (b) the document-frequency relation
+    is joined WITHOUT a forced broadcast — its cardinality is the
+    vocabulary, which grows with the corpus; AQE broadcasts it only when
+    stats say it is genuinely small."""
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
     tf = (
         tok.groupBy("doc_id", "term")
@@ -75,13 +83,16 @@ def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     return (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
+        .join(F.broadcast(n))
         .select(
             "doc_id",
             "term",
             F.round(
                 (F.col("n_term").cast("double") / F.col("n_doc"))
-                * F.log((F.lit(n_docs) + 1).cast("double") / (F.col("df") + 1)),
+                * F.log(
+                    (F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)
+                ),
                 9,
             ).alias("tfidf"),
         )

@@ -289,11 +289,19 @@ def spark_schema_of(avro_schema: dict):
 def avro_schema_of(spark_schema, name: str = "topLevelRecord") -> dict:
     from pyspark.sql import types as T
 
+    # Nested record names must be deterministic (PYTHONHASHSEED-independent,
+    # so the same logical schema writes byte-identical headers across driver
+    # runs) and unique within one schema (Avro spec: named types are unique;
+    # two distinct nested structs colliding on a name breaks external
+    # readers). A counter threaded through traversal gives both.
+    counter = {"n": 0}
+
     def field_schema(dtype, nullable):
         if isinstance(dtype, T.StructType):
+            counter["n"] += 1
             s = {
                 "type": "record",
-                "name": f"r{abs(hash(str(dtype))) % 10**8}",
+                "name": f"nested_{counter['n']}",
                 "fields": [
                     {"name": f.name, "type": field_schema(f.dataType, f.nullable)}
                     for f in dtype.fields
@@ -500,6 +508,14 @@ def write_stream_avro(stream_df, path: str, checkpoint: str, codec: str = "null"
         marker = os.path.join(dest, "_SUCCESS")
         if os.path.exists(marker):
             return  # replay after restart — already committed
+        if os.path.isdir(dest):
+            # Uncommitted attempt died between shard rename and marker
+            # write: clear it, or a replay producing fewer partitions
+            # leaves the earlier attempt's higher-numbered part files
+            # alongside the new ones — duplicate rows in a "committed" dir.
+            import shutil
+
+            shutil.rmtree(dest)
         os.makedirs(dest, exist_ok=True)
         write_avro(batch_df, dest, codec=codec)
         with open(marker, "w"):

@@ -6,12 +6,17 @@ subsumed by Spark's parquet DataSource: splittable columnar scans with
 predicate pushdown + column pruning, which the reference model could never
 do (its elements are opaque to the runner; SURVEY.md §4.1).
 
-Load-bearing detail: `events.ts` is parquet TIMESTAMP(NANOS). Spark rejects
-it; with spark.sql.legacy.parquet.nanosAsLong=true it reads as bigint
-nanoseconds. We convert with integer `ts DIV 1000` — NOT float division:
+Load-bearing detail: fixture timestamp physical types have varied across
+driver rounds — TIMESTAMP(NANOS) (rounds 1-2; Spark rejects it, and with
+spark.sql.legacy.parquet.nanosAsLong=true reads it as bigint nanoseconds)
+and TIMESTAMP(MICROS) isAdjustedToUTC=false (round 3+; Spark reads it as
+TIMESTAMP_NTZ). `load_table` normalizes BOTH to a session-local TIMESTAMP
+so every downstream expression (unix_micros, window, session_window) sees
+one type. Nanos convert with integer `ts DIV 1000` — NOT float division:
 epoch-nanos ≈ 1.7e18 exceeds double's 53-bit mantissa, so `ts/1000` can be
 off by ~1 µs, silently diverging from DuckDB's (truncating) nanos→micros
-read of the same file.
+read of the same file. The NTZ→LTZ cast is value-identity because the
+session timezone is pinned to UTC (session.py).
 """
 
 from __future__ import annotations
@@ -49,9 +54,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     configure_session(spark)  # nanosAsLong etc. even on a foreign session
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # bigint nanos → microsecond timestamp, integer math only.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # bigint nanos → microsecond timestamp, integer math only.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # NTZ → session-local timestamp; identity under the UTC session.
+            # Only events.ts needs this (unix_micros / interval arithmetic
+            # require LTZ); relational tables keep their scan columns raw so
+            # date-range filters stay pushdown-eligible.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

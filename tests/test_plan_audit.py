@@ -124,6 +124,29 @@ def test_sketch_rollups_shuffle_only_partials(spark):
     assert "ObjectHashAggregate" in p.text and "partial_hll_sketch_agg" in p.text
 
 
+def test_no_forced_broadcast_of_unbounded_relations(spark):
+    """Round-2 scale bug, pinned: a forced F.broadcast() hint is only legal
+    on relations whose cardinality is BOUNDED regardless of corpus size
+    (1-row global aggregates, codebooks, benchmark gram sets, probe sets).
+    tfidf's term-df relation (cardinality = vocabulary) and
+    training_data_pipeline's per-document metadata (cardinality = corpus)
+    must NOT carry hints — at 100 TB those are billions of rows. tfidf
+    keeps exactly one hint: the 1-row in-plan corpus count."""
+    import re
+
+    def hints(name):
+        df = get(name).fn(spark, SMOKE_SF)
+        plan = df._jdf.queryExecution().analyzed().toString()
+        return re.findall(r"ResolvedHint.*", plan), plan
+
+    tf_hints, tf_plan = hints("tfidf")
+    assert len(tf_hints) == 1, f"tfidf must hint only the 1-row count: {tf_hints}"
+    assert "n_docs" in tf_plan  # the hinted relation is the scalar count agg
+
+    pipe_hints, _ = hints("training_data_pipeline")
+    assert pipe_hints == [], f"per-document metadata must not be hinted: {pipe_hints}"
+
+
 def test_no_cartesian_products_anywhere(spark):
     """Global invariant: NO registered query contains a CartesianProduct,
     and BroadcastNestedLoopJoin appears only where a 1-row singleton view

@@ -46,8 +46,18 @@ def main() -> int:
     if len(sys.argv) > 2:
         old_path = sys.argv[2]
     else:
-        rounds = sorted(glob.glob(os.path.join(repo, "BENCH_r*.json")))
+        # Exclude the file under test from the candidates: comparing the
+        # latest checked-in round against itself reports 1.00x everywhere
+        # and silently masks every regression.
+        rounds = [
+            p
+            for p in sorted(glob.glob(os.path.join(repo, "BENCH_r*.json")))
+            if os.path.abspath(p) != os.path.abspath(new_path)
+        ]
         old_path = rounds[-1] if rounds else None
+        if old_path is None:
+            print("no distinct prior BENCH_r*.json to compare against", file=sys.stderr)
+            return 2
 
     new = load(new_path)["queries"]
     flags = []

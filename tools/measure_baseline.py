@@ -30,9 +30,15 @@ def spark_queries(spark):
     cu = spark.read.parquet(f"{SF_DIR}/customer.parquet")
     od = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     ev_raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    # events.parquet is TIMESTAMP(NANOS): the plain-user workaround
-    # (nanosAsLong session conf + integer-division conversion).
-    ev = ev_raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # Normalize events.ts per fixture vintage: TIMESTAMP(NANOS) rounds read
+    # as bigint nanos (nanosAsLong conf) and need integer-division micros
+    # (float `/1000` loses ulps: epoch-nanos exceed double's 53-bit
+    # mantissa); TIMESTAMP(MICROS) NTZ rounds just cast to session time.
+    ts_type = dict(ev_raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        ev = ev_raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    else:
+        ev = ev_raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
     def q1():
         return (
