@@ -4,7 +4,11 @@ and prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Method mirrors BASELINE.md: one shared SparkSession, one warm-up execution
-per query, then a timed run (wall clock around the collecting action).
+per query, then the MEDIAN of 5 timed runs (wall clock around the
+collecting action). n=2 (round ≤2) left a ±30 % run-to-run spread that
+produced two false regression flags in round 2 (VERDICT.md "Next round"
+#4); the median of 5 cuts the spread enough that compare_bench's 1.5×
+noise band means something. Override reps with SPARK_GRAFT_BENCH_REPS.
 """
 
 from __future__ import annotations
@@ -12,6 +16,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -90,16 +95,20 @@ def main() -> None:
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     timings: dict[str, float] = {}
     for name in names:
         # Build the plan once; warm-up executes it (JIT, code cache, file
-        # listing), the timed run measures steady-state execution — the
-        # same method as BASELINE.md ("1 warm-up, then timed collect()").
+        # listing), then the median of `reps` timed runs measures
+        # steady-state execution (BASELINE.md protocol, noise-hardened).
         df = qs[name](spark, sf_dir)
         _run(df)
-        t0 = time.perf_counter()
-        _run(df)
-        timings[name] = round(time.perf_counter() - t0, 4)
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _run(df)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
 
     total = round(sum(timings.values()), 4)
     print(

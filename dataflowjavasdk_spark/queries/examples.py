@@ -452,3 +452,46 @@ def avro_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.sum(F.length("text")).cast("long").alias("text_len_sum"),
     )
+
+
+@query(
+    "avro_logical_types_roundtrip",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+           MIN(CAST(o_orderdate AS DATE)) AS min_date,
+           MAX(o_orderdate) AS max_ts
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def avro_logical_types_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro logical types end-to-end (historical sdk/io/AvroIO.java with
+    sdk/coders/AvroCoder's logical-type support): the three logical types
+    every AvroIO user hits — ``timestamp-micros`` (here the local-
+    timestamp variant, matching the fixture's NTZ timestamps), ``date``
+    (int days), and ``decimal`` (bytes two's-complement unscaled int) —
+    written and re-read by the pure-Python codec, then aggregated per
+    order year. The oracle computes identical aggregates straight from
+    parquet, so a single wrong day, dropped sub-second, or mis-scaled
+    decimal anywhere in encode/decode breaks the value-hash."""
+    import tempfile
+
+    from dataflowjavasdk_spark.sources.avro import read_avro, write_avro
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("order_ts"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("total_dec"),
+    )
+    d = tempfile.mkdtemp(prefix="avro_lt_")
+    write_avro(orders.repartition(4), d, codec="deflate")
+    back = read_avro(spark, d)
+    return back.groupBy(F.year("order_date").cast("int").alias("order_year")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("total_dec").cast("double").alias("sum_price"),
+        F.min("order_date").alias("min_date"),
+        F.max("order_ts").alias("max_ts"),
+    )

@@ -46,62 +46,68 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # Emission order for the driver contract. The driver's correctness run
-# checks a bounded prefix of ``queries()`` (50 entries in round 1), so the
-# dict is ordered: (1) queries whose oracle changed and need a fresh driver
-# check, (2) queries with no driver-green row yet (flagship, windowing,
-# text/dedup/similarity/sketches/curation, examples remainder), (3) new
-# queries added this round, then (4) the long tail that is already
-# driver-green from a prior round (CORRECTNESS_r01.json). Names not listed
-# here follow in registration order; listed-but-unregistered names are
-# ignored (guarded by a registry test).
+# checks a bounded prefix of ``queries()`` (50 entries per round), so the
+# dict is ordered per VERDICT.md round-2 "Next round" #3 — no query may go
+# two rounds unchecked: (1) queries whose code or oracle changed this round
+# (must be re-verified by the driver), (2) new queries added this round,
+# (3) the 39 queries whose only driver row is CORRECTNESS_r01 (stale by a
+# round — windowing/combine code changed under them in round 2), then (4)
+# the r02-green tail. Names not listed follow in registration order;
+# listed-but-unregistered names are ignored (guarded by a registry test).
 _PRIORITY: tuple[str, ...] = (
-    # (1) oracle fixed this round — must be re-checked by the driver
-    "json_props_per_type",
-    "q12_priority_shipping",
-    "session_stats_per_user",
-    "approx_distinct_users",
-    "approx_quantiles_value",
-    # (2) no driver row in CORRECTNESS_r01.json yet
-    "tumbling_hourly_events",
-    "sliding_windows_events",
-    "session_windows_events",
-    "calendar_day_events",
-    "global_window_events",
-    "session_windows_dynamic_gap",
-    "rollup_hourly_to_daily",
-    "wordcount",
-    "tfidf",
-    "token_count_stats",
-    "language_id_quality",
-    "doc_fingerprints",
-    "dedup_exact",
-    "minhash_signatures",
-    "near_dup_pairs_jaccard",
-    "minhash_lsh_near_dups",
-    "simhash_fingerprints",
-    "near_dup_clusters",
-    "training_data_pipeline",
-    "simhash_near_dup_pairs",
-    "cosine_topk_bruteforce",
-    "ann_lsh_topk",
-    "embedding_label_stats",
-    "embedding_near_dup_pairs",
-    "ann_lsh_multitable",
-    "distinct_users_rollup",
-    "hll_distinct_rollup",
-    "theta_audience_overlap",
-    "bpe_token_stats",
-    "ngram_decontamination",
-    "stratified_source_mix",
-    "counting_input_checksum",
-    "multimodal_payload_stats",
-    "ivf_ann_topk",
-    "asof_join_click_purchase",
-    "range_join_click_purchase",
-    "ivf_ann_multiprobe",
-    # (3) new this round — no prior driver row exists at all
-    "avro_roundtrip_checksum",
-    "custom_merged_windows_events",
+    # (1) code/oracle changed in round 3
+    "minhash_signatures",       # output reshaped to (doc_id, hash_idx, minhash)
+    "tfidf",                    # in-plan N, un-hinted term-df join
+    "training_data_pipeline",   # un-hinted metadata join
+    "near_dup_clusters",        # oracle now df-capped like the engine
+    "near_dup_pairs_jaccard",   # shares the capped-pair SQL helper
+    # (2) new this round — no prior driver row exists at all
+    "avro_logical_types_roundtrip",
+    "leaderboard_team_windows",
+    "quantile_bucketed_docs",
+    "csv_roundtrip_checksum",
+    "json_roundtrip_checksum",
+    "xml_roundtrip_checksum",
+    # (3) last checked in round 1 — every row below is one round stale
+    "argmax_event_per_type",
+    "autocomplete_prefix_topk",
+    "calendar_week_events",
+    "cogroup_customer_orders",
+    "count_per_element_priority",
+    "count_per_key_events",
+    "cube_returnflag_status",
+    "deterministic_sample_global",
+    "deterministic_sample_per_key",
+    "distinct_event_users",
+    "exact_percentiles_quantity",
+    "first_events_per_user",
+    "flatten_union_counts",
+    "grouped_stats_nation",
+    "hot_key_salted_agg",
+    "partition_split_counts",
+    "pivot_daily_type_counts",
+    "q10_returned_revenue",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_bracket_revenue",
+    "q22_idle_rich_customers",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "secondary_sort_per_user",
+    "set_ops_users",
+    "side_input_global_mean",
+    "top_global_orders",
+    "top_sessions",
+    "topk_per_group",
+    "user_running_totals",
+    "value_moments_per_type",
+    "wordcount_via_facade",
 )
 
 

@@ -25,7 +25,10 @@ Spark integration is Spark-first:
 Type mapping (both directions):
   boolean↔boolean, int↔int, long↔long, float↔float, double↔double,
   string↔string, bytes↔binary, record↔struct, array↔array,
-  ["null", T] union↔nullable T, long+logicalType=timestamp-micros↔timestamp.
+  ["null", T] union↔nullable T. Logical types: long+timestamp-micros↔
+  timestamp (local- variant ↔ TIMESTAMP_NTZ), int+date↔date,
+  bytes+decimal(precision,scale)↔decimal (two's-complement big-endian
+  unscaled int per the spec).
 Codecs: null and deflate (zlib — both required/standard per the spec).
 """
 
@@ -269,6 +272,13 @@ def spark_schema_of(avro_schema: dict):
                     if s.get("logicalType") == "local-timestamp-micros"
                     else T.TimestampType()
                 ), nullable
+            if t == "int" and s.get("logicalType") == "date":
+                return T.DateType(), nullable
+            if t == "bytes" and s.get("logicalType") == "decimal":
+                return (
+                    T.DecimalType(s.get("precision", 38), s.get("scale", 0)),
+                    nullable,
+                )
             return field_type(t)[0], nullable
         prim = {
             "boolean": T.BooleanType(), "int": T.IntegerType(),
@@ -317,6 +327,17 @@ def avro_schema_of(spark_schema, name: str = "topLevelRecord") -> dict:
                 else "local-timestamp-micros"
             )
             s = {"type": "long", "logicalType": lt}
+        elif isinstance(dtype, T.DateType):
+            s = {"type": "int", "logicalType": "date"}
+        elif isinstance(dtype, T.DecimalType):
+            # Spec: bytes carrying the two's-complement big-endian unscaled
+            # integer; precision/scale live in the schema, not the data.
+            s = {
+                "type": "bytes",
+                "logicalType": "decimal",
+                "precision": dtype.precision,
+                "scale": dtype.scale,
+            }
         else:
             prim = {
                 T.BooleanType(): "boolean", T.IntegerType(): "int",
@@ -351,6 +372,7 @@ def _to_py(v, dtype):
     float seconds, which lose sub-µs precision at current epochs).
     """
     import datetime
+    import decimal
 
     from pyspark.sql import types as T
 
@@ -371,6 +393,16 @@ def _to_py(v, dtype):
         epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
         td = v - epoch
         return (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+    if isinstance(dtype, T.DateType):
+        if isinstance(v, datetime.datetime):
+            v = v.date()
+        return (v - datetime.date(1970, 1, 1)).days
+    if isinstance(dtype, T.DecimalType):
+        # Two's-complement big-endian unscaled integer (Avro decimal spec).
+        # scaleb by the schema scale is exact — no float ever touches it.
+        unscaled = int(decimal.Decimal(v).scaleb(dtype.scale))
+        n_bytes = max(1, (unscaled.bit_length() + 8) // 8)  # +1 sign bit
+        return unscaled.to_bytes(n_bytes, "big", signed=True)
     if isinstance(dtype, T.BinaryType):
         return bytes(v)
     return v
@@ -379,6 +411,7 @@ def _to_py(v, dtype):
 def _from_py(v, dtype):
     """Decoded avro value → Spark-ingestible python value."""
     import datetime
+    import decimal
 
     from pyspark.sql import types as T
 
@@ -386,6 +419,11 @@ def _from_py(v, dtype):
         return None
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
         return datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=v)
+    if isinstance(dtype, T.DateType):
+        return datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
+    if isinstance(dtype, T.DecimalType):
+        unscaled = int.from_bytes(v, "big", signed=True)
+        return decimal.Decimal(unscaled).scaleb(-dtype.scale)
     if isinstance(dtype, T.ArrayType):
         return [_from_py(x, dtype.elementType) for x in v]
     if isinstance(dtype, T.StructType):

@@ -122,6 +122,91 @@ def test_timestamp_microsecond_exactness(spark, tmp_path_factory):
     assert got == ts
 
 
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.dates(
+                min_value=datetime.date(1, 1, 1),
+                max_value=datetime.date(9999, 12, 31),
+            ),
+            st.decimals(
+                min_value=-(10**16) + 1,
+                max_value=10**16 - 1,
+                places=2,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            # pandas ns-timestamps bound the Arrow transport to ~1677-2262;
+            # that is a mapInPandas boundary limit, not the codec's (the
+            # codec itself is exercised to year 1/9999 via the date column).
+            st.datetimes(
+                min_value=datetime.datetime(1678, 1, 1),
+                max_value=datetime.datetime(2261, 12, 31, 23, 59, 59),
+            ),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@_settings
+def test_logical_types_round_trip_property(spark, tmp_path_factory, rows):
+    """date / decimal(bytes) / timestamp-micros logical types survive a
+    Spark->Avro->Spark round trip exactly — full date range (negative
+    epoch days), negative decimals (two's-complement sign), µs-precision
+    timestamps."""
+    d = str(tmp_path_factory.mktemp("avro_lt"))
+    df = spark.createDataFrame(rows, "d date, dec decimal(18,2), ts timestamp_ntz")
+    A.write_avro(df, d)
+    back = A.read_avro(spark, d)
+    assert dict(back.dtypes) == {"d": "date", "dec": "decimal(18,2)", "ts": "timestamp_ntz"}
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_logical_types_schema_header():
+    """The written header carries the spec logical-type annotations, so a
+    non-Spark Avro reader sees dates/decimals, not bare ints/bytes."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("d", T.DateType(), False),
+            T.StructField("m", T.DecimalType(12, 2), True),
+        ]
+    )
+    avro = A.avro_schema_of(schema)
+    assert avro["fields"][0]["type"] == {"type": "int", "logicalType": "date"}
+    assert avro["fields"][1]["type"][1] == {
+        "type": "bytes",
+        "logicalType": "decimal",
+        "precision": 12,
+        "scale": 2,
+    }
+    # and the reverse mapping reconstructs the exact Spark types
+    back = A.spark_schema_of(avro)
+    assert back["d"].dataType == T.DateType()
+    assert back["m"].dataType == T.DecimalType(12, 2)
+
+
+def test_nested_record_names_deterministic():
+    """Nested record names derive from a traversal counter, not hash():
+    same logical schema => byte-identical schema JSON across processes
+    (PYTHONHASHSEED immunity), distinct nested structs => distinct names."""
+    from pyspark.sql import types as T
+
+    inner_a = T.StructType([T.StructField("x", T.LongType(), False)])
+    inner_b = T.StructType([T.StructField("y", T.StringType(), False)])
+    schema = T.StructType(
+        [
+            T.StructField("a", inner_a, False),
+            T.StructField("b", inner_b, False),
+        ]
+    )
+    avro = A.avro_schema_of(schema)
+    names = [f["type"]["name"] for f in avro["fields"]]
+    assert names == ["nested_1", "nested_2"]
+    assert A.avro_schema_of(schema) == avro  # deterministic re-derivation
+
+
 def test_empty_write_still_readable(spark, tmp_path_factory):
     """An empty input commits one schema-bearing empty shard — the output
     dir is always a readable dataset (reference Write ≥ 1 shard)."""
