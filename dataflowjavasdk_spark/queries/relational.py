@@ -105,7 +105,7 @@ def q3_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(disc_price()).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -147,7 +147,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     re = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
         .join(
             F.broadcast(su),
             (li.l_suppkey == su.s_suppkey) & (cu.c_nationkey == su.s_nationkey),

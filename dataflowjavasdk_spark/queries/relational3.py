@@ -63,7 +63,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
         .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(cn), cu.c_nationkey == cn.cn_key)
         .join(F.broadcast(sn), su.s_nationkey == sn.sn_key)
@@ -109,7 +109,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(18,4)")
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(pa, li.l_partkey == pa.p_partkey)
         .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
@@ -199,7 +199,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pa = load_table(spark, sf_dir, "part")
     zero = F.lit(0).cast("decimal(18,4)")
-    return li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey).agg(
+    return li.join(pa, li.l_partkey == pa.p_partkey).agg(
         (
             F.lit(100.0)
             * F.sum(F.when(F.col("p_type") == "PROMO", disc_price()).otherwise(zero))
@@ -233,7 +233,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     qty = F.sum(F.col("l_quantity").cast("decimal(12,2)"))
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(qty.cast("double").alias("sum_qty"))
         .filter(F.col("sum_qty") > 250)
@@ -259,7 +259,7 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     common join key and pushes the per-side conjuncts into both scans."""
     li = load_table(spark, sf_dir, "lineitem")
     pa = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(pa), pa.p_partkey == li.l_partkey)
+    j = li.join(pa, pa.p_partkey == li.l_partkey)
     q = F.col("l_quantity")
     s = F.col("p_size")
     b = F.col("p_brand")
@@ -586,7 +586,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("thr")
     )
     return (
-        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        li.join(pa, li.l_partkey == pa.p_partkey)
         .join(avgq, li.l_partkey == avgq.avg_partkey)
         .filter(F.col("l_quantity") < F.col("thr"))
         .agg(
@@ -674,7 +674,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(pa, li.l_partkey == pa.p_partkey)
         .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
@@ -706,7 +706,7 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
     )
     return (
-        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        li.join(pa, li.l_partkey == pa.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )

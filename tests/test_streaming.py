@@ -302,6 +302,122 @@ def test_stateful_par_do_timer_fires_and_clears(spark, harness):
     assert out3 == [("a", 1, False)]
 
 
+def test_tws_probe_picks_kernel_in_this_container(monkeypatch):
+    """The capability probe must report False here (google.protobuf is
+    absent — measured, SURVEY §2.9) so stateful_par_do routes through the
+    applyInPandasWithState kernel, and True routing must reach the TWS
+    builder — the preferred path on a normally-provisioned cluster —
+    so that code cannot rot as an unreachable branch."""
+    from dataflowjavasdk_spark.streaming import state as S
+
+    assert S.tws_available() is False
+
+    calls = []
+    monkeypatch.setattr(S, "_stateful_par_do_kernel", lambda *a: calls.append("kernel"))
+    monkeypatch.setattr(S, "_stateful_par_do_tws", lambda *a: calls.append("tws"))
+    S.stateful_par_do(None, ["k"], lambda *a: None, "k string")
+    assert calls == ["kernel"]  # auto + no protobuf -> kernel
+
+    monkeypatch.setattr(S, "tws_available", lambda: True)
+    S.stateful_par_do(None, ["k"], lambda *a: None, "k string")
+    S.stateful_par_do(None, ["k"], lambda *a: None, "k string", engine="kernel")
+    S.stateful_par_do(None, ["k"], lambda *a: None, "k string", engine="tws")
+    assert calls == ["kernel", "tws", "kernel", "tws"]
+
+    with pytest.raises(ValueError):
+        S.stateful_par_do(None, ["k"], lambda *a: None, "k string", engine="bogus")
+
+
+@pytest.mark.skipif(
+    not __import__("dataflowjavasdk_spark.streaming.state", fromlist=["tws_available"]).tws_available(),
+    reason="transformWithStateInPandas needs google.protobuf (absent in this container)",
+)
+def test_stateful_par_do_tws_end_to_end(spark, harness):
+    """On protobuf-provisioned clusters, the SAME fn/state contract must
+    hold on the TWS substrate (mirror of the kernel ValueState test)."""
+    import pandas as pd
+
+    from dataflowjavasdk_spark.streaming.state import stateful_par_do
+
+    def fn(key, rows, state):
+        if len(rows) == 0:
+            return None
+        total = state.value("count", 0) + len(rows)
+        state.set("count", total)
+        return pd.DataFrame({"key": [key[0]], "n": [total]})
+
+    def build(stream):
+        return stateful_par_do(
+            stream, keys=["key"], fn=fn,
+            output_schema="key string, n long", engine="tws",
+        )
+
+    harness.feed(_batch(spark, _rows(spark, (1, 10, "a", 1), (2, 20, "a", 1))))
+    out = {r["key"]: r["n"] for r in harness.run_round(build, "update")}
+    assert out == {"a": 2}
+
+
+def test_leaderboard_end_to_end_pane_sequence(spark, harness):
+    """LeaderBoard acceptance (historical examples/complete/game/
+    LeaderBoard.java): team scores per fixed window under
+    AfterWatermark.pastEndOfWindow()
+      .withEarlyFirings(AfterCount(2)).withLateFirings(AfterCount(1)),
+    ACCUMULATING panes, 120 s allowed lateness — one composed replay that
+    exercises the speculative pane BEFORE the watermark, the ON_TIME pane
+    at the watermark crossing, and a late element AFTER the watermark but
+    inside the lateness horizon refining the same window. The pane
+    sequence (timing, index, is_first/is_last, accumulated totals) must
+    be deterministic."""
+    from dataflowjavasdk_spark.streaming.triggers import (
+        ACCUMULATING,
+        AfterCount,
+        AfterWatermark,
+        triggered_window_aggregate,
+    )
+
+    def build(stream):
+        return triggered_window_aggregate(
+            stream,
+            keys=["key"],
+            value_col="value",
+            window_size="60 seconds",
+            trigger=AfterWatermark(early=AfterCount(2), late=AfterCount(1)),
+            accumulation=ACCUMULATING,
+            allowed_lateness="120 seconds",
+        )
+
+    def red(rows):
+        return sorted(
+            (r["pane_timing"], r["pane_index"], r["n"], r["total"],
+             r["is_first"], r["is_last"])
+            for r in rows
+            if r["key"] == "red" and str(r["window_start"]).endswith("00:00:00")
+        )
+
+    # Round 1: two red scores inside [0,60) while the watermark is still
+    # before the window end -> speculative EARLY pane (AfterCount(2)).
+    harness.feed(_batch(spark, _rows(
+        spark, (1, 10, "red", 3), (2, 20, "red", 4))))
+    out1 = red(harness.run_round(build, "update"))
+    assert out1 == [("EARLY", 0, 2, 7.0, True, False)]
+
+    # Round 2: one more red score plus a later blue score that drives the
+    # watermark (140) past the window end (60) but NOT past the lateness
+    # horizon (60+120=180) -> ON_TIME pane accumulating all three
+    # elements, with the window still open for late refinements.
+    harness.feed(_batch(spark, _rows(
+        spark, (3, 40, "red", 5), (4, 140, "blue", 1))))
+    out2 = red(harness.run_round(build, "update"))
+    assert out2 == [("ON_TIME", 1, 3, 12.0, False, False)]
+
+    # Round 3: a red score at sec 50 — behind the watermark (140) but
+    # within the lateness horizon -> LATE refinement pane of the SAME
+    # window (LeaderBoard's late-score update).
+    harness.feed(_batch(spark, _rows(spark, (5, 50, "red", 2))))
+    out3 = red(harness.run_round(build, "update"))
+    assert out3 == [("LATE", 2, 4, 14.0, False, False)]
+
+
 CLICKS = "user string, click_ts timestamp"
 BUYS = "user string, buy_ts timestamp, amount double"
 
