@@ -143,3 +143,46 @@ def stratified_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("chars_kept"),
         )
     )
+
+
+@query(
+    "quantile_bucketed_docs",
+    oracle="""
+    WITH bucketed AS (
+      SELECT n_chars,
+             ntile(4) OVER (ORDER BY n_chars, doc_id) AS bucket
+      FROM documents
+    )
+    SELECT bucket,
+           count(*) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM bucketed
+    GROUP BY bucket
+    """,
+)
+def quantile_bucketed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-quartile bucketing for curriculum/mixing decisions (the
+    ApproximateQuantiles-driven partitioning a training pipeline applies
+    before sampling — historical sdk/transforms/ApproximateQuantiles.java
+    as the reference surface, here the EXACT ntile so the oracle matches
+    bit-for-bit): quartiles over (n_chars, doc_id) — the doc_id tiebreak
+    makes the assignment a total order, hence deterministic cross-engine.
+    Scale note: global ntile is a single total sort of (n_chars, doc_id)
+    pairs — 16 bytes/row, range-partitioned by Spark; for 100 TB corpora
+    prefer approx_percentile cutpoints (sketch, no sort) when exactness
+    is not required; this query is the exact, oracle-checkable form."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucketed = docs.select(
+        "n_chars",
+        F.ntile(4).over(W.orderBy("n_chars", "doc_id")).alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

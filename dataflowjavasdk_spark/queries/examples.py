@@ -495,3 +495,105 @@ def avro_logical_types_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("order_date").alias("min_date"),
         F.max("order_ts").alias("max_ts"),
     )
+
+
+_DOCS_CHECKSUM_SQL = """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS text_len_sum
+    FROM documents
+    GROUP BY lang
+"""
+
+
+def _docs_checksum(df: DataFrame) -> DataFrame:
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.length("text")).cast("long").alias("text_len_sum"),
+    )
+
+
+@query("csv_roundtrip_checksum", oracle=_DOCS_CHECKSUM_SQL)
+def csv_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextIO-with-parse round trip (the reference cookbook pattern
+    TextIO.Read + parsing ParDo; here Spark's csv datasource so the parse
+    happens inside the scan and column pruning reaches the parser): the
+    documents table goes out through the CSV writer and back in with an
+    explicit schema (no inference pass — mandatory at 100 TB), then is
+    checksummed per language against the parquet original. Quoting/escape
+    round-trip and null-vs-empty discipline are what this actually
+    exercises."""
+    import tempfile
+
+    from dataflowjavasdk_spark.core import Pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="csv_rt_")
+    docs.repartition(4).write.mode("overwrite").option("header", True).csv(d)
+    back = Pipeline(spark).read_csv(
+        d, schema="doc_id long, text string, lang string, source string, n_chars long"
+    ).df
+    return _docs_checksum(back)
+
+
+@query("json_roundtrip_checksum", oracle=_DOCS_CHECKSUM_SQL)
+def json_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newline-delimited-JSON round trip (TextIO + JSON-coder ParDo
+    analog), schema-on-read so Spark parses only the requested fields.
+    Same per-language checksum oracle as the CSV twin."""
+    import tempfile
+
+    from dataflowjavasdk_spark.core import Pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="json_rt_")
+    docs.repartition(4).write.mode("overwrite").json(d)
+    back = Pipeline(spark).read_json(
+        d, schema="doc_id long, text string, lang string, source string, n_chars long"
+    ).df
+    return _docs_checksum(back)
+
+
+@query(
+    "xml_roundtrip_checksum",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_custkey) AS BIGINT) AS max_cust
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def xml_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmlSource round trip (historical sdk/io/XmlSource.java, JAXB
+    records ≡ rowTag): orders go out through Spark 4's native xml writer
+    and back with an explicit schema, checksummed per priority class.
+    Long keys and exact-decimal money survive the text encoding bit-for-
+    bit (the INT_MIN quirk documented in core.read_xml is avoided by
+    using long fields, per its own guidance)."""
+    import tempfile
+
+    from dataflowjavasdk_spark.core import Pipeline
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    d = tempfile.mkdtemp(prefix="xml_rt_")
+    od.repartition(4).write.mode("overwrite").format("xml").option(
+        "rowTag", "order"
+    ).save(d)
+    back = Pipeline(spark).read_xml(
+        d,
+        row_tag="order",
+        schema="o_orderkey long, o_custkey long, o_totalprice double, o_orderpriority string",
+    ).df
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("sum_price"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_custkey").cast("long").alias("max_cust"),
+    )

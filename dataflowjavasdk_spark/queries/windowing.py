@@ -350,3 +350,52 @@ def custom_merged_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "leaderboard_team_windows",
+    oracle=f"""
+    WITH team_scores AS (
+      SELECT date_trunc('hour', ts) AS window_start,
+             date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+             event_type AS team,
+             count(*) AS n_events,
+             {sql_dsum('value')} AS team_score
+      FROM events
+      GROUP BY 1, 2, 3
+    )
+    SELECT window_start, window_end, team, n_events, team_score, rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY window_start
+                                   ORDER BY team_score DESC, team) AS rk
+      FROM team_scores
+    ) WHERE rk <= 3
+    """,
+)
+def leaderboard_team_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LeaderBoard, batch form (historical examples/complete/game/
+    LeaderBoard.java — team scores per fixed window; the streaming pane
+    behavior is the composed trigger-kernel test in
+    tests/test_streaming.py): hourly tumbling windows x team with exact
+    decimal score sums, then the top-3 teams per window via a window
+    row_number over the ALREADY-aggregated (window, team) relation — the
+    ranking shuffle moves one row per team-hour, never raw events.
+    Deterministic tiebreak on team name makes the rank oracle-exact."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    scores = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("team_score"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.col("event_type").alias("team"),
+            "n_events",
+            "team_score",
+        )
+    )
+    w = W.partitionBy("window_start").orderBy(
+        F.col("team_score").desc(), F.col("team")
+    )
+    return scores.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)

@@ -57,6 +57,7 @@ def test_relational_queries_stay_jvm_side(spark):
         # AvroIO: the container ships no spark-avro jar, so decode is the
         # documented Arrow-batched Python codec (sources/avro.py).
         "avro_roundtrip_checksum",
+        "avro_logical_types_roundtrip",
     }
     for name in all_queries():
         if name in allowed_python:
