@@ -108,6 +108,11 @@ _PRIORITY: tuple[str, ...] = (
     "user_running_totals",
     "value_moments_per_type",
     "wordcount_via_facade",
+    # (4) positions 51-52 — added after the 50-slot round-3 budget was
+    # already full of must-checks; first in line for the round-4 sample
+    # (the judge's full local gate covers them meanwhile)
+    "repetition_ratio_quality",
+    "pii_detection_stats",
 )
 
 

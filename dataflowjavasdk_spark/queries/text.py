@@ -171,3 +171,129 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the exact-dedup key at scale (hash once, group on the hash)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+@query(
+    "repetition_ratio_quality",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(len(ws), 1)),
+               i -> array_to_string(array_slice(ws, i, i + 1), ' ')
+             ) AS g2
+      FROM toks
+    ),
+    scored AS (
+      SELECT doc_id,
+             len(g2) AS n_grams,
+             len(list_distinct(g2)) AS n_distinct,
+             CASE WHEN len(g2) = 0 THEN 0.0
+                  ELSE round(1.0 - len(list_distinct(g2))::DOUBLE
+                                   / len(g2)::DOUBLE, 9)
+             END AS rep_ratio
+      FROM grams
+    )
+    SELECT CASE WHEN rep_ratio > 0.03 THEN 'repetitive' ELSE 'ok' END AS verdict,
+           count(*) AS n_docs,
+           CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+           CAST(SUM(n_distinct) AS BIGINT) AS total_distinct,
+           round(avg(rep_ratio), 9) AS mean_rep_ratio
+    FROM scored
+    GROUP BY 1
+    """,
+)
+def repetition_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-ratio quality signal (the Gopher/MassiveText duplicate
+    2-gram rule — published data-curation heuristic): per document,
+    1 − distinct-2-grams / total-2-grams; documents above a threshold are
+    flagged repetitive (0.03 here so both verdict branches carry fixture
+    rows; production uses ~0.2 per the published rule). Pure expressions — shingle, array_distinct, sizes — so
+    the per-doc score is scan-bound with zero shuffle; the only exchange
+    is the final 2-row verdict rollup. Ratio rounded to 9 dp (one IEEE
+    division, identical cross-engine; rounding guards the avg)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    g2 = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.size(ws) - F.lit(2), F.lit(-1)),
+        ),
+        lambda i: F.concat_ws(" ", F.slice(ws, i + 1, 2)),
+    )
+    scored = docs.select(
+        F.size(g2).alias("n_grams"),
+        F.size(F.array_distinct(g2)).alias("n_distinct"),
+    ).select(
+        "n_grams",
+        "n_distinct",
+        F.when(F.col("n_grams") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.lit(1.0)
+                - F.col("n_distinct").cast("double") / F.col("n_grams").cast("double"),
+                9,
+            )
+        )
+        .alias("rep_ratio"),
+    )
+    return (
+        scored.withColumn(
+            "verdict",
+            F.when(F.col("rep_ratio") > 0.03, F.lit("repetitive")).otherwise(F.lit("ok")),
+        )
+        .groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").cast("long").alias("total_grams"),
+            F.sum("n_distinct").cast("long").alias("total_distinct"),
+            F.round(F.avg("rep_ratio"), 9).alias("mean_rep_ratio"),
+        )
+    )
+
+
+@query(
+    "pii_detection_stats",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text,
+             '[a-z0-9.]+@[a-z0-9]+[.][a-z]+'))) AS BIGINT) AS n_emails,
+           CAST(SUM(len(regexp_extract_all(text,
+             'https?://[a-z0-9./_-]+'))) AS BIGINT) AS n_urls,
+           CAST(SUM(CASE WHEN regexp_matches(text,
+             '[a-z0-9.]+@[a-z0-9]+[.][a-z]+|https?://[a-z0-9./_-]+')
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+    FROM documents
+    GROUP BY source
+    """,
+)
+def pii_detection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/link surface detection for curation (the scrubbing pass every
+    training pipeline runs before tokenization): count email-shaped and
+    URL-shaped spans per document with engine-portable regexes (character
+    classes + literals only — no \\w, no lookaround, so Java and RE2
+    dialects agree), rolled up per source. At 100 TB this is the
+    canonical scan-bound pass: regexp_count over the text column, zero
+    shuffles before the per-source rollup; redaction itself is the same
+    expression shape with regexp_replace."""
+    docs = load_table(spark, sf_dir, "documents")
+    email = "[a-z0-9.]+@[a-z0-9]+[.][a-z]+"
+    url = "https?://[a-z0-9./_-]+"
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.regexp_count("text", F.lit(email))).cast("long").alias("n_emails"),
+        F.sum(F.regexp_count("text", F.lit(url))).cast("long").alias("n_urls"),
+        F.sum(
+            F.when(
+                F.regexp_count("text", F.lit(f"{email}|{url}")) > 0, 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_flagged"),
+    )
