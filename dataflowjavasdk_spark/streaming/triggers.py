@@ -258,6 +258,15 @@ OUTPUT_END_OF_WINDOW = "end_of_window"
 OUTPUT_EARLIEST = "earliest"
 OUTPUT_LATEST = "latest"
 
+# ClosingBehavior (historical sdk/transforms/windowing/Window.java
+# ClosingBehavior.FIRE_IF_NON_EMPTY / FIRE_ALWAYS): whether the window's
+# final pane at the lateness horizon fires even when nothing new arrived
+# since the last firing. FIRE_ALWAYS guarantees every window emits a pane
+# carrying is_last=True — downstream consumers can treat it as the
+# window-closed signal.
+CLOSING_FIRE_IF_NON_EMPTY = "fire_if_non_empty"
+CLOSING_FIRE_ALWAYS = "fire_always"
+
 
 def triggered_window_aggregate(
     df: DataFrame,
@@ -270,6 +279,7 @@ def triggered_window_aggregate(
     ts_col: str = "ts",
     watermark_delay: str = "0 seconds",
     output_time: str | None = None,
+    closing_behavior: str = CLOSING_FIRE_IF_NON_EMPTY,
 ) -> DataFrame:
     """Count+sum per (key, fixed window) under the full trigger grammar.
 
@@ -304,6 +314,8 @@ def triggered_window_aggregate(
         if output_time not in (OUTPUT_END_OF_WINDOW, OUTPUT_EARLIEST, OUTPUT_LATEST):
             raise ValueError(f"unknown output_time {output_time!r}")
         out_schema += ", emit_ts timestamp"
+    if closing_behavior not in (CLOSING_FIRE_IF_NON_EMPTY, CLOSING_FIRE_ALWAYS):
+        raise ValueError(f"unknown closing_behavior {closing_behavior!r}")
 
     windowed = (
         df.withWatermark(ts_col, f"{spark_delay_ms} milliseconds")
@@ -418,11 +430,13 @@ def triggered_window_aggregate(
             state.setTimeoutTimestamp(max(w_end_ms - lateness_ms, spark_wm + 1))
         else:
             final_horizon = watermark_ms >= w_end_ms + lateness_ms
+            emitted_closing = False
             if not on_time_fired:
                 # ON_TIME: the watermark crossed window end (timeout or a
                 # batch carrying late-ish rows observed after crossing)
                 emit("ON_TIME", is_last=final_horizon)
                 on_time_fired = True
+                emitted_closing = final_horizon
             elif new_n:
                 # refinements within the lateness horizon
                 fire_late = True
@@ -433,7 +447,15 @@ def triggered_window_aggregate(
                         trigger.late.on_fire(dyn, "l")
                 if fire_late:
                     emit("LATE", is_last=final_horizon)
+                    emitted_closing = final_horizon
             if final_horizon:
+                if closing_behavior == CLOSING_FIRE_ALWAYS and not emitted_closing:
+                    # ClosingBehavior.FIRE_ALWAYS: the horizon-crossing
+                    # cleanup emits one final pane even though nothing new
+                    # arrived since the last firing (empty under
+                    # DISCARDING, the running totals under ACCUMULATING) —
+                    # the guaranteed is_last window-closed signal.
+                    emit("LATE", is_last=True)
                 state.remove()
             else:
                 state.update((acc_n, acc_sum, pane_n, pane_sum, pane_idx, True,

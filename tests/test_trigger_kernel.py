@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from dataflowjavasdk_spark.streaming import core as SC
 from dataflowjavasdk_spark.streaming.triggers import (
     ACCUMULATING,
+    CLOSING_FIRE_ALWAYS,
     DISCARDING,
     AfterCount,
     AfterWatermark,
@@ -86,6 +87,47 @@ def test_discarding_mode_resets_between_panes(spark, harness):
     on_time = [p for p in _panes(out2) if p[0] == "2024-01-01 00:00:00"]
     # discarding: the EARLY pane consumed both elements → ON_TIME is empty
     assert on_time == [("2024-01-01 00:00:00", "ON_TIME", 1, 0, 0.0, False, True)]
+
+
+def test_closing_behavior_fire_always_emits_final_pane(spark):
+    """ClosingBehavior.FIRE_ALWAYS (historical sdk/transforms/windowing/
+    Window.java): when the lateness horizon passes with nothing new since
+    the last firing, the window still emits one final pane carrying
+    is_last=True — the guaranteed window-closed signal. The default
+    FIRE_IF_NON_EMPTY stays silent in the same scenario."""
+
+    def build(closing):
+        def b(stream):
+            return triggered_window_aggregate(
+                stream, keys=["key"], value_col="value",
+                window_size="60 seconds", trigger=AfterWatermark(),
+                accumulation=ACCUMULATING, allowed_lateness="60 seconds",
+                closing_behavior=closing,
+            )
+        return b
+
+    for closing, expect_final in (("fire_if_non_empty", False), (CLOSING_FIRE_ALWAYS, True)):
+        h = SC.MicroBatchHarness(spark, SCHEMA)  # fresh checkpoint per scenario
+        try:
+            # Round 1: two elements in [0,60); driver row at 100 crosses
+            # the window end (wm 100 > 60) but not the horizon (120) ->
+            # ON_TIME, window stays open for refinements.
+            h.feed(_batch(spark, [(1, 10, "a", 1), (2, 20, "a", 2), (3, 100, "zz", 0)]))
+            out1 = [p for p in _panes(h.run_round(build(closing), output_mode="update"))
+                    if p[0] == "2024-01-01 00:00:00"]
+            assert out1 == [("2024-01-01 00:00:00", "ON_TIME", 0, 2, 3.0, True, False)], closing
+
+            # Round 2: watermark crosses the horizon with NO new data for
+            # the window — only FIRE_ALWAYS emits the closing pane.
+            h.feed(_batch(spark, [(4, 500, "zz", 0)]))
+            out2 = [p for p in _panes(h.run_round(build(closing), output_mode="update"))
+                    if p[0] == "2024-01-01 00:00:00"]
+            if expect_final:
+                assert out2 == [("2024-01-01 00:00:00", "LATE", 1, 2, 3.0, False, True)], closing
+            else:
+                assert out2 == [], closing
+        finally:
+            h.close()
 
 
 def test_no_early_trigger_fires_only_at_watermark(spark, harness):
