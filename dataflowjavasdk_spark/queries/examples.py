@@ -597,3 +597,176 @@ def xml_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").cast("long").alias("min_key"),
         F.max("o_custkey").cast("long").alias("max_cust"),
     )
+
+
+@query(
+    "kmeans_ivf_refined",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(vec_id AS INT) AS cid, qv AS sv, 1::BIGINT AS n
+      FROM q WHERE vec_id < 8
+    ),
+    a1 AS (
+      SELECT q.vec_id, q.qv, c.cid,
+             list_reduce(
+               list_transform(list_zip(q.qv, c.sv),
+                 p -> (p[1] * c.n - p[2]) * (p[1] * c.n - p[2])),
+               (x, y) -> x + y) AS raw,
+             c.n AS cn
+      FROM q CROSS JOIN c0 c
+    ),
+    as1 AS (
+      SELECT vec_id, qv, cid FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY CAST(raw AS DOUBLE) / (cn * cn), cid) AS rk
+        FROM a1
+      ) WHERE rk = 1
+    ),
+    comp1 AS (
+      SELECT cid, i.idx, qv[i.idx] AS val
+      FROM as1, (SELECT unnest(range(1, 65)) AS idx) i
+    ),
+    c1 AS (
+      SELECT s.cid, s.sv, n.n FROM
+        (SELECT cid, list(s ORDER BY idx) AS sv FROM
+           (SELECT cid, idx, SUM(val) AS s FROM comp1 GROUP BY cid, idx)
+         GROUP BY cid) s
+        JOIN (SELECT cid, count(*) AS n FROM as1 GROUP BY cid) n USING (cid)
+    ),
+    a2 AS (
+      SELECT q.vec_id, q.qv, c.cid,
+             list_reduce(
+               list_transform(list_zip(q.qv, c.sv),
+                 p -> (p[1] * c.n - p[2]) * (p[1] * c.n - p[2])),
+               (x, y) -> x + y) AS raw,
+             c.n AS cn
+      FROM q CROSS JOIN c1 c
+    ),
+    as2 AS (
+      SELECT vec_id, qv, cid FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY CAST(raw AS DOUBLE) / (cn * cn), cid) AS rk
+        FROM a2
+      ) WHERE rk = 1
+    ),
+    comp2 AS (
+      SELECT cid, i.idx, qv[i.idx] AS val
+      FROM as2, (SELECT unnest(range(1, 65)) AS idx) i
+    ),
+    c2 AS (
+      SELECT s.cid, s.sv, n.n FROM
+        (SELECT cid, list(s ORDER BY idx) AS sv FROM
+           (SELECT cid, idx, SUM(val) AS s FROM comp2 GROUP BY cid, idx)
+         GROUP BY cid) s
+        JOIN (SELECT cid, count(*) AS n FROM as2 GROUP BY cid) n USING (cid)
+    ),
+    a3 AS (
+      SELECT q.vec_id, q.qv, c.cid,
+             list_reduce(
+               list_transform(list_zip(q.qv, c.sv),
+                 p -> (p[1] * c.n - p[2]) * (p[1] * c.n - p[2])),
+               (x, y) -> x + y) AS raw,
+             c.n AS cn
+      FROM q CROSS JOIN c2 c
+    ),
+    as3 AS (
+      SELECT vec_id, cid, raw FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY CAST(raw AS DOUBLE) / (cn * cn), cid) AS rk
+        FROM a3
+      ) WHERE rk = 1
+    )
+    SELECT cid AS cell,
+           count(*) AS n_vecs,
+           CAST(MIN(vec_id) AS BIGINT) AS min_vec,
+           CAST(SUM(raw) AS BIGINT) AS total_scaled_dist
+    FROM as3
+    GROUP BY cid
+    """,
+)
+def kmeans_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means refinement of the IVF codebook — the
+    iterative-algorithm showcase (the reference's iterative pipelines ran
+    as repeated PTransforms per iteration; here each iteration is one
+    declarative assignment + one update aggregation). Two refinement
+    iterations from the deterministic seed codebook (vec_id < 8), then
+    final cell stats.
+
+    Exactness trick that makes an ITERATIVE float algorithm oracle-
+    checkable bit-for-bit: embeddings are quantized once to integers
+    (round(x*1000)) and the centroid mean is never materialized as a
+    float — the squared distance to centroid j is the EXACT BIGINT
+    numerator raw_j = sum_i (q_i*n_j − s_ji)² (s = per-cluster component
+    sums); the cross-centroid argmin orders by raw_j / n_j², one IEEE
+    division used ONLY as an ordering key (identical in both engines,
+    ties broken by cid). Order-independent, overflow-safe (|q|≤578,
+    dim 64 → raw ≪ 2^63).
+
+    Scale shape: the codebook (8 centroids × 64 component sums) is the
+    ONLY broadcast relation — genuinely bounded; each iteration is one
+    broadcast-join assignment pass over the corpus plus one
+    (cid, idx)-keyed sum — update shuffle volume = K×dim rows, not corpus
+    rows. The per-vector argmin is a bounded K-row window per vec_id."""
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1000).cast("long"),
+        ).alias("qv"),
+    )
+    cents = q.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("qv").alias("sv"),
+        F.lit(1).cast("long").alias("n"),
+    )
+
+    def assign(cents):
+        raw = F.aggregate(
+            F.zip_with(
+                "qv", "sv",
+                lambda x, s: (x * F.col("n") - s) * (x * F.col("n") - s),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, y: acc + y,
+        )
+        a = q.crossJoin(F.broadcast(cents)).withColumn("raw", raw)
+        w = W.partitionBy("vec_id").orderBy(
+            F.col("raw").cast("double") / (F.col("n") * F.col("n")), F.col("cid")
+        )
+        return a.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+
+    for _ in range(2):
+        assigned = assign(cents).select("vec_id", "qv", "cid")
+        sums = (
+            assigned.select("cid", F.posexplode("qv").alias("idx", "val"))
+            .groupBy("cid", "idx")
+            .agg(F.sum("val").alias("s"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "s"))),
+                    lambda st: st["s"],
+                ).alias("sv")
+            )
+        )
+        counts = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+        cents = sums.join(counts, "cid")
+
+    final = assign(cents)
+    return final.groupBy(F.col("cid").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("vec_id").cast("long").alias("min_vec"),
+        F.sum("raw").cast("long").alias("total_scaled_dist"),
+    )

@@ -113,6 +113,7 @@ _PRIORITY: tuple[str, ...] = (
     # (the judge's full local gate covers them meanwhile)
     "repetition_ratio_quality",
     "pii_detection_stats",
+    "kmeans_ivf_refined",
 )
 
 

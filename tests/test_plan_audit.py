@@ -168,6 +168,7 @@ def test_no_cartesian_products_anywhere(spark):
         "exact_percentiles_quantity",
         "ivf_ann_topk",                # codebook argmax broadcast
         "ivf_ann_multiprobe",          # same codebook broadcast, nprobe=2
+        "kmeans_ivf_refined",          # K-row codebook broadcast per iter
         "range_join_click_purchase",   # banded join post-filter
         "asof_join_click_purchase",
         "embedding_near_dup_pairs",    # label-blocked, < on vec_id
