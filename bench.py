@@ -70,6 +70,15 @@ HEADLINE = [
     "avro_roundtrip_checksum",
     "custom_merged_windows_events",
     "simhash_near_dup_pairs",
+    # round-3 additions: logical-type Avro IO, batch LeaderBoard, exact
+    # k-means codebook refinement, curation quality signals, exact
+    # quartile bucketing
+    "avro_logical_types_roundtrip",
+    "leaderboard_team_windows",
+    "kmeans_ivf_refined",
+    "repetition_ratio_quality",
+    "pii_detection_stats",
+    "quantile_bucketed_docs",
 ]
 
 

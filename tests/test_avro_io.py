@@ -274,6 +274,53 @@ def test_streaming_avro_sink_exactly_once(spark, tmp_path_factory):
     assert sorted(r["x"] for r in read_avro(spark, out_dir).collect()) == list(range(50))
 
 
+def test_streaming_avro_sink_replay_replaces_uncommitted_attempt(
+    spark, tmp_path_factory
+):
+    """Crash-window recovery: if a process dies AFTER write_avro renamed
+    shards into batch=<id>/ but BEFORE the _SUCCESS marker, the replay
+    must fully replace the orphaned attempt — a replay producing fewer
+    partitions must not leave the earlier attempt's higher-numbered part
+    files contributing duplicate rows to a "committed" dir."""
+    import shutil
+
+    from dataflowjavasdk_spark.sources.avro import read_avro, write_stream_avro
+    from dataflowjavasdk_spark.streaming.core import read_stream_dropdir
+
+    root = str(tmp_path_factory.mktemp("avro_crash"))
+    in_dir, out_dir, ckpt = (os.path.join(root, d) for d in ("in", "out", "ckpt"))
+    os.makedirs(in_dir)
+    src = spark.range(50).withColumnRenamed("id", "x")
+    staging = os.path.join(root, "staging")
+    src.coalesce(1).write.parquet(staging)
+    for f in os.listdir(staging):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(staging, f), os.path.join(in_dir, f))
+
+    # Fabricate the dead uncommitted attempt: shards present (including a
+    # stale high-numbered one that a leaner replay would never rewrite),
+    # marker absent.
+    dest = os.path.join(out_dir, "batch=0")
+    os.makedirs(dest)
+    from dataflowjavasdk_spark.sources.avro import write_avro
+
+    write_avro(spark.range(7).withColumnRenamed("id", "x").repartition(3), dest)
+    assert not os.path.exists(os.path.join(dest, "_SUCCESS"))
+    stale = sorted(os.listdir(dest))
+    assert len(stale) >= 3
+
+    q = (
+        write_stream_avro(read_stream_dropdir(spark, in_dir, "x long"), out_dir, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # the orphaned shards are gone; exactly the replayed rows survive
+    assert os.path.exists(os.path.join(dest, "_SUCCESS"))
+    assert sorted(r["x"] for r in read_avro(spark, out_dir).collect()) == list(range(50))
+
+
 def test_block_level_split_read_exact(spark, tmp_path_factory):
     """read_avro_split (block-level initial splitting): one multi-block
     file decoded through many byte-range tasks loses nothing and

@@ -21,11 +21,12 @@ import sys
 
 NOISE = 1.5
 
-# BASELINE.md "Same-protocol rows" (ms) — keep in sync with that table.
+# BASELINE.md "Same-protocol rows" (ms) — keep in sync with that table
+# (round-3 re-measurement on the regenerated fixtures).
 SAME_PROTOCOL_MS = {
-    "q1_pricing_summary": 77,
-    "q3_join_agg": 90,
-    "tumbling_hourly_events": 90,
+    "q1_pricing_summary": 54,
+    "q3_join_agg": 74,
+    "tumbling_hourly_events": 60,
 }
 BASELINE_GATE = 2.0  # the driver's "within 2x of BASELINE" bar
 
