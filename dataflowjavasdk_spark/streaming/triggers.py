@@ -280,12 +280,18 @@ def triggered_window_aggregate(
     watermark_delay: str = "0 seconds",
     output_time: str | None = None,
     closing_behavior: str = CLOSING_FIRE_IF_NON_EMPTY,
+    window_period: str | None = None,
 ) -> DataFrame:
     """Count+sum per (key, fixed window) under the full trigger grammar.
 
     Output: keys..., window_start, window_end, n, total, pane_index,
     pane_timing (EARLY|ON_TIME|LATE), is_first, is_last
     [, emit_ts when `output_time` is set].
+
+    `window_period` switches assignment from FixedWindows to
+    SlidingWindows.of(window_size).every(window_period): each element
+    lands in size/period overlapping windows and every (key, window)
+    runs the full trigger/pane lifecycle independently.
 
     `output_time` (end_of_window | earliest | latest) adds the pane's
     emitted event-time timestamp: END_OF_WINDOW = window end − 1 ms
@@ -317,9 +323,19 @@ def triggered_window_aggregate(
     if closing_behavior not in (CLOSING_FIRE_IF_NON_EMPTY, CLOSING_FIRE_ALWAYS):
         raise ValueError(f"unknown closing_behavior {closing_behavior!r}")
 
+    # Window assignment: fixed (default) or sliding when window_period is
+    # given (SlidingWindows.of(size).every(period)). Sliding uses Spark's
+    # native multi-assign — the Expand is map-side and pipelined; each
+    # (key, window) then owns an independent trigger-kernel state cell,
+    # exactly Beam's per-window pane semantics over overlapping windows.
+    window_expr = (
+        F.window(ts_col, window_size)
+        if window_period is None
+        else F.window(ts_col, window_size, window_period)
+    )
     windowed = (
         df.withWatermark(ts_col, f"{spark_delay_ms} milliseconds")
-        .withColumn("__w__", F.window(ts_col, window_size))
+        .withColumn("__w__", window_expr)
         .select(
             *keys,
             F.col("__w__.start").alias("window_start"),

@@ -89,6 +89,43 @@ def test_discarding_mode_resets_between_panes(spark, harness):
     assert on_time == [("2024-01-01 00:00:00", "ON_TIME", 1, 0, 0.0, False, True)]
 
 
+def test_sliding_windows_full_trigger_lifecycle(spark, harness):
+    """SlidingWindows.of(120s).every(60s) through the trigger kernel: one
+    element at sec 70 belongs to windows [0,120) and [60,180); each
+    overlapping window runs its own pane lifecycle — EARLY panes fire per
+    window (AfterCount(1)), and the ON_TIME panes arrive separately as
+    the watermark crosses each window's end."""
+    trig = AfterWatermark(early=AfterCount(1))
+
+    def build(stream):
+        return triggered_window_aggregate(
+            stream, keys=["key"], value_col="value",
+            window_size="120 seconds", trigger=trig,
+            accumulation=ACCUMULATING, window_period="60 seconds",
+        )
+
+    # sec 70 -> windows starting at 00:00:00 and 00:01:00
+    harness.feed(_batch(spark, [(1, 70, "a", 5)]))
+    out1 = _panes(harness.run_round(build, output_mode="update"))
+    assert out1 == [
+        ("2024-01-01 00:00:00", "EARLY", 0, 1, 5.0, True, False),
+        ("2024-01-01 00:01:00", "EARLY", 0, 1, 5.0, True, False),
+    ]
+
+    # watermark to 130: [0,120) closes ON_TIME; [60,180) still open
+    harness.feed(_batch(spark, [(2, 130, "zz", 0)]))
+    out2 = [p for p in _panes(harness.run_round(build, output_mode="update"))
+            if p[0].startswith("2024-01-01 00:0")]
+    assert ("2024-01-01 00:00:00", "ON_TIME", 1, 1, 5.0, False, True) in out2
+    assert not any(p[0] == "2024-01-01 00:01:00" and p[1] == "ON_TIME" for p in out2)
+
+    # watermark to 250: [60,180) closes too
+    harness.feed(_batch(spark, [(3, 250, "zz", 0)]))
+    out3 = [p for p in _panes(harness.run_round(build, output_mode="update"))
+            if p[0] == "2024-01-01 00:01:00"]
+    assert ("2024-01-01 00:01:00", "ON_TIME", 1, 1, 5.0, False, True) in out3
+
+
 def test_closing_behavior_fire_always_emits_final_pane(spark):
     """ClosingBehavior.FIRE_ALWAYS (historical sdk/transforms/windowing/
     Window.java): when the lateness horizon passes with nothing new since
