@@ -349,8 +349,14 @@ class GroupIntoBatches:
         out: str = "batch",
     ) -> DataFrame:
         w = W.partitionBy(*keys).orderBy(F.col(values_col))
-        indexed = df.withColumn(
-            batch_id, ((F.row_number().over(w) - F.lit(1)) / F.lit(batch_size)).cast("long")
+        # Integer division only (`DIV`): float `/` + cast truncates
+        # correctly for small row numbers but loses exactness past
+        # double's 53-bit mantissa — the same discipline as the repo's
+        # nanos conversion.
+        indexed = (
+            df.withColumn("__rn__", F.row_number().over(w) - F.lit(1))
+            .withColumn(batch_id, F.expr(f"__rn__ DIV {int(batch_size)}"))
+            .drop("__rn__")
         )
         return indexed.groupBy(*keys, batch_id).agg(
             F.collect_list(values_col).alias(out)

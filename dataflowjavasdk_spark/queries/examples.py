@@ -770,3 +770,48 @@ def kmeans_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vec_id").cast("long").alias("min_vec"),
         F.sum("raw").cast("long").alias("total_scaled_dist"),
     )
+
+
+@query(
+    "grouped_batches_stats",
+    oracle="""
+    WITH indexed AS (
+      SELECT event_type, event_id,
+             (row_number() OVER (PARTITION BY event_type
+                                 ORDER BY event_id) - 1) // 100 AS batch_id
+      FROM events
+    )
+    SELECT event_type, batch_id,
+           count(*) AS batch_n,
+           CAST(MIN(event_id) AS BIGINT) AS batch_min,
+           CAST(MAX(event_id) AS BIGINT) AS batch_max,
+           CAST(SUM(event_id) AS BIGINT) AS batch_sum
+    FROM indexed
+    GROUP BY event_type, batch_id
+    """,
+)
+def grouped_batches_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupIntoBatches.perKey as an oracle-checked query (the 1.x
+    reference reached for this via manual stateful DoFns; Beam 2.x
+    standardized it): events batched per type into ≤100-element batches
+    keyed by the unique event_id, so batch membership is a total order —
+    deterministic cross-engine. Emits per-batch stats (size, min/max/sum
+    of members) as scalars; the batch arrays themselves feed bulk-RPC /
+    model-inference stages in a real pipeline. One exchange: the second
+    groupBy reuses the row_number shuffle's partitioning."""
+    from dataflowjavasdk_spark.operators.combine import GroupIntoBatches
+
+    ev = load_table(spark, sf_dir, "events")
+    batches = GroupIntoBatches.per_key(
+        ev, ["event_type"], "event_id", batch_size=100
+    )
+    return batches.select(
+        "event_type",
+        "batch_id",
+        F.size("batch").cast("long").alias("batch_n"),
+        F.array_min("batch").cast("long").alias("batch_min"),
+        F.array_max("batch").cast("long").alias("batch_max"),
+        F.aggregate("batch", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "batch_sum"
+        ),
+    )

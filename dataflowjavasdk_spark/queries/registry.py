@@ -114,6 +114,7 @@ _PRIORITY: tuple[str, ...] = (
     "repetition_ratio_quality",
     "pii_detection_stats",
     "kmeans_ivf_refined",
+    "grouped_batches_stats",
 )
 
 
