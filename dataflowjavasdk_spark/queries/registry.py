@@ -115,6 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     "pii_detection_stats",
     "kmeans_ivf_refined",
     "grouped_batches_stats",
+    "calendar_day_events_tz",
 )
 
 

@@ -399,3 +399,31 @@ def leaderboard_team_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("team_score").desc(), F.col("team")
     )
     return scores.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+
+
+@query(
+    "calendar_day_events_tz",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts + INTERVAL '5 hours 30 minutes')
+                - INTERVAL '5 hours 30 minutes' AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*) AS n_events, {sql_dsum('value')} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def calendar_day_events_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CalendarWindows.days(1).withTimeZone(...) (historical
+    sdk/transforms/windowing/CalendarWindows.java — tz-aware calendar
+    boundaries): day windows aligned to a UTC+05:30 civil day, computed
+    as shift → truncate → unshift, so window_start is still an instant on
+    the shared timeline. A fixed offset keeps the arithmetic exact and
+    identical cross-engine; a DST-observing zone needs a tz database and
+    makes some local times ambiguous — the documented scope here is
+    fixed-offset zones (covers IST, the canonical non-hour-aligned one).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    shift = F.expr("INTERVAL 5 HOURS 30 MINUTES")
+    local_day = F.date_trunc("day", F.col("ts") + shift) - shift
+    return ev.groupBy(
+        local_day.alias("window_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
