@@ -86,6 +86,29 @@ def compare_type_families(spark_schema, arrow_schema) -> list[str]:
     return issues
 
 
+def driver_shape_issues(sdf, spark_rows, spark_cols) -> list[str]:
+    """Simulate the DRIVER's pandas canonicalizer on the Spark result.
+
+    The driver canonicalizes with pandas sort_values -> factorize over raw
+    collected values; columns whose cells are unhashable (numpy arrays
+    from array<...> output, Row structs, dicts from maps) crash it with
+    "unhashable type" — the exact round-2 minhash_signatures ERR. The
+    oracle compare above tolerates those shapes (it stringifies), so this
+    probe is the only local signal. Keep every query's output columns
+    scalar."""
+    import pandas as pd
+
+    try:
+        pdf = pd.DataFrame(spark_rows, columns=spark_cols)
+        if len(pdf):
+            pdf.sort_values(by=list(spark_cols), inplace=False)
+            for c in spark_cols:
+                pd.factorize(pdf[c])
+    except TypeError as exc:
+        return [f"driver-shape: pandas canonicalizer would crash: {exc}"]
+    return []
+
+
 def compare(spark_rows, spark_cols, duck_rows, duck_cols):
     issues = []
     if len(spark_rows) != len(duck_rows):
@@ -172,6 +195,7 @@ def main() -> int:
             continue
         issues, _ = compare(spark_rows, spark_cols, duck_rows, duck_cols)
         issues.extend(compare_type_families(sdf.schema, arrow_tb.schema))
+        issues.extend(driver_shape_issues(sdf, spark_rows, spark_cols))
         if issues:
             print(f"FAIL {name}: " + "; ".join(issues))
             failed.append(name)
