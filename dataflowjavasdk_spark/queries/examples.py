@@ -815,3 +815,56 @@ def grouped_batches_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "batch_sum"
         ),
     )
+
+
+@query(
+    "bucketed_join_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT l_orderkey) AS n_orders,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pay-the-shuffle-once layout primitive as an end-to-end query:
+    orders and lineitem are written bucketed (8 buckets, same key) via
+    write_bucketed, then the fact-to-fact join and its revenue rollup run
+    against the BUCKETED tables — the join itself needs no Exchange
+    because both sides already agree on the hash layout (the invariant
+    tests/test_bucketing.py asserts on the physical plan; at toy scale
+    AQE's statistics may instead broadcast the small side — also
+    exchange-free on the fact table, and at real scale where neither side
+    broadcasts the bucketed sort-merge join kicks in). At 100 TB this
+    is the difference between re-shuffling terabytes on every run of a
+    daily join and shuffling once at ingest; the reference had no analog
+    (Dataflow re-shuffled every GroupByKey). The oracle computes the same
+    exact-decimal revenue from the raw parquet, so the bucketing layer is
+    proven lossless, not just fast."""
+    from dataflowjavasdk_spark.sources.tables import write_bucketed
+
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    spark.sql("DROP TABLE IF EXISTS bkq_orders")
+    spark.sql("DROP TABLE IF EXISTS bkq_lines")
+    write_bucketed(od, "bkq_orders", ["o_orderkey"], 8, sort_by=["o_orderkey"])
+    write_bucketed(li, "bkq_lines", ["l_orderkey"], 8, sort_by=["l_orderkey"])
+    bo = spark.table("bkq_orders")
+    bl = spark.table("bkq_lines")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)"))
+    )
+    return (
+        bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )

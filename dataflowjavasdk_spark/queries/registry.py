@@ -116,6 +116,7 @@ _PRIORITY: tuple[str, ...] = (
     "kmeans_ivf_refined",
     "grouped_batches_stats",
     "calendar_day_events_tz",
+    "bucketed_join_revenue",
 )
 
 

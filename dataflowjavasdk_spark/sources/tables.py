@@ -97,6 +97,18 @@ def write_bucketed(
     Sizing: num_buckets ≈ table-bytes / 256 MB, rounded to a power of two;
     both sides MUST agree on it (Spark requires equal bucket counts to
     elide the exchange; mismatched counts fall back to a shuffle)."""
+    # A managed table's location can outlive its metastore entry (fresh
+    # in-memory catalog per session, persistent warehouse dir) — Spark
+    # then refuses the write with LOCATION_ALREADY_EXISTS even under
+    # overwrite. If the catalog doesn't know the table, clear the orphan
+    # location so the write is idempotent across sessions.
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table):
+        import shutil
+        from urllib.parse import urlparse
+
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(os.path.join(warehouse, table.lower()), ignore_errors=True)
     writer = df.write.mode(mode).bucketBy(num_buckets, *keys)
     if sort_by:
         writer = writer.sortBy(*sort_by)
