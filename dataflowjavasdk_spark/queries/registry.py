@@ -117,6 +117,7 @@ _PRIORITY: tuple[str, ...] = (
     "grouped_batches_stats",
     "calendar_day_events_tz",
     "bucketed_join_revenue",
+    "approx_quantiles_per_key",
 )
 
 

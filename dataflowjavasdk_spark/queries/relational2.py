@@ -219,7 +219,8 @@ def exact_percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ApproximateQuantiles — SURVEY.md §2.2 'built-in for free' note).
     Rounded to 6 dp: interpolation arithmetic is the only cross-engine
     float risk. The approximate path (percentile_approx ≡ the reference's
-    ApproximateQuantiles) is covered rows-only in approx_quantiles_value."""
+    ApproximateQuantiles) carries in-plan accuracy verdicts in
+    approx_quantiles_value (globally) and approx_quantiles_per_key."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_quantity, 0.25D)"), 6).alias("p25"),
@@ -263,6 +264,54 @@ def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = ["p25", "p50", "p75", "p99"]
     return agg.select(
+        "n",
+        *[
+            (
+                (F.col("__approx")[i] >= F.col(f"__lo_{i}"))
+                & (F.col("__approx")[i] <= F.col(f"__hi_{i}"))
+            ).alias(f"ok_{labels[i]}")
+            for i in range(len(qs))
+        ],
+    )
+
+
+@query(
+    "approx_quantiles_per_key",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           TRUE AS ok_p25, TRUE AS ok_p50, TRUE AS ok_p75, TRUE AS ok_p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def approx_quantiles_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ApproximateQuantiles.perKey (historical sdk/transforms/
+    ApproximateQuantiles.java perKey form) — the per-key twin of
+    approx_quantiles_value: per event_type, each GK approximate quantile
+    must lie inside the exact [percentile(q−ε), percentile(q+ε)] envelope
+    computed in the SAME aggregation pass, so the sketch's per-key rank
+    guarantee is driver-checkable. One shuffle: sketch partials merge
+    map-side exactly like any CombineFn (combiner lifting applies to the
+    GK sketch — its merge is the reference's Munro-Paterson collapse)."""
+    ev = load_table(spark, sf_dir, "events")
+    acc = 100
+    eps = 1.0 / acc
+    qs = [0.25, 0.5, 0.75, 0.99]
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx("value", qs, acc).alias("__approx"),
+        *[
+            F.expr(f"percentile(value, {max(q - eps, 0.0)}D)").alias(f"__lo_{i}")
+            for i, q in enumerate(qs)
+        ],
+        *[
+            F.expr(f"percentile(value, {min(q + eps, 1.0)}D)").alias(f"__hi_{i}")
+            for i, q in enumerate(qs)
+        ],
+    )
+    labels = ["p25", "p50", "p75", "p99"]
+    return agg.select(
+        "event_type",
         "n",
         *[
             (
