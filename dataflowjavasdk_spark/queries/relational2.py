@@ -286,38 +286,46 @@ def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def approx_quantiles_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ApproximateQuantiles.perKey (historical sdk/transforms/
-    ApproximateQuantiles.java perKey form) — the per-key twin of
-    approx_quantiles_value: per event_type, each GK approximate quantile
-    must lie inside the exact [percentile(q−ε), percentile(q+ε)] envelope
-    computed in the SAME aggregation pass, so the sketch's per-key rank
-    guarantee is driver-checkable. One shuffle: sketch partials merge
-    map-side exactly like any CombineFn (combiner lifting applies to the
-    GK sketch — its merge is the reference's Munro-Paterson collapse)."""
+    ApproximateQuantiles.java perKey form) — per event_type, the GK
+    sketch's rank guarantee is verified IN RANK SPACE: each approximate
+    quantile av must be an actual data value whose rank interval
+    [#(v<av)+1, #(v<=av)] overlaps [(q−ε)·n − 1, (q+ε)·n + 1]. A second
+    aggregation recomputes the ranks exactly, so the verdict holds at ANY
+    group size — an interpolated-percentile envelope (the global query's
+    shape) breaks when ±ε·n is under a rank gap, i.e. for small keys.
+    Scale shape: the (key × 4 quantiles) relation joins back WITHOUT a
+    broadcast hint (cardinality grows with the key space); rank
+    recomputation is one extra shuffle of (key, quantile) partials."""
     ev = load_table(spark, sf_dir, "events")
     acc = 100
     eps = 1.0 / acc
     qs = [0.25, 0.5, 0.75, 0.99]
-    agg = ev.groupBy("event_type").agg(
+    labels = {0: "p25", 1: "p50", 2: "p75", 3: "p99"}
+    approx = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.percentile_approx("value", qs, acc).alias("__approx"),
-        *[
-            F.expr(f"percentile(value, {max(q - eps, 0.0)}D)").alias(f"__lo_{i}")
-            for i, q in enumerate(qs)
-        ],
-        *[
-            F.expr(f"percentile(value, {min(q + eps, 1.0)}D)").alias(f"__hi_{i}")
-            for i, q in enumerate(qs)
-        ],
+        F.percentile_approx("value", qs, acc).alias("__ap"),
     )
-    labels = ["p25", "p50", "p75", "p99"]
-    return agg.select(
-        "event_type",
-        "n",
+    pairs = approx.select(
+        "event_type", "n", F.posexplode("__ap").alias("qi", "av")
+    )
+    q_of = F.element_at(F.array(*[F.lit(q) for q in qs]), F.col("qi") + 1)
+    ranks = (
+        ev.join(pairs, "event_type")
+        .groupBy("event_type", "qi", "n", "av")
+        .agg(
+            F.sum(F.when(F.col("value") < F.col("av"), 1).otherwise(0)).alias("r_lt"),
+            F.sum(F.when(F.col("value") <= F.col("av"), 1).otherwise(0)).alias("r_le"),
+        )
+        .withColumn(
+            "ok",
+            (F.col("r_lt") + 1 <= (q_of + eps) * F.col("n") + 1)
+            & (F.col("r_le") >= (q_of - eps) * F.col("n") - 1),
+        )
+    )
+    return ranks.groupBy("event_type").agg(
+        F.max("n").alias("n"),
         *[
-            (
-                (F.col("__approx")[i] >= F.col(f"__lo_{i}"))
-                & (F.col("__approx")[i] <= F.col(f"__hi_{i}"))
-            ).alias(f"ok_{labels[i]}")
+            F.max(F.when(F.col("qi") == i, F.col("ok"))).alias(f"ok_{labels[i]}")
             for i in range(len(qs))
         ],
     )
