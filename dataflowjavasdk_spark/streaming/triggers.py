@@ -514,6 +514,7 @@ def triggered_session_aggregate(
     ts_col: str = "ts",
     watermark_delay: str = "0 seconds",
     output_time: str | None = None,
+    closing_behavior: str = CLOSING_FIRE_IF_NON_EMPTY,
 ) -> DataFrame:
     """The trigger grammar over MERGING session windows — the streaming
     ReduceFnRunner for Sessions (historical sdk/util/ReduceFnRunner.java +
@@ -551,6 +552,8 @@ def triggered_session_aggregate(
         if output_time not in (OUTPUT_END_OF_WINDOW, OUTPUT_EARLIEST, OUTPUT_LATEST):
             raise ValueError(f"unknown output_time {output_time!r}")
         out_schema += ", emit_ts timestamp"
+    if closing_behavior not in (CLOSING_FIRE_IF_NON_EMPTY, CLOSING_FIRE_ALWAYS):
+        raise ValueError(f"unknown closing_behavior {closing_behavior!r}")
 
     windowed = df.withWatermark(ts_col, f"{spark_delay_ms} milliseconds").select(
         *keys, F.col(value_col).alias("__v__"), F.col(ts_col)
@@ -665,9 +668,11 @@ def triggered_session_aggregate(
                         emit(s, "EARLY", is_last=False)
                 keep.append(s)
             else:
+                emitted_closing = False
                 if not s["on_time_fired"]:
                     emit(s, "ON_TIME", is_last=final_horizon)
                     s["on_time_fired"] = True
+                    emitted_closing = final_horizon
                 elif new_n:
                     fire_late = True
                     if trigger.late is not None:
@@ -677,7 +682,14 @@ def triggered_session_aggregate(
                             trigger.late.on_fire(s["dyn"], "l")
                     if fire_late:
                         emit(s, "LATE", is_last=final_horizon)
-                if not final_horizon:
+                        emitted_closing = final_horizon
+                if final_horizon:
+                    # ClosingBehavior over merging windows: FIRE_ALWAYS
+                    # guarantees the session's final is_last pane at the
+                    # lateness horizon even when nothing new arrived.
+                    if closing_behavior == CLOSING_FIRE_ALWAYS and not emitted_closing:
+                        emit(s, "LATE", is_last=True)
+                else:
                     keep.append(s)  # still refinable within lateness
 
         # 4. persist / GC / wake-up

@@ -427,6 +427,49 @@ def test_session_kernel_discarding_resets_after_early(spark, harness):
     assert [(r["n"], r["total"]) for r in closed] == [(1, 5.0)]
 
 
+def test_session_kernel_closing_behavior_fire_always(spark):
+    """ClosingBehavior.FIRE_ALWAYS over MERGING windows: a session whose
+    lateness horizon passes with nothing new still emits its final
+    is_last pane; the default stays silent. Mirrors the fixed-window
+    closing test through the session ReduceFnRunner."""
+    from dataflowjavasdk_spark.streaming.triggers import (
+        CLOSING_FIRE_ALWAYS,
+        triggered_session_aggregate,
+    )
+
+    def build(closing):
+        def b(stream):
+            return triggered_session_aggregate(
+                stream, keys=["key"], value_col="value", gap="60 seconds",
+                trigger=AfterWatermark(), accumulation=ACCUMULATING,
+                allowed_lateness="120 seconds", closing_behavior=closing,
+            )
+        return b
+
+    for closing, expect_final in (("fire_if_non_empty", False), (CLOSING_FIRE_ALWAYS, True)):
+        h = SC.MicroBatchHarness(spark, SCHEMA)
+        try:
+            # proto-sessions [10,70) and [50,110) merge -> [10,110) for
+            # key a; the driver row advances the watermark past the
+            # session end (wm 200 > 110) but not the horizon (110+120=230)
+            # -> ON_TIME, session stays open for refinements.
+            h.feed(_batch(spark, [(1, 10, "a", 1), (2, 50, "a", 2), (3, 200, "zz", 0)]))
+            out1 = [(r["pane_timing"], r["n"], r["total"], r["is_last"])
+                    for r in h.run_round(build(closing), "update") if r["key"] == "a"]
+            assert out1 == [("ON_TIME", 2, 3.0, False)], (closing, out1)
+
+            # horizon passes with no new data for a
+            h.feed(_batch(spark, [(4, 500, "zz", 0)]))
+            out2 = [(r["pane_timing"], r["n"], r["total"], r["is_last"])
+                    for r in h.run_round(build(closing), "update") if r["key"] == "a"]
+            if expect_final:
+                assert out2 == [("LATE", 2, 3.0, True)], (closing, out2)
+            else:
+                assert out2 == [], (closing, out2)
+        finally:
+            h.close()
+
+
 def test_session_kernel_output_time_latest(spark, harness):
     """OutputTimeFn over merging windows: the closed session's LATEST input
     timestamp survives merges (onMerge max)."""
