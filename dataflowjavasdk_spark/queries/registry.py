@@ -61,6 +61,8 @@ _PRIORITY: tuple[str, ...] = (
     "training_data_pipeline",   # un-hinted metadata join
     "near_dup_clusters",        # oracle now df-capped like the engine
     "near_dup_pairs_jaccard",   # shares the capped-pair SQL helper
+    "q3_join_agg",              # customer broadcast hint dropped (plan change)
+    "q5_region_revenue",        # customer broadcast hint dropped (plan change)
     # (2) new this round — no prior driver row exists at all
     "avro_logical_types_roundtrip",
     "leaderboard_team_windows",
@@ -108,9 +110,12 @@ _PRIORITY: tuple[str, ...] = (
     "user_running_totals",
     "value_moments_per_type",
     "wordcount_via_facade",
-    # (4) positions 51-52 — added after the 50-slot round-3 budget was
-    # already full of must-checks; first in line for the round-4 sample
-    # (the judge's full local gate covers them meanwhile)
+    # (4) past the 50-slot budget — first in line for the round-4 sample;
+    # the judge's full local gate covers everything meanwhile. The two
+    # unchanged r01-era aggregates above (value_moments_per_type,
+    # wordcount_via_facade) were displaced by the changed-plan q3/q5
+    # re-checks: a query whose plan changed outranks a stale-but-frozen
+    # one.
     "repetition_ratio_quality",
     "pii_detection_stats",
     "kmeans_ivf_refined",

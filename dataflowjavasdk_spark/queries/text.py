@@ -219,13 +219,17 @@ def repetition_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     division, identical cross-engine; rounding guards the avg)."""
     docs = load_table(spark, sf_dir, "documents")
     ws = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
-    g2 = F.transform(
-        F.sequence(
-            F.lit(0),
-            F.greatest(F.size(ws) - F.lit(2), F.lit(-1)),
+    # Guard k <= 0 explicitly: F.sequence(0, -1) yields [0, -1] (step
+    # defaults to -1 when start > stop), and slice(ws, 0, 2) is an illegal
+    # start index — a doc with fewer than 2 tokens would crash the query.
+    k = F.size(ws) - F.lit(1)
+    g2 = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, 2)),
         ),
-        lambda i: F.concat_ws(" ", F.slice(ws, i + 1, 2)),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     scored = docs.select(
         F.size(g2).alias("n_grams"),
         F.size(F.array_distinct(g2)).alias("n_distinct"),

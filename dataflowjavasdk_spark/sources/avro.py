@@ -399,8 +399,13 @@ def _to_py(v, dtype):
         return (v - datetime.date(1970, 1, 1)).days
     if isinstance(dtype, T.DecimalType):
         # Two's-complement big-endian unscaled integer (Avro decimal spec).
-        # scaleb by the schema scale is exact — no float ever touches it.
-        unscaled = int(decimal.Decimal(v).scaleb(dtype.scale))
+        # scaleb must run under a context wide enough for precision-38
+        # values — the default context (prec=28) silently ROUNDS wider
+        # decimals, corrupting the low digits. prec=50 covers 38 digits
+        # plus scale shift headroom; the integer conversion is then exact.
+        with decimal.localcontext() as ctx:
+            ctx.prec = 50
+            unscaled = int(decimal.Decimal(v).scaleb(dtype.scale))
         n_bytes = max(1, (unscaled.bit_length() + 8) // 8)  # +1 sign bit
         return unscaled.to_bytes(n_bytes, "big", signed=True)
     if isinstance(dtype, T.BinaryType):
@@ -423,7 +428,9 @@ def _from_py(v, dtype):
         return datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
     if isinstance(dtype, T.DecimalType):
         unscaled = int.from_bytes(v, "big", signed=True)
-        return decimal.Decimal(unscaled).scaleb(-dtype.scale)
+        with decimal.localcontext() as ctx:
+            ctx.prec = 50  # see _to_py: default prec=28 rounds wide decimals
+            return decimal.Decimal(unscaled).scaleb(-dtype.scale)
     if isinstance(dtype, T.ArrayType):
         return [_from_py(x, dtype.elementType) for x in v]
     if isinstance(dtype, T.StructType):

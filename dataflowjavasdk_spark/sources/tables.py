@@ -108,7 +108,17 @@ def write_bucketed(
         from urllib.parse import urlparse
 
         warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        shutil.rmtree(os.path.join(warehouse, table.lower()), ignore_errors=True)
+        # Managed-table location layout: <warehouse>/<table> for the
+        # default database, <warehouse>/<db>.db/<table> for a qualified
+        # name — cleaning the wrong path would silently no-op and the
+        # LOCATION_ALREADY_EXISTS failure would persist.
+        parts = [p.lower() for p in table.split(".")]
+        if len(parts) == 1:
+            loc = os.path.join(warehouse, parts[0])
+        else:
+            *db_parts, tbl = parts
+            loc = os.path.join(warehouse, f"{'.'.join(db_parts)}.db", tbl)
+        shutil.rmtree(loc, ignore_errors=True)
     writer = df.write.mode(mode).bucketBy(num_buckets, *keys)
     if sort_by:
         writer = writer.sortBy(*sort_by)

@@ -182,9 +182,23 @@ def _stateful_par_do_tws(
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
     class _CellsProcessor(StatefulProcessor):
+        """KeyedState on TWS, preserving the kernel's SINGLE-timer
+        contract: registerTimer ADDS a timer per call (unlike the
+        kernel's setTimeoutTimestamp, which replaces), so the currently
+        registered expiry is tracked in its own ValueState and the stale
+        timer is deleted before a new one registers; the expired timer is
+        deleted on expiry, and clear_all cancels any pending timer so a
+        GC'd key is never re-invoked by a zombie timer."""
+
         def init(self, handle) -> None:
             self._handle = handle
             self._cells = handle.getValueState("cells", "cells string")
+            self._timer = handle.getValueState("timer_ms", "timer_ms long")
+
+        def _cancel_timer(self) -> None:
+            if self._timer.exists():
+                self._handle.deleteTimer(self._timer.get()[0])
+                self._timer.clear()
 
         def _run(self, key, pdf: pd.DataFrame, fired: bool, timer_values):
             cells = json.loads(self._cells.get()[0]) if self._cells.exists() else {}
@@ -192,11 +206,15 @@ def _stateful_par_do_tws(
             out = fn(tuple(key), pdf, st)
             if st.removed:
                 self._cells.clear()
+                self._cancel_timer()
             else:
                 self._cells.update((json.dumps(st._cells),))
                 if st._timer_ms is not None:
                     wm = timer_values.getCurrentWatermarkInMs()
-                    self._handle.registerTimer(max(st._timer_ms, wm + 1))
+                    target = max(st._timer_ms, wm + 1)
+                    self._cancel_timer()
+                    self._handle.registerTimer(target)
+                    self._timer.update((target,))
             if out is not None and len(out):
                 yield out
 
@@ -206,6 +224,11 @@ def _stateful_par_do_tws(
             yield from self._run(key, pdf, False, timerValues)
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # the fired timer is spent: delete it and drop our record of
+            # it (Spark's own TWS examples deleteTimer on expiry)
+            self._handle.deleteTimer(expiredTimerInfo.getExpiryTimeInMs())
+            if self._timer.exists():
+                self._timer.clear()
             yield from self._run(key, pd.DataFrame(), True, timerValues)
 
         def close(self) -> None:

@@ -187,6 +187,24 @@ def test_logical_types_schema_header():
     assert back["m"].dataType == T.DecimalType(12, 2)
 
 
+def test_decimal_full_precision_38_digits():
+    """Decimals wider than Python's default context precision (28) must
+    not be silently rounded: the codec scales under a widened context, so
+    a precision-38 value round-trips exactly."""
+    import decimal
+
+    from pyspark.sql import types as T
+
+    dt = T.DecimalType(38, 3)
+    for s in (
+        "12345678901234567890123456789012345.678",
+        "-99999999999999999999999999999999999.999",
+        "0.001",
+    ):
+        v = decimal.Decimal(s)
+        assert A._from_py(A._to_py(v, dt), dt) == v, s
+
+
 def test_nested_record_names_deterministic():
     """Nested record names derive from a traversal counter, not hash():
     same logical schema => byte-identical schema JSON across processes

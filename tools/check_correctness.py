@@ -96,15 +96,30 @@ def driver_shape_issues(sdf, spark_rows, spark_cols) -> list[str]:
     oracle compare above tolerates those shapes (it stringifies), so this
     probe is the only local signal. Keep every query's output columns
     scalar."""
+    import numpy as np
     import pandas as pd
 
+    def _driver_cell(v):
+        # Mimic the shapes the DRIVER sees (its pandas frame comes from
+        # Arrow): Spark Row structs arrive as dicts (unhashable) and
+        # array columns as numpy arrays (unhashable) — but collect() here
+        # hands us hashable Row/tuple/list objects that would mask the
+        # crash. Convert before probing.
+        if hasattr(v, "asDict"):
+            return v.asDict()
+        if isinstance(v, (list, tuple)):
+            return np.array(v, dtype=object)
+        return v
+
     try:
-        pdf = pd.DataFrame(spark_rows, columns=spark_cols)
+        pdf = pd.DataFrame(
+            [[_driver_cell(v) for v in r] for r in spark_rows], columns=spark_cols
+        )
         if len(pdf):
             pdf.sort_values(by=list(spark_cols), inplace=False)
             for c in spark_cols:
                 pd.factorize(pdf[c])
-    except TypeError as exc:
+    except (TypeError, ValueError) as exc:
         return [f"driver-shape: pandas canonicalizer would crash: {exc}"]
     return []
 
