@@ -81,3 +81,26 @@ def test_variant_json_path(spark):
         F.variant_get(F.try_parse_json("j"), "$.a.tags[0]", "string").alias("t0"),
     )
     assert sorted(tuple(r) for r in out.collect()) == [(3, "x"), (7, None)]
+
+
+def test_repetition_gram_guard_short_docs(spark):
+    """The 2-gram build inside repetition_ratio_quality must yield an
+    EMPTY gram list for docs with <2 tokens — an unguarded
+    F.sequence(0, size-2) emits [0, -1] for those docs and slice(ws,0,2)
+    crashes the whole query (round-3 review finding, fixed)."""
+    from pyspark.sql import functions as F
+
+    ws = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    k = F.size(ws) - F.lit(1)
+    g2 = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("one",), ("two tokens",), ("a b c",)], "text string"
+    )
+    got = [r["n"] for r in df.select(F.size(g2).alias("n")).collect()]
+    assert got == [0, 0, 0, 1, 2]
