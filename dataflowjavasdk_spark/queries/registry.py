@@ -65,6 +65,10 @@ _PRIORITY: tuple[str, ...] = (
     "q5_region_revenue",        # customer broadcast hint dropped (plan change)
     # (2) new this round — no prior driver row exists at all
     "avro_logical_types_roundtrip",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_dominant_promo_suppliers",
+    "q21_waiting_suppliers",
     "leaderboard_team_windows",
     "quantile_bucketed_docs",
     "csv_roundtrip_checksum",
@@ -161,6 +165,7 @@ def _load_all() -> None:
         "relational",
         "relational2",
         "relational3",
+        "relational4",
         "examples",
         "windowing",
         "text",

@@ -1,0 +1,293 @@
+"""Query batch 4: the last four TPC-H-style acceptance queries (Q2, Q11,
+Q20, Q21), adapted to the reduced fixture schema (no partsupp table;
+lineitem carries only l_shipdate). The adaptations preserve each query's
+*shape* — the part the engine has to get right:
+
+- Q2  : correlated scalar subquery (per-group min joined back) over a
+        three-dimension snowflake (supplier -> nation -> region).
+- Q11 : group-by with a HAVING threshold that is itself a scalar subquery
+        over the same relation (global total, broadcast).
+- Q20 : nested semi-join — suppliers qualified through an aggregated
+        share-of-part predicate.
+- Q21 : EXISTS + NOT EXISTS against two differently-filtered aliases of
+        the same fact table (the hardest decorrelation case).
+
+Historical counterparts ran as Combine.perKey + side-input views
+[H: sdk/transforms/Combine.java, sdk/transforms/View.java]; here each is a
+single declarative plan so Catalyst decorrelates, pushes predicates, and
+picks broadcast sides from AQE stats.
+
+Determinism discipline (registry docstring): aggregates are exact DECIMAL
+sums cast to DOUBLE; comparisons against scaled thresholds multiply two
+exactly-representable doubles — bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from dataflowjavasdk_spark.queries.registry import query
+from dataflowjavasdk_spark.sources.tables import load_table
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    pp AS (SELECT p_partkey, p_brand FROM part
+           WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20),
+    offers AS (
+      SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
+             min(l_extendedprice) AS offer_price
+      FROM lineitem JOIN eu ON l_suppkey = s_suppkey
+                    JOIN pp ON l_partkey = p_partkey
+      GROUP BY p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, offer_price
+    FROM offers o
+    WHERE offer_price = (SELECT min(o2.offer_price) FROM offers o2
+                         WHERE o2.p_partkey = o.p_partkey)
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style minimum-cost supplier (adapted: no partsupp, so the
+    per-(part, supplier) offer price is the cheapest observed sale,
+    min l_extendedprice). For each LARGE mid-size part, keep every EUROPE
+    supplier whose offer ties the per-part regional minimum.
+
+    The reference would run this as Combine.perKey(Min) + a side-input
+    map re-joined in a DoFn; here the correlated min is a window function
+    over the aggregated offers — one extra shuffle on p_partkey, no
+    self-join, no correlated re-scan of the fact table. min() selects (not
+    accumulates) doubles, so the equality compare is exact in both engines.
+    At 100 TB: lineitem shuffles once on the (part,supplier,...) group key;
+    the window repartitions the *aggregated* offers (|parts| x |suppliers
+    per part| rows, orders of magnitude smaller than the fact table)."""
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    pa = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    eu = (
+        su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        li.join(F.broadcast(eu), li.l_suppkey == eu.s_suppkey)
+        .join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min("l_extendedprice").alias("offer_price"))
+    )
+    part_min = F.min("offer_price").over(W.partitionBy("p_partkey"))
+    return (
+        offers.withColumn("part_min", part_min)
+        .filter(F.col("offer_price") == F.col("part_min"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "offer_price")
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH val AS (
+      SELECT l_partkey AS p_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS part_value
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY 1),
+    tot AS (SELECT SUM(part_value) AS total_value FROM val)
+    SELECT p_partkey, part_value
+    FROM val, tot WHERE part_value > total_value * 0.001
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style important stock (adapted: part value = exact sum of
+    l_extendedprice supplied by NATION_3 suppliers, standing in for
+    ps_supplycost * ps_availqty). Keep parts whose value exceeds 0.1% of
+    the national total — the HAVING > (scalar subquery) shape.
+
+    The global total re-aggregates the per-part values (a second, tiny
+    aggregation — NOT a second scan of lineitem) and is broadcast back via
+    cross join, the same singleton-view composition as q22. The threshold
+    multiply is double * 0.001: both engines evaluate the identical IEEE
+    product of identical inputs. At 100 TB the only fact-table shuffle is
+    the per-part groupBy; the total is |parts| -> 1 row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    val = (
+        li.join(
+            F.broadcast(
+                su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey).select(
+                    "s_suppkey"
+                )
+            ),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("part_value")
+        )
+    )
+    tot = val.agg(F.sum("part_value").alias("total_value"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_value") > F.col("total_value") * F.lit(0.001))
+        .select("p_partkey", "part_value")
+    )
+
+
+@query(
+    "q20_dominant_promo_suppliers",
+    oracle="""
+    WITH promo AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+    per_ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sup_qty
+      FROM lineitem JOIN promo ON l_partkey = p_partkey
+      GROUP BY 1, 2),
+    per_p AS (SELECT l_partkey, SUM(sup_qty) AS tot_qty FROM per_ps GROUP BY 1),
+    qual AS (
+      SELECT a.l_suppkey, count(*) AS n_parts_dominated
+      FROM per_ps a JOIN per_p b ON a.l_partkey = b.l_partkey
+      WHERE a.sup_qty > b.tot_qty * 0.1
+      GROUP BY 1)
+    SELECT s_suppkey, s_name, n_name, n_parts_dominated
+    FROM qual JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def q20_dominant_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style (adapted: availqty > half of demand becomes supplied
+    quantity > 10% of the part's total — a dominant-share supplier). The
+    Q20 shape is the nested qualification: suppliers reached only through
+    an aggregated predicate over (part, supplier) groups joined against
+    per-part totals.
+
+    The per-part total re-aggregates per_ps (already reduced), so lineitem
+    is scanned and shuffled exactly once. The share compare is
+    double > double * 0.1 with identical operands in both engines. The
+    final supplier/nation joins are broadcast dimensions. At 100 TB the
+    per_ps -> per_p join is key-partitioned on l_partkey; AQE broadcasts
+    per_p when it fits."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    per_ps = (
+        li.join(F.broadcast(pa.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sup_qty")
+        )
+    )
+    per_p = per_ps.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("sup_qty").alias("tot_qty")
+    )
+    qual = (
+        per_ps.join(per_p, per_ps.l_partkey == per_p.pk)
+        .filter(F.col("sup_qty") > F.col("tot_qty") * F.lit(0.1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_parts_dominated"))
+    )
+    return (
+        qual.join(F.broadcast(su), qual.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", "n_parts_dominated")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH fl AS (
+      SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F')
+    SELECT s_suppkey, s_name, numwait FROM (
+      SELECT l1.l_suppkey, count(DISTINCT l1.l_orderkey) AS numwait
+      FROM fl l1
+      WHERE l1.late
+        AND EXISTS (SELECT 1 FROM fl l2 WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM fl l3 WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+      GROUP BY 1) w
+    JOIN supplier ON w.l_suppkey = s_suppkey
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style suppliers who kept orders waiting (adapted: a line is
+    late when l_shipdate > o_orderdate + 90 days, standing in for
+    receiptdate > commitdate). For finalized orders, count per supplier the
+    orders where that supplier was late, at least one OTHER supplier
+    participated (EXISTS), and NO other supplier was late (NOT EXISTS) —
+    i.e. this supplier alone held the order up.
+
+    Both existence tests become equi-joins on l_orderkey with a residual
+    suppkey-inequality predicate: leftsemi then leftanti against two
+    filtered aliases of the same finalized-lines relation. No correlated
+    re-scan, no cartesian — at 100 TB all three sides hash-partition on
+    l_orderkey and the exchange is reused across the two joins. numwait is
+    COUNT(DISTINCT orderkey) so multi-line lateness on one order counts
+    once, matching the oracle exactly (counts, no float accumulation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    su = load_table(spark, sf_dir, "supplier")
+    fl = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias(
+                "late"
+            ),
+        )
+    )
+    others = fl.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    ).distinct()
+    other_late = (
+        fl.filter("late")
+        .select(
+            F.col("l_orderkey").alias("o3_orderkey"),
+            F.col("l_suppkey").alias("o3_suppkey"),
+        )
+        .distinct()
+    )
+    waiting = (
+        fl.filter("late")
+        .join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "leftsemi",
+        )
+        .join(
+            other_late,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "leftanti",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )
+    return (
+        waiting.join(F.broadcast(su), waiting.l_suppkey == su.s_suppkey)
+        .select("s_suppkey", "s_name", "numwait")
+    )
