@@ -186,3 +186,133 @@ def quantile_bucketed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").cast("long").alias("max_chars"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+_CHUNK = 8  # tokens per chunk; fixture text is single-line so fixed-size
+#            token chunks stand in for the paragraph/line splitter.
+
+
+@query(
+    "chunk_dedup_boilerplate",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+      FROM documents),
+    chunks AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+             array_to_string(t[i*{_CHUNK}+1 : i*{_CHUNK}+{_CHUNK}], ' ') AS chunk
+      FROM tk, UNNEST(range(CAST(ceil(len(t) / {_CHUNK}.0) AS BIGINT))) AS u(i)),
+    dfc AS (
+      SELECT chunk, count(DISTINCT doc_id) AS df FROM chunks GROUP BY 1)
+    SELECT c.doc_id,
+           count(*) AS n_chunks,
+           CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boilerplate,
+           coalesce(string_agg(CASE WHEN d.df < 2 THEN c.chunk END, ' '
+                               ORDER BY c.chunk_idx), '') AS clean_text
+    FROM chunks c JOIN dfc d ON c.chunk = d.chunk
+    GROUP BY c.doc_id
+    """,
+)
+def chunk_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style line-level dedup: drop text chunks that
+    recur across >= 2 distinct documents (boilerplate — headers, nav
+    bars, license blurbs) and reassemble each document from its surviving
+    chunks in order. Fixture text is single-line, so non-overlapping
+    8-token windows stand in for the line/paragraph splitter; the Spark
+    shape is identical for any splitter.
+
+    100 TB shape: posexplode is map-side; the corpus-wide document
+    frequency groups on the 60-bit md5 of the chunk (8-byte shuffle key,
+    chunk text rides once on the join back); reassembly groups by doc_id.
+    Three key-partitioned exchanges, no all-pairs anything — the same
+    blocking discipline as the shingle joins in dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    n_chunks = F.ceil(F.size(tk) / F.lit(float(_CHUNK))).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - F.lit(1)),
+        lambda i: F.array_join(F.slice(tk, i * _CHUNK + 1, _CHUNK), " "),
+    )
+    exploded = (
+        docs.select("doc_id", F.posexplode(chunk_arr).alias("chunk_idx", "chunk"))
+        .filter(F.col("chunk") != "")
+        .withColumn("chunk_h", md5_long(F.col("chunk")))
+    )
+    dfc = exploded.groupBy("chunk_h").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    joined = exploded.join(dfc, "chunk_h")
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(F.col("df") < 2, F.struct("chunk_idx", "chunk"))
+        )
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_boilerplate"),
+        F.array_join(
+            F.transform(kept, lambda s: s.getField("chunk")), " "
+        ).alias("clean_text"),
+    )
+
+
+_PACK_BUDGET = 256  # tokens per training sequence pack
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+    WITH tk AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok
+      FROM documents),
+    packed AS (
+      SELECT source, doc_id, n_tok,
+             CAST(floor((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tok)
+                        / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id
+      FROM tk)
+    SELECT source, pack_id,
+           count(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+    FROM packed GROUP BY source, pack_id
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: concat-then-chunk
+    assignment — within each source shard, documents in deterministic
+    doc_id order are laid end-to-end and a document belongs to the pack
+    where its first token lands (pack budget 256 tokens).
+    This is the GPT-style packing layout expressed as a running-sum
+    window, not a driver-side loop.
+
+    100 TB shape: the running sum partitions by source, so no global
+    total order exists anywhere — each shard packs independently and in
+    parallel, exactly how a real pretokenization job shards packing. One
+    exchange on source (skew-safe as long as shards are bounded; a hash
+    sub-shard key composes trivially), then a groupBy on
+    (source, pack_id) that reuses the same partitioning."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = docs.select(
+        "source",
+        "doc_id",
+        n_tok.alias("n_tok"),
+    ).withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(float(_PACK_BUDGET))),
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("pack_tokens"),
+    )

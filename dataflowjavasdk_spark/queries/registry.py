@@ -69,6 +69,8 @@ _PRIORITY: tuple[str, ...] = (
     "q11_important_stock",
     "q20_dominant_promo_suppliers",
     "q21_waiting_suppliers",
+    "chunk_dedup_boilerplate",
+    "sequence_packing",
     "leaderboard_team_windows",
     "quantile_bucketed_docs",
     "csv_roundtrip_checksum",
