@@ -79,6 +79,12 @@ HEADLINE = [
     "repetition_ratio_quality",
     "pii_detection_stats",
     "quantile_bucketed_docs",
+    # round-3b additions: the last TPC-H shapes (correlated min,
+    # EXISTS/NOT EXISTS decorrelation) and the two new curation ops
+    "q2_min_cost_supplier",
+    "q21_waiting_suppliers",
+    "chunk_dedup_boilerplate",
+    "sequence_packing",
 ]
 
 

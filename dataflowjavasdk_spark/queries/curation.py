@@ -222,11 +222,16 @@ def chunk_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-token windows stand in for the line/paragraph splitter; the Spark
     shape is identical for any splitter.
 
-    100 TB shape: posexplode is map-side; the corpus-wide document
-    frequency groups on the 60-bit md5 of the chunk (8-byte shuffle key,
-    chunk text rides once on the join back); reassembly groups by doc_id.
-    Three key-partitioned exchanges, no all-pairs anything — the same
-    blocking discipline as the shingle joins in dedup.py."""
+    100 TB shape: posexplode is map-side; "appears in >= 2 distinct docs"
+    is min(doc_id) != max(doc_id) over a window partitioned by the 60-bit
+    md5 of the chunk (8-byte shuffle key; min/max are constant-state, so a
+    corpus-wide boilerplate chunk with millions of occurrences streams
+    through one task without buffering); reassembly groups by doc_id.
+    TWO key-partitioned exchanges and ONE corpus scan — a
+    groupBy-count + join-back formulation would scan and explode the
+    corpus twice (Spark recomputes two-branch subplans; verified on the
+    executed plan), and no all-pairs anything — the same blocking
+    discipline as the shingle joins in dedup.py."""
     docs = load_table(spark, sf_dir, "documents")
     tk = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
     n_chunks = F.ceil(F.size(tk) / F.lit(float(_CHUNK))).cast("int")
@@ -239,18 +244,20 @@ def chunk_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("chunk") != "")
         .withColumn("chunk_h", md5_long(F.col("chunk")))
     )
-    dfc = exploded.groupBy("chunk_h").agg(
-        F.countDistinct("doc_id").alias("df")
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("chunk_h")
+    flagged = exploded.withColumn(
+        "boiler", F.min("doc_id").over(w) != F.max("doc_id").over(w)
     )
-    joined = exploded.join(dfc, "chunk_h")
     kept = F.array_sort(
         F.collect_list(
-            F.when(F.col("df") < 2, F.struct("chunk_idx", "chunk"))
+            F.when(~F.col("boiler"), F.struct("chunk_idx", "chunk"))
         )
     )
-    return joined.groupBy("doc_id").agg(
+    return flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
-        F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+        F.sum(F.when(F.col("boiler"), 1).otherwise(0))
         .cast("long")
         .alias("n_boilerplate"),
         F.array_join(

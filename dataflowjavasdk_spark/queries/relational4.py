@@ -116,12 +116,15 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps_supplycost * ps_availqty). Keep parts whose value exceeds 0.1% of
     the national total — the HAVING > (scalar subquery) shape.
 
-    The global total re-aggregates the per-part values (a second, tiny
-    aggregation — NOT a second scan of lineitem) and is broadcast back via
-    cross join, the same singleton-view composition as q22. The threshold
-    multiply is double * 0.001: both engines evaluate the identical IEEE
-    product of identical inputs. At 100 TB the only fact-table shuffle is
-    the per-part groupBy; the total is |parts| -> 1 row."""
+    The global total re-aggregates the per-part values — and because Spark
+    recomputes a DataFrame referenced from two branches (verified: without
+    materialization the executed plan scans lineitem twice, zero
+    ReusedExchange), the per-part aggregate is localCheckpoint-ed first.
+    It is |parts| rows — the REDUCED relation, safe to pin at any scale —
+    so lineitem is scanned and shuffled exactly once, then the 1-row total
+    is broadcast back via cross join (the q22 singleton-view composition).
+    The threshold multiply is double * 0.001: both engines evaluate the
+    identical IEEE product of identical inputs."""
     li = load_table(spark, sf_dir, "lineitem")
     su = load_table(spark, sf_dir, "supplier")
     na = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
@@ -140,6 +143,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("part_value")
         )
+        .localCheckpoint(eager=False)
     )
     tot = val.agg(F.sum("part_value").alias("total_value"))
     return (
@@ -176,12 +180,15 @@ def q20_dominant_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     an aggregated predicate over (part, supplier) groups joined against
     per-part totals.
 
-    The per-part total re-aggregates per_ps (already reduced), so lineitem
-    is scanned and shuffled exactly once. The share compare is
-    double > double * 0.1 with identical operands in both engines. The
-    final supplier/nation joins are broadcast dimensions. At 100 TB the
-    per_ps -> per_p join is key-partitioned on l_partkey; AQE broadcasts
-    per_p when it fits."""
+    The per-part total is a window sum OVER the already-reduced per_ps
+    relation (partitioned by l_partkey), not a second aggregation branch —
+    a two-branch formulation recomputes the whole fact subplan in Spark
+    (verified: zero ReusedExchange), whereas the window costs one
+    repartition of |part x supplier| rows. lineitem is scanned and
+    shuffled exactly once. The share compare is double > double * 0.1
+    with identical operands in both engines. The final supplier/nation
+    joins are broadcast dimensions. DuckDB's oracle keeps the textbook
+    two-CTE form — its optimizer CSEs it; the window IS that plan."""
     li = load_table(spark, sf_dir, "lineitem")
     pa = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     su = load_table(spark, sf_dir, "supplier")
@@ -195,11 +202,9 @@ def q20_dominant_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sup_qty")
         )
     )
-    per_p = per_ps.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.sum("sup_qty").alias("tot_qty")
-    )
+    tot = F.sum("sup_qty").over(W.partitionBy("l_partkey"))
     qual = (
-        per_ps.join(per_p, per_ps.l_partkey == per_p.pk)
+        per_ps.withColumn("tot_qty", tot)
         .filter(F.col("sup_qty") > F.col("tot_qty") * F.lit(0.1))
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("n_parts_dominated"))
@@ -239,13 +244,20 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     participated (EXISTS), and NO other supplier was late (NOT EXISTS) —
     i.e. this supplier alone held the order up.
 
-    Both existence tests become equi-joins on l_orderkey with a residual
-    suppkey-inequality predicate: leftsemi then leftanti against two
-    filtered aliases of the same finalized-lines relation. No correlated
-    re-scan, no cartesian — at 100 TB all three sides hash-partition on
-    l_orderkey and the exchange is reused across the two joins. numwait is
-    COUNT(DISTINCT orderkey) so multi-line lateness on one order counts
-    once, matching the oracle exactly (counts, no float accumulation)."""
+    Both existence tests are DECORRELATED into order-level window
+    aggregates over a single pass of the finalized lines: with
+    n_supp = |distinct suppliers on the order| and
+    n_late_supp = |distinct LATE suppliers on the order|,
+    EXISTS(other supplier)        <=> n_supp >= 2, and
+    NOT EXISTS(other late suppl.) <=> n_late_supp = 1 for a late line
+    (self is the only late one). A naive semi/anti-join formulation
+    referenced the fact join three times and Spark recomputed it three
+    times (verified: 7 parquet scans, zero ReusedExchange); this form
+    scans lineitem once, with one window exchange on l_orderkey (the
+    per-order distinct sets are bounded by order size) and one groupBy
+    on l_suppkey. numwait is COUNT(DISTINCT orderkey) so multi-line
+    lateness counts once — counts only, no float accumulation. The
+    DuckDB oracle keeps the textbook EXISTS/NOT EXISTS spec."""
     li = load_table(spark, sf_dir, "lineitem")
     od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     su = load_table(spark, sf_dir, "supplier")
@@ -259,31 +271,14 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    others = fl.select(
-        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
-    ).distinct()
-    other_late = (
-        fl.filter("late")
-        .select(
-            F.col("l_orderkey").alias("o3_orderkey"),
-            F.col("l_suppkey").alias("o3_suppkey"),
-        )
-        .distinct()
-    )
+    w = W.partitionBy("l_orderkey")
     waiting = (
-        fl.filter("late")
-        .join(
-            others,
-            (F.col("l_orderkey") == F.col("o2_orderkey"))
-            & (F.col("l_suppkey") != F.col("o2_suppkey")),
-            "leftsemi",
+        fl.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)),
         )
-        .join(
-            other_late,
-            (F.col("l_orderkey") == F.col("o3_orderkey"))
-            & (F.col("l_suppkey") != F.col("o3_suppkey")),
-            "leftanti",
-        )
+        .filter(F.col("late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
         .groupBy("l_suppkey")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
     )
