@@ -59,7 +59,17 @@ SHINGLE_DF_CAP = 1000
 
 def _jaccard_pairs_capped(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Exact-Jaccard near-dup pairs from (doc_id, grams, n) with df-capped
-    blocking. grams must be distinct per doc (S.shingles guarantees it)."""
+    blocking. grams must be distinct per doc (S.shingles guarantees it).
+
+    ``sh`` is materialized once (lazy localCheckpoint): it feeds the gram
+    document-frequency, both sides of the banded self-join, and both gram
+    lookups of the verify stage — five references that Spark would
+    otherwise recompute from the raw corpus each (verified on the
+    executed plan: the source scan repeated 18x in near_dup_pairs_jaccard
+    before this pin). The checkpointed relation is the shingled corpus —
+    the same order of size as the input, the standard materialize-after-
+    tokenize point in a real pipeline (MEMORY_AND_DISK, spills cleanly)."""
+    sh = sh.localCheckpoint(eager=False)
     ex = sh.select("doc_id", F.explode("grams").alias("gram"))
     gram_df = (
         ex.groupBy("gram")
@@ -322,7 +332,9 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = corpus.select("doc_id", S.shingles("text", 3).alias("grams"))
     sig = sh.select(
         "doc_id", "grams", S.minhash_signature(F.col("grams"), 16).alias("sig")
-    )
+    ).localCheckpoint(eager=False)  # both self-join sides reuse the
+    # signatures; unpinned, Spark recomputes shingling + 16 minhashes
+    # per side (6 corpus scans on the executed plan)
     banded = sig.select(
         "doc_id",
         "grams",
@@ -511,6 +523,12 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .drop("rk")
+        # Materialize the deduped corpus once: it feeds the shingle stage
+        # AND the final anti-join; without the pin Spark recomputes the
+        # corpus -> quality -> window chain for every reference (the
+        # executed plan re-scanned documents 22x). This is the stage
+        # boundary a production pipeline would write to parquet anyway.
+        .localCheckpoint(eager=False)
     )
     sh = kept.select("doc_id", S.shingles("text", 3).alias("grams")).withColumn(
         "n", F.size("grams")
@@ -576,7 +594,12 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     upgraded from rows-only in round 2."""
     corpus = _corpus(spark, sf_dir)
     simhash = S.simhash64_udf()
-    fp = corpus.select("doc_id", simhash(T.tokens("text")).alias("sh"))
+    # Pin the fingerprints: the pigeonhole self-join references them from
+    # both sides, and unpinned Spark would run the vectorized simhash UDF
+    # over the corpus twice (6 scans on the executed plan). 16 bytes/doc.
+    fp = corpus.select("doc_id", simhash(T.tokens("text")).alias("sh")).localCheckpoint(
+        eager=False
+    )
     chunked = fp.select(
         "doc_id",
         "sh",

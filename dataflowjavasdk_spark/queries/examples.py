@@ -719,13 +719,18 @@ def kmeans_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # Materialize the quantized corpus once: every assignment pass (3 of
+    # them) reuses it, and per-iteration checkpoints below cut the
+    # exponentially-growing lineage — the same discipline as
+    # functions/graph.py's connected_components. Without the pins the
+    # executed plan re-scanned embeddings 11x.
     q = emb.select(
         "vec_id",
         F.transform(
             F.col("embedding"),
             lambda x: F.round(x.cast("double") * 1000).cast("long"),
         ).alias("qv"),
-    )
+    ).localCheckpoint(eager=False)
     cents = q.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").cast("int").alias("cid"),
         F.col("qv").alias("sv"),
@@ -748,7 +753,11 @@ def kmeans_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         return a.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
 
     for _ in range(2):
-        assigned = assign(cents).select("vec_id", "qv", "cid")
+        assigned = (
+            assign(cents)
+            .select("vec_id", "qv", "cid")
+            .localCheckpoint(eager=False)
+        )
         sums = (
             assigned.select("cid", F.posexplode("qv").alias("idx", "val"))
             .groupBy("cid", "idx")

@@ -530,15 +530,19 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) with the maximum quarterly revenue. The
     scalar-subquery max becomes a 1-row broadcast (Combine.globally
     asSingletonView again); equality on the exact-decimal revenue is safe
-    because both sides are the same bit pattern. Revenue aggregates once;
-    the max pass reuses that tiny relation."""
+    because both sides are the same bit pattern. Revenue aggregates once —
+    the per-supplier relation is pinned (lazy localCheckpoint) so the max
+    pass reads it instead of re-running the lineitem aggregation (Spark
+    recomputes two-branch subplans; verified on the executed plan)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     su = load_table(spark, sf_dir, "supplier")
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(disc_price()).cast("double").alias("total_revenue")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(disc_price()).cast("double").alias("total_revenue"))
+        .localCheckpoint(eager=False)
     )
     mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
@@ -569,25 +573,27 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17: revenue lost to small-quantity orders — the classic
-    correlated scalar subquery (per-part average), decorrelated into an
-    aggregate + join; Catalyst does the same rewrite for the SQL form. The
-    0.2×avg threshold is one multiply of one exact division, bit-identical
-    cross-engine. Per-part averages shuffle on partkey (same key as the
-    join — one co-partitioned exchange feeds both)."""
+    correlated scalar subquery (per-part average), decorrelated into a
+    per-part WINDOW average over the brand-restricted lines: since the
+    brand predicate restricts whole parts (every line of a qualifying
+    part survives the join), the window sees exactly the rows the
+    correlated subquery would, and lineitem is scanned ONCE — the
+    aggregate-plus-join form scanned it twice and averaged every part,
+    not just the brand's. The 0.2×avg threshold is one multiply of one
+    exact division, bit-identical cross-engine. One window exchange on
+    l_partkey."""
+    from pyspark.sql.window import Window as W
+
     li = load_table(spark, sf_dir, "lineitem")
     pa = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
-    avgq = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
-        (
-            F.lit(0.2)
-            * (
-                F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double")
-                / F.count(F.lit(1))
-            )
-        ).alias("thr")
+    w = W.partitionBy("l_partkey")
+    thr = F.lit(0.2) * (
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
     )
     return (
         li.join(pa, li.l_partkey == pa.p_partkey)
-        .join(avgq, li.l_partkey == avgq.avg_partkey)
+        .withColumn("thr", thr)
         .filter(F.col("l_quantity") < F.col("thr"))
         .agg(
             (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0)

@@ -82,7 +82,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     offers = (
         li.join(F.broadcast(eu), li.l_suppkey == eu.s_suppkey)
-        .join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(pa, li.l_partkey == pa.p_partkey)
         .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name")
         .agg(F.min("l_extendedprice").alias("offer_price"))
     )
@@ -194,7 +194,7 @@ def q20_dominant_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     su = load_table(spark, sf_dir, "supplier")
     na = load_table(spark, sf_dir, "nation")
     per_ps = (
-        li.join(F.broadcast(pa.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        li.join(pa.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(18,2)"))

@@ -1,0 +1,76 @@
+"""Derived-subplan recompute discipline (round-3 scale audit).
+
+Spark recomputes a DataFrame that two plan branches reference — there is
+no automatic common-subexpression reuse across branches (verified:
+executed plans showed zero ReusedExchange and up to 22 scans of the
+documents relation in the composed pipeline before the fixes). Expensive
+shared intermediates must therefore be pinned (lazy localCheckpoint) or
+reformulated as window functions over a single pass.
+
+This test freezes the outcome: the number of times any base relation
+appears in each query's OPTIMIZED plan must stay within the audited
+allowance. A relation appearing more than once is legitimate only for
+  - self-joins (both sides genuinely consume the data),
+  - multi-branch unions/sketches with DIFFERENT pushed filters (each
+    branch is a cheap pruned scan, the union is the algorithm), and
+  - the dup-injection _corpus constructor (3 filtered scans by design).
+Anything above the allowance means someone un-pinned a shared
+intermediate and reintroduced the recompute bug.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+
+from dataflowjavasdk_spark.queries.registry import all_queries, get
+from tests.conftest import SMOKE_SF
+
+# Max occurrences of any single base relation in the optimized plan.
+# Default allowance 4 covers corpus unions (3) and probe+base self-joins.
+_DEFAULT_CAP = 4
+_ALLOW = {
+    "theta_audience_overlap": 7,   # set algebra: A, B, A∪B branches + exact twins
+    "near_dup_clusters": 5,        # CC iteration unrolling over checkpointed edges
+}
+# Queries that were the round-3 recompute bugs: their fact relation must
+# now appear at most this many times (they were 22/18/11/6/6 before).
+_FIXED = {
+    "training_data_pipeline": 3,
+    "near_dup_pairs_jaccard": 3,
+    "kmeans_ivf_refined": 2,
+    "minhash_lsh_near_dups": 3,
+    "simhash_near_dup_pairs": 3,
+    "q11_important_stock": 1,
+    "q15_top_supplier": 1,
+    "q17_small_quantity_revenue": 2,
+    "q20_dominant_promo_suppliers": 1,
+    "q21_waiting_suppliers": 1,
+}
+
+
+def _multiplicity(spark, name) -> int:
+    df = get(name).fn(spark, SMOKE_SF)
+    t = df._jdf.queryExecution().optimizedPlan().toString()
+    c = Counter(re.findall(r"Relation \[(\w+?)#", t))
+    return max(c.values(), default=0)
+
+
+@pytest.mark.parametrize("name", sorted(_FIXED))
+def test_fixed_queries_stay_single_pass(spark, name):
+    assert _multiplicity(spark, name) <= _FIXED[name], (
+        f"{name}: a shared intermediate lost its pin — the base relation "
+        f"is referenced more than {_FIXED[name]}x again"
+    )
+
+
+def test_no_query_exceeds_relation_allowance(spark):
+    over = {}
+    for name in all_queries():
+        m = _multiplicity(spark, name)
+        cap = _ALLOW.get(name, _DEFAULT_CAP)
+        if m > cap:
+            over[name] = (m, cap)
+    assert not over, f"relation multiplicity over allowance: {over}"
