@@ -111,12 +111,19 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs]
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    # Phase 1: build every plan and execute it once. This concentrates
+    # JVM-wide JIT/codegen/file-listing warm-up BEFORE any timing — with
+    # per-query warm-up only, the first measured queries still absorb
+    # global JIT and read 30-50% high (measured: q1 isolated converges
+    # 111 -> 80 ms after a few extra warm executions).
+    dfs = {name: qs[name](spark, sf_dir) for name in names}
+    for name in names:
+        _run(dfs[name])
+    # Phase 2: median of `reps` timed runs per query measures
+    # steady-state execution (BASELINE.md protocol, noise-hardened).
     timings: dict[str, float] = {}
     for name in names:
-        # Build the plan once; warm-up executes it (JIT, code cache, file
-        # listing), then the median of `reps` timed runs measures
-        # steady-state execution (BASELINE.md protocol, noise-hardened).
-        df = qs[name](spark, sf_dir)
+        df = dfs[name]
         _run(df)
         samples = []
         for _ in range(reps):

@@ -24,9 +24,9 @@ NOISE = 1.5
 # BASELINE.md "Same-protocol rows" (ms) — keep in sync with that table
 # (round-3 re-measurement on the regenerated fixtures).
 SAME_PROTOCOL_MS = {
-    "q1_pricing_summary": 54,
-    "q3_join_agg": 74,
-    "tumbling_hourly_events": 60,
+    "q1_pricing_summary": 63,
+    "q3_join_agg": 66,
+    "tumbling_hourly_events": 65,
 }
 BASELINE_GATE = 2.0  # the driver's "within 2x of BASELINE" bar
 

@@ -130,20 +130,34 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
 
+    import statistics
+
+    # Same two-phase protocol as bench.py: warm EVERY query once before
+    # timing ANY (concentrates JVM-wide JIT in the warm pass), then
+    # median of 5 per query.
+    dfs = {name: build() for name, build in qs.items()}
+    for df in dfs.values():
+        df.toArrow()
+
     print(f"| metric | PySpark warm (bench protocol) | DuckDB warm | sf_dir={SF_DIR} |")
     print("|---|---|---|---|")
-    for name, build in qs.items():
-        df = build()
-        df.toArrow()  # warm-up
-        t0 = time.perf_counter()
+    for name, df in dfs.items():
         df.toArrow()
-        spark_ms = (time.perf_counter() - t0) * 1000
+        samples = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            df.toArrow()
+            samples.append(time.perf_counter() - t0)
+        spark_ms = statistics.median(samples) * 1000
 
         sql = DUCK_SQL[name]
         con.execute(sql).fetchall()  # warm-up
-        t0 = time.perf_counter()
-        con.execute(sql).fetchall()
-        duck_ms = (time.perf_counter() - t0) * 1000
+        samples = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            samples.append(time.perf_counter() - t0)
+        duck_ms = statistics.median(samples) * 1000
         print(f"| {name} | {spark_ms:.1f} ms | {duck_ms:.1f} ms | |")
 
 
