@@ -71,6 +71,7 @@ _PRIORITY: tuple[str, ...] = (
     "q21_waiting_suppliers",
     "chunk_dedup_boilerplate",
     "sequence_packing",
+    "unigram_rarity_quality",
     "leaderboard_team_windows",
     "quantile_bucketed_docs",
     "csv_roundtrip_checksum",

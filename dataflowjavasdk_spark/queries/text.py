@@ -301,3 +301,61 @@ def pii_detection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_flagged"),
     )
+
+
+@query(
+    "unigram_rarity_quality",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+      FROM documents),
+    freq AS (SELECT tok, count(*) AS f FROM tk GROUP BY 1),
+    m AS (SELECT CAST(SUM(f) AS DOUBLE) / count(*) AS mean_freq FROM freq)
+    SELECT doc_id, count(*) AS n_tok,
+           CAST(SUM(CASE WHEN f < mean_freq THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rare,
+           round(CAST(SUM(CASE WHEN f < mean_freq THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 9) AS rare_frac
+    FROM tk JOIN freq USING (tok), m
+    GROUP BY doc_id
+    """,
+)
+def unigram_rarity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy: per document, the fraction of token
+    occurrences drawn from the RARE half of the corpus vocabulary (corpus
+    frequency below the mean token frequency). The deterministic stand-in
+    for perplexity filtering — a transcendental log-prob would not be
+    bit-identical across engines, but integer frequency compares and one
+    IEEE division are. High rare_frac = unusual vocabulary (jargon, noise,
+    other-language); low = boilerplate-ish.
+
+    100 TB shape: the unigram table is the tfidf document-frequency shape —
+    groupBy on the token (map-side combined, so the shuffle carries
+    (token, partial-count), not occurrences), pinned via lazy
+    localCheckpoint because two branches consume it (the 1-row mean and
+    the join back); the mean is vocab-rows -> 1 row, broadcast. The join
+    back to occurrences is a plain equi-join on the token — cardinality =
+    vocabulary, NEVER hinted (the round-2 tfidf lesson); AQE broadcasts
+    it only when genuinely small."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f")).localCheckpoint(
+        eager=False
+    )
+    meanf = freq.agg(
+        (F.sum("f").cast("double") / F.count(F.lit(1))).alias("mean_freq")
+    )
+    rare = F.when(F.col("f") < F.col("mean_freq"), 1).otherwise(0)
+    return (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(meanf))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(rare).cast("long").alias("n_rare"),
+            F.round(
+                F.sum(rare).cast("double") / F.count(F.lit(1)), 9
+            ).alias("rare_frac"),
+        )
+    )
