@@ -202,15 +202,19 @@ _CHUNK = 8  # tokens per chunk; fixture text is single-line so fixed-size
       SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
              array_to_string(t[i*{_CHUNK}+1 : i*{_CHUNK}+{_CHUNK}], ' ') AS chunk
       FROM tk, UNNEST(range(CAST(ceil(len(t) / {_CHUNK}.0) AS BIGINT))) AS u(i)),
+    hashed AS (
+      SELECT doc_id, chunk_idx, chunk,
+             ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS chunk_h
+      FROM chunks),
     dfc AS (
-      SELECT chunk, count(DISTINCT doc_id) AS df FROM chunks GROUP BY 1)
+      SELECT chunk_h, count(DISTINCT doc_id) AS df FROM hashed GROUP BY 1)
     SELECT c.doc_id,
            count(*) AS n_chunks,
            CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_boilerplate,
            coalesce(string_agg(CASE WHEN d.df < 2 THEN c.chunk END, ' '
                                ORDER BY c.chunk_idx), '') AS clean_text
-    FROM chunks c JOIN dfc d ON c.chunk = d.chunk
+    FROM hashed c JOIN dfc d ON c.chunk_h = d.chunk_h
     GROUP BY c.doc_id
     """,
 )
@@ -220,7 +224,9 @@ def chunk_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars, license blurbs) and reassemble each document from its surviving
     chunks in order. Fixture text is single-line, so non-overlapping
     8-token windows stand in for the line/paragraph splitter; the Spark
-    shape is identical for any splitter.
+    shape is identical for any splitter. The oracle groups on the same
+    60-bit md5 key as the engine (functions/text.py::md5_long's verified
+    DuckDB twin), so both sides share even hash-collision behavior.
 
     100 TB shape: posexplode is map-side; "appears in >= 2 distinct docs"
     is min(doc_id) != max(doc_id) over a window partitioned by the 60-bit

@@ -58,11 +58,16 @@ _PRIORITY: tuple[str, ...] = (
     # (1) code/oracle changed in round 3
     "minhash_signatures",       # output reshaped to (doc_id, hash_idx, minhash)
     "tfidf",                    # in-plan N, un-hinted term-df join
-    "training_data_pipeline",   # un-hinted metadata join
+    "training_data_pipeline",   # un-hinted metadata join + checkpoint pins
     "near_dup_clusters",        # oracle now df-capped like the engine
-    "near_dup_pairs_jaccard",   # shares the capped-pair SQL helper
+    "near_dup_pairs_jaccard",   # shares the capped-pair SQL helper + pin
     "q3_join_agg",              # customer broadcast hint dropped (plan change)
     "q5_region_revenue",        # customer broadcast hint dropped (plan change)
+    "minhash_lsh_near_dups",    # signature relation pinned (plan change)
+    "simhash_near_dup_pairs",   # fingerprint relation pinned (plan change)
+    "kmeans_ivf_refined",       # per-iteration checkpoints (plan change)
+    "q15_top_supplier",         # revenue relation pinned (plan change)
+    "q17_small_quantity_revenue",  # window decorrelation rewrite
     # (2) new this round — no prior driver row exists at all
     "avro_logical_types_roundtrip",
     "q2_min_cost_supplier",

@@ -99,15 +99,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH val AS (
       SELECT l_partkey AS p_partkey,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-               AS part_value
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS pv_dec
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
                     JOIN nation ON s_nationkey = n_nationkey
       WHERE n_name = 'NATION_3'
       GROUP BY 1),
-    tot AS (SELECT SUM(part_value) AS total_value FROM val)
-    SELECT p_partkey, part_value
-    FROM val, tot WHERE part_value > total_value * 0.001
+    tot AS (SELECT CAST(SUM(pv_dec) AS DOUBLE) AS total_value FROM val)
+    SELECT p_partkey, CAST(pv_dec AS DOUBLE) AS part_value
+    FROM val, tot WHERE CAST(pv_dec AS DOUBLE) > total_value * 0.001
     """,
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,8 +122,13 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     It is |parts| rows — the REDUCED relation, safe to pin at any scale —
     so lineitem is scanned and shuffled exactly once, then the 1-row total
     is broadcast back via cross join (the q22 singleton-view composition).
-    The threshold multiply is double * 0.001: both engines evaluate the
-    identical IEEE product of identical inputs."""
+    Decimal discipline: BOTH aggregation levels stay exact DECIMAL — the
+    per-part values AND the grand total — and only the final comparison
+    operands are cast to double (summing already-cast doubles would be
+    order-dependent FP accumulation and could flip threshold-adjacent
+    rows between engines). The threshold multiply is double * 0.001:
+    both engines evaluate the identical IEEE product of identical
+    inputs."""
     li = load_table(spark, sf_dir, "lineitem")
     su = load_table(spark, sf_dir, "supplier")
     na = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
@@ -139,17 +143,16 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_partkey").alias("p_partkey"))
         .agg(
-            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
-            .cast("double")
-            .alias("part_value")
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("pv_dec")
         )
         .localCheckpoint(eager=False)
     )
-    tot = val.agg(F.sum("part_value").alias("total_value"))
+    tot = val.agg(F.sum("pv_dec").cast("double").alias("total_value"))
+    part_value = F.col("pv_dec").cast("double")
     return (
         val.crossJoin(F.broadcast(tot))
-        .filter(F.col("part_value") > F.col("total_value") * F.lit(0.001))
-        .select("p_partkey", "part_value")
+        .filter(part_value > F.col("total_value") * F.lit(0.001))
+        .select("p_partkey", part_value.alias("part_value"))
     )
 
 
@@ -159,14 +162,14 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH promo AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
     per_ps AS (
       SELECT l_partkey, l_suppkey,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sup_qty
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq_dec
       FROM lineitem JOIN promo ON l_partkey = p_partkey
       GROUP BY 1, 2),
-    per_p AS (SELECT l_partkey, SUM(sup_qty) AS tot_qty FROM per_ps GROUP BY 1),
+    per_p AS (SELECT l_partkey, SUM(sq_dec) AS tq_dec FROM per_ps GROUP BY 1),
     qual AS (
       SELECT a.l_suppkey, count(*) AS n_parts_dominated
       FROM per_ps a JOIN per_p b ON a.l_partkey = b.l_partkey
-      WHERE a.sup_qty > b.tot_qty * 0.1
+      WHERE CAST(a.sq_dec AS DOUBLE) > CAST(b.tq_dec AS DOUBLE) * 0.1
       GROUP BY 1)
     SELECT s_suppkey, s_name, n_name, n_parts_dominated
     FROM qual JOIN supplier ON l_suppkey = s_suppkey
@@ -196,16 +199,18 @@ def q20_dominant_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_ps = (
         li.join(pa.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
-        .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sup_qty")
-        )
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq_dec"))
     )
-    tot = F.sum("sup_qty").over(W.partitionBy("l_partkey"))
+    # The per-part total stays exact DECIMAL through the window (a double
+    # window sum would accumulate in partition order — nondeterministic);
+    # only the comparison operands are cast.
+    tot = F.sum("sq_dec").over(W.partitionBy("l_partkey"))
     qual = (
-        per_ps.withColumn("tot_qty", tot)
-        .filter(F.col("sup_qty") > F.col("tot_qty") * F.lit(0.1))
+        per_ps.withColumn("tq_dec", tot)
+        .filter(
+            F.col("sq_dec").cast("double")
+            > F.col("tq_dec").cast("double") * F.lit(0.1)
+        )
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("n_parts_dominated"))
     )

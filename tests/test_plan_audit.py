@@ -160,6 +160,7 @@ def test_no_cartesian_products_anywhere(spark):
         "side_input_global_mean",      # global mean as singleton view
         "q22_idle_rich_customers",     # global avg balance singleton
         "q11_important_stock",         # national total singleton threshold
+        "unigram_rarity_quality",      # 1-row mean-frequency singleton
         "global_window_events",        # single global-window aggregate
         "tfidf",                       # N-docs scalar broadcast
         "cosine_topk_bruteforce",      # query set broadcast, non-equi (≠)

@@ -66,6 +66,15 @@ def test_fixed_queries_stay_single_pass(spark, name):
     )
 
 
+def test_multiplicity_probe_is_not_vacuous(spark):
+    """Positive control: the plan-string regex must actually match base
+    relations, else every cap above passes vacuously (a Spark upgrade
+    changing simpleString formatting would silently disarm this file)."""
+    assert _multiplicity(spark, "q3_join_agg") >= 1
+    # and a known by-design multi-reference stays visible:
+    assert _multiplicity(spark, "dedup_exact") == 3
+
+
 def test_no_query_exceeds_relation_allowance(spark):
     over = {}
     for name in all_queries():

@@ -77,6 +77,23 @@ def main() -> int:
                 flags.append((name, f"{ratio:.2f}x vs prev round"))
             print(f"  {name:34s} {t_new*1000:8.1f} ms  {ratio:5.2f}x{mark}")
 
+    # first_run (one-shot pipeline cost incl. checkpoint materialization):
+    # compare when both rounds carry it — pre-checkpoint-stage regressions
+    # are invisible to the steady-state reps above and surface only here.
+    if old_path:
+        new_fr = load(new_path).get("first_run") or {}
+        old_fr = load(old_path).get("first_run") or {}
+        common = sorted(set(new_fr) & set(old_fr))
+        if common:
+            print("\nfirst_run (one-shot pipeline cost):")
+            for name in common:
+                ratio = new_fr[name] / max(old_fr[name], 1e-9)
+                mark = ""
+                if ratio > NOISE:
+                    mark = "  <-- REGRESSED"
+                    flags.append((name, f"{ratio:.2f}x first_run vs prev round"))
+                print(f"  {name:34s} {new_fr[name]*1000:8.1f} ms  {ratio:5.2f}x{mark}")
+
     print("\nvs BASELINE.md same-protocol rows:")
     for name, base_ms in SAME_PROTOCOL_MS.items():
         if name not in new:

@@ -1,6 +1,10 @@
 """Re-measure BASELINE.md's PySpark comparables under bench.py's exact
-protocol (one shared warm session; per query: build plan, one warm-up
-execution, one timed execution materialized via toArrow()).
+protocol (round-3b, two-phase): one shared session; phase 1 executes
+EVERY query once (concentrates JVM-wide JIT before any timing), then per
+query a re-warm followed by the median of 5 timed re-executions of the
+retained DataFrame, materialized via toArrow(). These plain queries pin
+nothing, so a retained-DataFrame rep is a full re-execution — the same
+steady-state semantics as bench.py's `queries` timings.
 
 Round-1 BASELINE rows for q1/q3/tumbling were measured with per-query
 session-cold costs that bench.py amortizes, which made BENCH_r01 look
@@ -134,7 +138,7 @@ def main() -> None:
 
     # Same two-phase protocol as bench.py: warm EVERY query once before
     # timing ANY (concentrates JVM-wide JIT in the warm pass), then
-    # median of 5 per query.
+    # median of 5 re-executions of the retained DataFrame per query.
     dfs = {name: build() for name, build in qs.items()}
     for df in dfs.values():
         df.toArrow()
