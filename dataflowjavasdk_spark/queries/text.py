@@ -72,10 +72,18 @@ def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the corpus before the real job; (b) the document-frequency relation
     is joined WITHOUT a forced broadcast — its cardinality is the
     vocabulary, which grows with the corpus; AQE broadcasts it only when
-    stats say it is genuinely small."""
+    stats say it is genuinely small. Round 3: the tokenized relation is
+    pinned (lazy localCheckpoint) because BOTH the tf and the df branch
+    consume it and Spark recomputes two-branch subplans — one scan + one
+    tokenization pass instead of two (the materialize-after-tokenize
+    stage boundary, same as the Jaccard helper). N stays a count on the
+    raw table: parquet answers count(*) from footer metadata, no data
+    scan."""
     docs = load_table(spark, sf_dir, "documents")
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens("text")).alias("term")
+    ).localCheckpoint(eager=False)
     tf = (
         tok.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("n_term"))
@@ -339,7 +347,13 @@ def unigram_rarity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary, NEVER hinted (the round-2 tfidf lesson); AQE broadcasts
     it only when genuinely small."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+    # Both the frequency build and the join back consume the tokenized
+    # relation — pin it so the corpus is scanned/tokenized once (SCALE.md
+    # principle 7); the vocab-sized frequency table is pinned for the
+    # same two-branch reason (1-row mean + join side).
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens("text")).alias("tok")
+    ).localCheckpoint(eager=False)
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f")).localCheckpoint(
         eager=False
     )
