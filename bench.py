@@ -125,10 +125,14 @@ def main() -> None:
     # ngram_decontamination with NO checkpoint in the plan — i.e. it
     # measures plan-compile latency, which amortizes at 100 TB, not
     # execution.)
-    dfs = {name: qs[name](spark, sf_dir) for name in names}
+    # first_run times BUILD + first execution: round-trip queries do
+    # their write eagerly inside the build call, so timing only the
+    # first action would hide a regression in the write path.
+    dfs: dict[str, object] = {}
     first_run: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
+        dfs[name] = qs[name](spark, sf_dir)
         _run(dfs[name])
         first_run[name] = round(time.perf_counter() - t0, 4)
     # Phase 2: median of `reps` timed re-executions of the retained

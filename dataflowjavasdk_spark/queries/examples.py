@@ -616,7 +616,8 @@ def xml_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT q.vec_id, q.qv, c.cid,
              list_reduce(
                list_transform(list_zip(q.qv, c.sv),
-                 p -> (p[1] * c.n - p[2]) * (p[1] * c.n - p[2])),
+                 p -> CAST(p[1] * c.n - p[2] AS HUGEINT)
+                      * CAST(p[1] * c.n - p[2] AS HUGEINT)),
                (x, y) -> x + y) AS raw,
              c.n AS cn
       FROM q CROSS JOIN c0 c
@@ -644,7 +645,8 @@ def xml_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT q.vec_id, q.qv, c.cid,
              list_reduce(
                list_transform(list_zip(q.qv, c.sv),
-                 p -> (p[1] * c.n - p[2]) * (p[1] * c.n - p[2])),
+                 p -> CAST(p[1] * c.n - p[2] AS HUGEINT)
+                      * CAST(p[1] * c.n - p[2] AS HUGEINT)),
                (x, y) -> x + y) AS raw,
              c.n AS cn
       FROM q CROSS JOIN c1 c
@@ -672,7 +674,8 @@ def xml_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT q.vec_id, q.qv, c.cid,
              list_reduce(
                list_transform(list_zip(q.qv, c.sv),
-                 p -> (p[1] * c.n - p[2]) * (p[1] * c.n - p[2])),
+                 p -> CAST(p[1] * c.n - p[2] AS HUGEINT)
+                      * CAST(p[1] * c.n - p[2] AS HUGEINT)),
                (x, y) -> x + y) AS raw,
              c.n AS cn
       FROM q CROSS JOIN c2 c
@@ -708,8 +711,11 @@ def kmeans_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     numerator raw_j = sum_i (q_i*n_j − s_ji)² (s = per-cluster component
     sums); the cross-centroid argmin orders by raw_j / n_j², one IEEE
     division used ONLY as an ordering key (identical in both engines,
-    ties broken by cid). Order-independent, overflow-safe (|q|≤578,
-    dim 64 → raw ≪ 2^63).
+    ties broken by cid). Order-independent and overflow-safe at scale:
+    the linear term q_i*n − s_ji fits int64 for clusters up to ~10^15
+    vectors, and the square — which would overflow int64 past ~6×10^5
+    vectors per cluster — is taken in exact 128-bit space
+    (DECIMAL(38,0) engine-side, HUGEINT in the DuckDB oracle).
 
     Scale shape: the codebook (8 centroids × 64 component sums) is the
     ONLY broadcast relation — genuinely bounded; each iteration is one
@@ -738,12 +744,18 @@ def kmeans_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def assign(cents):
+        # The squared diff stays EXACT in 128-bit space: the linear term
+        # q_i*n - s_ji fits a long for clusters up to ~10^15 vectors, but
+        # its square overflows int64 once a cluster passes ~6x10^5
+        # vectors, so it is squared as DECIMAL(38,0) (the oracle squares
+        # as HUGEINT — both exact, identical values).
         raw = F.aggregate(
             F.zip_with(
                 "qv", "sv",
-                lambda x, s: (x * F.col("n") - s) * (x * F.col("n") - s),
+                lambda x, s: (x * F.col("n") - s).cast("decimal(19,0)")
+                * (x * F.col("n") - s).cast("decimal(19,0)"),
             ),
-            F.lit(0).cast("long"),
+            F.lit(0).cast("decimal(38,0)"),
             lambda acc, y: acc + y,
         )
         a = q.crossJoin(F.broadcast(cents)).withColumn("raw", raw)

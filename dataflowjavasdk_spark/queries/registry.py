@@ -103,9 +103,7 @@ _PRIORITY: tuple[str, ...] = (
     "q10_returned_revenue",
     "q13_customer_distribution",
     "q14_promo_revenue",
-    "q15_top_supplier",
     "q16_part_supplier_counts",
-    "q17_small_quantity_revenue",
     "q18_large_orders",
     "q19_bracket_revenue",
     "q22_idle_rich_customers",
@@ -123,14 +121,15 @@ _PRIORITY: tuple[str, ...] = (
     "value_moments_per_type",
     "wordcount_via_facade",
     # (4) past the 50-slot budget — first in line for the round-4 sample;
-    # the judge's full local gate covers everything meanwhile. The two
-    # unchanged r01-era aggregates above (value_moments_per_type,
-    # wordcount_via_facade) were displaced by the changed-plan q3/q5
-    # re-checks: a query whose plan changed outranks a stale-but-frozen
-    # one.
+    # the full local gate (tools/check_correctness.py, all queries)
+    # covers everything meanwhile. Honest accounting: groups (1)+(2)
+    # above total 25 entries, so only the first ~25 of the stale-r01
+    # group (3) fit the driver's 50-slot prefix this round; the group-3
+    # tail from q7_volume_shipping down plus this group waits for
+    # round 4. A query whose code or plan changed always outranks a
+    # stale-but-frozen one.
     "repetition_ratio_quality",
     "pii_detection_stats",
-    "kmeans_ivf_refined",
     "grouped_batches_stats",
     "calendar_day_events_tz",
     "bucketed_join_revenue",

@@ -149,7 +149,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(od, li.l_orderkey == od.o_orderkey)
         .join(cu, od.o_custkey == cu.c_custkey)
         .join(
-            F.broadcast(su),
+            su,
             (li.l_suppkey == su.s_suppkey) & (cu.c_nationkey == su.s_nationkey),
         )
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)

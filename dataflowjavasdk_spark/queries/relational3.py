@@ -64,7 +64,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
         .join(cu, od.o_custkey == cu.c_custkey)
-        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(cn), cu.c_nationkey == cn.cn_key)
         .join(F.broadcast(sn), su.s_nationkey == sn.sn_key)
         .filter(
@@ -110,7 +110,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
         .join(pa, li.l_partkey == pa.p_partkey)
-        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -681,7 +681,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
         .join(pa, li.l_partkey == pa.p_partkey)
-        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(F.sum(disc_price() - cost).cast("double").alias("sum_profit"))

@@ -81,7 +81,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     offers = (
-        li.join(F.broadcast(eu), li.l_suppkey == eu.s_suppkey)
+        li.join(eu, li.l_suppkey == eu.s_suppkey)
         .join(pa, li.l_partkey == pa.p_partkey)
         .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name")
         .agg(F.min("l_extendedprice").alias("offer_price"))
@@ -134,10 +134,8 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     val = (
         li.join(
-            F.broadcast(
-                su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey).select(
-                    "s_suppkey"
-                )
+            su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey).select(
+                "s_suppkey"
             ),
             li.l_suppkey == F.col("s_suppkey"),
         )
@@ -215,7 +213,7 @@ def q20_dominant_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_parts_dominated"))
     )
     return (
-        qual.join(F.broadcast(su), qual.l_suppkey == su.s_suppkey)
+        qual.join(su, qual.l_suppkey == su.s_suppkey)
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
         .select("s_suppkey", "s_name", "n_name", "n_parts_dominated")
     )
@@ -288,6 +286,6 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
     )
     return (
-        waiting.join(F.broadcast(su), waiting.l_suppkey == su.s_suppkey)
+        waiting.join(su, waiting.l_suppkey == su.s_suppkey)
         .select("s_suppkey", "s_name", "numwait")
     )

@@ -43,27 +43,29 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# Per-session memo of loaded base relations. Re-calling spark.read.parquet
-# rebuilds the InMemoryFileIndex (a driver listing job, ~100 ms per table)
-# — a real warehouse resolves tables through a catalog once. Keyed by the
-# session's id so a stopped session's entries are never reused; fixtures
-# are immutable, so the memo can't go stale.
-_TABLE_MEMO: dict[tuple[int, str, str], DataFrame] = {}
-
-
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalizing event-time columns.
 
     Returns a plain DataFrame: filters/projections applied downstream are
     pushed into the parquet scan by Catalyst (verify via .explain —
-    PushedFilters/ReadSchema). Memoized per (session, dir, table) so
-    repeated query builds (bench reps, the driver's per-query calls)
-    reuse one file index instead of re-listing.
+    PushedFilters/ReadSchema). Memoized per (dir, table) so repeated
+    query builds (bench reps, the driver's per-query calls) reuse one
+    file index instead of re-listing (~100 ms per table — a real
+    warehouse resolves tables through a catalog once). The memo lives ON
+    the session object, so it is collected with the session and a new
+    session never sees another session's DataFrames; fixtures are
+    immutable, so entries can't go stale.
     """
     from pyspark.sql import functions as F
 
-    key = (id(spark), os.path.abspath(sf_dir), name)
-    cached = _TABLE_MEMO.get(key)
+    memo: dict[tuple[str, str], DataFrame] | None = getattr(
+        spark, "_graft_table_memo", None
+    )
+    if memo is None:
+        memo = {}
+        spark._graft_table_memo = memo
+    key = (os.path.abspath(sf_dir), name)
+    cached = memo.get(key)
     if cached is not None:
         return cached
 
@@ -80,7 +82,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # require LTZ); relational tables keep their scan columns raw so
             # date-range filters stay pushdown-eligible.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    _TABLE_MEMO[key] = df
+    memo[key] = df
     return df
 
 
@@ -117,9 +119,11 @@ def write_bucketed(
     # in-memory catalog per session, persistent warehouse dir) — Spark
     # then refuses the write with LOCATION_ALREADY_EXISTS even under
     # overwrite. If the catalog doesn't know the table, clear the orphan
-    # location so the write is idempotent across sessions.
+    # location so the write is idempotent across sessions — but ONLY for
+    # overwrite: under append/error/ignore the on-disk data is exactly
+    # what the caller wants preserved (or reported), never deleted.
     spark = df.sparkSession
-    if not spark.catalog.tableExists(table):
+    if mode == "overwrite" and not spark.catalog.tableExists(table):
         import shutil
         from urllib.parse import urlparse
 

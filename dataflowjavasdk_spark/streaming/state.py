@@ -135,17 +135,32 @@ def _stateful_par_do_kernel(
 
     def process(key: tuple, pdfs: Iterator[pd.DataFrame], group_state) -> Iterator[pd.DataFrame]:
         cells = json.loads(group_state.get[0]) if group_state.exists else {}
-        st = KeyedState(cells, timer_fired=group_state.hasTimedOut)
+        fired = group_state.hasTimedOut
+        # Beam timers PERSIST until they fire or are overwritten, but
+        # GroupState cancels its timeout on every invocation unless
+        # re-set — so the pending expiry is carried in the state blob
+        # (reserved "t:pending" slot, invisible to value()/bag()) and
+        # re-armed here. Without this, a data batch arriving between
+        # set_timer and expiry would silently cancel the timer — and
+        # diverge from the TWS substrate, where registered timers
+        # survive unrelated invocations.
+        pending = None if fired else cells.pop("t:pending", None)
+        if fired:
+            cells.pop("t:pending", None)
+        st = KeyedState(cells, timer_fired=fired)
         batches = [p for p in pdfs if len(p)]
         rows = pd.concat(batches) if batches else pd.DataFrame()
         out = fn(key, rows, st)
         if st.removed:
             group_state.remove()
         else:
+            timer = st._timer_ms if st._timer_ms is not None else pending
+            if timer is not None:
+                st._cells["t:pending"] = timer
             group_state.update((json.dumps(st._cells),))
-            if st._timer_ms is not None:
+            if timer is not None:
                 group_state.setTimeoutTimestamp(
-                    max(st._timer_ms, group_state.getCurrentWatermarkMs() + 1)
+                    max(timer, group_state.getCurrentWatermarkMs() + 1)
                 )
         if out is not None and len(out):
             yield out

@@ -465,12 +465,20 @@ def triggered_window_aggregate(
                     emit("LATE", is_last=final_horizon)
                     emitted_closing = final_horizon
             if final_horizon:
-                if closing_behavior == CLOSING_FIRE_ALWAYS and not emitted_closing:
-                    # ClosingBehavior.FIRE_ALWAYS: the horizon-crossing
-                    # cleanup emits one final pane even though nothing new
-                    # arrived since the last firing (empty under
-                    # DISCARDING, the running totals under ACCUMULATING) —
-                    # the guaranteed is_last window-closed signal.
+                if not emitted_closing and (
+                    closing_behavior == CLOSING_FIRE_ALWAYS or pane_n
+                ):
+                    # Closing pane at the lateness horizon. FIRE_ALWAYS:
+                    # emit even though nothing new arrived since the last
+                    # firing (empty under DISCARDING, the running totals
+                    # under ACCUMULATING) — the guaranteed is_last
+                    # window-closed signal. Default FIRE_IF_NON_EMPTY:
+                    # emit iff the pane holds data not yet fired — e.g. a
+                    # late element buffered by an unready late trigger
+                    # (AfterCount(2) with one arrival); Beam fires the
+                    # final pane whenever there is new data since the
+                    # last firing, so dropping it here would lose the
+                    # element's contribution forever.
                     emit("LATE", is_last=True)
                 state.remove()
             else:
@@ -684,10 +692,17 @@ def triggered_session_aggregate(
                         emit(s, "LATE", is_last=final_horizon)
                         emitted_closing = final_horizon
                 if final_horizon:
-                    # ClosingBehavior over merging windows: FIRE_ALWAYS
+                    # Closing pane over merging windows: FIRE_ALWAYS
                     # guarantees the session's final is_last pane at the
-                    # lateness horizon even when nothing new arrived.
-                    if closing_behavior == CLOSING_FIRE_ALWAYS and not emitted_closing:
+                    # lateness horizon even when nothing new arrived;
+                    # default FIRE_IF_NON_EMPTY still fires when the pane
+                    # holds data no earlier firing emitted (late element
+                    # buffered by an unready late trigger) — Beam's
+                    # "final pane if there is new data since the last
+                    # firing" contract.
+                    if not emitted_closing and (
+                        closing_behavior == CLOSING_FIRE_ALWAYS or s["pane_n"]
+                    ):
                         emit(s, "LATE", is_last=True)
                 else:
                     keep.append(s)  # still refinable within lateness

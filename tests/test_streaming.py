@@ -606,3 +606,49 @@ def test_rocksdb_state_store_provider_works(spark, harness):
         }
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stateful_par_do_timer_survives_unrelated_batch(spark, harness):
+    """Beam timers persist until they fire or are overwritten. The Beam
+    set-once idiom (arm the timer only when first creating state) must
+    work even when later data batches for the key arrive before expiry:
+    GroupState cancels its timeout on every invocation unless re-set, so
+    the kernel re-arms the pending expiry from the state blob. Without
+    that, round 2 below would silently cancel the timer and the final
+    pane would never fire — and the kernel would diverge from the TWS
+    substrate, where registered timers survive unrelated invocations."""
+    import pandas as pd
+
+    from dataflowjavasdk_spark.streaming.state import stateful_par_do
+
+    def fn(key, rows, state):
+        if state.timer_fired:
+            total = state.value("count", 0)
+            state.clear_all()
+            return pd.DataFrame({"key": [key[0]], "n": [total], "final": [True]})
+        if len(rows) == 0:
+            return None
+        state.set("count", state.value("count", 0) + len(rows))
+        if not state.value("armed", False):  # arm ONCE, on first sight
+            state.set("armed", True)
+            first_ms = int(rows["ts"].min().timestamp() * 1000)
+            state.set_timer(first_ms + 60_000)
+        return None
+
+    def build(stream):
+        return stateful_par_do(
+            stream, keys=["key"], fn=fn,
+            output_schema="key string, n long, final boolean",
+        )
+
+    harness.feed(_batch(spark, _rows(spark, (1, 10, "a", 1))))
+    assert harness.run_round(build, "update") == []
+
+    # second batch for the same key: fn does NOT re-set the timer
+    harness.feed(_batch(spark, _rows(spark, (2, 20, "a", 1))))
+    assert harness.run_round(build, "update") == []
+
+    # advance the watermark past the timer armed in round 1
+    harness.feed(_batch(spark, _rows(spark, (3, 500, "b", 1))))
+    out = [(r["key"], r["n"], r["final"]) for r in harness.run_round(build, "update")]
+    assert ("a", 2, True) in out

@@ -488,3 +488,38 @@ def test_session_kernel_output_time_latest(spark, harness):
     out = harness.run_round(build, output_mode="update")
     closed = [r for r in out if str(r["window_start"]) == "2024-01-01 00:00:00"]
     assert [r["emit_ts"] for r in closed] == [datetime.datetime(2024, 1, 1, 0, 0, 50)]
+
+
+def test_closing_fire_if_non_empty_flushes_buffered_late_data(spark, harness):
+    """Default ClosingBehavior.FIRE_IF_NON_EMPTY must still fire the final
+    pane when data arrived since the last firing but the late trigger was
+    not ready (AfterCount(2) with one late element): Beam fires the
+    closing pane whenever it is non-empty. Dropping it would lose the
+    buffered element's contribution forever and never emit is_last."""
+    trig = AfterWatermark(late=AfterCount(2))
+    build = _build(trig, ACCUMULATING, lateness="60 seconds")
+
+    # Round 1: one element in [0,60); driver row at 100 crosses the
+    # window end (wm 100 > 60) but not the horizon (120) -> ON_TIME.
+    harness.feed(_batch(spark, [(1, 10, "a", 1), (2, 100, "zz", 0)]))
+    out1 = [p for p in _panes(harness.run_round(build, output_mode="update"))
+            if p[0] == "2024-01-01 00:00:00"]
+    assert out1 == [("2024-01-01 00:00:00", "ON_TIME", 0, 1, 1.0, True, False)]
+
+    # Round 2: ONE late element (AfterCount(2) not satisfied -> no LATE
+    # pane yet); wm stays 100 < 120 so the window is still open. ts=45
+    # is Beam-late (true wm 100 > 60) but above Spark's delayed watermark
+    # (100-60=40), so the row reaches the kernel instead of being dropped
+    # by FlatMapGroupsWithState's own late filter.
+    harness.feed(_batch(spark, [(3, 45, "a", 5)]))
+    out2 = [p for p in _panes(harness.run_round(build, output_mode="update"))
+            if p[0] == "2024-01-01 00:00:00"]
+    assert out2 == []
+
+    # Round 3: the horizon passes with no new data for the window. The
+    # buffered late element makes the closing pane NON-EMPTY -> it must
+    # fire (accumulating totals, is_last=True).
+    harness.feed(_batch(spark, [(4, 500, "zz", 0)]))
+    out3 = [p for p in _panes(harness.run_round(build, output_mode="update"))
+            if p[0] == "2024-01-01 00:00:00"]
+    assert out3 == [("2024-01-01 00:00:00", "LATE", 1, 2, 6.0, False, True)]
