@@ -640,3 +640,61 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .select("id_a", "id_b", "hamming")
     )
+
+
+@query(
+    "leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE corpus AS ({_CORPUS_SQL}),{_jaccard_pairs_sql("corpus")},
+    pairs AS (SELECT id_a, id_b FROM jacc_pairs),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach AS (
+      SELECT a AS node, b AS r FROM edges
+      UNION
+      SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a
+    ),
+    comp AS (
+      SELECT node, least(node, min(r)) AS component FROM reach GROUP BY node
+    ),
+    clusters AS (
+      SELECT c.doc_id, coalesce(comp.component, c.doc_id) AS cluster_id
+      FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id
+    )
+    SELECT CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT
+                     % 10 < 9
+                THEN 'train' ELSE 'eval' END AS split,
+           count(*) AS n_docs,
+           count(DISTINCT cluster_id) AS n_clusters
+    FROM clusters GROUP BY 1
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval split: the unit of assignment is the
+    NEAR-DUP CLUSTER, not the document — a deterministic md5 hash of the
+    cluster representative sends ~90% of clusters to train and the rest
+    to eval, so a near-duplicate of a training document can never land in
+    the eval set (the eval-contamination failure mode of naive per-doc
+    hashing; tests/test_dedup_similarity.py asserts zero cross-split
+    Jaccard pairs). Composes near_dup_clusters' component labeling with
+    the stratified-mix hash-threshold idiom.
+
+    100 TB shape: inherits the cluster pipeline's blocking (df-capped
+    shingle equi-join, min-label propagation); the split itself is a pure
+    expression on the (doc_id, cluster_id) relation plus one groupBy on
+    the 'split' key — no new shuffles of document payloads."""
+    clusters = near_dup_clusters(spark, sf_dir)
+    split = F.when(
+        T.md5_long(F.col("cluster_id").cast("string")) % 10 < 9, "train"
+    ).otherwise("eval")
+    return (
+        clusters.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+    )

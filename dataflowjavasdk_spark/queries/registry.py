@@ -77,6 +77,7 @@ _PRIORITY: tuple[str, ...] = (
     "chunk_dedup_boilerplate",
     "sequence_packing",
     "unigram_rarity_quality",
+    "leakage_safe_split",
     "leaderboard_team_windows",
     "quantile_bucketed_docs",
     "csv_roundtrip_checksum",

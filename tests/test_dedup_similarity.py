@@ -291,3 +291,33 @@ def test_connected_components_raises_when_capped(spark):
     )
     with _pytest.raises(RuntimeError, match="converge"):
         connected_components(edges, max_iter=3)
+
+
+def test_leakage_safe_split_has_no_cross_split_near_dups(spark):
+    """The split's whole point: no Jaccard near-dup pair may straddle
+    train/eval (that is eval contamination). Assign per-document splits
+    the same way the query does and check every pair lands on one side."""
+    from pyspark.sql import functions as F
+
+    from dataflowjavasdk_spark.functions.text import md5_long
+    from dataflowjavasdk_spark.queries.dedup import (
+        near_dup_clusters,
+        near_dup_pairs_jaccard,
+    )
+    from tests.conftest import SMOKE_SF
+
+    clusters = near_dup_clusters(spark, SMOKE_SF)
+    assign = clusters.select(
+        "doc_id",
+        F.when(
+            md5_long(F.col("cluster_id").cast("string")) % 10 < 9, "train"
+        ).otherwise("eval").alias("split"),
+    )
+    pairs = near_dup_pairs_jaccard(spark, SMOKE_SF)
+    a = assign.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    b = assign.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    cross = pairs.join(a, "id_a").join(b, "id_b").filter("sa <> sb")
+    assert cross.count() == 0
+    # and the split is genuinely two-sided on this fixture
+    sides = {r["split"] for r in assign.select("split").distinct().collect()}
+    assert sides == {"train", "eval"}

@@ -34,6 +34,7 @@ _DEFAULT_CAP = 4
 _ALLOW = {
     "theta_audience_overlap": 7,   # set algebra: A, B, A∪B branches + exact twins
     "near_dup_clusters": 5,        # CC iteration unrolling over checkpointed edges
+    "leakage_safe_split": 5,       # composes near_dup_clusters (same shape)
 }
 # Queries that were the round-3 recompute bugs: their fact relation must
 # now appear at most this many times (they were 22/18/11/6/6 before).
