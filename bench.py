@@ -3,12 +3,15 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Method mirrors BASELINE.md: one shared SparkSession, one warm-up execution
-per query, then the MEDIAN of 5 timed runs (wall clock around the
-collecting action). n=2 (round ≤2) left a ±30 % run-to-run spread that
-produced two false regression flags in round 2 (VERDICT.md "Next round"
-#4); the median of 5 cuts the spread enough that compare_bench's 1.5×
-noise band means something. Override reps with SPARK_GRAFT_BENCH_REPS.
+Method mirrors BASELINE.md (round-3b two-phase protocol): one shared
+SparkSession; phase 1 builds and executes EVERY query once, timed as
+`first_run` (one-shot pipeline cost — build side effects, plan compile,
+checkpoint materialization); phase 2 re-warms each retained DataFrame and
+takes the MEDIAN of 5 timed re-executions (steady-state `queries`, the
+round-over-round comparable). n=2 (round ≤2) left a ±30 % run-to-run
+spread that produced two false regression flags in round 2; the median of
+5 cuts the spread enough that compare_bench's 1.5× noise band means
+something. Override reps with SPARK_GRAFT_BENCH_REPS.
 """
 
 from __future__ import annotations
