@@ -329,3 +329,61 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("long").alias("pack_tokens"),
     )
+
+
+@query(
+    "temperature_mix_sqrt",
+    oracle="""
+    WITH counts AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+    nmin AS (SELECT min(n_s) AS n_min FROM counts),
+    rated AS (
+      SELECT d.doc_id, d.source, c.n_s,
+             sqrt(CAST(n_min AS DOUBLE) / CAST(c.n_s AS DOUBLE)) AS rate,
+             ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000
+               AS bucket
+      FROM documents d JOIN counts c USING (source), nmin)
+    SELECT source, n_s AS n_total,
+           CAST(SUM(CASE WHEN bucket < CAST(floor(rate * 10000) AS BIGINT)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(rate, 9) AS rate
+    FROM rated GROUP BY source, n_s, rate
+    """,
+)
+def temperature_mix_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixing (the DoReMi/data-recipe idiom
+    at alpha = 0.5): each source keeps a deterministic
+    sqrt(n_min / n_s) fraction, so over-represented sources are
+    down-weighted toward the smallest one while the ordering of source
+    sizes is preserved — the standard compromise between proportional
+    (alpha=1) and uniform (alpha=0) mixing. alpha=0.5 specifically
+    because IEEE sqrt is CORRECTLY ROUNDED (unlike pow), so the rate is
+    bit-identical across engines; the keep decision reuses the
+    stratified-mix hash-threshold idiom (md5 mod 10000 <
+    floor(rate*10000) — floor on BOTH sides: DuckDB's double->BIGINT
+    cast rounds, Spark's truncates). Reproducible across engines, runs,
+    and corpus growth.
+
+    100 TB shape: per-source counts are one map-side-combined groupBy
+    (|sources| rows, pinned for its two consumers — the global min and
+    the join back); the per-document decision is scan-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_s"))
+        .localCheckpoint(eager=False)
+    )
+    nmin = counts.agg(F.min("n_s").alias("n_min"))
+    rate = F.sqrt(F.col("n_min").cast("double") / F.col("n_s").cast("double"))
+    bucket = F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(10000))
+    return (
+        docs.join(counts, "source")
+        .crossJoin(F.broadcast(nmin))
+        .withColumn("rate", F.round(rate, 9))
+        .withColumn(
+            "kept",
+            F.when(bucket < F.floor(rate * 10000), 1).otherwise(0),
+        )
+        .groupBy("source", F.col("n_s").alias("n_total"), "rate")
+        .agg(F.sum("kept").cast("long").alias("n_kept"))
+        .select("source", "n_total", "n_kept", "rate")
+    )

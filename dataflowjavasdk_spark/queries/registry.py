@@ -78,6 +78,7 @@ _PRIORITY: tuple[str, ...] = (
     "sequence_packing",
     "unigram_rarity_quality",
     "leakage_safe_split",
+    "temperature_mix_sqrt",
     "leaderboard_team_windows",
     "quantile_bucketed_docs",
     "csv_roundtrip_checksum",

@@ -161,6 +161,7 @@ def test_no_cartesian_products_anywhere(spark):
         "q22_idle_rich_customers",     # global avg balance singleton
         "q11_important_stock",         # national total singleton threshold
         "unigram_rarity_quality",      # 1-row mean-frequency singleton
+        "temperature_mix_sqrt",        # 1-row min-source-count singleton
         "global_window_events",        # single global-window aggregate
         "tfidf",                       # N-docs scalar broadcast
         "cosine_topk_bruteforce",      # query set broadcast, non-equi (≠)
