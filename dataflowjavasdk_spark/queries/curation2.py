@@ -1,0 +1,495 @@
+"""Round-3 curation extensions: PII redaction, Levenshtein-verified
+near-dups, Bloom-filter decontamination, and incremental (batch-vs-corpus)
+dedup — the remaining ops a production pretraining pipeline runs that
+SURVEY.md §2.13 had not yet covered.
+
+Scale shapes (the design constraint for every query here):
+- pii_redaction: pure regexp expressions, zero shuffles — scan-speed.
+- edit_distance_near_dups: the SAME df-capped shingle blocking as
+  queries/dedup.py (never all-pairs); Levenshtein runs only on candidate
+  pairs, and Levenshtein cost is O(len_a*len_b) per PAIR, so bounding the
+  candidate count is what makes it feasible at 100 TB.
+- bloom_ngram_decontamination: the 100 TB upgrade of ngram_decontamination
+  — instead of broadcasting every distinct benchmark gram (GBs for a big
+  benchmark suite), broadcast a CONSTANT-size bit array (8 KiB here); the
+  corpus-side check is a join against ≤2048 bloom words. False positives
+  are then resolved with the exact gram join on the (tiny) bloom-positive
+  survivor set.
+- incremental_dedup: the ingest shape — a small new batch probes a
+  precomputed corpus index (fingerprints + capped gram postings); the
+  corpus is scanned once to build the index, the batch never self-joins
+  the corpus's full text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataflowjavasdk_spark.functions import similarity as S
+from dataflowjavasdk_spark.functions import text as T
+from dataflowjavasdk_spark.functions.text import md5_long
+from dataflowjavasdk_spark.queries.dedup import (
+    _CORPUS_SQL,
+    SHINGLE_DF_CAP,
+    _blocked_candidates,
+    _candidate_pairs_sql,
+    _corpus,
+)
+from dataflowjavasdk_spark.queries.registry import query
+from dataflowjavasdk_spark.sources.tables import load_table
+
+# Engine-portable PII-ish patterns (character classes + literals only, so
+# Java regex and DuckDB's RE2 agree) — same patterns as pii_detection_stats.
+_EMAIL = "[a-z0-9.]+@[a-z0-9]+[.][a-z]+"
+_URL = "https?://[a-z0-9./_-]+"
+
+
+@query(
+    "pii_redaction",
+    oracle=f"""
+    WITH pii AS (
+      SELECT doc_id,
+             text
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' see https://site' || doc_id::VARCHAR || '.org/page'
+                       ELSE '' END AS text
+      FROM documents
+    ),
+    red AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{_EMAIL}'))
+               + len(regexp_extract_all(text, '{_URL}')) AS n_redacted,
+             regexp_replace(regexp_replace(text, '{_EMAIL}', '<EMAIL>', 'g'),
+                            '{_URL}', '<URL>', 'g') AS redacted
+      FROM pii
+    )
+    SELECT doc_id, CAST(n_redacted AS BIGINT) AS n_redacted,
+           CAST(len(redacted) AS BIGINT) AS redacted_len,
+           md5(redacted) AS redacted_md5
+    FROM red WHERE n_redacted > 0
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (the write path of pii_detection_stats): replace
+    email- and URL-shaped spans with typed placeholder tokens, emit the
+    per-doc redaction count and an md5 checksum of the redacted text so
+    the full rewritten column stays oracle-comparable without shipping it.
+    The fixture corpus contains no PII-shaped spans (verified), so both
+    engines first decorate it identically — every 7th doc gets a synthetic
+    email, every 11th a URL — the same deterministic-perturbation pattern
+    as the dedup corpus (_CORPUS_SQL). Emails are replaced first; the URL
+    pattern cannot match inside the '<EMAIL>' placeholder (uppercase +
+    angle brackets are outside both character classes), so the two passes
+    commute with the oracle's. Pure expressions — zero shuffles,
+    scan-bound at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    decorated = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" see https://site"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(".org/page"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    n_red = (
+        F.regexp_count("text", F.lit(_EMAIL)) + F.regexp_count("text", F.lit(_URL))
+    ).cast("long")
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL, "<EMAIL>"), _URL, "<URL>"
+    )
+    return (
+        decorated.select(
+            "doc_id",
+            n_red.alias("n_redacted"),
+            F.length(redacted).cast("long").alias("redacted_len"),
+            F.md5(redacted).alias("redacted_md5"),
+        )
+        .filter(F.col("n_redacted") > 0)
+    )
+
+
+# Relative edit-distance threshold for near-dup verification: the fixture
+# near-dups drop 5 trailing tokens (~20% of a ~30-token doc), so 0.25
+# keeps them while rejecting unrelated docs that merely share a shingle.
+_LEV_REL_THRESHOLD = 0.25
+
+
+@query(
+    "edit_distance_near_dups",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),{_candidate_pairs_sql("corpus")}
+    SELECT id_a, id_b,
+           CAST(levenshtein(ca.text, cb.text) AS BIGINT) AS lev,
+           round(levenshtein(ca.text, cb.text)::DOUBLE
+                 / greatest(len(ca.text), len(cb.text), 1)::DOUBLE, 9) AS rel
+    FROM cand
+    JOIN corpus ca ON ca.doc_id = id_a
+    JOIN corpus cb ON cb.doc_id = id_b
+    WHERE levenshtein(ca.text, cb.text)::DOUBLE
+            / greatest(len(ca.text), len(cb.text), 1)::DOUBLE
+          <= {_LEV_REL_THRESHOLD}
+    """,
+)
+def edit_distance_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs: df-capped shingle blocking (the
+    identical candidate stage as near_dup_pairs_jaccard — one equi-join,
+    never all-pairs), then EXACT Levenshtein verification on candidates
+    only, keeping pairs whose edit distance is ≤25% of the longer text.
+    Levenshtein catches within-token edits that token-set Jaccard is
+    blind to (typo farms, template fills); its O(len²)-per-pair cost is
+    why the blocking cap is load-bearing at 100 TB. ``F.levenshtein`` is
+    a JVM codegen expression — no Python in the plan."""
+    corpus = _corpus(spark, sf_dir)
+    sh = corpus.select("doc_id", "text", S.shingles("text", 3).alias("grams"))
+    sh, cand = _blocked_candidates(sh)
+    ta = sh.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    tb = sh.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    lev = F.levenshtein("text_a", "text_b")
+    rel = lev.cast("double") / F.greatest(
+        F.length("text_a"), F.length("text_b"), F.lit(1)
+    ).cast("double")
+    # Filter on the UNROUNDED ratio (as the oracle does) and emit the
+    # rounded one — filtering on the rounded value would admit pairs the
+    # oracle rejects at the threshold boundary.
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(rel <= _LEV_REL_THRESHOLD)
+        .select(
+            "id_a",
+            "id_b",
+            lev.cast("long").alias("lev"),
+            F.round(rel, 9).alias("rel"),
+        )
+    )
+
+
+# Bloom filter geometry: m = 65536 bits packed into 2048 32-bit words
+# (stored in BIGINTs so `1 << (pos & 31)` never touches the sign bit in
+# either engine), k = 3 hash functions. Positions are md5-derived —
+# deterministic and identical across Spark and DuckDB.
+_BLOOM_BITS = 65536
+_BLOOM_K = 3
+
+
+@query(
+    "bloom_ngram_decontamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(tk) - 6, 1)),
+               i -> array_to_string(array_slice(tk, i, i + 7), ' ')
+             )) AS grams
+      FROM toks WHERE len(tk) >= 8
+    ),
+    exploded AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+    bench AS (SELECT DISTINCT gram FROM exploded WHERE doc_id % 20 = 0),
+    bench_bits AS (
+      SELECT (('0x' || substr(md5(j::VARCHAR || ':' || gram), 1, 15))::BIGINT
+              % {_BLOOM_BITS}) AS pos
+      FROM bench CROSS JOIN (SELECT unnest(range(0, {_BLOOM_K})) AS j) js
+    ),
+    bloom AS (
+      SELECT pos >> 5 AS word_idx, bit_or(1::BIGINT << (pos & 31)) AS word
+      FROM bench_bits GROUP BY 1
+    ),
+    corpus_grams AS (
+      SELECT doc_id, gram FROM exploded WHERE doc_id % 20 <> 0
+    ),
+    probe AS (
+      SELECT doc_id, gram, j,
+             (('0x' || substr(md5(j::VARCHAR || ':' || gram), 1, 15))::BIGINT
+              % {_BLOOM_BITS}) AS pos
+      FROM corpus_grams CROSS JOIN (SELECT unnest(range(0, {_BLOOM_K})) AS j) js2
+    ),
+    hits AS (
+      SELECT p.doc_id, p.gram
+      FROM probe p JOIN bloom b ON b.word_idx = p.pos >> 5
+      WHERE (b.word & (1::BIGINT << (p.pos & 31))) <> 0
+      GROUP BY p.doc_id, p.gram
+      HAVING count(*) = {_BLOOM_K}
+    ),
+    exact AS (
+      SELECT cg.doc_id, cg.gram FROM corpus_grams cg JOIN bench USING (gram)
+    )
+    SELECT h.doc_id,
+           count(*) AS n_bloom,
+           CAST(SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact
+    FROM hits h LEFT JOIN exact e ON e.doc_id = h.doc_id AND e.gram = h.gram
+    GROUP BY h.doc_id
+    """,
+)
+def bloom_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the constant-memory scale
+    path for ngram_decontamination. Build a deterministic 65536-bit /
+    3-hash Bloom filter over the benchmark's distinct 8-gram shingles
+    (aggregated as bit_or over ≤2048 packed words — an 8 KiB relation no
+    matter how large the benchmark grows), then probe every corpus gram
+    against it; only bloom-positive grams are re-checked with the exact
+    join. At 100 TB this replaces broadcasting the full benchmark gram
+    set with broadcasting 8 KiB, and the exact join's left side shrinks
+    to the bloom survivors. Output is per-doc bloom-hit and exact-hit
+    counts, so the oracle also verifies the false-positive behavior of
+    the filter itself (hash positions are md5-derived and cross-engine
+    identical). The bloom relation is genuinely constant-size —
+    broadcast-hinted like the IVF codebook."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", S.shingles("text", 8).alias("grams"))
+    exploded = sh.select("doc_id", F.explode("grams").alias("gram"))
+    exploded = exploded.localCheckpoint(eager=False)  # feeds bench + corpus + exact
+    bench = exploded.filter(F.col("doc_id") % 20 == 0).select("gram").distinct()
+    js = F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))
+
+    def positions(df: DataFrame) -> DataFrame:
+        withj = df.select(
+            *df.columns, F.explode(js).alias("j")
+        )
+        pos = md5_long(
+            F.concat(F.col("j").cast("string"), F.lit(":"), F.col("gram"))
+        ) % _BLOOM_BITS
+        return withj.withColumn("pos", pos)
+
+    # shiftleft by a COLUMN needs the SQL form (the Python helper only
+    # accepts a literal shift amount).
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+    bloom = (
+        positions(bench)
+        .select(F.shiftright("pos", 5).alias("word_idx"), mask.alias("mask"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    corpus_grams = exploded.filter(F.col("doc_id") % 20 != 0)
+    probe = positions(corpus_grams)
+    hits = (
+        probe.join(
+            F.broadcast(bloom),
+            F.col("word_idx") == F.shiftright(F.col("pos"), 5),
+        )
+        .filter(F.col("word").bitwiseAND(mask) != 0)
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("k_set"))
+        .filter(F.col("k_set") == _BLOOM_K)
+        .select("doc_id", "gram")
+    )
+    exact = corpus_grams.join(bench, "gram").select(
+        F.col("doc_id").alias("e_doc"), F.col("gram").alias("e_gram")
+    )
+    return (
+        hits.join(
+            exact,
+            (F.col("doc_id") == F.col("e_doc")) & (F.col("gram") == F.col("e_gram")),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bloom"),
+            F.sum(F.when(F.col("e_gram").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_exact"),
+        )
+    )
+
+
+@query(
+    "incremental_dedup",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    batch AS (
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 20 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id,
+             array_to_string(
+               array_slice(list_filter(string_split(text, ' '), t -> t <> ''), 1,
+                           greatest(len(list_filter(string_split(text, ' '),
+                                                    t -> t <> '')) - 5, 1)),
+               ' ') AS text
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    corp_fp AS (
+      SELECT ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+                             1, 15))::BIGINT AS fp,
+             min(doc_id) AS match_id
+      FROM base GROUP BY 1
+    ),
+    batch_fp AS (
+      SELECT doc_id, text,
+             ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+                             1, 15))::BIGINT AS fp
+      FROM batch
+    ),
+    exact_dup AS (
+      SELECT b.doc_id, c.match_id FROM batch_fp b JOIN corp_fp c USING (fp)
+    ),
+    corp_sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(list_filter(string_split(text,' '), t -> t <> '')) - 1, 1)),
+               i -> array_to_string(
+                      array_slice(list_filter(string_split(text,' '), t -> t <> ''),
+                                  i, i + 2), ' ')
+             )) AS grams
+      FROM base
+    ),
+    batch_sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(list_filter(string_split(text,' '), t -> t <> '')) - 1, 1)),
+               i -> array_to_string(
+                      array_slice(list_filter(string_split(text,' '), t -> t <> ''),
+                                  i, i + 2), ' ')
+             )) AS grams
+      FROM batch
+    ),
+    corp_postings AS (
+      SELECT doc_id, gram FROM (SELECT doc_id, unnest(grams) AS gram FROM corp_sh) e
+      WHERE gram IN (
+        SELECT gram FROM (SELECT unnest(grams) AS gram FROM corp_sh) g
+        GROUP BY gram HAVING count(*) <= {SHINGLE_DF_CAP}
+      )
+    ),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS batch_id, p.doc_id AS corp_id
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM batch_sh) b
+      JOIN corp_postings p USING (gram)
+    ),
+    near_dup AS (
+      SELECT batch_id AS doc_id, min(corp_id) AS match_id
+      FROM cand
+      JOIN batch_sh bs ON bs.doc_id = batch_id
+      JOIN corp_sh cs ON cs.doc_id = corp_id
+      WHERE len(list_filter(bs.grams, g -> list_contains(cs.grams, g)))::DOUBLE
+              / greatest(len(bs.grams) + len(cs.grams)
+                         - len(list_filter(bs.grams, g -> list_contains(cs.grams, g))),
+                         1)::DOUBLE >= 0.5
+      GROUP BY 1
+    )
+    SELECT b.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+                WHEN n.doc_id IS NOT NULL THEN 'near'
+                ELSE 'unique' END AS verdict,
+           CASE WHEN e.doc_id IS NOT NULL THEN e.match_id
+                WHEN n.doc_id IS NOT NULL THEN n.match_id END AS match_id
+    FROM batch_fp b
+    LEFT JOIN exact_dup e ON e.doc_id = b.doc_id
+    LEFT JOIN near_dup n ON n.doc_id = b.doc_id
+    """,
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: classify each NEW-batch document against
+    the existing corpus as exact duplicate (normalized-content
+    fingerprint match), near duplicate (3-gram Jaccard ≥ 0.5 against any
+    corpus doc, candidates via df-capped corpus gram postings), or
+    unique — with the matched corpus doc id (min for determinism). The
+    batch here is the fixture's perturbed copies (exact +1M, truncated
+    +2M), the corpus is the base documents table, so every verdict class
+    is exercised. 100 TB shape: the corpus is scanned to build two
+    indexes (8-byte fingerprints; capped gram postings) — in production
+    both are precomputed and bucketed — and the small batch probes them
+    with equi-joins; batch↔batch pairs are never generated, and the
+    corpus text never self-joins. The df cap is applied to the CORPUS
+    postings (drop stopword-like grams from the index), bounding probe
+    fan-out per gram regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch_exact = docs.filter(F.col("doc_id") % 20 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    toks = T.tokens("text")
+    batch_near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 5, F.lit(1))), " "
+        ).alias("text"),
+    )
+    batch = batch_exact.unionByName(batch_near)
+
+    corp_fp = (
+        docs.select(T.fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("match_id"))
+    )
+    batch_fp = batch.select(
+        "doc_id", "text", T.fingerprint("text").alias("fp")
+    ).localCheckpoint(eager=False)
+    exact_dup = batch_fp.join(corp_fp, "fp").select(
+        "doc_id", F.col("match_id").alias("exact_match")
+    )
+
+    corp_sh = docs.select(
+        "doc_id", S.shingles("text", 3).alias("grams")
+    ).localCheckpoint(eager=False)
+    batch_sh = batch_fp.select("doc_id", S.shingles("text", 3).alias("grams"))
+    corp_ex = corp_sh.select("doc_id", F.explode("grams").alias("gram"))
+    kept_grams = (
+        corp_ex.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .select("gram")
+    )
+    corp_postings = corp_ex.join(kept_grams, "gram")
+    batch_ex = batch_sh.select(
+        F.col("doc_id").alias("batch_id"), F.explode("grams").alias("gram")
+    )
+    cand = (
+        batch_ex.join(
+            corp_postings.select(F.col("doc_id").alias("corp_id"), "gram"), "gram"
+        )
+        .select("batch_id", "corp_id")
+        .distinct()
+    )
+    bs = batch_sh.select(
+        F.col("doc_id").alias("batch_id"), F.col("grams").alias("grams_b")
+    )
+    cs = corp_sh.select(
+        F.col("doc_id").alias("corp_id"), F.col("grams").alias("grams_c")
+    )
+    inter = F.size(F.array_intersect("grams_b", "grams_c"))
+    jacc = inter.cast("double") / F.greatest(
+        F.size("grams_b") + F.size("grams_c") - inter, F.lit(1)
+    ).cast("double")
+    near_dup = (
+        cand.join(bs, "batch_id")
+        .join(cs, "corp_id")
+        .filter(jacc >= 0.5)
+        .groupBy(F.col("batch_id").alias("doc_id"))
+        .agg(F.min("corp_id").alias("near_match"))
+    )
+    return (
+        batch_fp.select("doc_id")
+        .join(exact_dup, "doc_id", "left")
+        .join(near_dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match").isNotNull(), F.lit("exact"))
+            .when(F.col("near_match").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("unique"))
+            .alias("verdict"),
+            F.when(F.col("exact_match").isNotNull(), F.col("exact_match"))
+            .otherwise(F.col("near_match"))
+            .alias("match_id"),
+        )
+    )

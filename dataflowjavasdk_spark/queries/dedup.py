@@ -57,18 +57,19 @@ _CORPUS_SQL = """
 SHINGLE_DF_CAP = 1000
 
 
-def _jaccard_pairs_capped(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Exact-Jaccard near-dup pairs from (doc_id, grams, n) with df-capped
-    blocking. grams must be distinct per doc (S.shingles guarantees it).
+def _blocked_candidates(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """df-capped blocking stage: pin the shingled relation and emit
+    candidate id pairs (id_a < id_b) from the capped gram equi-join.
 
-    ``sh`` is materialized once (lazy localCheckpoint): it feeds the gram
-    document-frequency, both sides of the banded self-join, and both gram
-    lookups of the verify stage — five references that Spark would
-    otherwise recompute from the raw corpus each (verified on the
-    executed plan: the source scan repeated 18x in near_dup_pairs_jaccard
-    before this pin). The checkpointed relation is the shingled corpus —
-    the same order of size as the input, the standard materialize-after-
-    tokenize point in a real pipeline (MEMORY_AND_DISK, spills cleanly)."""
+    ``sh`` (doc_id, grams, ...) is materialized once (lazy
+    localCheckpoint): it feeds the gram document-frequency, both sides of
+    the banded self-join, and the verify stage's per-doc lookups — five
+    references that Spark would otherwise recompute from the raw corpus
+    each (verified on the executed plan: the source scan repeated 18x in
+    near_dup_pairs_jaccard before this pin). The checkpointed relation is
+    the shingled corpus — the same order of size as the input, the
+    standard materialize-after-tokenize point in a real pipeline
+    (MEMORY_AND_DISK, spills cleanly). Returns (pinned sh, cand)."""
     sh = sh.localCheckpoint(eager=False)
     ex = sh.select("doc_id", F.explode("grams").alias("gram"))
     gram_df = (
@@ -88,6 +89,14 @@ def _jaccard_pairs_capped(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
+    return sh, cand
+
+
+def _jaccard_pairs_capped(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact-Jaccard near-dup pairs from (doc_id, grams, n) with df-capped
+    blocking (see _blocked_candidates). grams must be distinct per doc
+    (S.shingles guarantees it)."""
+    sh, cand = _blocked_candidates(sh)
     ga = sh.select(
         F.col("doc_id").alias("id_a"),
         F.col("grams").alias("grams_a"),
@@ -110,9 +119,12 @@ def _jaccard_pairs_capped(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
-def _jaccard_pairs_sql(source_cte: str, threshold: float = 0.5) -> str:
-    """DuckDB twin of _jaccard_pairs_capped over a CTE named ``source_cte``
-    holding (doc_id, text). Emits CTEs ending in ``jacc_pairs``."""
+def _candidate_pairs_sql(source_cte: str) -> str:
+    """DuckDB twin of the df-capped blocking stage (shingle → gram-df cap →
+    equi-join) over a CTE named ``source_cte`` holding (doc_id, text).
+    Emits CTEs ``sh`` (doc_id, grams) through ``cand`` (id_a < id_b) —
+    the candidate pairs every near-dup verifier (Jaccard, Levenshtein)
+    then checks exactly."""
     return f"""
     sh AS (
       SELECT doc_id,
@@ -136,7 +148,13 @@ def _jaccard_pairs_sql(source_cte: str, threshold: float = 0.5) -> str:
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM kept_grams a JOIN kept_grams b
         ON a.gram = b.gram AND a.doc_id < b.doc_id
-    ),
+    )"""
+
+
+def _jaccard_pairs_sql(source_cte: str, threshold: float = 0.5) -> str:
+    """DuckDB twin of _jaccard_pairs_capped over a CTE named ``source_cte``
+    holding (doc_id, text). Emits CTEs ending in ``jacc_pairs``."""
+    return f"""{_candidate_pairs_sql(source_cte)},
     jacc_pairs AS (
       SELECT id_a, id_b,
              len(list_filter(sa.grams, g -> list_contains(sb.grams, g)))::DOUBLE

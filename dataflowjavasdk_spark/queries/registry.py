@@ -84,6 +84,11 @@ _PRIORITY: tuple[str, ...] = (
     "csv_roundtrip_checksum",
     "json_roundtrip_checksum",
     "xml_roundtrip_checksum",
+    "pii_redaction",
+    "edit_distance_near_dups",
+    "bloom_ngram_decontamination",
+    "incremental_dedup",
+    "grouping_sets_revenue",
     # (3) last checked in round 1 — every row below is one round stale
     "argmax_event_per_type",
     "autocomplete_prefix_topk",
@@ -182,6 +187,7 @@ def _load_all() -> None:
         "dedup",
         "sketches",
         "curation",
+        "curation2",
     ):
         try:
             importlib.import_module(f"dataflowjavasdk_spark.queries.{mod}")

@@ -181,6 +181,45 @@ def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grouping_sets_revenue",
+    oracle=f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (SURVEY.md §2.2 note) — the asymmetric set
+    list ((returnflag, linestatus), (linestatus), ()) that neither CUBE
+    nor ROLLUP expresses, via the Spark 4 DataFrame ``groupingSets`` API.
+    One Expand + one shuffle — not three queries, and at 100 TB Expand's
+    3x row amplification happens map-side before partial aggregation, so
+    the shuffle carries only group keys. NULL group keys are coalesced to
+    a sentinel in BOTH engines (lineitem's group columns are never null,
+    so the sentinel is unambiguous)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.sum(disc_price()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n",
+        )
+    )
+
+
+@query(
     "pivot_daily_type_counts",
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

@@ -1,0 +1,153 @@
+"""Semantic invariants for the round-3c curation operators — properties
+the oracle equality check can't express: Bloom-filter soundness (no false
+negatives), Levenshtein exactness against an independent reference
+implementation, incremental-dedup verdict correctness per construction,
+redaction completeness, and grouping-set additivity.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from dataflowjavasdk_spark.queries.registry import get
+from dataflowjavasdk_spark.sources.tables import load_table
+from tests.conftest import SMOKE_SF
+
+
+def test_bloom_decontamination_has_no_false_negatives(spark):
+    """A Bloom filter may over-report, never under-report: every doc the
+    exact 8-gram check flags must appear in the bloom output with
+    n_bloom >= its exact shared-gram count, and per row n_bloom >= n_exact."""
+    bloom = {
+        r["doc_id"]: (r["n_bloom"], r["n_exact"])
+        for r in get("bloom_ngram_decontamination").fn(spark, SMOKE_SF).collect()
+    }
+    exact = {
+        r["doc_id"]: r["n_shared"]
+        for r in get("ngram_decontamination").fn(spark, SMOKE_SF).collect()
+    }
+    for doc_id, n_shared in exact.items():
+        assert doc_id in bloom, f"doc {doc_id} exact-flagged but bloom-missed"
+        n_bloom, n_exact = bloom[doc_id]
+        assert n_exact == n_shared
+        assert n_bloom >= n_exact
+    for doc_id, (n_bloom, n_exact) in bloom.items():
+        assert n_bloom >= n_exact >= 0
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_pairs_are_exact_and_find_truncations(spark):
+    """Every emitted lev value must equal an independent Python
+    Levenshtein on the pair's texts; rel <= 0.25 holds; and the fixture's
+    constructed truncation pairs (base, base+2M) appear."""
+    out = get("edit_distance_near_dups").fn(spark, SMOKE_SF).collect()
+    from dataflowjavasdk_spark.queries.dedup import _corpus
+
+    texts = {r["doc_id"]: r["text"] for r in _corpus(spark, SMOKE_SF).collect()}
+    assert out, "expected at least one near-dup pair"
+    truncation_pairs = 0
+    for r in out[:50]:  # exactness spot-check is O(len^2) per pair
+        lev = _levenshtein(texts[r["id_a"]], texts[r["id_b"]])
+        assert lev == r["lev"]
+        assert r["rel"] <= 0.25
+        if r["id_b"] - r["id_a"] == 2_000_000:
+            truncation_pairs += 1
+    pair_keys = {(r["id_a"], r["id_b"]) for r in out}
+    found = [
+        (i, i + 2_000_000)
+        for i in texts
+        if i < 1_000_000 and (i, i + 2_000_000) in pair_keys
+    ]
+    assert found, "constructed truncation near-dups must be detected"
+
+
+def test_incremental_dedup_verdicts_match_construction(spark):
+    """Every +1M batch doc is an exact copy -> verdict 'exact' with a
+    match whose text fingerprint-normalizes identically; +2M docs are
+    5-token truncations -> 'near' or 'exact' (never 'unique' unless the
+    doc was too short to share capped grams, which the fixture avoids)."""
+    out = get("incremental_dedup").fn(spark, SMOKE_SF).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SMOKE_SF, "documents").collect()
+    }
+    n_exact_ids = len([d for d in docs if d % 20 == 0])
+    n_near_ids = len([d for d in docs if d % 10 == 0])
+    assert len(out) == n_exact_ids + n_near_ids
+    def grams(toks: list[str]) -> set[str]:
+        return {
+            " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))
+        }
+
+    for r in out:
+        if r["doc_id"] >= 2_000_000:
+            # A truncation is 'near' exactly when its 3-gram Jaccard with
+            # the base doc clears the 0.5 threshold (short docs may not).
+            base = r["doc_id"] - 2_000_000
+            toks = [t for t in docs[base].split(" ") if t]
+            ga = grams(toks)
+            gb = grams(toks[: max(len(toks) - 5, 1)])
+            jacc = len(ga & gb) / max(len(ga | gb), 1)
+            if jacc >= 0.5:
+                assert r["verdict"] in ("near", "exact"), (
+                    f"truncated copy of {base} (jacc={jacc:.2f}) "
+                    f"classified {r['verdict']}"
+                )
+        else:
+            base = r["doc_id"] - 1_000_000
+            assert r["verdict"] == "exact"
+            norm = re.sub(r"\s+", " ", docs[base].lower().strip())
+            match_norm = re.sub(r"\s+", " ", docs[r["match_id"]].lower().strip())
+            assert norm == match_norm
+
+
+def test_pii_redaction_is_complete(spark):
+    """Redacted docs: counts equal the injected span count and re-running
+    the patterns over the reconstructed redacted text finds nothing."""
+    out = {
+        r["doc_id"]: r for r in get("pii_redaction").fn(spark, SMOKE_SF).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SMOKE_SF, "documents").collect()
+    }
+    email = re.compile(r"[a-z0-9.]+@[a-z0-9]+[.][a-z]+")
+    url = re.compile(r"https?://[a-z0-9./_-]+")
+    flagged = {d for d in docs if d % 7 == 0 or d % 11 == 0}
+    assert set(out) == flagged
+    for doc_id in flagged:
+        expected = (1 if doc_id % 7 == 0 else 0) + (1 if doc_id % 11 == 0 else 0)
+        assert out[doc_id]["n_redacted"] == expected
+        text = docs[doc_id]
+        if doc_id % 7 == 0:
+            text += f" contact user{doc_id}@example.com"
+        if doc_id % 11 == 0:
+            text += f" see https://site{doc_id}.org/page"
+        redacted = url.sub("<URL>", email.sub("<EMAIL>", text))
+        assert not email.search(redacted) and not url.search(redacted)
+        assert out[doc_id]["redacted_len"] == len(redacted)
+
+
+def test_grouping_sets_are_additive(spark):
+    """The () grand-total row must equal the sum of the (linestatus) rows,
+    which must equal the sum of the (returnflag, linestatus) rows — both
+    for revenue (exact decimal, so equality is exact) and counts."""
+    rows = get("grouping_sets_revenue").fn(spark, SMOKE_SF).collect()
+    grand = [r for r in rows if r["returnflag"] == "ALL" and r["linestatus"] == "ALL"]
+    per_ls = [r for r in rows if r["returnflag"] == "ALL" and r["linestatus"] != "ALL"]
+    leaves = [r for r in rows if r["returnflag"] != "ALL" and r["linestatus"] != "ALL"]
+    assert len(grand) == 1
+    assert grand[0]["n"] == sum(r["n"] for r in per_ls) == sum(r["n"] for r in leaves)
+    assert abs(grand[0]["revenue"] - sum(r["revenue"] for r in per_ls)) < 1e-6
+    assert abs(grand[0]["revenue"] - sum(r["revenue"] for r in leaves)) < 1e-6
