@@ -889,3 +889,43 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev).cast("double").alias("revenue"),
         )
     )
+
+
+@query(
+    "orc_roundtrip_checksum",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           MIN(ts) AS min_ts,
+           MAX(ts) AS max_ts,
+           CAST(MAX(user_id) AS BIGINT) AS max_user
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def orc_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round trip — the columnar-sink alternative to parquet
+    (historical users paired FileBasedSink with whatever columnar format
+    the warehouse read; Spark's native orc writer/reader gives predicate
+    pushdown + column pruning on re-read just like parquet). Events go
+    out through ORC — exercising sub-second NTZ timestamps, doubles and
+    longs in the type bridge — and come back checksummed per event type
+    against the parquet original. Exact-decimal sum, min/max timestamps:
+    a single dropped microsecond anywhere in the writer/reader breaks
+    the value-hash."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    d = tempfile.mkdtemp(prefix="orc_rt_")
+    ev.repartition(4).write.mode("overwrite").orc(d)
+    back = spark.read.orc(d)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.max("user_id").cast("long").alias("max_user"),
+    )

@@ -89,6 +89,7 @@ _PRIORITY: tuple[str, ...] = (
     "bloom_ngram_decontamination",
     "incremental_dedup",
     "grouping_sets_revenue",
+    "orc_roundtrip_checksum",
     # (3) last checked in round 1 — every row below is one round stale
     "argmax_event_per_type",
     "autocomplete_prefix_topk",
