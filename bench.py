@@ -68,6 +68,14 @@ HEADLINE = [
     # source mixing + multi-probe IVF
     "stratified_source_mix",
     "ivf_ann_multiprobe",
+    # round-3c curation ops: scrub, bloom decontamination, ingest dedup,
+    # grouping sets (edit_distance_near_dups and near_dup_pairs_jaccard
+    # stay out — minhash_lsh_near_dups represents the candidate-join
+    # near-dup family here)
+    "pii_redaction",
+    "bloom_ngram_decontamination",
+    "incremental_dedup",
+    "grouping_sets_revenue",
     # round-2 additions: AvroIO round trip, custom merging windows,
     # SQL-oracled SimHash banded pairs
     "avro_roundtrip_checksum",
