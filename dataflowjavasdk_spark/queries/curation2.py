@@ -519,3 +519,90 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("match_id"),
         )
     )
+
+
+# Deterministic provenance decoration: the fixture has no URL column, so
+# both engines assign every 3rd doc a synthetic source URL whose domain
+# cycles through 5 hosts by doc_id — the same injected-perturbation
+# pattern as _CORPUS_SQL and pii_redaction. Two hosts are blocklisted.
+_DOMAINS = ("spam.example", "ads.example", "blog.example",
+            "news.example", "docs.example")
+_BLOCKED = ("spam.example", "ads.example")
+
+
+@query(
+    "domain_blocklist_filter",
+    oracle=f"""
+    WITH urled AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 3 = 0 THEN
+               'https://' || list_value{_DOMAINS}[CAST(doc_id % 5 AS INT) + 1]
+               || '/p/' || doc_id::VARCHAR
+             END AS url
+      FROM documents
+    ),
+    extracted AS (
+      SELECT doc_id, source, url,
+             regexp_extract(url, 'https?://([a-z0-9.-]+)', 1) AS domain
+      FROM urled
+    ),
+    blocklist AS (SELECT unnest(ARRAY{list(_BLOCKED)}) AS domain)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(SUM(CASE WHEN url IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_url,
+           CAST(SUM(CASE WHEN domain IN (SELECT domain FROM blocklist)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+           CAST(SUM(CASE WHEN url IS NULL
+                           OR domain NOT IN (SELECT domain FROM blocklist)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM extracted
+    GROUP BY source
+    """,
+)
+def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist filtering — the C4/RefinedWeb provenance-hygiene
+    pass: extract the host from each document's source URL and drop docs
+    whose domain is on a curated blocklist, reported per source. The
+    fixture has no URL column, so both engines decorate every 3rd doc
+    with a deterministic synthetic URL first (domain cycles through 5
+    hosts). Plan shape at 100 TB: domain extraction is a per-row regexp
+    (scan-bound); the blocklist is a genuinely CONSTANT-size relation
+    (curated by hand — thousands of rows at most), broadcast for a
+    left-anti/semi membership test; one shuffle for the per-source
+    rollup. Docs without a URL are kept (no provenance != blocked)."""
+    docs = load_table(spark, sf_dir, "documents")
+    domain_arr = F.array(*[F.lit(d) for d in _DOMAINS])
+    urled = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("https://"),
+                F.element_at(domain_arr, (F.col("doc_id") % 5).cast("int") + 1),
+                F.lit("/p/"),
+                F.col("doc_id").cast("string"),
+            ),
+        ).alias("url"),
+    )
+    extracted = urled.withColumn(
+        "domain", F.regexp_extract("url", "https?://([a-z0-9.-]+)", 1)
+    )
+    blocklist = spark.createDataFrame(
+        [(d,) for d in _BLOCKED], "domain string"
+    )
+    flagged = extracted.join(
+        F.broadcast(blocklist.withColumnRenamed("domain", "blocked_domain")),
+        F.col("domain") == F.col("blocked_domain"),
+        "left",
+    )
+    is_blocked = F.col("blocked_domain").isNotNull()
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("url").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_with_url"),
+        F.sum(F.when(is_blocked, 1).otherwise(0)).cast("long").alias("n_blocked"),
+        F.sum(F.when(~is_blocked, 1).otherwise(0)).cast("long").alias("n_kept"),
+    )

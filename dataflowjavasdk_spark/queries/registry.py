@@ -90,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "incremental_dedup",
     "grouping_sets_revenue",
     "orc_roundtrip_checksum",
+    "domain_blocklist_filter",
     # (3) last checked in round 1 — every row below is one round stale
     "argmax_event_per_type",
     "autocomplete_prefix_topk",
