@@ -84,11 +84,53 @@ def spark_queries(spark):
     def approx_distinct():
         return ev.agg(F.approx_count_distinct("user_id").alias("approx_users"))
 
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    def wordcount():
+        return (
+            docs.select(
+                F.explode(F.split("text", r"\s+")).alias("word")
+            )
+            .filter(F.col("word") != "")
+            .groupBy("word")
+            .count()
+        )
+
+    def dedup_exact():
+        fp = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
+        return (
+            docs.select("doc_id", fp.alias("fp"))
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+        )
+
+    def session_windows():
+        return (
+            ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        )
+
+    def topk_per_group():
+        from pyspark.sql.window import Window as W
+
+        sums = ev.groupBy("event_type", "user_id").agg(
+            F.sum("value").alias("sum_value")
+        )
+        w = W.partitionBy("event_type").orderBy(
+            F.col("sum_value").desc(), F.col("user_id")
+        )
+        return sums.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+
     return {
         "q1_pricing_summary": q1,
         "q3_join_agg": q3,
         "tumbling_window_events": tumbling,
         "approx_distinct": approx_distinct,
+        "wordcount": wordcount,
+        "dedup_exact_shape": dedup_exact,
+        "session_windows_events": session_windows,
+        "topk_per_group": topk_per_group,
     }
 
 
@@ -112,6 +154,39 @@ DUCK_SQL = {
         SELECT date_trunc('hour', ts) AS h, event_type, count(*), sum(value)
         FROM events GROUP BY 1, 2""",
     "approx_distinct": "SELECT approx_count_distinct(user_id) FROM events",
+    "wordcount": """
+        SELECT word, count(*) FROM
+          (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> '' GROUP BY word""",
+    "dedup_exact_shape": """
+        SELECT fp, min(doc_id), count(*) FROM
+          (SELECT doc_id,
+                  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+           FROM documents)
+        GROUP BY fp HAVING count(*) > 1""",
+    "session_windows_events": """
+        WITH flagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+          FROM events),
+        numbered AS (
+          SELECT user_id, ts, value,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged)
+        SELECT user_id, count(*), sum(value)
+        FROM numbered GROUP BY user_id, session_id""",
+    "topk_per_group": """
+        WITH sums AS (
+          SELECT event_type, user_id, sum(value) AS sum_value
+          FROM events GROUP BY 1, 2),
+        ranked AS (
+          SELECT event_type, user_id, sum_value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY sum_value DESC, user_id) AS rk
+          FROM sums)
+        SELECT * FROM ranked WHERE rk <= 3""",
 }
 
 
@@ -129,7 +204,7 @@ def main() -> None:
     qs = spark_queries(spark)
 
     con = duckdb.connect()
-    for t in ("lineitem", "customer", "orders", "events"):
+    for t in ("lineitem", "customer", "orders", "events", "documents"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
