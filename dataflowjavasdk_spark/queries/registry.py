@@ -132,11 +132,13 @@ _PRIORITY: tuple[str, ...] = (
     # (4) past the 50-slot budget — first in line for the round-4 sample;
     # the full local gate (tools/check_correctness.py, all queries)
     # covers everything meanwhile. Honest accounting: groups (1)+(2)
-    # above total 25 entries, so only the first ~25 of the stale-r01
-    # group (3) fit the driver's 50-slot prefix this round; the group-3
-    # tail from q7_volume_shipping down plus this group waits for
-    # round 4. A query whose code or plan changed always outranks a
-    # stale-but-frozen one.
+    # above total 35 entries (12 changed + 23 new-in-round-3), so only
+    # the first ~15 of the stale-r01 group (3) fit the driver's 50-slot
+    # prefix this round; the group-3 tail plus this group waits for
+    # round 4. With 118 registered queries and 50 driver slots per
+    # round, some frozen r01-green rows will be two rounds driver-stale —
+    # the local gate re-verifies all 118 every session, and a query whose
+    # code or plan changed always outranks a stale-but-frozen one.
     "repetition_ratio_quality",
     "pii_detection_stats",
     "grouped_batches_stats",
