@@ -652,3 +652,64 @@ def test_stateful_par_do_timer_survives_unrelated_batch(spark, harness):
     harness.feed(_batch(spark, _rows(spark, (3, 500, "b", 1))))
     out = [(r["key"], r["n"], r["final"]) for r in harness.run_round(build, "update")]
     assert ("a", 2, True) in out
+
+
+def test_streaming_incremental_dedup_against_static_corpus_index(spark):
+    """Ingest-time dedup as a streaming pipeline: new documents arrive in
+    micro-batches and are classified against a STATIC corpus fingerprint
+    index via a stream-static join (the production shape of
+    incremental_dedup's exact stage — the index is precomputed once, each
+    batch probes it). Batch 1 carries exact copies of corpus docs, batch
+    2 carries genuinely new text; the verdicts must flip accordingly and
+    state/checkpoint must carry across rounds."""
+    from dataflowjavasdk_spark.functions import text as T
+    from dataflowjavasdk_spark.sources.tables import load_table
+    from tests.conftest import SMOKE_SF
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    corp_fp = (
+        docs.select(T.fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("match_id"))
+    )
+
+    schema = "doc_id long, text string"
+    h = SC.MicroBatchHarness(spark, schema)
+    try:
+        copies = (
+            docs.filter(F.col("doc_id") % 20 == 0)
+            .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+            .limit(50)
+        )
+        h.feed(copies)
+
+        def classify(stream):
+            fp = stream.withColumn("fp", T.fingerprint("text"))
+            joined = fp.join(corp_fp, "fp", "left")
+            return joined.select(
+                "doc_id",
+                F.when(F.col("match_id").isNotNull(), F.lit("exact"))
+                .otherwise(F.lit("unique"))
+                .alias("verdict"),
+                "match_id",
+            )
+
+        round1 = h.run_round(classify)
+        assert round1, "first batch must emit classifications"
+        assert all(r["verdict"] == "exact" for r in round1)
+        for r in round1:
+            # min-id representative: same normalized text as the copy's base
+            assert r["match_id"] is not None
+
+        fresh = spark.createDataFrame(
+            [(9_000_000 + i, f"genuinely new text number {i}") for i in range(5)],
+            schema,
+        )
+        h.feed(fresh)
+        round2 = h.run_round(classify)
+        emitted2 = {r["doc_id"]: r for r in round2}
+        # the checkpoint must not re-emit batch 1 (exactly-once per round)
+        assert set(emitted2) == {9_000_000 + i for i in range(5)}
+        assert all(r["verdict"] == "unique" for r in round2)
+    finally:
+        h.close()
