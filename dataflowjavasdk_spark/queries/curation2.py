@@ -321,21 +321,18 @@ def bloom_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(_BLOOM_K)
     )
     hits = probed.filter(F.expr(all_set)).select("doc_id", "gram")
-    exact = corpus_grams.join(bench, "gram").select(
-        F.col("doc_id").alias("e_doc"), F.col("gram").alias("e_gram")
-    )
+    # Exact re-check ONLY on bloom survivors: the filter has no false
+    # negatives, so exact hits ⊆ bloom hits — the expensive gram join's
+    # left side is the (tiny) survivor set, not the corpus, and the bench
+    # side needs no broadcast hint (AQE decides; the whole point of the
+    # bloom is that the benchmark gram set may be too big to broadcast).
+    in_bench = bench.withColumn("in_bench", F.lit(1))
     return (
-        hits.join(
-            exact,
-            (F.col("doc_id") == F.col("e_doc")) & (F.col("gram") == F.col("e_gram")),
-            "left",
-        )
+        hits.join(in_bench, "gram", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bloom"),
-            F.sum(F.when(F.col("e_gram").isNotNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("n_exact"),
+            F.sum(F.coalesce("in_bench", F.lit(0))).cast("long").alias("n_exact"),
         )
     )
 
