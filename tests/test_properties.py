@@ -401,3 +401,49 @@ def test_interval_merge_matches_reference(spark, intervals):
         for m in [next(mm for mm in ref_merge(items) if mm[0] <= s and e <= mm[1])]
     )
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.text(alphabet="abcd", min_size=1, max_size=3), min_size=0, max_size=12
+        ).map(lambda toks: " ".join(toks)),
+        min_size=1,
+        max_size=6,
+    ),
+    n=st.sampled_from([2, 3, 5, 8]),
+)
+@_settings
+def test_shingle_blocking_sql_matches_engine_for_all_widths(spark, texts, n):
+    """The parameterized oracle shingle formula (_candidate_pairs_sql's
+    ``sh`` CTE, any width n) must produce EXACTLY the engine's
+    S.shingles(col, n) sets — including short-document, empty-string and
+    repeated-token edges. This pins the width generalization that the
+    Levenshtein path (n=5) relies on against the n=3 original."""
+    import duckdb
+
+    from dataflowjavasdk_spark.functions import similarity as S
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    engine = {
+        r["doc_id"]: sorted(r["grams"])
+        for r in df.select(
+            "doc_id", S.shingles("text", n).alias("grams")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE src (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO src VALUES (?, ?)", rows)
+    oracle = {
+        doc_id: sorted(grams)
+        for doc_id, grams in con.execute(f"""
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                     range(1, greatest(len(list_filter(string_split(text,' '), t -> t <> '')) - {n - 2}, 1)),
+                     i -> array_to_string(
+                            array_slice(list_filter(string_split(text,' '), t -> t <> ''),
+                                        i, i + {n - 1}), ' ')
+                   )) FROM src""").fetchall()
+    }
+    assert engine == oracle
