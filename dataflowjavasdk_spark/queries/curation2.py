@@ -603,3 +603,59 @@ def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_blocked, 1).otherwise(0)).cast("long").alias("n_blocked"),
         F.sum(F.when(~is_blocked, 1).otherwise(0)).cast("long").alias("n_kept"),
     )
+
+
+@query(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]') AS tk
+      FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(
+               range(1, greatest(len(tk), 1)),
+               i -> tk[i] || ' ' || tk[i + 1]
+             )) AS pair
+      FROM toks WHERE len(tk) >= 2
+    ),
+    counted AS (
+      SELECT pair, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, pair) AS rk
+      FROM pairs WHERE pair IS NOT NULL GROUP BY pair
+    )
+    SELECT pair, n, rk FROM counted WHERE rk <= 20
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge step of tokenizer training: count every
+    ADJACENT pre-token pair across the corpus (GPT-style pre-tokenizer
+    regex, same as bpe_token_stats) and emit the top-20 merge candidates
+    with a deterministic (count desc, pair) rank. wordcount counts
+    elements; this counts adjacencies — the extra structure an actual
+    BPE trainer iterates on. Plan: pair construction is a row-local
+    transform+explode (zero shuffle), one count aggregate, and the
+    global top-20 is TakeOrderedAndProject over the already-reduced
+    pair-count relation. At 100 TB the aggregate's key space is the
+    pair vocabulary — bounded, far smaller than the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), 0)
+    pairs = (
+        docs.select(tk.alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size("tk") - 1, F.lit(1))),
+                    lambda i: F.concat(
+                        F.element_at("tk", i), F.lit(" "), F.element_at("tk", i + 1)
+                    ),
+                )
+            ).alias("pair")
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    w = W.orderBy(F.col("n").desc(), F.col("pair"))
+    return counted.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20)

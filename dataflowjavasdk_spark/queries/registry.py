@@ -91,6 +91,7 @@ _PRIORITY: tuple[str, ...] = (
     "grouping_sets_revenue",
     "orc_roundtrip_checksum",
     "domain_blocklist_filter",
+    "bpe_merge_candidates",
     # (3) last checked in round 1 — every row below is one round stale
     "argmax_event_per_type",
     "autocomplete_prefix_topk",
