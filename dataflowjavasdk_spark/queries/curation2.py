@@ -1,24 +1,29 @@
 """Round-3 curation extensions: PII redaction, Levenshtein-verified
-near-dups, Bloom-filter decontamination, and incremental (batch-vs-corpus)
-dedup — the remaining ops a production pretraining pipeline runs that
-SURVEY.md §2.13 had not yet covered.
+near-dups, Bloom-filter decontamination, incremental (batch-vs-corpus)
+dedup, domain blocklist filtering, and BPE merge counting — the remaining
+ops a production pretraining pipeline runs that SURVEY.md §2.13 had not
+yet covered.
 
 Scale shapes (the design constraint for every query here):
-- pii_redaction: pure regexp expressions, zero shuffles — scan-speed.
-- edit_distance_near_dups: the SAME df-capped shingle blocking as
-  queries/dedup.py (never all-pairs); Levenshtein runs only on candidate
-  pairs, and Levenshtein cost is O(len_a*len_b) per PAIR, so bounding the
-  candidate count is what makes it feasible at 100 TB.
+- pii_redaction / domain_blocklist_filter / bpe_merge_candidates: pure
+  per-row expressions before one bounded rollup — scan-speed; the
+  blocklist is the only hinted broadcast (genuinely constant-size).
+- edit_distance_near_dups: the df-capped shingle blocking of
+  queries/dedup.py with WIDER (5-token) shingles sized to the verifier's
+  O(len_a*len_b)-per-pair cost (never all-pairs; candidate volume is the
+  load-bearing choice — ~500x fewer candidates than 3-gram blocking at
+  sf0.1, measured, with an identical emitted pair set).
 - bloom_ngram_decontamination: the 100 TB upgrade of ngram_decontamination
   — instead of broadcasting every distinct benchmark gram (GBs for a big
-  benchmark suite), broadcast a CONSTANT-size bit array (8 KiB here); the
-  corpus-side check is a join against ≤2048 bloom words. False positives
-  are then resolved with the exact gram join on the (tiny) bloom-positive
-  survivor set.
+  benchmark suite), broadcast a CONSTANT-size bit array (8 KiB here) and
+  fetch packed words via k broadcast equi-joins; false positives are then
+  resolved with an exact gram join whose left side is only the (tiny)
+  bloom-positive survivor set.
 - incremental_dedup: the ingest shape — a small new batch probes a
   precomputed corpus index (fingerprints + capped gram postings); the
   corpus is scanned once to build the index, the batch never self-joins
-  the corpus's full text.
+  the corpus's full text. (The streaming form of the exact stage is the
+  stream-static join acceptance test in tests/test_streaming.py.)
 """
 
 from __future__ import annotations
