@@ -277,21 +277,29 @@ def bloom_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select("doc_id", S.shingles("text", 8).alias("grams"))
     exploded = sh.select("doc_id", F.explode("grams").alias("gram"))
     exploded = exploded.localCheckpoint(eager=False)  # feeds bench + corpus + exact
-    bench = exploded.filter(F.col("doc_id") % 20 == 0).select("gram").distinct()
+    bench = (
+        exploded.filter(F.col("doc_id") % 20 == 0)
+        .select("gram")
+        .distinct()
+        # pinned: referenced by the bloom build AND the exact re-check —
+        # without this the distinct aggregation runs twice (SCALE.md #7)
+        .localCheckpoint(eager=False)
+    )
 
     # The k positions are non-overlapping 16-bit slices of ONE md5 digest
     # (m = 2^16 exactly): one hash per gram instead of k — the md5 is the
     # dominant probe cost at corpus scale, and 3x16 = 48 of the digest's
-    # 128 bits, so the slices are independent.
+    # 128 bits, so the slices are independent. The digest must be a
+    # materialized column (``h``) before slicing: a fresh F.md5 per slice
+    # lands in separate Project operators that Spark does not CSE across,
+    # silently tripling the hash cost.
     def pos(j: int):
-        return F.conv(F.substring(F.md5("gram"), 1 + 4 * j, 4), 16, 10).cast(
-            "long"
-        )
+        return F.conv(F.substring(F.col("h"), 1 + 4 * j, 4), 16, 10).cast("long")
 
     # Build: explode the k positions only on the (small) benchmark side,
     # bit_or into packed words, then fold the whole filter into a 1-row
     # map — the broadcastable 8 KiB artifact.
-    bench_bits = bench.select(
+    bench_bits = bench.withColumn("h", F.md5("gram")).select(
         F.explode(F.array(*[pos(j) for j in range(_BLOOM_K)])).alias("p")
     )
     bloom = (
@@ -310,7 +318,7 @@ def bloom_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # was measured and rejected: the cross join copies the 8 KiB map into
     # EVERY probe row — ~1 GB of row traffic per million grams.)
     corpus_grams = exploded.filter(F.col("doc_id") % 20 != 0)
-    probed = corpus_grams
+    probed = corpus_grams.withColumn("h", F.md5("gram"))
     for j in range(_BLOOM_K):
         probed = probed.withColumn(f"p{j}", pos(j)).join(
             F.broadcast(

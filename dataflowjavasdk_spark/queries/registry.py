@@ -133,10 +133,10 @@ _PRIORITY: tuple[str, ...] = (
     # (4) past the 50-slot budget — first in line for the round-4 sample;
     # the full local gate (tools/check_correctness.py, all queries)
     # covers everything meanwhile. Honest accounting: groups (1)+(2)
-    # above total 35 entries (12 changed + 23 new-in-round-3), so only
-    # the first ~15 of the stale-r01 group (3) fit the driver's 50-slot
+    # above total 36 entries (12 changed + 24 new-in-round-3), so only
+    # the first ~14 of the stale-r01 group (3) fit the driver's 50-slot
     # prefix this round; the group-3 tail plus this group waits for
-    # round 4. With 118 registered queries and 50 driver slots per
+    # round 4. With 119 registered queries and 50 driver slots per
     # round, some frozen r01-green rows will be two rounds driver-stale —
     # the local gate re-verifies all 118 every session, and a query whose
     # code or plan changed always outranks a stale-but-frozen one.

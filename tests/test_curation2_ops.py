@@ -56,13 +56,10 @@ def test_edit_distance_pairs_are_exact_and_find_truncations(spark):
 
     texts = {r["doc_id"]: r["text"] for r in _corpus(spark, SMOKE_SF).collect()}
     assert out, "expected at least one near-dup pair"
-    truncation_pairs = 0
     for r in out[:50]:  # exactness spot-check is O(len^2) per pair
         lev = _levenshtein(texts[r["id_a"]], texts[r["id_b"]])
         assert lev == r["lev"]
         assert r["rel"] <= 0.25
-        if r["id_b"] - r["id_a"] == 2_000_000:
-            truncation_pairs += 1
     pair_keys = {(r["id_a"], r["id_b"]) for r in out}
     found = [
         (i, i + 2_000_000)
@@ -141,13 +138,23 @@ def test_pii_redaction_is_complete(spark):
 
 def test_grouping_sets_are_additive(spark):
     """The () grand-total row must equal the sum of the (linestatus) rows,
-    which must equal the sum of the (returnflag, linestatus) rows — both
-    for revenue (exact decimal, so equality is exact) and counts."""
+    which must equal the sum of the (returnflag, linestatus) rows —
+    exactly for counts, and within double re-association tolerance for
+    revenue (each row is an exact decimal sum cast once to double)."""
     rows = get("grouping_sets_revenue").fn(spark, SMOKE_SF).collect()
     grand = [r for r in rows if r["returnflag"] == "ALL" and r["linestatus"] == "ALL"]
     per_ls = [r for r in rows if r["returnflag"] == "ALL" and r["linestatus"] != "ALL"]
     leaves = [r for r in rows if r["returnflag"] != "ALL" and r["linestatus"] != "ALL"]
+    import math
+
     assert len(grand) == 1
     assert grand[0]["n"] == sum(r["n"] for r in per_ls) == sum(r["n"] for r in leaves)
-    assert abs(grand[0]["revenue"] - sum(r["revenue"] for r in per_ls)) < 1e-6
-    assert abs(grand[0]["revenue"] - sum(r["revenue"] for r in leaves)) < 1e-6
+    # Each row is an exact decimal sum cast to double (0.5 ulp), but
+    # Python's sum() re-associates — compare with a relative tolerance so
+    # the check scales with the fixture's total magnitude.
+    assert math.isclose(
+        grand[0]["revenue"], sum(r["revenue"] for r in per_ls), rel_tol=1e-12
+    )
+    assert math.isclose(
+        grand[0]["revenue"], sum(r["revenue"] for r in leaves), rel_tol=1e-12
+    )
