@@ -1,0 +1,212 @@
+"""Event-analytics query batch (round 3c): the classic product-analytics
+shapes a user of the reference's pipeline model runs daily over event
+streams — value histograms, statistical outliers, session funnels, and
+retention cohorts. All pure Column expressions; exact-decimal moments so
+the z-scores are bit-identical cross-engine (registry.py conventions).
+
+Scale shapes: histogram/z-score are one aggregate each (keys = bins or
+types — bounded); the funnel is one session aggregate over the native
+session_window (the same single-shuffle shape as session_windows_events);
+retention is two aggregates whose second input is one row per
+(user, week) — already reduced far below the event count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataflowjavasdk_spark.queries.registry import query
+from dataflowjavasdk_spark.sources.tables import load_table
+
+_BIN_WIDTH = 50.0
+
+
+@query(
+    "value_histogram_per_type",
+    oracle=f"""
+    SELECT event_type,
+           CAST(floor(value / {_BIN_WIDTH}) AS BIGINT) AS bin,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def value_histogram_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type — the data-profiling
+    pass behind every distribution dashboard. bin = floor(value / width)
+    is a single IEEE division + floor (bit-identical cross-engine); one
+    aggregate whose key space is (#types x #bins) — bounded regardless of
+    corpus size, so the shuffle carries only bin partials at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / _BIN_WIDTH).cast("long").alias("bin"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "zscore_outliers_per_type",
+    oracle="""
+    WITH moments AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+                  AS DOUBLE) AS s2
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - m.s1 / m.n)
+                 / sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n)), 9) AS z
+    FROM events e JOIN moments m USING (event_type)
+    WHERE abs((e.value - m.s1 / m.n)
+              / sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n))) > 1.8
+    """,
+)
+def zscore_outliers_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outlier detection: per-type z-score from EXACT decimal
+    first/second moments (a double stddev_pop would be summation-order-
+    dependent; exact sums + a fixed IEEE op sequence — two divisions, one
+    sqrt (correctly rounded per IEEE-754), one subtraction — make the
+    z-scores bit-identical cross-engine). The moments relation is one row
+    per type (broadcastable forever); events scan twice (moments + probe)
+    — at 100 TB the moments side is a partial-aggregated shuffle of a few
+    bytes per type, and the second scan is unavoidable for any
+    two-pass normalization. Threshold 1.8 sigma keeps the output to the
+    tail (fixture max |z| ~ 8.7 — the value distribution is right-skewed)
+    — the rows a quality gate would clip."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    moments = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    std = F.sqrt(F.col("s2") / F.col("n") - mean * mean)
+    z = (F.col("value") - mean) / std
+    return (
+        ev.join(moments, "event_type")
+        .filter(F.abs(z) > 1.8)
+        .select("event_id", "event_type", "value", F.round(z, 9).alias("z"))
+    )
+
+
+@query(
+    "session_funnel_click_purchase",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, session_id,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+             max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+      FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT count(*) AS n_sessions,
+           CAST(SUM(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_click,
+           CAST(SUM(CASE WHEN first_click IS NOT NULL
+                          AND last_purchase >= first_click THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_converted
+    FROM sessions
+    """,
+)
+def session_funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session funnel — the conversion query of product analytics: of all
+    30-min-gap sessions, how many contain a click, and how many convert
+    (a purchase at-or-after the session's first click)? One native
+    session_window aggregate computes per-session first-click and
+    last-purchase timestamps (conversion = last_purchase >= first_click —
+    no per-event ordering state needed), then a global 1-row rollup.
+    Identical single-shuffle shape as session_windows_events; the second
+    aggregate's input is one row per session."""
+    ev = load_table(spark, sf_dir, "events")
+    sessions = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "first_click"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "last_purchase"
+        ),
+    )
+    return sessions.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("first_click").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_with_click"),
+        F.sum(
+            F.when(
+                F.col("first_click").isNotNull()
+                & (F.col("last_purchase") >= F.col("first_click")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_converted"),
+    )
+
+
+@query(
+    "weekly_retention_cohorts",
+    oracle="""
+    WITH user_weeks AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+      FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, min(week) AS cohort_week FROM user_weeks GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           CAST(datediff('day', c.cohort_week, u.week) / 7 AS BIGINT)
+             AS week_offset,
+           count(*) AS n_users
+    FROM user_weeks u JOIN cohorts c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort triangle: users grouped by their first active week
+    (cohort), counted in every later week they return — the growth
+    analytics staple. Both engines truncate weeks to Monday; the offset is
+    exact integer day arithmetic / 7. Three aggregates, but inputs shrink
+    fast: distinct (user, week) is already ~ users x weeks, the cohort
+    relation is one row per user — at 100 TB the event scan dominates and
+    everything downstream is orders of magnitude smaller."""
+    ev = load_table(spark, sf_dir, "events")
+    user_weeks = (
+        ev.select("user_id", F.date_trunc("week", "ts").alias("week"))
+        .distinct()
+        # referenced by the cohort aggregate AND the final join (two-branch
+        # recompute discipline, SCALE.md #7)
+        .localCheckpoint(eager=False)
+    )
+    cohorts = user_weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        user_weeks.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

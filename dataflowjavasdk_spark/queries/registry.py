@@ -92,6 +92,10 @@ _PRIORITY: tuple[str, ...] = (
     "orc_roundtrip_checksum",
     "domain_blocklist_filter",
     "bpe_merge_candidates",
+    "value_histogram_per_type",
+    "zscore_outliers_per_type",
+    "session_funnel_click_purchase",
+    "weekly_retention_cohorts",
     # (3) last checked in round 1 — every row below is one round stale
     "argmax_event_per_type",
     "autocomplete_prefix_topk",
@@ -193,6 +197,7 @@ def _load_all() -> None:
         "sketches",
         "curation",
         "curation2",
+        "analytics",
     ):
         try:
             importlib.import_module(f"dataflowjavasdk_spark.queries.{mod}")
