@@ -76,6 +76,11 @@ HEADLINE = [
     "bloom_ngram_decontamination",
     "incremental_dedup",
     "grouping_sets_revenue",
+    # event-analytics batch
+    "value_histogram_per_type",
+    "zscore_outliers_per_type",
+    "session_funnel_click_purchase",
+    "weekly_retention_cohorts",
     # round-2 additions: AvroIO round trip, custom merging windows,
     # SQL-oracled SimHash banded pairs
     "avro_roundtrip_checksum",
