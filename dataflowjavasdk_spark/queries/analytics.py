@@ -210,3 +210,91 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@query(
+    "unpivot_daily_type_counts",
+    oracle=f"""
+    WITH pivoted AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             count(*) FILTER (event_type = 'click') AS click,
+             count(*) FILTER (event_type = 'view') AS view,
+             count(*) FILTER (event_type = 'purchase') AS purchase,
+             count(*) FILTER (event_type = 'signup') AS signup,
+             count(*) FILTER (event_type = 'error') AS error
+      FROM events GROUP BY 1
+    )
+    SELECT day, event_type, CAST(n AS BIGINT) AS n
+    FROM (UNPIVOT pivoted ON {", ".join(_EVENT_TYPES)}
+          INTO NAME event_type VALUE n)
+    """,
+)
+def unpivot_daily_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (the §2.10 inverse of pivot_daily_type_counts): wide
+    per-day type counts back to long (day, event_type, n) rows — both
+    engines' native UNPIVOT, so the pivot↔unpivot pair round-trips
+    entirely inside the plan (including the explicit zero rows a pivot
+    materializes for absent combinations, which a plain GROUP BY would
+    omit). Unpivot is a row-local Expand — zero additional shuffles after
+    the pivot aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(t)
+        for t in _EVENT_TYPES
+    ]
+    pivoted = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(*aggs)
+    return pivoted.unpivot(["day"], list(_EVENT_TYPES), "event_type", "n")
+
+
+@query(
+    "weighted_sample_per_source",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT::DOUBLE
+               / n_chars::DOUBLE AS rank_key
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_chars, rank_key,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY rank_key, doc_id) AS rk
+      FROM keyed
+    )
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars, rk
+    FROM ranked WHERE rk <= 20
+    """,
+)
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-biased sampling: keep the 20 docs per source
+    with the smallest md5(doc_id)/weight rank (weight = n_chars, so
+    longer documents are proportionally likelier to survive — the
+    quality-weighted downsampling step of a data recipe, made replayable).
+    Like deterministic_sample_per_key but weight-biased: the rank key is
+    one bigint→double conversion and one IEEE division (both correctly
+    rounded, bit-identical cross-engine); sampling any corpus twice
+    yields byte-identical output — the property that makes a 100 TB
+    recipe auditable. One shuffle (per-source window over a projection);
+    at scale a per-partition top-k pre-reduction bounds the window
+    input."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as W
+
+    from dataflowjavasdk_spark.functions.text import md5_long
+
+    rank_key = md5_long(F.col("doc_id").cast("string")).cast("double") / F.col(
+        "n_chars"
+    ).cast("double")
+    w = W.partitionBy("source").orderBy("rank_key", "doc_id")
+    return (
+        docs.select(
+            "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"),
+            rank_key.alias("rank_key"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .drop("rank_key")
+    )

@@ -40,6 +40,7 @@ from dataflowjavasdk_spark.queries.dedup import (
     _blocked_candidates,
     _candidate_pairs_sql,
     _corpus,
+    _jaccard_pairs_sql,
 )
 from dataflowjavasdk_spark.queries.registry import query
 from dataflowjavasdk_spark.sources.tables import load_table
@@ -672,3 +673,58 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
     w = W.orderBy(F.col("n").desc(), F.col("pair"))
     return counted.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20)
+
+
+@query(
+    "near_dup_graph_triangles",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),{_jaccard_pairs_sql("corpus")}
+    SELECT (SELECT count(DISTINCT d) FROM (
+              SELECT id_a AS d FROM jacc_pairs
+              UNION ALL SELECT id_b FROM jacc_pairs)) AS n_nodes,
+           (SELECT count(*) FROM jacc_pairs) AS n_edges,
+           (SELECT count(*)
+            FROM jacc_pairs p1
+            JOIN jacc_pairs p2 ON p2.id_a = p1.id_b
+            JOIN jacc_pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b
+           ) AS n_triangles
+    """,
+)
+def near_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup similarity graph — the density
+    diagnostic run before transitive-closure clustering (a triangle-rich
+    pair graph means big merged clusters and aggressive dedup; a
+    triangle-free one means chains of borderline pairs where greedy
+    drops are safer). Distributed shape: with edges oriented id_a < id_b,
+    every triangle a<b<c is counted exactly once by joining edges (a,b)
+    ⋈ (b,c) ⋈ (a,c) — two equi-joins on node ids, never an open wedge
+    enumeration without the closing-edge key. The edge relation is pinned
+    (it feeds the node count, the edge count, and three join branches);
+    at 100 TB edges ≪ documents (it is the OUTPUT of blocked
+    near-dup detection), so these joins run on the reduced relation."""
+    corpus = _corpus(spark, sf_dir)
+    sh = corpus.select("doc_id", S.shingles("text", 3).alias("grams")).withColumn(
+        "n", F.size("grams")
+    )
+    from dataflowjavasdk_spark.queries.dedup import _jaccard_pairs_capped
+
+    edges = (
+        _jaccard_pairs_capped(sh)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        edges.select(F.col("id_a").alias("d"))
+        .unionAll(edges.select(F.col("id_b").alias("d")))
+        .agg(F.countDistinct("d").alias("n_nodes"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    p1 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    p2 = edges.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    p3 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = (
+        p1.join(p2, "b")
+        .join(p3, ["a", "c"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return nodes.join(n_edges).join(tri)

@@ -96,6 +96,9 @@ _PRIORITY: tuple[str, ...] = (
     "zscore_outliers_per_type",
     "session_funnel_click_purchase",
     "weekly_retention_cohorts",
+    "unpivot_daily_type_counts",
+    "weighted_sample_per_source",
+    "near_dup_graph_triangles",
     # (3) last checked in round 1 — every row below is one round stale
     "argmax_event_per_type",
     "autocomplete_prefix_topk",

@@ -180,6 +180,7 @@ def test_no_cartesian_products_anywhere(spark):
         "training_data_pipeline",
         "counting_input_checksum",
         "hll_distinct_rollup",         # 1-row exact-ALL broadcast (verdict)
+        "near_dup_graph_triangles",    # 3x 1-row count aggregates crossed
         "theta_audience_overlap",      # 1-row exact aggregates broadcast
         "approx_distinct_users",       # 1-row verdict aggregate
     }
