@@ -298,3 +298,127 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .drop("rank_key")
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM ordered WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition matrix: per-user consecutive event-type
+    bigrams (ordered by time, event_id tiebreak so the lag is
+    deterministic under equal timestamps) counted corpus-wide — the
+    Markov-chain estimate behind next-action models and bot detection.
+    One window shuffle on user_id, then an aggregate whose key space is
+    #types² — constant. At 100 TB per-user ordering state is one
+    partition's rows (the same bound as secondary sort)."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "user_inactivity_gaps",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             date_diff('microsecond',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_gaps,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def user_inactivity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap profile per user: consecutive-event gaps in exact
+    integer microseconds (no float duration arithmetic — the same
+    exactness discipline as session_stats_per_user), rolled up to count
+    / max / total. The churn-risk feature extraction of event analytics;
+    one window shuffle + one aggregate, both keyed by user."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    return (
+        ev.withColumn("gap_us", gap)
+        .filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.max("gap_us").cast("long").alias("max_gap_us"),
+            F.sum("gap_us").cast("long").alias("total_gap_us"),
+        )
+    )
+
+
+@query(
+    "table_profile_orders",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_custkey,
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_totalprice,
+           count(DISTINCT o_orderpriority) AS distinct_priorities,
+           count(DISTINCT o_custkey) AS distinct_custkeys,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS min_price,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS max_price,
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS nonpositive_prices
+    FROM orders
+    """,
+)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality profile (the Deequ/expectation-suite
+    pattern): row count, per-column null counts, distinct cardinalities,
+    exact min/max, and a range-violation count — the checks a 100 TB
+    ingest runs before publishing a table. ALL metrics fold into ONE
+    aggregate over one scan (count-distinct rewrites to expand+two-phase
+    agg inside the same job); nothing is collected row-by-row."""
+    od = load_table(spark, sf_dir, "orders")
+    return od.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_custkey"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_totalprice"),
+        F.countDistinct("o_orderpriority").alias("distinct_priorities"),
+        F.countDistinct("o_custkey").alias("distinct_custkeys"),
+        F.min(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("min_price"),
+        F.max(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("max_price"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("nonpositive_prices"),
+    )

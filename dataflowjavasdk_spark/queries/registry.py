@@ -99,6 +99,9 @@ _PRIORITY: tuple[str, ...] = (
     "unpivot_daily_type_counts",
     "weighted_sample_per_source",
     "near_dup_graph_triangles",
+    "event_transition_matrix",
+    "user_inactivity_gaps",
+    "table_profile_orders",
     # (3) last checked in round 1 — every row below is one round stale
     "argmax_event_per_type",
     "autocomplete_prefix_topk",
