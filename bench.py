@@ -81,6 +81,11 @@ HEADLINE = [
     "zscore_outliers_per_type",
     "session_funnel_click_purchase",
     "weekly_retention_cohorts",
+    "event_transition_matrix",
+    "user_inactivity_gaps",
+    "table_profile_orders",
+    "unpivot_daily_type_counts",
+    "weighted_sample_per_source",
     # round-2 additions: AvroIO round trip, custom merging windows,
     # SQL-oracled SimHash banded pairs
     "avro_roundtrip_checksum",
