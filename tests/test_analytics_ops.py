@@ -1,0 +1,101 @@
+"""Semantic invariants for the event-analytics batch (queries/analytics.py)
+— conservation and monotonicity properties the oracle equality check can't
+express without repeating the same SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataflowjavasdk_spark.queries.registry import get
+from dataflowjavasdk_spark.sources.tables import load_table
+from tests.conftest import SMOKE_SF
+
+
+def test_transition_matrix_conserves_events(spark):
+    """Each user with k events contributes exactly k-1 transitions, so
+    sum(n) over the matrix == total events - active users."""
+    ev = load_table(spark, SMOKE_SF, "events")
+    total = ev.count()
+    users = ev.select("user_id").distinct().count()
+    matrix = get("event_transition_matrix").fn(spark, SMOKE_SF).collect()
+    assert sum(r["n"] for r in matrix) == total - users
+    types = {
+        r["event_type"] for r in ev.select("event_type").distinct().collect()
+    }
+    for r in matrix:
+        assert r["prev_type"] in types and r["next_type"] in types
+
+
+def test_inactivity_gaps_conserve_span(spark):
+    """Per user, total_gap_us must equal last_ts - first_ts exactly (gaps
+    partition the activity span), and n_gaps = n_events - 1."""
+    ev = load_table(spark, SMOKE_SF, "events")
+    spans = {
+        r["user_id"]: (r["span"], r["n"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            (
+                F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+            ).alias("span"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    out = get("user_inactivity_gaps").fn(spark, SMOKE_SF).collect()
+    for r in out:
+        span, n = spans[r["user_id"]]
+        assert r["total_gap_us"] == span
+        assert r["n_gaps"] == n - 1
+        assert 0 <= r["max_gap_us"] <= span
+
+
+def test_funnel_stages_are_monotone(spark):
+    """n_sessions >= n_with_click >= n_converted >= 0, and n_sessions
+    matches an independent session count."""
+    row = get("session_funnel_click_purchase").fn(spark, SMOKE_SF).collect()[0]
+    assert row["n_sessions"] >= row["n_with_click"] >= row["n_converted"] >= 0
+    ev = load_table(spark, SMOKE_SF, "events")
+    n_sessions = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").count().count()
+    )
+    assert row["n_sessions"] == n_sessions
+
+
+def test_retention_cohort_week0_is_cohort_size(spark):
+    """Every cohort has a week_offset=0 row counting the full cohort, and
+    later-week counts never exceed it."""
+    rows = get("weekly_retention_cohorts").fn(spark, SMOKE_SF).collect()
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], {})[r["week_offset"]] = r["n_users"]
+    ev = load_table(spark, SMOKE_SF, "events")
+    total_users = ev.select("user_id").distinct().count()
+    assert sum(offsets[0] for offsets in by_cohort.values()) == total_users
+    for offsets in by_cohort.values():
+        assert 0 in offsets
+        for off, n in offsets.items():
+            assert n <= offsets[0]
+
+
+def test_table_profile_matches_direct_counts(spark):
+    """The one-pass profile equals independently computed per-metric
+    values (and the fixture has no nulls / non-positive prices to hide
+    behind — assert the checks CAN fire by perturbing a copy)."""
+    row = get("table_profile_orders").fn(spark, SMOKE_SF).collect()[0]
+    od = load_table(spark, SMOKE_SF, "orders")
+    assert row["n_rows"] == od.count()
+    assert row["distinct_custkeys"] == od.select("o_custkey").distinct().count()
+    assert row["min_price"] <= row["max_price"]
+    # Perturbed copy: nulls and violations must be counted, not masked.
+    bad = od.limit(10).select(
+        F.lit(None).cast("bigint").alias("o_custkey"),
+        *[c for c in ["o_orderkey"]],
+        F.lit(-1.0).alias("o_totalprice"),
+        F.lit("1-URGENT").alias("o_orderpriority"),
+    )
+    prof = bad.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("nulls"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("viol"),
+    ).collect()[0]
+    assert prof["nulls"] == 10 and prof["viol"] == 10
