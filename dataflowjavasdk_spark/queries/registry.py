@@ -55,18 +55,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # the r02-green tail. Names not listed follow in registration order;
 # listed-but-unregistered names are ignored (guarded by a registry test).
 _PRIORITY: tuple[str, ...] = (
-    # (1) code/oracle changed in round 3
+    # (1) VALUE-critical changes in round 3: output reshaped, oracle
+    # rewritten, or query logic rewritten — where the driver could see
+    # different VALUES than r02. Plan-only changes (pins, dropped hints)
+    # are demoted below the never-checked group: their values were
+    # r02-green and the local gate re-verifies them every session.
     "minhash_signatures",       # output reshaped to (doc_id, hash_idx, minhash)
     "tfidf",                    # in-plan N, un-hinted term-df join
     "training_data_pipeline",   # un-hinted metadata join + checkpoint pins
     "near_dup_clusters",        # oracle now df-capped like the engine
     "near_dup_pairs_jaccard",   # shares the capped-pair SQL helper + pin
-    "q3_join_agg",              # customer broadcast hint dropped (plan change)
-    "q5_region_revenue",        # customer broadcast hint dropped (plan change)
-    "minhash_lsh_near_dups",    # signature relation pinned (plan change)
-    "simhash_near_dup_pairs",   # fingerprint relation pinned (plan change)
-    "kmeans_ivf_refined",       # per-iteration checkpoints (plan change)
-    "q15_top_supplier",         # revenue relation pinned (plan change)
     "q17_small_quantity_revenue",  # window decorrelation rewrite
     # (2) new this round — no prior driver row exists at all
     "avro_logical_types_roundtrip",
@@ -102,6 +100,21 @@ _PRIORITY: tuple[str, ...] = (
     "event_transition_matrix",
     "user_inactivity_gaps",
     "table_profile_orders",
+    "repetition_ratio_quality",
+    "pii_detection_stats",
+    "grouped_batches_stats",
+    "calendar_day_events_tz",
+    "bucketed_join_revenue",
+    "approx_quantiles_per_key",
+    # (2b) plan-only changes in round 3 (pins / dropped broadcast hints):
+    # values were r02-green and unchanged; re-verified by the local gate
+    # every session, so they rank below never-driver-checked queries.
+    "q3_join_agg",              # customer broadcast hint dropped
+    "q5_region_revenue",        # customer broadcast hint dropped
+    "minhash_lsh_near_dups",    # signature relation pinned
+    "simhash_near_dup_pairs",   # fingerprint relation pinned
+    "kmeans_ivf_refined",       # per-iteration checkpoints
+    "q15_top_supplier",         # revenue relation pinned
     # (3) last checked in round 1 — every row below is one round stale
     "argmax_event_per_type",
     "autocomplete_prefix_topk",
@@ -142,20 +155,15 @@ _PRIORITY: tuple[str, ...] = (
     "wordcount_via_facade",
     # (4) past the 50-slot budget — first in line for the round-4 sample;
     # the full local gate (tools/check_correctness.py, all queries)
-    # covers everything meanwhile. Honest accounting: groups (1)+(2)
-    # above total 36 entries (12 changed + 24 new-in-round-3), so only
-    # the first ~14 of the stale-r01 group (3) fit the driver's 50-slot
-    # prefix this round; the group-3 tail plus this group waits for
-    # round 4. With 119 registered queries and 50 driver slots per
-    # round, some frozen r01-green rows will be two rounds driver-stale —
-    # the local gate re-verifies all 118 every session, and a query whose
-    # code or plan changed always outranks a stale-but-frozen one.
-    "repetition_ratio_quality",
-    "pii_detection_stats",
-    "grouped_batches_stats",
-    "calendar_day_events_tz",
-    "bucketed_join_revenue",
-    "approx_quantiles_per_key",
+    # covers everything meanwhile. Honest accounting: group (1) has 6
+    # value-critical changed entries and group (2) all 40 queries with no
+    # driver row at all — together 46, so 4 slots remain for group (2b)
+    # (plan-only changes, r02-green values) and the stale-r01 group (3)
+    # spills to round 4 entirely. With 129 registered queries and 50
+    # driver slots per round, many frozen green rows will be two rounds
+    # driver-stale — the local gate re-verifies all 129 every session,
+    # and a query whose VALUES could have changed always outranks a
+    # stale-but-frozen one.
 )
 
 
