@@ -30,3 +30,15 @@ def test_oracles_reference_known_queries():
     oracles = entry_mod.oracle_sql()
     unknown = set(oracles) - set(qs)
     assert not unknown, f"oracle_sql keys without queries(): {unknown}"
+
+
+def test_priority_list_names_are_registered_and_unique():
+    """Every _PRIORITY name must exist in the registry (a typo would
+    silently drop the query from the driver's 50-slot sample prefix) and
+    appear exactly once (a duplicate would waste a sample slot)."""
+    from dataflowjavasdk_spark.queries import registry as R
+
+    R._load_all()
+    unknown = [n for n in R._PRIORITY if n not in R._REGISTRY]
+    assert not unknown, f"_PRIORITY names not registered: {unknown}"
+    assert len(set(R._PRIORITY)) == len(R._PRIORITY), "duplicate _PRIORITY names"
