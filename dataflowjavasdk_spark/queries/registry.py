@@ -100,6 +100,7 @@ _PRIORITY: tuple[str, ...] = (
     "event_transition_matrix",
     "user_inactivity_gaps",
     "table_profile_orders",
+    "countmin_term_frequencies",
     "repetition_ratio_quality",
     "pii_detection_stats",
     "grouped_batches_stats",

@@ -186,3 +186,122 @@ def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_click_only",
         ).alias("click_only_ok"),
     )
+
+
+# Count-Min geometry: d=3 rows x w=1024 counters. Row-r position of a
+# token is a 16-bit md5 slice mod w — deterministic and identical in both
+# engines, so unlike HLL/Theta the WHOLE sketch is oracle-exact.
+_CM_D = 3
+_CM_W = 1024
+
+
+@query(
+    "countmin_term_frequencies",
+    oracle=f"""
+    WITH tk AS (
+      SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+      FROM documents
+    ),
+    positions AS (
+      SELECT tok, j,
+             (('0x' || substr(md5(tok), 1 + 4 * j, 4))::BIGINT % {_CM_W}) AS pos
+      FROM tk CROSS JOIN (SELECT unnest(range(0, {_CM_D})) AS j) js
+    ),
+    counters AS (
+      SELECT j, pos, count(*) AS c FROM positions GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT tok, count(*) AS exact_n FROM tk GROUP BY tok
+    ),
+    top AS (
+      SELECT tok, exact_n,
+             row_number() OVER (ORDER BY exact_n DESC, tok) AS rk
+      FROM exact
+    )
+    SELECT t.tok, t.exact_n, t.rk,
+           CAST(MIN(c.c) AS BIGINT) AS cm_est
+    FROM top t
+    CROSS JOIN (SELECT unnest(range(0, {_CM_D})) AS j) js2
+    JOIN counters c
+      ON c.j = js2.j
+     AND c.pos = (('0x' || substr(md5(t.tok), 1 + 4 * js2.j, 4))::BIGINT % {_CM_W})
+    WHERE t.rk <= 10
+    GROUP BY t.tok, t.exact_n, t.rk
+    """,
+)
+def countmin_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch — the mergeable FREQUENCY estimator completing the
+    sketch family (HLL: distincts; Theta: set algebra; KLL/quantile:
+    ranks; CM: per-item counts). Token stream → d=3 hashed counter rows
+    of w=1024 (positions are 16-bit md5 slices, one digest per token);
+    estimate(tok) = min over rows of its counter — never an
+    underestimate, overestimate bounded by collisions (~N/w per row).
+    Emitted for the exact top-10 tokens next to their exact counts, so
+    the one-sided error property itself is oracle-checked value-for-value
+    (the hash arithmetic is cross-engine identical — this sketch needs no
+    rows-only concession). Scale: counters aggregate with map-side
+    partials into a d*w = 3072-cell relation (constant size — merge two
+    corpora by ADDING counters), and the probe side is the already-
+    reduced exact top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    from dataflowjavasdk_spark.functions import text as T
+    from pyspark.sql.window import Window as W
+
+    tk = docs.select(F.explode(T.tokens("text")).alias("tok")).localCheckpoint(
+        eager=False
+    )  # feeds counters AND the exact top-k
+    digested = tk.withColumn("h", F.md5("tok"))
+    positions = digested.select(
+        "tok",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            F.conv(F.substring("h", 1 + 4 * j, 4), 16, 10).cast(
+                                "long"
+                            )
+                            % _CM_W
+                        ).alias("pos"),
+                    )
+                    for j in range(_CM_D)
+                ]
+            )
+        ).alias("jp"),
+    ).select("tok", F.col("jp.j").alias("j"), F.col("jp.pos").alias("pos"))
+    counters = positions.groupBy("j", "pos").agg(F.count(F.lit(1)).alias("c"))
+    exact = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = (
+        exact.withColumn(
+            "rk", F.row_number().over(W.orderBy(F.col("exact_n").desc(), "tok"))
+        )
+        .filter(F.col("rk") <= 10)
+        .withColumn("h", F.md5("tok"))
+    )
+    probes = top.select(
+        "tok",
+        "exact_n",
+        "rk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            F.conv(F.substring("h", 1 + 4 * j, 4), 16, 10).cast(
+                                "long"
+                            )
+                            % _CM_W
+                        ).alias("pos"),
+                    )
+                    for j in range(_CM_D)
+                ]
+            )
+        ).alias("jp"),
+    ).select("tok", "exact_n", "rk", F.col("jp.j").alias("j"), F.col("jp.pos").alias("pos"))
+    return (
+        probes.join(F.broadcast(counters), ["j", "pos"])
+        .groupBy("tok", "exact_n", "rk")
+        .agg(F.min("c").cast("long").alias("cm_est"))
+    )

@@ -57,3 +57,57 @@ def test_theta_overlap_matches_exact_set_algebra(spark):
     # Theta is exact until the sketch saturates (4096 retained hashes);
     # these cardinalities are far below that, so every verdict holds.
     assert got["union_ok"] and got["overlap_ok"] and got["click_only_ok"]
+
+
+def test_countmin_is_mergeable_and_one_sided(spark):
+    """CM counters built on two half-corpora and ADDED cell-wise must
+    equal the counters built on the union (the mergeability that makes CM
+    the 100 TB frequency sketch), and every estimate must be >= the exact
+    count (one-sided error)."""
+    from pyspark.sql import functions as F
+
+    from dataflowjavasdk_spark.functions import text as T
+    from dataflowjavasdk_spark.queries.registry import get
+    from dataflowjavasdk_spark.queries.sketches import _CM_D, _CM_W
+    from dataflowjavasdk_spark.sources.tables import load_table
+    from tests.conftest import SMOKE_SF
+
+    docs = load_table(spark, SMOKE_SF, "documents")
+
+    def counters(df):
+        tk = df.select(F.explode(T.tokens("text")).alias("tok")).withColumn(
+            "h", F.md5("tok")
+        )
+        pos = tk.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            (
+                                F.conv(F.substring("h", 1 + 4 * j, 4), 16, 10)
+                                .cast("long")
+                                % _CM_W
+                            ).alias("pos"),
+                        )
+                        for j in range(_CM_D)
+                    ]
+                )
+            ).alias("jp")
+        ).select(F.col("jp.j").alias("j"), F.col("jp.pos").alias("pos"))
+        return {
+            (r["j"], r["pos"]): r["c"]
+            for r in pos.groupBy("j", "pos").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+
+    whole = counters(docs)
+    a = counters(docs.filter(F.col("doc_id") % 2 == 0))
+    b = counters(docs.filter(F.col("doc_id") % 2 == 1))
+    merged: dict = {}
+    for part in (a, b):
+        for k, v in part.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == whole
+
+    for r in get("countmin_term_frequencies").fn(spark, SMOKE_SF).collect():
+        assert r["cm_est"] >= r["exact_n"]
