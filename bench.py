@@ -86,6 +86,7 @@ HEADLINE = [
     "table_profile_orders",
     "unpivot_daily_type_counts",
     "weighted_sample_per_source",
+    "countmin_term_frequencies",
     # round-2 additions: AvroIO round trip, custom merging windows,
     # SQL-oracled SimHash banded pairs
     "avro_roundtrip_checksum",
