@@ -15,7 +15,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
+from dataflowjavasdk_spark.functions.text import md5_long
 from dataflowjavasdk_spark.queries.registry import query
 from dataflowjavasdk_spark.sources.tables import load_table
 
@@ -281,10 +283,6 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scale a per-partition top-k pre-reduction bounds the window
     input."""
     docs = load_table(spark, sf_dir, "documents")
-    from pyspark.sql.window import Window as W
-
-    from dataflowjavasdk_spark.functions.text import md5_long
-
     rank_key = md5_long(F.col("doc_id").cast("string")).cast("double") / F.col(
         "n_chars"
     ).cast("double")
@@ -322,8 +320,6 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     One window shuffle on user_id, then an aggregate whose key space is
     #types² — constant. At 100 TB per-user ordering state is one
     partition's rows (the same bound as secondary sort)."""
-    from pyspark.sql.window import Window as W
-
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return (
@@ -358,8 +354,6 @@ def user_inactivity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactness discipline as session_stats_per_user), rolled up to count
     / max / total. The churn-risk feature extraction of event analytics;
     one window shuffle + one aggregate, both keyed by user."""
-    from pyspark.sql.window import Window as W
-
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))

@@ -157,12 +157,12 @@ _PRIORITY: tuple[str, ...] = (
     # (4) past the 50-slot budget — first in line for the round-4 sample;
     # the full local gate (tools/check_correctness.py, all queries)
     # covers everything meanwhile. Honest accounting: group (1) has 6
-    # value-critical changed entries and group (2) all 40 queries with no
-    # driver row at all — together 46, so 4 slots remain for group (2b)
+    # value-critical changed entries and group (2) all 41 queries with no
+    # driver row at all — together 47, so 3 slots remain for group (2b)
     # (plan-only changes, r02-green values) and the stale-r01 group (3)
-    # spills to round 4 entirely. With 129 registered queries and 50
+    # spills to round 4 entirely. With 130 registered queries and 50
     # driver slots per round, many frozen green rows will be two rounds
-    # driver-stale — the local gate re-verifies all 129 every session,
+    # driver-stale — the local gate re-verifies all 130 every session,
     # and a query whose VALUES could have changed always outranks a
     # stale-but-frozen one.
 )

@@ -195,6 +195,32 @@ _CM_D = 3
 _CM_W = 1024
 
 
+def _cm_positions(df, *keep_cols):
+    """Explode a DataFrame carrying an md5 digest column ``h`` into one
+    row per CM hash function: (*keep_cols, j, pos). BOTH the counter
+    build and the probe side MUST use this one expression — if the two
+    sides ever read different slices, estimates silently lose the
+    one-sided guarantee."""
+    jp = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    (
+                        F.conv(F.substring("h", 1 + 4 * j, 4), 16, 10).cast("long")
+                        % _CM_W
+                    ).alias("pos"),
+                )
+                for j in range(_CM_D)
+            ]
+        )
+    ).alias("jp")
+    return df.select(*keep_cols, jp).select(
+        *keep_cols, F.col("jp.j").alias("j"), F.col("jp.pos").alias("pos")
+    )
+
+
+
 @query(
     "countmin_term_frequencies",
     oracle=f"""
@@ -251,25 +277,7 @@ def countmin_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )  # feeds counters AND the exact top-k
     digested = tk.withColumn("h", F.md5("tok"))
-    positions = digested.select(
-        "tok",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        (
-                            F.conv(F.substring("h", 1 + 4 * j, 4), 16, 10).cast(
-                                "long"
-                            )
-                            % _CM_W
-                        ).alias("pos"),
-                    )
-                    for j in range(_CM_D)
-                ]
-            )
-        ).alias("jp"),
-    ).select("tok", F.col("jp.j").alias("j"), F.col("jp.pos").alias("pos"))
+    positions = _cm_positions(digested, "tok")
     counters = positions.groupBy("j", "pos").agg(F.count(F.lit(1)).alias("c"))
     exact = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
     top = (
@@ -279,27 +287,7 @@ def countmin_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .withColumn("h", F.md5("tok"))
     )
-    probes = top.select(
-        "tok",
-        "exact_n",
-        "rk",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        (
-                            F.conv(F.substring("h", 1 + 4 * j, 4), 16, 10).cast(
-                                "long"
-                            )
-                            % _CM_W
-                        ).alias("pos"),
-                    )
-                    for j in range(_CM_D)
-                ]
-            )
-        ).alias("jp"),
-    ).select("tok", "exact_n", "rk", F.col("jp.j").alias("j"), F.col("jp.pos").alias("pos"))
+    probes = _cm_positions(top, "tok", "exact_n", "rk")
     return (
         probes.join(F.broadcast(counters), ["j", "pos"])
         .groupBy("tok", "exact_n", "rk")

@@ -79,23 +79,26 @@ def test_retention_cohort_week0_is_cohort_size(spark):
 
 
 def test_table_profile_matches_direct_counts(spark):
-    """The one-pass profile equals independently computed per-metric
-    values (and the fixture has no nulls / non-positive prices to hide
-    behind — assert the checks CAN fire by perturbing a copy)."""
+    """Every profile metric equals an independently computed value on the
+    clean fixture (including the violation counters being exactly 0 —
+    asserting them pins the polarity of the null/range checks: an
+    inverted isNull/<= condition would read n_rows, not 0)."""
     row = get("table_profile_orders").fn(spark, SMOKE_SF).collect()[0]
     od = load_table(spark, SMOKE_SF, "orders")
-    assert row["n_rows"] == od.count()
+    n = od.count()
+    assert row["n_rows"] == n
     assert row["distinct_custkeys"] == od.select("o_custkey").distinct().count()
-    assert row["min_price"] <= row["max_price"]
-    # Perturbed copy: nulls and violations must be counted, not masked.
-    bad = od.limit(10).select(
-        F.lit(None).cast("bigint").alias("o_custkey"),
-        *[c for c in ["o_orderkey"]],
-        F.lit(-1.0).alias("o_totalprice"),
-        F.lit("1-URGENT").alias("o_orderpriority"),
+    assert (
+        row["distinct_priorities"]
+        == od.select("o_orderpriority").distinct().count()
     )
-    prof = bad.agg(
-        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("nulls"),
-        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("viol"),
+    mm = od.agg(
+        F.min(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("lo"),
+        F.max(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("hi"),
     ).collect()[0]
-    assert prof["nulls"] == 10 and prof["viol"] == 10
+    assert row["min_price"] == mm["lo"] and row["max_price"] == mm["hi"]
+    # Clean fixture: violation counters must be 0, not n_rows (polarity).
+    assert row["null_custkey"] == 0
+    assert row["null_totalprice"] == 0
+    assert row["nonpositive_prices"] == 0
+    assert 0 < row["min_price"] <= row["max_price"]
