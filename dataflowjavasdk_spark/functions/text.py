@@ -26,7 +26,13 @@ EN_STOPWORDS = (
 def tokens(col: str | Column, pattern: str = r"\s+") -> Column:
     """Whitespace tokenization; empty tokens removed (the reference's
     WordCount ExtractWordsFn regex-split, historical
-    examples/WordCount.java)."""
+    examples/WordCount.java).
+
+    Oracle-parity note: the DuckDB twins split on a literal single space
+    (``string_split(text, ' ')``). The two agree on the fixture corpus,
+    which is single-space-delimited by construction (TESTDATA.md); a
+    general corpus with tabs/newlines would be whitespace-normalized
+    first (exactly what fingerprint() does before hashing)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.filter(F.split(c, pattern), lambda t: t != F.lit(""))
 
