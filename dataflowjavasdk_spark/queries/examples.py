@@ -929,3 +929,65 @@ def orc_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("max_ts"),
         F.max("user_id").cast("long").alias("max_user"),
     )
+
+
+@query("gzip_json_roundtrip_checksum", oracle=_DOCS_CHECKSUM_SQL)
+def gzip_json_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CompressedSource round trip (historical sdk/io/CompressedSource.java
+    wrapping TextIO): documents go out as gzip-compressed JSON lines and
+    come back through the decompressing reader with an explicit schema,
+    checksummed per language. The caveat this pins: gzip files are NOT
+    splittable — each .gz is one task on re-read, so the writer's
+    partition count (4 here) IS the read parallelism; at 100 TB the
+    writer must emit many shards (or use a splittable codec) or the read
+    serializes."""
+    import tempfile
+
+    from dataflowjavasdk_spark.core import Pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="gzjson_rt_")
+    docs.repartition(4).write.mode("overwrite").option("compression", "gzip").json(d)
+    back = Pipeline(spark).read_json(
+        d, schema="doc_id long, text string, lang string, source string, n_chars long"
+    ).df
+    return _docs_checksum(back)
+
+
+@query(
+    "partitioned_write_prune_checksum",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(MAX(user_id) AS BIGINT) AS max_user
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """,
+)
+def partitioned_write_prune_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned sink + partition-pruned re-read (the
+    FileBasedSink layout every warehouse table uses): events written
+    ``partitionBy(event_type)``, then read back filtered to two types —
+    the filter prunes to those directories at PLANNING time (no scan of
+    the other partitions' files; plan-asserted in
+    tests/test_scale_behaviors.py for this layout). The checksum compares
+    against the unpartitioned original, so the partition column's
+    round-trip through directory names (string values) is value-checked
+    too."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    d = tempfile.mkdtemp(prefix="part_rt_")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(d)
+    back = spark.read.parquet(d).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        F.max("user_id").cast("long").alias("max_user"),
+    )

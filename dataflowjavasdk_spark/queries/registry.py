@@ -101,6 +101,8 @@ _PRIORITY: tuple[str, ...] = (
     "user_inactivity_gaps",
     "table_profile_orders",
     "countmin_term_frequencies",
+    "gzip_json_roundtrip_checksum",
+    "partitioned_write_prune_checksum",
     "repetition_ratio_quality",
     "pii_detection_stats",
     "grouped_batches_stats",
@@ -157,12 +159,12 @@ _PRIORITY: tuple[str, ...] = (
     # (4) past the 50-slot budget — first in line for the round-4 sample;
     # the full local gate (tools/check_correctness.py, all queries)
     # covers everything meanwhile. Honest accounting: group (1) has 6
-    # value-critical changed entries and group (2) all 41 queries with no
-    # driver row at all — together 47, so 3 slots remain for group (2b)
+    # value-critical changed entries and group (2) all 43 queries with no
+    # driver row at all — together 49, so 1 slot remains for group (2b)
     # (plan-only changes, r02-green values) and the stale-r01 group (3)
-    # spills to round 4 entirely. With 130 registered queries and 50
+    # spills to round 4 entirely. With 132 registered queries and 50
     # driver slots per round, many frozen green rows will be two rounds
-    # driver-stale — the local gate re-verifies all 130 every session,
+    # driver-stale — the local gate re-verifies all 132 every session,
     # and a query whose VALUES could have changed always outranks a
     # stale-but-frozen one.
 )
