@@ -23,6 +23,12 @@ EN_STOPWORDS = (
 )
 
 
+# GPT-style pre-tokenizer classes: letter runs, single digits, other marks.
+# Kept to constructs RE2 (DuckDB) and Java regex interpret identically —
+# the cross-engine contract every regex-tokenized oracle depends on.
+BPE_PRETOKEN_PAT = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
 def tokens(col: str | Column, pattern: str = r"\s+") -> Column:
     """Whitespace tokenization; empty tokens removed (the reference's
     WordCount ExtractWordsFn regex-split, historical

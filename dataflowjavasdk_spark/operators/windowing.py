@@ -206,46 +206,62 @@ class _MergedWindowGroupedData:
 
 
 class CalendarWindows(WindowFn):
-    """CalendarWindows.days/weeks/months/years — calendar-aligned,
-    variable-length windows (historical sdk/transforms/windowing/
-    CalendarWindows.java). No Spark built-in: the window struct is derived
-    from date_trunc / interval arithmetic (SURVEY.md §4.2). Only n=1
-    periods are supported (the reference's common case); timezone via the
-    session zone (pinned UTC in session.py)."""
+    """CalendarWindows.days/weeks/months/years (+withTimeZone) —
+    calendar-aligned, variable-length windows (historical
+    sdk/transforms/windowing/CalendarWindows.java). No Spark built-in: the
+    window struct is derived from date_trunc / interval arithmetic
+    (SURVEY.md §4.2). Only n=1 periods are supported (the reference's
+    common case).
+
+    Timezone: the session zone is pinned UTC (session.py); `tz_offset`
+    (an INTERVAL string, e.g. "-8 hours" or "5 hours 30 minutes") aligns
+    window boundaries to a fixed-offset civil calendar via
+    shift → truncate → unshift, so boundaries are still instants on the
+    shared timeline. Fixed offsets keep the arithmetic exact and identical
+    cross-engine; a DST-observing zone needs a tz database and makes some
+    local times ambiguous — the documented scope is fixed-offset zones
+    (the same contract as calendar_day_events_tz)."""
 
     _TRUNC = {"day": "day", "week": "week", "month": "month", "year": "year"}
 
-    def __init__(self, unit: str):
+    def __init__(self, unit: str, tz_offset: str | None = None):
         if unit not in self._TRUNC:
             raise ValueError(f"unit must be one of {sorted(self._TRUNC)}")
         self.unit = unit
+        self.tz_offset = tz_offset
 
     @classmethod
-    def days(cls) -> "CalendarWindows":
-        return cls("day")
+    def days(cls, tz_offset: str | None = None) -> "CalendarWindows":
+        return cls("day", tz_offset)
 
     @classmethod
-    def weeks(cls) -> "CalendarWindows":
-        return cls("week")
+    def weeks(cls, tz_offset: str | None = None) -> "CalendarWindows":
+        return cls("week", tz_offset)
 
     @classmethod
-    def months(cls) -> "CalendarWindows":
-        return cls("month")
+    def months(cls, tz_offset: str | None = None) -> "CalendarWindows":
+        return cls("month", tz_offset)
 
     @classmethod
-    def years(cls) -> "CalendarWindows":
-        return cls("year")
+    def years(cls, tz_offset: str | None = None) -> "CalendarWindows":
+        return cls("year", tz_offset)
 
     def assign(self, ts: Column) -> Column:
-        start = F.date_trunc(self.unit, ts)
+        shift = F.expr(f"INTERVAL {self.tz_offset}") if self.tz_offset else None
+        local = ts + shift if shift is not None else ts
+        start_local = F.date_trunc(self.unit, local)
         if self.unit == "day":
-            end = start + F.expr("INTERVAL 1 DAY")
+            end_local = start_local + F.expr("INTERVAL 1 DAY")
         elif self.unit == "week":
-            end = start + F.expr("INTERVAL 7 DAY")
+            end_local = start_local + F.expr("INTERVAL 7 DAY")
         elif self.unit == "month":
-            end = F.to_timestamp(F.add_months(start, 1))
+            end_local = F.to_timestamp(F.add_months(start_local, 1))
         else:  # year
-            end = F.to_timestamp(F.add_months(start, 12))
+            end_local = F.to_timestamp(F.add_months(start_local, 12))
+        if shift is not None:
+            start, end = start_local - shift, end_local - shift
+        else:
+            start, end = start_local, end_local
         return F.struct(start.alias("start"), end.alias("end"))
 
 

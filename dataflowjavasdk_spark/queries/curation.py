@@ -19,7 +19,8 @@ from dataflowjavasdk_spark.sources.tables import load_table
 
 # GPT-style pre-tokenizer classes: letter runs, single digits, other marks.
 # Kept to constructs RE2 (DuckDB) and Java regex interpret identically.
-_BPE_PAT = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+# Shared with wordcount_regex (queries/text.py) via functions.text.
+from dataflowjavasdk_spark.functions.text import BPE_PRETOKEN_PAT as _BPE_PAT
 
 
 @query(

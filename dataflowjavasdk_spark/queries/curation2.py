@@ -207,6 +207,11 @@ def edit_distance_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic and identical across Spark and DuckDB.
 _BLOOM_BITS = 65536
 _BLOOM_K = 3
+# The geometry is implicit in the 4-hex-char (16-bit) md5 slices used by
+# pos() below and its SQL twin; pin the constant to the slice width so
+# changing one without the other fails loudly instead of silently doing
+# nothing (r3 ADVICE).
+assert _BLOOM_BITS == 1 << 16, "position slice is 4 hex chars = 16 bits"
 
 
 @query(

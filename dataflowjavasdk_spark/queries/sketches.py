@@ -293,3 +293,74 @@ def countmin_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok", "exact_n", "rk")
         .agg(F.min("c").cast("long").alias("cm_est"))
     )
+
+
+@query(
+    "kll_quantiles_rollup",
+    oracle="""
+    SELECT coalesce(event_type, 'ALL') AS scope,
+           count(*) AS n_rows,
+           TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok, TRUE AS p90_ok
+    FROM events
+    GROUP BY ROLLUP(event_type)
+    """,
+)
+def kll_quantiles_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KLL quantile rollup (Spark 4 DataSketches KLL aggs) —
+    completes the mergeable-sketch quartet (HLL distincts, Theta set
+    algebra, Count-Min frequencies, KLL quantiles; VERDICT r3 stretch #9)
+    next to the exact twin `approx_quantiles_per_key`.
+
+    One KLL(k=200) sketch of `value` per event_type; p25/p50/p75/p90
+    estimated per type AND for the 'ALL' row by MERGING the per-type
+    sketches (kll_merge_agg_double) — never rescanning the input. This is
+    the sketch-store pattern: persist a few-KB sketch per day/source,
+    answer any quantile at any rollup level by merge.
+
+    Correctness contract (same pattern as hll/theta): estimates are
+    engine-specific, so the query emits (a) n_rows read FROM THE SKETCH
+    (kll_sketch_get_n — exact by construction, proving every row was
+    absorbed; the oracle compares it to count(*)) and (b) in-plan rank
+    verdicts: the achieved rank of each estimate — avg(value <= q), KLL's
+    inclusive-rank semantics — must land within eps=0.025 of the target
+    (k=200 rated normalized rank error ~1.65%). The rank-audit pass
+    re-reads a 2-column projection once; production would trust the rated
+    error and skip it."""
+    events = load_table(spark, sf_dir, "events")
+    per_type = events.groupBy("event_type").agg(
+        F.kll_sketch_agg_double("value", F.lit(200)).alias("sk")
+    )
+    merged = per_type.agg(F.kll_merge_agg_double("sk").alias("sk")).select(
+        F.lit(None).cast("string").alias("event_type"), "sk"
+    )
+    sketches = per_type.unionByName(merged).select(
+        F.coalesce(F.col("event_type"), F.lit("ALL")).alias("scope"),
+        F.col("event_type").alias("__et"),
+        F.kll_sketch_get_n_double("sk").cast("long").alias("n_rows"),
+        *[
+            F.kll_sketch_get_quantile_double("sk", F.lit(p)).alias(f"__q{tag}")
+            for p, tag in ((0.25, "25"), (0.5, "50"), (0.75, "75"), (0.9, "90"))
+        ],
+    )
+    # Rank audit: scope rows are O(#event_types) — broadcast them against
+    # the events projection ('ALL' matches every row) and measure each
+    # estimate's achieved inclusive rank.
+    ev = events.select("event_type", "value")
+    audited = ev.join(
+        F.broadcast(sketches),
+        (F.col("__et").isNull()) | (F.col("__et") == ev["event_type"]),
+    )
+    eps = 0.025
+    ranks = audited.groupBy("scope", "n_rows").agg(
+        *[
+            (
+                F.abs(
+                    F.avg((F.col("value") <= F.col(f"__q{tag}")).cast("double"))
+                    - F.lit(p)
+                )
+                <= eps
+            ).alias(f"p{tag}_ok")
+            for p, tag in ((0.25, "25"), (0.5, "50"), (0.75, "75"), (0.9, "90"))
+        ]
+    )
+    return ranks.select("scope", "n_rows", "p25_ok", "p50_ok", "p75_ok", "p90_ok")

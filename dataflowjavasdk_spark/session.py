@@ -89,6 +89,9 @@ def get_spark(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
+        # No stage-progress \r spam on the console: it interleaves with the
+        # bench's stdout JSON contract line and bloats any captured log.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # Managed-table root for bucketed tables (write_bucketed). Static
         # conf — takes effect only for a fresh JVM; kept out of the repo.

@@ -42,3 +42,37 @@ def test_priority_list_names_are_registered_and_unique():
     unknown = [n for n in R._PRIORITY if n not in R._REGISTRY]
     assert not unknown, f"_PRIORITY names not registered: {unknown}"
     assert len(set(R._PRIORITY)) == len(R._PRIORITY), "duplicate _PRIORITY names"
+
+
+def test_priority_prefix_maximizes_fresh_driver_coverage():
+    """The driver samples a 50-entry prefix of queries() per round; a slot
+    spent on a query already green in the LAST round's CORRECTNESS file is
+    a slot a never/stale-checked query lost (derived here instead of a
+    hand-counted registry comment, per r3 ADVICE). Skips if no driver
+    CORRECTNESS artifact exists (fresh checkout)."""
+    import json
+    import os
+    import re
+
+    import pytest
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = sorted(
+        f for f in os.listdir(root) if re.fullmatch(r"CORRECTNESS_r\d+\.json", f)
+    )
+    if not rounds:
+        pytest.skip("no driver CORRECTNESS artifact yet")
+    with open(os.path.join(root, rounds[-1])) as fh:
+        last = {
+            name
+            for name, row in json.load(fh).items()
+            if row.get("err") is None and row.get("rows_match")
+        }
+    from dataflowjavasdk_spark.queries import all_queries
+
+    prefix = list(all_queries())[:50]
+    wasted = [n for n in prefix if n in last]
+    assert not wasted, (
+        f"{len(wasted)} of the 50 driver sample slots repeat queries already "
+        f"green in {rounds[-1]}: {wasted}"
+    )

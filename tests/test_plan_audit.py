@@ -183,6 +183,8 @@ def test_no_cartesian_products_anywhere(spark):
         "near_dup_graph_triangles",    # 3x 1-row count aggregates crossed
         "theta_audience_overlap",      # 1-row exact aggregates broadcast
         "approx_distinct_users",       # 1-row verdict aggregate
+        "kll_quantiles_rollup",        # O(#types) sketch rows broadcast for
+                                       # the rank audit (NULL-scope OR join)
     }
     for name in all_queries():
         p = _plan(spark, name)

@@ -111,3 +111,30 @@ def test_countmin_is_mergeable_and_one_sided(spark):
 
     for r in get("countmin_term_frequencies").fn(spark, SMOKE_SF).collect():
         assert r["cm_est"] >= r["exact_n"]
+
+
+def test_kll_merged_quantiles_within_rated_rank_error(spark):
+    """KLL mergeability: quantiles read from a MERGE of per-key sketches
+    honor the rated rank error against the exact distribution (unlike HLL
+    unioning, KLL merge-compaction is not bit-identical to a single global
+    build, so the contract is the error bound, not equality)."""
+    events = load_table(spark, SMOKE_SF, "events")
+    merged_sk = (
+        events.groupBy("event_type")
+        .agg(F.kll_sketch_agg_double("value", F.lit(200)).alias("sk"))
+        .agg(F.kll_merge_agg_double("sk").alias("sk"))
+    )
+    est = merged_sk.select(
+        F.kll_sketch_get_n_double("sk").alias("n"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("p90"),
+    ).collect()[0]
+    total = events.count()
+    assert est["n"] == total  # the sketch absorbed every row
+    for target, q in ((0.5, est["p50"]), (0.9, est["p90"])):
+        achieved = (
+            events.agg(
+                F.avg((F.col("value") <= F.lit(q)).cast("double")).alias("r")
+            ).collect()[0]["r"]
+        )
+        assert abs(achieved - target) <= 0.025, (target, q, achieved)

@@ -11,6 +11,33 @@ from dataflowjavasdk_spark.sources.tables import load_table
 from tests.conftest import SMOKE_SF
 
 
+def test_fixture_text_is_single_space_delimited():
+    """Enforce the oracle-parity contract documented at functions/text.py
+    tokens(): Spark tokenizes on \\s+ while every DuckDB twin splits on a
+    literal single space — the two agree only because the fixture corpus
+    (TESTDATA.md) is single-space-delimited by construction. A regenerated
+    fixture with tabs/newlines/double spaces would make every token-based
+    oracle diverge with confusing hash mismatches; fail HERE instead
+    (r3 ADVICE). Checks every sf the driver uses."""
+    import duckdb
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        bad = duckdb.sql(
+            f"""
+            SELECT count(*) FROM '{sf_dir}/documents.parquet'
+            WHERE regexp_matches(text, '[\\t\\n\\r]')
+               OR regexp_matches(text, '  ')
+               OR text LIKE ' %' OR text LIKE '% '
+            """
+        ).fetchone()[0]
+        assert bad == 0, (
+            f"{sf_dir}/documents.text violates the single-space contract "
+            f"({bad} rows) — the \\s+-vs-literal-space oracle parity no "
+            "longer holds; normalize in tokens() twins before trusting "
+            "token-based oracles"
+        )
+
+
 def test_tokens_filters_empties(spark):
     df = spark.createDataFrame([("a  b c",), ("",)], "s string")
     got = df.select(T.tokens("s").alias("t")).collect()

