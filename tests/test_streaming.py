@@ -713,3 +713,73 @@ def test_streaming_incremental_dedup_against_static_corpus_index(spark):
         assert all(r["verdict"] == "unique" for r in round2)
     finally:
         h.close()
+
+
+@pytest.fixture()
+def avro_harness(spark):
+    h = SC.MicroBatchHarness(spark, SCHEMA, fmt="avro")
+    yield h
+    h.close()
+
+
+@pytest.fixture()
+def jsonl_harness(spark):
+    h = SC.MicroBatchHarness(spark, SCHEMA, fmt="jsonl")
+    yield h
+    h.close()
+
+
+def test_read_stream_avro_watermark_panes(spark, avro_harness):
+    """AvroIO streaming source (VERDICT r3 #5): avro container files
+    dropped into the dir become micro-batches through the pure-Python OCF
+    codec; watermark state carries across rounds exactly like the parquet
+    drop-dir (same assertions as
+    test_append_mode_emits_once_after_watermark)."""
+    avro_harness.feed(
+        _batch(spark, _rows(spark, (1, 10, "a", 1), (2, 20, "a", 1), (3, 70, "a", 1)))
+    )
+    out1 = avro_harness.run_round(windowed_count, output_mode="append")
+    got1 = {(str(r["ws"]), r["key"]): r["n"] for r in out1}
+    assert got1 == {("2024-01-01 00:00:00", "a"): 2}
+
+    avro_harness.feed(_batch(spark, _rows(spark, (4, 500, "a", 1))))
+    out2 = avro_harness.run_round(windowed_count, output_mode="append")
+    got2 = {(str(r["ws"]), r["key"]): r["n"] for r in out2}
+    assert got2 == {("2024-01-01 00:01:00", "a"): 1}
+
+
+def test_read_stream_avro_equals_batch_read(spark, avro_harness):
+    """Batch-equivalence: the unified-model contract — the streaming Avro
+    source passed through unchanged must deliver exactly the rows the
+    batch read_avro sees on the same files."""
+    from dataflowjavasdk_spark.sources.avro import read_avro
+
+    rows = _rows(spark, (1, 10, "a", 1.5), (2, 20, "b", 2.5), (3, 70, "c", 3.5))
+    avro_harness.feed(_batch(spark, rows[:2]))
+    avro_harness.feed(_batch(spark, rows[2:]))
+    streamed = avro_harness.run_round(lambda s: s, output_mode="append")
+    batch = read_avro(spark, avro_harness.input_dir).collect()
+    key = lambda r: (r["event_id"], str(r["ts"]), r["key"], r["value"])  # noqa: E731
+    assert sorted(map(key, streamed)) == sorted(map(key, batch))
+    assert len(batch) == 3
+
+
+def test_read_stream_avro_empty_dir_requires_schema(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        SC.read_stream_avro(spark, str(tmp_path))
+
+
+def test_read_stream_jsonl_watermark_panes(spark, jsonl_harness):
+    """JSON-lines drop-dir source: the other non-parquet PubsubIO-from-
+    files payload. Same pane assertions as the parquet harness test."""
+    jsonl_harness.feed(
+        _batch(spark, _rows(spark, (1, 10, "a", 1), (2, 20, "a", 1), (3, 70, "a", 1)))
+    )
+    out1 = jsonl_harness.run_round(windowed_count, output_mode="append")
+    got1 = {(str(r["ws"]), r["key"]): r["n"] for r in out1}
+    assert got1 == {("2024-01-01 00:00:00", "a"): 2}
+
+    jsonl_harness.feed(_batch(spark, _rows(spark, (4, 500, "a", 1))))
+    out2 = jsonl_harness.run_round(windowed_count, output_mode="append")
+    got2 = {(str(r["ws"]), r["key"]): r["n"] for r in out2}
+    assert got2 == {("2024-01-01 00:01:00", "a"): 1}
