@@ -112,6 +112,7 @@ HEADLINE = [
     # whitespace contract) and the tz-aware calendar month rollup
     "wordcount_regex",
     "calendar_month_events_tz",
+    "embedding_decontamination",
 ]
 
 

@@ -954,6 +954,30 @@ def gzip_json_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs_checksum(back)
 
 
+@query("bzip2_json_roundtrip_checksum", oracle=_DOCS_CHECKSUM_SQL)
+def bzip2_json_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CompressedSource round trip, SPLITTABLE codec (historical
+    sdk/io/CompressedSource.java supported gzip AND bzip2): documents go
+    out as bzip2 JSON lines in a deliberately low shard count (2) and
+    come back through the decompressing reader. The scale contrast with
+    the gzip twin: bzip2 is block-compressed, so on re-read Spark can
+    split ONE archive into many input partitions (read parallelism is
+    decoupled from writer sharding — asserted with a small
+    maxPartitionBytes in tests/test_scale_behaviors.py). At 100 TB
+    prefer a splittable codec (bzip2/zstd-seekable) or many shards."""
+    import tempfile
+
+    from dataflowjavasdk_spark.core import Pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="bz2json_rt_")
+    docs.coalesce(2).write.mode("overwrite").option("compression", "bzip2").json(d)
+    back = Pipeline(spark).read_json(
+        d, schema="doc_id long, text string, lang string, source string, n_chars long"
+    ).df
+    return _docs_checksum(back)
+
+
 @query(
     "partitioned_write_prune_checksum",
     oracle="""

@@ -66,6 +66,8 @@ _PRIORITY: tuple[str, ...] = (
     "calendar_year_orders",
     "wordcount_regex",
     "kll_quantiles_rollup",
+    "embedding_decontamination",
+    "bzip2_json_roundtrip_checksum",
     # (3) last driver-checked in round 1 — i.e. against the PRE-regeneration
     # fixtures that no longer exist; re-establish driver evidence on the
     # current files (they pass the local gate every session)

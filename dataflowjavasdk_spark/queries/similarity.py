@@ -274,3 +274,66 @@ def ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+
+
+@query(
+    "embedding_decontamination",
+    oracle=f"""
+    WITH b AS (SELECT vec_id AS bench_id, embedding AS bv FROM embeddings
+               WHERE vec_id % 20 = 0),
+    c AS (SELECT vec_id, label, embedding FROM embeddings
+          WHERE vec_id % 20 <> 0),
+    scored AS (
+      SELECT c.vec_id, c.label, b.bench_id,
+             {_sql_cosine('c.embedding', 'b.bv')} AS cosine
+      FROM c CROSS JOIN b
+    ),
+    best AS (
+      SELECT vec_id, label, bench_id, cosine,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cosine DESC, bench_id) AS rk
+      FROM scored
+    )
+    SELECT vec_id, label, bench_id, cosine,
+           cosine >= 0.4 AS is_contaminated
+    FROM best WHERE rk = 1
+    """,
+)
+def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark decontamination — the embedding-space sibling of
+    the 8-gram/Bloom lexical decontaminations (queries/curation*.py): a
+    corpus vector is contaminated when its cosine against ANY benchmark
+    vector (vec_id % 20 = 0, the same held-out convention) reaches the
+    threshold. Emits every corpus row with its closest benchmark match
+    and the verdict, so both branches are value-oracled (the fold cosine
+    is bit-identical cross-engine, like the other similarity queries).
+
+    Scale shape: the benchmark registry is constant-size (it is a
+    benchmark, not a corpus) -> broadcast; the corpus streams through the
+    scorer map-side in one pass; per-row best match is a window over the
+    scored side partitioned by corpus id. When the benchmark side grows
+    past broadcast range, the LSH-bucket prefilter (ann_lsh_multitable's
+    OR-amplified tables, tuned for recall) bounds candidates instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("bench_id"), F.col("embedding").alias("bv")
+    )
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    scored = corpus.crossJoin(F.broadcast(bench)).select(
+        "vec_id",
+        "label",
+        "bench_id",
+        S.cosine(F.col("embedding"), F.col("bv")).alias("cosine"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("bench_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "vec_id",
+            "label",
+            "bench_id",
+            "cosine",
+            (F.col("cosine") >= 0.4).alias("is_contaminated"),
+        )
+    )

@@ -447,3 +447,70 @@ def test_shingle_blocking_sql_matches_engine_for_all_widths(spark, texts, n):
                    )) FROM src""").fetchall()
     }
     assert engine == oracle
+
+
+# Wider span (minutes resolution over ~2 years) so month/year boundaries
+# and leap-February are actually crossed.
+_cal_ts_secs = st.integers(min_value=1_672_531_200, max_value=1_735_689_600)
+
+
+@given(
+    ts_list=st.lists(_cal_ts_secs, min_size=1, max_size=20),
+    unit=st.sampled_from(["day", "week", "month", "year"]),
+    offset_min=st.sampled_from([-480, -330, 0, 330, 480, 570]),
+)
+@_settings
+def test_calendar_windows_tz_assignment_properties(spark, ts_list, unit, offset_min):
+    """CalendarWindows(+tz) assignment invariants, any unit x fixed
+    offset: (1) start <= ts < end; (2) boundaries align to the local
+    calendar — shifting start by the offset lands exactly on a local
+    date_trunc(unit) point; (3) the window covers one calendar period
+    (adding one unit to the local start gives the local end) — so
+    variable month/year lengths and the shift→truncate→unshift round
+    trip hold for every generated instant."""
+    from dataflowjavasdk_spark.operators.windowing import CalendarWindows
+
+    sign = "-" if offset_min < 0 else ""
+    tz = None if offset_min == 0 else f"{sign}{abs(offset_min)} minutes"
+    fn = CalendarWindows(unit, tz)
+    df = spark.createDataFrame(
+        [(datetime.datetime.utcfromtimestamp(s),) for s in ts_list], "ts timestamp"
+    )
+    got = df.select(
+        "ts",
+        fn.assign(F.col("ts")).alias("w"),
+        (F.col("ts") + F.expr(f"INTERVAL {tz}") if tz else F.col("ts")).alias("lts"),
+    ).collect()
+    step = {"day": "1 DAY", "week": "7 DAY", "month": "1 MONTH", "year": "1 YEAR"}[unit]
+    for r in got:
+        ts, start, end = r["ts"], r["w"]["start"], r["w"]["end"]
+        assert start <= ts < end, (unit, tz, ts, start, end)
+        off = datetime.timedelta(minutes=offset_min)
+        local_start = start + off
+        trunc = {
+            "day": lambda d: d.replace(hour=0, minute=0, second=0, microsecond=0),
+            "week": lambda d: (d - datetime.timedelta(days=d.weekday())).replace(
+                hour=0, minute=0, second=0, microsecond=0
+            ),
+            "month": lambda d: d.replace(
+                day=1, hour=0, minute=0, second=0, microsecond=0
+            ),
+            "year": lambda d: d.replace(
+                month=1, day=1, hour=0, minute=0, second=0, microsecond=0
+            ),
+        }[unit]
+        assert local_start == trunc(local_start), (unit, tz, local_start)
+        # end = start + one local calendar period
+        local_end = end + off
+        if unit == "day":
+            expect = local_start + datetime.timedelta(days=1)
+        elif unit == "week":
+            expect = local_start + datetime.timedelta(days=7)
+        elif unit == "month":
+            y, m = divmod(local_start.month, 12)
+            expect = local_start.replace(
+                year=local_start.year + y, month=m + 1
+            )
+        else:
+            expect = local_start.replace(year=local_start.year + 1)
+        assert local_end == expect, (unit, tz, local_start, local_end, expect)

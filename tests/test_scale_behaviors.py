@@ -122,3 +122,41 @@ def test_range_partitioned_sorted_write(spark, tmp_path_factory):
         assert hi1 <= lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
     # Round trip: nothing lost.
     assert spark.read.parquet(base).count() == 10_000
+
+
+def test_bzip2_reread_splits_beyond_file_count(spark, tmp_path_factory):
+    """Splittable-codec contract behind bzip2_json_roundtrip_checksum:
+    ONE .bz2 archive re-reads as MULTIPLE input partitions once the file
+    exceeds maxPartitionBytes (block-compressed codecs decouple read
+    parallelism from writer sharding), while the same data as ONE .gz
+    stays a single task no matter the split size — the reason gzip at
+    100 TB demands many writer shards and bzip2 does not."""
+    import pyspark.sql.functions as F
+
+    d = tmp_path_factory.mktemp("codec_split")
+    rows = spark.range(60_000).select(
+        "id", F.repeat(F.lit("payload-abcdefghij "), 20).alias("pad")
+    )
+    gz, bz = str(d / "gz"), str(d / "bz")
+    rows.coalesce(1).write.option("compression", "gzip").json(gz)
+    rows.coalesce(1).write.option("compression", "bzip2").json(bz)
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+    try:
+        schema = "id long, pad string"
+        bz_parts = spark.read.schema(schema).json(bz).rdd.getNumPartitions()
+        gz_parts = spark.read.schema(schema).json(gz).rdd.getNumPartitions()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert bz_parts > 1, f"bzip2 should split one archive ({bz_parts})"
+    # gzip: the planner may create byte-range splits, but a non-splittable
+    # codec collapses them — count rows per partition instead: every row
+    # of the .gz lands in one partition.
+    gz_df = spark.read.schema(schema).json(gz)
+    per_part = gz_df.withColumn(
+        "p", F.spark_partition_id()
+    ).groupBy("p").count().collect()
+    nonempty = [r for r in per_part if r["count"] > 0]
+    assert len(nonempty) == 1, f"gzip archive must decode in one task: {per_part}"
+    assert gz_parts >= 1  # planner partition count is irrelevant for gzip

@@ -783,3 +783,45 @@ def test_read_stream_jsonl_watermark_panes(spark, jsonl_harness):
     out2 = jsonl_harness.run_round(windowed_count, output_mode="append")
     got2 = {(str(r["ws"]), r["key"]): r["n"] for r in out2}
     assert got2 == {("2024-01-01 00:01:00", "a"): 1}
+
+
+def test_avro_stream_source_to_avro_stream_sink_exactly_once(
+    spark, avro_harness, tmp_path_factory
+):
+    """Full unbounded AvroIO loop: avro drop-dir source → windowed agg →
+    exactly-once avro streaming sink, across restarts (each availableNow
+    round restarts the query; the third round replays with no new data
+    and must add nothing). Closes the PubsubIO-from-files pattern for
+    Avro payloads end to end — source AND sink twins of the batch codec."""
+    from dataflowjavasdk_spark.sources.avro import read_avro, write_stream_avro
+
+    out_dir = str(tmp_path_factory.mktemp("avro_eos")) + "/out"
+
+    def run_sink_round():
+        src = avro_harness._source()
+        q = (
+            write_stream_avro(
+                windowed_count(src), out_dir, avro_harness.checkpoint
+            )
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    avro_harness.feed(
+        _batch(spark, _rows(spark, (1, 10, "a", 1), (2, 20, "a", 1), (3, 70, "a", 1)))
+    )
+    run_sink_round()
+    avro_harness.feed(_batch(spark, _rows(spark, (4, 500, "a", 1))))
+    run_sink_round()
+    run_sink_round()  # replay with nothing new — idempotent
+
+    got = sorted(
+        (str(r["ws"]), r["key"], r["n"])
+        for r in read_avro(spark, out_dir).collect()
+    )
+    assert got == [
+        ("2024-01-01 00:00:00", "a", 2),
+        ("2024-01-01 00:01:00", "a", 1),
+    ]
