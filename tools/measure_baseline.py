@@ -122,6 +122,22 @@ def spark_queries(spark):
         )
         return sums.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
 
+    def quantile_rollup():
+        # The plain formulation kll_quantiles_rollup competes with: built-in
+        # percentile_approx per type plus a global row via rollup — no
+        # mergeable sketch store, rescans values for every rollup level.
+        return (
+            ev.rollup("event_type")
+            .agg(
+                F.percentile_approx(
+                    "value", [0.25, 0.5, 0.75, 0.9], 10000
+                ).alias("qs")
+            )
+            .select(
+                F.coalesce("event_type", F.lit("ALL")).alias("scope"), "qs"
+            )
+        )
+
     return {
         "q1_pricing_summary": q1,
         "q3_join_agg": q3,
@@ -131,6 +147,7 @@ def spark_queries(spark):
         "dedup_exact_shape": dedup_exact,
         "session_windows_events": session_windows,
         "topk_per_group": topk_per_group,
+        "quantile_rollup": quantile_rollup,
     }
 
 
@@ -187,6 +204,10 @@ DUCK_SQL = {
                                     ORDER BY sum_value DESC, user_id) AS rk
           FROM sums)
         SELECT * FROM ranked WHERE rk <= 3""",
+    "quantile_rollup": """
+        SELECT coalesce(event_type, 'ALL') AS scope,
+               quantile_cont(value, [0.25, 0.5, 0.75, 0.9]) AS qs
+        FROM events GROUP BY ROLLUP(event_type)""",
 }
 
 
