@@ -113,6 +113,10 @@ HEADLINE = [
     "wordcount_regex",
     "calendar_month_events_tz",
     "embedding_decontamination",
+    "vocab_coverage_curve",
+    "source_repetition_mix",
+    "curation_filter_funnel",
+    "duplicate_passage_stats",
 ]
 
 

@@ -1,0 +1,342 @@
+"""Round-4 training-data curation ops (SURVEY.md §2.13): tokenizer
+planning (vocabulary coverage), epoch-aware source repetition, the
+filter-funnel observability report, and sequence-level duplicate passage
+profiling (the Lee et al. 2021 "Deduplicating Training Data" span view —
+here as the intra-corpus profiling twin of the benchmark decontaminations).
+
+Cross-engine discipline as everywhere: thresholds and shares stay in
+integer arithmetic until one final IEEE division (rounded to 9 dp), and
+every pseudo-random choice is an md5-derived integer — so the DuckDB
+oracles reproduce results bit for bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from dataflowjavasdk_spark.functions.text import tokens
+from dataflowjavasdk_spark.queries.registry import query
+from dataflowjavasdk_spark.sources.tables import load_table
+
+
+@query(
+    "vocab_coverage_curve",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+      FROM documents
+    ),
+    counts AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+    ranked AS (
+      SELECT tok, n,
+             row_number() OVER (ORDER BY n DESC, tok) AS rk,
+             sum(n) OVER (ORDER BY n DESC, tok
+                          ROWS UNBOUNDED PRECEDING) AS cum_n,
+             sum(n) OVER () AS total_n
+      FROM counts
+    ),
+    crossings AS (
+      SELECT unnest([50, 90, 99]) AS pct, rk, cum_n, total_n, n
+      FROM ranked
+    )
+    SELECT pct,
+           CAST(rk AS BIGINT) AS top_tokens,
+           round(cum_n::DOUBLE / total_n::DOUBLE, 9) AS cum_share
+    FROM crossings
+    WHERE cum_n * 100 >= pct * total_n
+      AND (cum_n - n) * 100 < pct * total_n
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-planning curve: how many top-frequency tokens cover 50 /
+    90 / 99 % of all token occurrences. The crossing rank is found with
+    pure integer arithmetic (cum*100 vs pct*total), so both engines agree
+    exactly; the share is one rounded IEEE division.
+
+    Scale shape: the windowed relation is VOCABULARY-bounded (not
+    corpus-bounded) — the token-count aggregate reduces the corpus to
+    ~1e6-1e7 vocab rows first, and the unpartitioned ordered window over
+    vocab rows is the same single-sorted-pass shape the Count-Min top-k
+    already uses. Each threshold's crossing row is identified in-row
+    (first row where the cumulative crosses), no second join."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.orderBy(F.col("n").desc(), "tok")
+    ranked = counts.select(
+        "tok",
+        "n",
+        F.row_number().over(w).alias("rk"),
+        F.sum("n").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum_n"),
+        F.sum("n").over(W.partitionBy()).alias("total_n"),
+    )
+    pcts = F.array(F.lit(50), F.lit(90), F.lit(99))
+    crossed = ranked.select(
+        F.explode(
+            F.filter(
+                pcts,
+                lambda p: (F.col("cum_n") * 100 >= p * F.col("total_n"))
+                & ((F.col("cum_n") - F.col("n")) * 100 < p * F.col("total_n")),
+            )
+        ).alias("pct"),
+        F.col("rk").cast("long").alias("top_tokens"),
+        F.round(
+            F.col("cum_n").cast("double") / F.col("total_n").cast("double"), 9
+        ).alias("cum_share"),
+    )
+    return crossed
+
+
+@query(
+    "source_repetition_mix",
+    oracle="""
+    WITH weighted AS (
+      SELECT source, count(*) AS n_docs,
+             100 + (('0x' || substr(md5(min(source)), 1, 4))::BIGINT % 200)
+               AS epochs_centi
+      FROM documents GROUP BY source
+    ),
+    docs_w AS (
+      SELECT d.doc_id, d.source, w.epochs_centi,
+             w.epochs_centi // 100 AS full_copies,
+             w.epochs_centi % 100 AS frac_centi
+      FROM documents d JOIN weighted w USING (source)
+    ),
+    copies AS (
+      SELECT doc_id, source, epochs_centi, full_copies, frac_centi,
+             unnest(range(0, full_copies + 1)) AS copy_idx
+      FROM docs_w
+    ),
+    kept AS (
+      SELECT * FROM copies
+      WHERE copy_idx < full_copies
+         OR (('0x' || substr(md5(doc_id::VARCHAR || ':' || copy_idx::VARCHAR),
+              1, 4))::BIGINT % 100) < frac_centi
+    )
+    SELECT source,
+           min(epochs_centi) AS epochs_centi,
+           (SELECT n_docs FROM weighted w WHERE w.source = kept.source)
+             AS n_docs,
+           count(*) AS n_out
+    FROM kept GROUP BY source
+    """,
+)
+def source_repetition_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-aware source repetition (the data-mixing recipe where
+    high-quality sources repeat fractionally, e.g. "books x2.3 epochs"):
+    each source gets a deterministic target epoch count in [1.00, 2.99]
+    (md5 of the source name, centi-epochs so the arithmetic stays
+    integer); every document emits floor(w) full copies plus one
+    fractional copy kept when an md5 draw on (doc_id, copy) lands under
+    the fractional part. Replayable — the same corpus always yields the
+    same mixture (the property training reproducibility needs).
+
+    Scale shape: the per-source weight table is aggregated once
+    (source-cardinality rows) and joined back broadcast; the copy
+    explosion is a generator projection (factor <= ceil(w)); output here
+    is the per-source audit (counts), a real run would write the exploded
+    rows. One aggregate shuffle on source at each end."""
+    docs = load_table(spark, sf_dir, "documents")
+    weighted = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.lit(100)
+            + F.conv(F.substring(F.md5(F.min("source")), 1, 4), 16, 10).cast(
+                "long"
+            )
+            % 200
+        ).alias("epochs_centi"),
+    )
+    docs_w = docs.join(F.broadcast(weighted), "source").select(
+        "doc_id",
+        "source",
+        "epochs_centi",
+        "n_docs",
+        (F.col("epochs_centi") / 100).cast("long").alias("full_copies"),
+        (F.col("epochs_centi") % 100).alias("frac_centi"),
+    )
+    copies = docs_w.select(
+        "*", F.explode(F.sequence(F.lit(0), F.col("full_copies"))).alias("copy_idx")
+    )
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("copy_idx").cast("string"),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    kept = copies.filter(
+        (F.col("copy_idx") < F.col("full_copies")) | (draw < F.col("frac_centi"))
+    )
+    return kept.groupBy("source").agg(
+        F.min("epochs_centi").alias("epochs_centi"),
+        F.min("n_docs").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_out"),
+    )
+
+
+@query(
+    "curation_filter_funnel",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, n_chars, text,
+             list_filter(string_split(text, ' '), t -> t <> '') AS ws
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             n_chars >= 200 AS pass_len,
+             CASE WHEN len(ws) < 2 THEN 0.0
+                  ELSE 1.0 - len(list_distinct(list_transform(
+                         range(1, len(ws)),
+                         i -> array_to_string(array_slice(ws, i, i + 1), ' ')
+                       )))::DOUBLE / (len(ws) - 1)::DOUBLE
+             END <= 0.03 AS pass_rep,
+             NOT regexp_matches(text,
+               '[a-z0-9.]+@[a-z0-9]+[.][a-z]+|https?://[a-z0-9./_-]+')
+               AS pass_pii
+      FROM toks
+    )
+    SELECT source,
+           count(*) AS n_total,
+           CAST(SUM(CASE WHEN pass_len THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass_len,
+           CAST(SUM(CASE WHEN pass_len AND pass_rep THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_pass_rep,
+           CAST(SUM(CASE WHEN pass_len AND pass_rep AND pass_pii THEN 1
+                ELSE 0 END) AS BIGINT) AS n_pass_all
+    FROM scored
+    GROUP BY source
+    """,
+)
+def curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel observability report: how many documents per source
+    survive each successive curation stage (length → Gopher repetition →
+    PII-free), as ONE pass of conditional aggregates — the survival
+    report every production curation pipeline logs next to its output.
+    Composes the already-oracled signals (quantile/length, Gopher 2-gram
+    repetition, the PII regexes) into their funnel, so stage interactions
+    (a filter that only drops rows another already dropped) are visible.
+
+    Scale: pure expressions + one aggregate shuffle of source-cardinality
+    partials; the text column is read once."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    k = F.size(ws) - F.lit(1)
+    g2 = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rep_ratio = F.when(F.size(g2) == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(g2)).cast("double") / F.size(g2).cast("double")
+    )
+    pii_pat = "[a-z0-9.]+@[a-z0-9]+[.][a-z]+|https?://[a-z0-9./_-]+"
+    scored = docs.select(
+        "source",
+        (F.col("n_chars") >= 200).alias("pass_len"),
+        (rep_ratio <= 0.03).alias("pass_rep"),
+        (~(F.col("text").rlike(pii_pat))).alias("pass_pii"),
+    )
+    one = F.lit(1)
+    return scored.groupBy("source").agg(
+        F.count(one).alias("n_total"),
+        F.sum(F.when(F.col("pass_len"), one).otherwise(0)).cast("long").alias("n_pass_len"),
+        F.sum(F.when(F.col("pass_len") & F.col("pass_rep"), one).otherwise(0))
+        .cast("long")
+        .alias("n_pass_rep"),
+        F.sum(
+            F.when(F.col("pass_len") & F.col("pass_rep") & F.col("pass_pii"), one).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_pass_all"),
+    )
+
+
+@query(
+    "duplicate_passage_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id,
+             array_to_string(array_slice(tk, i, i + 7), ' ') AS gram
+      FROM toks CROSS JOIN unnest(range(1, greatest(len(tk) - 6, 1))) AS u(i)
+      WHERE len(tk) >= 8
+    ),
+    gram_df AS (
+      SELECT gram, count(DISTINCT doc_id) AS df FROM spans GROUP BY gram
+    )
+    SELECT s.doc_id,
+           count(*) AS n_spans,
+           CAST(SUM(CASE WHEN g.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           round(SUM(CASE WHEN g.df >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*)::DOUBLE, 9) AS dup_fraction
+    FROM spans s JOIN gram_df g USING (gram)
+    GROUP BY s.doc_id
+    """,
+)
+def duplicate_passage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-level duplicate-passage profiling (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    repeated-span view of the corpus): per document, the fraction of its
+    8-gram positions whose gram also occurs in at least one OTHER
+    document. The intra-corpus twin of the 8-gram benchmark
+    decontamination: same shingle unit, but the reference set is the
+    corpus itself (gram document-frequency), so this is the signal that
+    drives span-level dedup decisions.
+
+    Scale shape: the inverted-index pattern the engine already uses for
+    incremental ingest dedup — one aggregate building (gram, df), one
+    equi-join of positions against it, one per-doc rollup. Gram relations
+    shuffle hashed 8-gram strings; at 100 TB you hash grams to 16-byte
+    digests first (same cost model as incremental_dedup's postings)."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = (
+        docs.select("doc_id", tokens("text").alias("tk"))
+        .filter(F.size("tk") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("tk") - F.lit(8)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i + 1, 8)),
+                )
+            ).alias("gram"),
+        )
+        .localCheckpoint(eager=False)  # feeds the df aggregate AND the join
+    )
+    gram_df = spans.groupBy("gram").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    joined = spans.join(gram_df, "gram")
+    dup = F.when(F.col("df") >= 2, F.lit(1)).otherwise(0)
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(dup).cast("long").alias("n_dup_spans"),
+        F.round(
+            F.sum(dup).cast("double") / F.count(F.lit(1)).cast("double"), 9
+        ).alias("dup_fraction"),
+    )

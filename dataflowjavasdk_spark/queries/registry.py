@@ -68,6 +68,10 @@ _PRIORITY: tuple[str, ...] = (
     "kll_quantiles_rollup",
     "embedding_decontamination",
     "bzip2_json_roundtrip_checksum",
+    "vocab_coverage_curve",
+    "source_repetition_mix",
+    "curation_filter_funnel",
+    "duplicate_passage_stats",
     # (3) last driver-checked in round 1 — i.e. against the PRE-regeneration
     # fixtures that no longer exist; re-establish driver evidence on the
     # current files (they pass the local gate every session)
@@ -208,6 +212,7 @@ def _load_all() -> None:
         "sketches",
         "curation",
         "curation2",
+        "curation3",
         "analytics",
     ):
         try:

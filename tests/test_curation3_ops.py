@@ -1,0 +1,82 @@
+"""Behavioral tests for the round-4 curation batch (queries/curation3.py);
+exact values are covered by the DuckDB oracles — these pin the semantic
+properties that must hold at any scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataflowjavasdk_spark.queries.registry import get
+from tests.conftest import SMOKE_SF
+
+
+def test_filter_funnel_is_monotone(spark):
+    """Each successive stage can only shrink the survivor set, per source."""
+    for r in get("curation_filter_funnel").fn(spark, SMOKE_SF).collect():
+        assert (
+            r["n_total"] >= r["n_pass_len"] >= r["n_pass_rep"] >= r["n_pass_all"]
+        ), r
+
+
+def test_vocab_coverage_curve_is_monotone(spark):
+    rows = sorted(
+        get("vocab_coverage_curve").fn(spark, SMOKE_SF).collect(),
+        key=lambda r: r["pct"],
+    )
+    assert [r["pct"] for r in rows] == [50, 90, 99]
+    ranks = [r["top_tokens"] for r in rows]
+    shares = [r["cum_share"] for r in rows]
+    assert ranks == sorted(ranks)
+    assert shares == sorted(shares)
+    for r in rows:
+        # the crossing rank's share actually reaches its threshold
+        assert r["cum_share"] >= r["pct"] / 100.0
+
+
+def test_source_repetition_mix_bounds_and_determinism(spark):
+    """n_out is bounded by [floor(w), ceil(w)] epochs of the source's
+    docs, and the draw is replayable (two runs agree exactly)."""
+    q = get("source_repetition_mix").fn
+    a = {r["source"]: r.asDict() for r in q(spark, SMOKE_SF).collect()}
+    b = {r["source"]: r.asDict() for r in q(spark, SMOKE_SF).collect()}
+    assert a == b  # deterministic / replayable
+    for src, r in a.items():
+        full = r["epochs_centi"] // 100
+        assert full * r["n_docs"] <= r["n_out"] <= (full + 1) * r["n_docs"], r
+    # fractional epochs exist in the fixture's md5-derived weights
+    assert any(r["epochs_centi"] % 100 for r in a.values())
+
+
+def test_duplicate_passage_flags_are_symmetric(spark):
+    """If a doc's spans are flagged duplicated, at least one OTHER doc
+    shares a gram — so flagged docs can never be a singleton set, and
+    every fraction lies in [0, 1]."""
+    rows = get("duplicate_passage_stats").fn(spark, SMOKE_SF).collect()
+    flagged = [r for r in rows if r["n_dup_spans"] > 0]
+    assert len(flagged) != 1
+    for r in rows:
+        assert 0 <= r["n_dup_spans"] <= r["n_spans"], r
+        assert 0.0 <= r["dup_fraction"] <= 1.0, r
+
+
+def test_duplicate_passage_planted_pair(spark, tmp_path_factory):
+    """Plant two documents sharing one 8-gram passage among unique filler:
+    both get exactly the shared positions flagged, the third doc none."""
+    d = tmp_path_factory.mktemp("dp")
+    shared = " ".join(f"s{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, f"a1 a2 a3 {shared} a4 a5", "en", "src0", 1),
+            (2, f"b1 b2 {shared} b3 b4 b5 b6", "en", "src0", 1),
+            (3, " ".join(f"c{i}" for i in range(20)), "en", "src0", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(d / "documents.parquet"))
+    got = {
+        r["doc_id"]: r
+        for r in get("duplicate_passage_stats").fn(spark, str(d)).collect()
+    }
+    # Only the exact shared 8-gram is duplicated: 1 position per doc.
+    assert got[1]["n_dup_spans"] == 1 and got[2]["n_dup_spans"] == 1
+    assert got[3]["n_dup_spans"] == 0
