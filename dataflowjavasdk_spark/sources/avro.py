@@ -440,6 +440,24 @@ def _from_py(v, dtype):
     return v
 
 
+def records_to_pdf(records, sschema):
+    """Shape decoded Avro records into ONE pandas DataFrame matching the
+    Spark schema (missing fields -> None via _from_py; column order =
+    schema order). Shared by every decode path — batch read_avro, the
+    sync-marker split reader, and the streaming source — so row-shaping
+    semantics can never diverge between them. Returns None for an empty
+    record set (mapInPandas callers skip empty frames)."""
+    import pandas as pd
+
+    rows = [
+        {f.name: _from_py(r.get(f.name), f.dataType) for f in sschema.fields}
+        for r in records
+    ]
+    if not rows:
+        return None
+    return pd.DataFrame(rows, columns=[f.name for f in sschema.fields])
+
+
 def read_avro(spark, path: str):
     """AvroIO.Read: distributed decode of .avro container files under
     `path` (dir or glob). One task per file via binaryFile; the schema
@@ -468,20 +486,12 @@ def read_avro(spark, path: str):
     )
 
     def decode(batches: Iterator) -> Iterator:
-        import pandas as pd
-
         for pdf in batches:
             for raw in pdf["content"]:
                 _, records = read_container(bytes(raw))
-                rows = [
-                    {
-                        f.name: _from_py(r.get(f.name), f.dataType)
-                        for f in sschema.fields
-                    }
-                    for r in records
-                ]
-                if rows:
-                    yield pd.DataFrame(rows, columns=[f.name for f in sschema.fields])
+                out = records_to_pdf(records, sschema)
+                if out is not None:
+                    yield out
 
     return files.mapInPandas(decode, schema=sschema)
 
@@ -675,8 +685,6 @@ def read_avro_split(spark, path: str, split_bytes: int = 128 << 20):
     ).repartition(max(len(ranges), 1))
 
     def decode(batches):
-        import pandas as pd
-
         for pdf in batches:
             for row in pdf.itertuples(index=False):
                 recs = decode_range(
@@ -684,16 +692,8 @@ def read_avro_split(spark, path: str, split_bytes: int = 128 << 20):
                     json.loads(row.schema), row.codec, bytes(row.sync),
                     int(row.data_offset),
                 )
-                rows = [
-                    {
-                        f.name: _from_py(r.get(f.name), f.dataType)
-                        for f in sschema.fields
-                    }
-                    for r in recs
-                ]
-                if rows:
-                    yield pd.DataFrame(
-                        rows, columns=[f.name for f in sschema.fields]
-                    )
+                out = records_to_pdf(recs, sschema)
+                if out is not None:
+                    yield out
 
     return range_df.mapInPandas(decode, schema=sschema)

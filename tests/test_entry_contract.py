@@ -66,7 +66,14 @@ def test_priority_prefix_maximizes_fresh_driver_coverage():
         last = {
             name
             for name, row in json.load(fh).items()
-            if row.get("err") is None and row.get("rows_match")
+            # Green means FULLY green: a rows_match row whose values
+            # hash-mismatched (hash_match=false — three such rows exist in
+            # CORRECTNESS_r01) is exactly a query that must be allowed
+            # back into the sample prefix, not counted as covered.
+            if row.get("err") is None
+            and row.get("rows_match")
+            and row.get("schema_match") is not False
+            and row.get("hash_match") is not False
         }
     from dataflowjavasdk_spark.queries import all_queries
 
