@@ -514,3 +514,90 @@ def test_calendar_windows_tz_assignment_properties(spark, ts_list, unit, offset_
         else:
             expect = local_start.replace(year=local_start.year + 1)
         assert local_end == expect, (unit, tz, local_start, local_end, expect)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=-(2**63), max_value=2**63 - 1)),
+            st.one_of(st.none(), st.integers(min_value=-128, max_value=127)),
+            st.one_of(st.none(), st.binary(max_size=16)),
+            st.one_of(
+                st.none(),
+                st.decimals(
+                    min_value=-(10**19), max_value=10**19, places=18
+                ),
+            ),
+            st.one_of(
+                st.none(),
+                st.datetimes(
+                    min_value=datetime.datetime(1900, 1, 1),
+                    max_value=datetime.datetime(2200, 1, 1),
+                ),
+            ),
+            st.one_of(
+                st.none(),
+                st.dates(
+                    min_value=datetime.date(1900, 1, 1),
+                    max_value=datetime.date(2200, 1, 1),
+                ),
+            ),
+            st.one_of(
+                st.none(),
+                st.timedeltas(
+                    min_value=datetime.timedelta(days=-999),
+                    max_value=datetime.timedelta(days=999),
+                ),
+            ),
+            st.dictionaries(
+                st.text(alphabet="abcdef", min_size=1, max_size=4),
+                st.integers(min_value=-(2**31), max_value=2**31 - 1),
+                max_size=4,
+            ),
+            st.tuples(
+                st.one_of(st.none(), st.integers(min_value=0, max_value=10**6)),
+                st.text(max_size=8),
+            ),
+            st.one_of(
+                st.floats(width=64, allow_nan=True, allow_infinity=True)
+            ),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@_settings
+def test_parquet_round_trip_full_coder_table(spark, tmp_path_factory, rows):
+    """CoderProperties analog for the REST of the SURVEY §1.3 coder→type
+    table: VarLong/Byte/ByteArray/BigDecimal(38,18)/Instant(timestamp)/
+    date/DurationCoder(day-time interval)/MapCoder/nested AvroCoder
+    struct — plus NullableCoder (every field optional) and IEEE special
+    values (NaN/±inf round-trip bit-exactly through parquet)."""
+    path = str(tmp_path_factory.mktemp("rt2") / "t.parquet")
+    schema = (
+        "l long, y byte, bin binary, dec decimal(38,18), ts timestamp, "
+        "dt date, iv interval day to second, m map<string,int>, "
+        "rec struct<k: long, s: string>, d double"
+    )
+    df = spark.createDataFrame(rows, schema)
+    df.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+
+    def norm(rs):
+        out = []
+        for r in rs:
+            d = r.asDict(recursive=True)
+            out.append(
+                (
+                    d["l"], d["y"],
+                    bytes(d["bin"]) if d["bin"] is not None else None,
+                    d["dec"], d["ts"], d["dt"], d["iv"],
+                    tuple(sorted((d["m"] or {}).items())),
+                    tuple((d["rec"] or {}).values()),
+                    "NaN" if d["d"] != d["d"] else d["d"],
+                )
+            )
+        return sorted(out, key=str)
+
+    assert norm(back.collect()) == norm(df.collect())
+    assert back.schema == df.schema
