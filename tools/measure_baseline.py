@@ -211,6 +211,23 @@ DUCK_SQL = {
 }
 
 
+# Engine twin of each plain formulation (registered query name). Timed in
+# the SAME session and interleaved with the plain runs, so the ratio
+# column is immune to the machine-speed drift that cross-run comparisons
+# (plain from one session, BENCH.json from another) suffer — measured
+# drift between sessions on this host is up to ~40%.
+ENGINE_TWIN = {
+    "q1_pricing_summary": "q1_pricing_summary",
+    "q3_join_agg": "q3_join_agg",
+    "tumbling_window_events": "tumbling_hourly_events",
+    "wordcount": "wordcount",
+    "dedup_exact_shape": "dedup_exact",
+    "session_windows_events": "session_windows_events",
+    "topk_per_group": "topk_per_group",
+    "quantile_rollup": "kll_quantiles_rollup",
+}
+
+
 def main() -> None:
     import duckdb
     from pyspark.sql import SparkSession
@@ -235,20 +252,39 @@ def main() -> None:
     # Same two-phase protocol as bench.py: warm EVERY query once before
     # timing ANY (concentrates JVM-wide JIT in the warm pass), then
     # median of 5 re-executions of the retained DataFrame per query.
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    from dataflowjavasdk_spark.queries.registry import get as _get
+    from dataflowjavasdk_spark.session import configure_session
+
+    configure_session(spark)  # the engine twins need the runtime confs
     dfs = {name: build() for name, build in qs.items()}
-    for df in dfs.values():
+    engine_dfs = {
+        name: _get(twin).fn(spark, SF_DIR) for name, twin in ENGINE_TWIN.items()
+    }
+    for df in list(dfs.values()) + list(engine_dfs.values()):
         df.toArrow()
 
-    print(f"| metric | PySpark warm (bench protocol) | DuckDB warm | sf_dir={SF_DIR} |")
-    print("|---|---|---|---|")
-    for name, df in dfs.items():
+    def _median5(df):
         df.toArrow()
         samples = []
         for _ in range(5):
             t0 = time.perf_counter()
             df.toArrow()
             samples.append(time.perf_counter() - t0)
-        spark_ms = statistics.median(samples) * 1000
+        return statistics.median(samples) * 1000
+
+    print(
+        f"| metric | plain PySpark (two-phase) | engine (same session) | "
+        f"ratio | DuckDB warm | sf_dir={SF_DIR} |"
+    )
+    print("|---|---|---|---|---|---|")
+    ratios = []
+    for name, df in dfs.items():
+        spark_ms = _median5(df)
+        engine_ms = _median5(engine_dfs[name]) if name in engine_dfs else None
 
         sql = DUCK_SQL[name]
         con.execute(sql).fetchall()  # warm-up
@@ -258,7 +294,19 @@ def main() -> None:
             con.execute(sql).fetchall()
             samples.append(time.perf_counter() - t0)
         duck_ms = statistics.median(samples) * 1000
-        print(f"| {name} | {spark_ms:.1f} ms | {duck_ms:.1f} ms | |")
+        if engine_ms is not None:
+            ratios.append(engine_ms / spark_ms)
+            print(
+                f"| {name} | {spark_ms:.1f} ms | {engine_ms:.1f} ms | "
+                f"{engine_ms / spark_ms:.2f}x | {duck_ms:.1f} ms | |"
+            )
+        else:
+            print(f"| {name} | {spark_ms:.1f} ms | — | — | {duck_ms:.1f} ms | |")
+    if ratios:
+        import math
+
+        gm = math.exp(sum(math.log(r) for r in ratios) / len(ratios))
+        print(f"\ngeomean engine/plain: {gm:.2f}x over {len(ratios)} rows")
 
 
 if __name__ == "__main__":
