@@ -54,6 +54,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # round — windowing/combine code changed under them in round 2), then (4)
 # the r02-green tail. Names not listed follow in registration order;
 # listed-but-unregistered names are ignored (guarded by a registry test).
+# The round this _PRIORITY ordering was authored FOR (the driver round
+# whose 50-slot sample it optimizes). test_entry_contract uses it to know
+# whether the no-wasted-slot invariant is still checkable or the ordering
+# is due for its per-round rotation.
+_PRIORITY_ROUND = 4
+
 _PRIORITY: tuple[str, ...] = (
     # Round-4 ordering (VERDICT.md r3 "Next round" #2/#3). The driver
     # samples a 50-entry prefix per round; CORRECTNESS_r03 covered 50

