@@ -549,17 +549,24 @@ def test_calendar_windows_tz_assignment_properties(spark, ts_list, unit, offset_
                     max_value=datetime.timedelta(days=999),
                 ),
             ),
-            st.dictionaries(
-                st.text(alphabet="abcdef", min_size=1, max_size=4),
-                st.integers(min_value=-(2**31), max_value=2**31 - 1),
-                max_size=4,
-            ),
-            st.tuples(
-                st.one_of(st.none(), st.integers(min_value=0, max_value=10**6)),
-                st.text(max_size=8),
+            st.one_of(
+                st.none(),
+                st.dictionaries(
+                    st.text(alphabet="abcdef", min_size=1, max_size=4),
+                    st.integers(min_value=-(2**31), max_value=2**31 - 1),
+                    max_size=4,
+                ),
             ),
             st.one_of(
-                st.floats(width=64, allow_nan=True, allow_infinity=True)
+                st.none(),
+                st.tuples(
+                    st.one_of(st.none(), st.integers(min_value=0, max_value=10**6)),
+                    st.text(max_size=8),
+                ),
+            ),
+            st.one_of(
+                st.none(),
+                st.floats(width=64, allow_nan=True, allow_infinity=True),
             ),
         ),
         min_size=1,
@@ -592,9 +599,10 @@ def test_parquet_round_trip_full_coder_table(spark, tmp_path_factory, rows):
                     d["l"], d["y"],
                     bytes(d["bin"]) if d["bin"] is not None else None,
                     d["dec"], d["ts"], d["dt"], d["iv"],
-                    tuple(sorted((d["m"] or {}).items())),
-                    tuple((d["rec"] or {}).values()),
-                    "NaN" if d["d"] != d["d"] else d["d"],
+                    # keep NULL distinct from empty — parquet preserves both
+                    None if d["m"] is None else tuple(sorted(d["m"].items())),
+                    None if d["rec"] is None else tuple(d["rec"].values()),
+                    "NaN" if (d["d"] is not None and d["d"] != d["d"]) else d["d"],
                 )
             )
         return sorted(out, key=str)

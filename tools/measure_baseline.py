@@ -13,8 +13,15 @@ round-over-round regressions (VERDICT.md round 1, "Next round" #8).
 
 The formulations here are deliberately PLAIN PySpark — the obvious
 DataFrame code a user would write against the parquet fixtures, no engine
-imports — so the row stays a fair external yardstick. DuckDB twins run
-under the same warm protocol for the oracle-speed column.
+imports. Since round 4 both the plain rows and their engine twins run in
+ONE shared session that carries the engine's runtime confs (AQE,
+advisory partition size, UTC) — the controlled variable is the QUERY
+FORMULATION, with identical confs/JIT/host conditions on both sides, so
+the ratio column isolates what the engine's code shape costs or saves.
+It is NOT an out-of-the-box-Spark yardstick (out-of-box defaults would
+disadvantage both sides equally anyway, chiefly via 200 shuffle
+partitions). DuckDB twins run under the same warm protocol for the
+oracle-speed column.
 
 Usage: python tools/measure_baseline.py [sf_dir]  → markdown rows on stdout
 """
