@@ -78,6 +78,7 @@ _PRIORITY: tuple[str, ...] = (
     "source_repetition_mix",
     "curation_filter_funnel",
     "duplicate_passage_stats",
+    "tumbling_emit_time_earliest",
     # (3) last driver-checked in round 1 — i.e. against the PRE-regeneration
     # fixtures that no longer exist; re-establish driver evidence on the
     # current files (they pass the local gate every session)

@@ -507,3 +507,42 @@ def calendar_year_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_price",
         )
     )
+
+
+@query(
+    "tumbling_emit_time_earliest",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           min(ts) AS emit_ts
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_emit_time_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OutputTimeFn.outputAtEarliestInputTimestamp (historical
+    sdk/transforms/windowing/OutputTimeFn.java), driven through the
+    facade's combine_per_key(output_time=...) so the operator path —
+    not an inline expression — is what the oracle checks: each pane's
+    emitted event-time is the earliest input timestamp it contains,
+    carried as one extra algebraic min accumulator (partial-aggregated
+    like any min; END_OF_WINDOW/LATEST share the same plumbing,
+    unit-tested for all three policies)."""
+    from dataflowjavasdk_spark.core import PCollection
+    from dataflowjavasdk_spark.operators.windowing import FixedWindows, OutputTimeFn
+
+    # load_table (not a raw read) so the events.ts physical-type vintage
+    # normalization applies regardless of fixture generation.
+    ev = PCollection(load_table(spark, sf_dir, "events"))
+    out = ev.window_into(FixedWindows("1 hour"), ts_col="ts").combine_per_key(
+        ["event_type"],
+        {"n_events": F.count(F.lit(1))},
+        output_time=OutputTimeFn.EARLIEST,
+    )
+    return out.df.select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "emit_ts",
+    )
