@@ -10,8 +10,10 @@ Design (the part that matters at 100 TB):
   mapInPandas: payloads stream through Python in bounded batches
   (spark.sql.execution.arrow.maxRecordsPerBatch controls memory), one
   pass, no shuffle.
-- The actual codec work (PIL/ffmpeg/librosa) is STUBBED — those libs are
-  not in this container. The stubs are deterministic so the plumbing
+- Codec status: WAV audio and uncompressed 24-bit BMP decode for REAL
+  (stdlib `wave` / pure struct parsing — decode_wav, decode_bmp below);
+  PIL/ffmpeg-class codecs (JPEG/PNG/MP4) are STUBBED because those libs
+  are not in this container. The stubs are deterministic so the plumbing
   (schema, partitioning, UDF signatures, batch shapes) is fully testable;
   swap `_decode_image_stub` for a real decoder in production.
 """
@@ -113,4 +115,138 @@ def sample_frames(df: DataFrame, every_nth: int = 10) -> DataFrame:
             "frame_idx",
             F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL decoders (round 4): formats with pure-Python/stdlib codecs need no
+# stub — WAV via the stdlib `wave` module, BMP via struct parsing. Only
+# PIL/ffmpeg-class formats (JPEG/PNG/MP4) remain stubbed in this container.
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id bigint, sample_rate int, n_channels int, n_samples bigint, "
+    "duration_s double, rms double, zero_crossing_rate double"
+)
+
+BMP_FEATURES_SCHEMA = (
+    "media_id bigint, width int, height int, mean_r double, mean_g double, "
+    "mean_b double, mean_luma double"
+)
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL WAV decoder (RIFF/PCM, stdlib `wave` — no external libs):
+    returns (sample_rate, n_channels, samples as float64 in [-1, 1],
+    shape (n_frames, n_channels)). Supports 8/16/32-bit PCM."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate, nch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 1:  # unsigned 8-bit
+        arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        arr = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    return rate, nch, arr.reshape(-1, nch)
+
+
+def extract_audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Real audio feature extraction over mapInPandas: decode WAV payloads
+    (decode_wav — actual PCM parsing, not a stub) and emit duration, RMS
+    energy, and zero-crossing rate per clip. Same 100 TB shape as the
+    image path: Arrow-batched, one pass, payload dropped from the
+    output."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for media_id, payload in zip(batch["media_id"], batch[payload_col]):
+                rate, nch, pcm = decode_wav(bytes(payload))
+                mono = pcm.mean(axis=1)
+                n = mono.shape[0]
+                rms = float(np.sqrt(np.mean(mono**2))) if n else 0.0
+                zcr = (
+                    float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8)))))
+                    if n > 1
+                    else 0.0
+                )
+                out.append(
+                    {
+                        "media_id": media_id,
+                        "sample_rate": rate,
+                        "n_channels": nch,
+                        "n_samples": n,
+                        "duration_s": n / rate if rate else 0.0,
+                        "rms": rms,
+                        "zero_crossing_rate": zcr,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", payload_col).mapInPandas(
+        run, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL BMP decoder (uncompressed 24-bit BITMAPINFOHEADER, pure
+    struct parsing): returns an (height, width, 3) uint8 RGB array.
+    Handles the 4-byte row padding and bottom-up row order."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ValueError(f"unsupported DIB header size {header_size}")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) & ~3
+    img = np.zeros((height, width, 3), dtype=np.uint8)
+    for r in range(height):
+        off = data_offset + r * row_bytes
+        row = np.frombuffer(payload, dtype=np.uint8, count=width * 3, offset=off)
+        dest = height - 1 - r if bottom_up else r
+        img[dest] = row.reshape(width, 3)[:, ::-1]  # BGR -> RGB
+    return img
+
+
+def extract_bmp_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Real image feature extraction for BMP payloads (decode_bmp):
+    dimensions, per-channel means, Rec.601 luma."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for media_id, payload in zip(batch["media_id"], batch[payload_col]):
+                img = decode_bmp(bytes(payload))
+                means = img.reshape(-1, 3).mean(axis=0)
+                luma = 0.299 * means[0] + 0.587 * means[1] + 0.114 * means[2]
+                out.append(
+                    {
+                        "media_id": media_id,
+                        "width": img.shape[1],
+                        "height": img.shape[0],
+                        "mean_r": float(means[0]),
+                        "mean_g": float(means[1]),
+                        "mean_b": float(means[2]),
+                        "mean_luma": float(luma),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", payload_col).mapInPandas(
+        run, schema=BMP_FEATURES_SCHEMA
     )

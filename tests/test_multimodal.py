@@ -55,3 +55,113 @@ def test_frame_sampling_fanout(media):
     for r in got:
         expected = (meta[r["media_id"]] - 1) // 7 + 1
         assert r["count"] == expected
+
+
+def _wav_bytes(rate=8000, freq=440.0, seconds=0.25, nch=1, width=2):
+    import io
+    import wave
+
+    import numpy as np
+
+    n = int(rate * seconds)
+    t = np.arange(n) / rate
+    sig = np.sin(2 * np.pi * freq * t)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        if width == 2:
+            pcm = (sig * 32767).astype("<i2")
+        else:
+            pcm = ((sig * 127) + 128).astype("u1")
+        frames = np.repeat(pcm, nch).tobytes()
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def _bmp_bytes(pixels):
+    """Minimal uncompressed 24-bit BMP from an (h, w, 3) RGB array —
+    bottom-up rows, 4-byte padding, BITMAPINFOHEADER."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row_bytes = (w * 3 + 3) & ~3
+    body = b""
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = px[r][:, ::-1].tobytes()  # RGB -> BGR
+        body += row + b"\x00" * (row_bytes - len(row))
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(body), 0, 0, 14 + 40)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + dib + body
+
+
+def test_real_wav_decode_features(spark):
+    """decode_wav is a REAL PCM parser (stdlib wave): features computed
+    through the Spark mapInPandas path must equal numpy ground truth."""
+    import numpy as np
+
+    from dataflowjavasdk_spark.functions import multimodal as M
+
+    rate, freq, seconds = 8000, 440.0, 0.25
+    payload = _wav_bytes(rate, freq, seconds)
+    df = spark.createDataFrame([(1, bytearray(payload))], "media_id long, payload binary")
+    got = M.extract_audio_features(df).collect()[0]
+
+    n = int(rate * seconds)
+    sig = np.sin(2 * np.pi * freq * (np.arange(n) / rate))
+    pcm = (sig * 32767).astype("<i2").astype(np.float64) / 32768.0
+    assert got["sample_rate"] == rate
+    assert got["n_channels"] == 1
+    assert got["n_samples"] == n
+    assert abs(got["duration_s"] - seconds) < 1e-9
+    assert abs(got["rms"] - float(np.sqrt(np.mean(pcm**2)))) < 1e-12
+    # 440 Hz crosses zero ~2*440 times/s → zcr ≈ 880/8000
+    assert abs(got["zero_crossing_rate"] - 2 * freq / rate) < 0.01
+
+
+def test_real_wav_decode_8bit_stereo(spark):
+    from dataflowjavasdk_spark.functions import multimodal as M
+
+    payload = _wav_bytes(rate=4000, seconds=0.1, nch=2, width=1)
+    df = spark.createDataFrame([(7, bytearray(payload))], "media_id long, payload binary")
+    got = M.extract_audio_features(df).collect()[0]
+    assert got["n_channels"] == 2
+    assert got["n_samples"] == 400
+    assert got["rms"] > 0.5  # full-scale sine ≈ 0.707
+
+
+def test_real_bmp_decode_features(spark):
+    """decode_bmp parses real BMP bytes: known 3x2 pixels round-trip with
+    exact channel means (includes the 4-byte row-padding case: w=3)."""
+    import numpy as np
+
+    from dataflowjavasdk_spark.functions import multimodal as M
+
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+         [[10, 20, 30], [40, 50, 60], [70, 80, 90]]],
+        dtype=np.uint8,
+    )
+    payload = _bmp_bytes(px)
+    # direct decoder check: exact pixel round trip
+    assert (M.decode_bmp(payload) == px).all()
+    df = spark.createDataFrame([(3, bytearray(payload))], "media_id long, payload binary")
+    got = M.extract_bmp_features(df).collect()[0]
+    means = px.reshape(-1, 3).mean(axis=0)
+    assert (got["width"], got["height"]) == (3, 2)
+    assert abs(got["mean_r"] - means[0]) < 1e-12
+    assert abs(got["mean_g"] - means[1]) < 1e-12
+    assert abs(got["mean_b"] - means[2]) < 1e-12
+
+
+def test_bmp_decoder_rejects_non_bmp():
+    import pytest
+
+    from dataflowjavasdk_spark.functions import multimodal as M
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        M.decode_bmp(b"\x89PNG____")
