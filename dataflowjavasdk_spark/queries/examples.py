@@ -1015,3 +1015,80 @@ def partitioned_write_prune_checksum(spark: SparkSession, sf_dir: str) -> DataFr
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         F.max("user_id").cast("long").alias("max_user"),
     )
+
+
+@query(
+    "audio_wav_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           8000 AS sample_rate,
+           CAST(100 + (n_chars % 400) AS BIGINT) AS n_samples,
+           round((100 + (n_chars % 400)) / 8000.0, 9) AS duration_s,
+           round((1000 * (doc_id % 9 + 1)) / 32768.0, 9) AS rms,
+           1.0::DOUBLE AS zero_crossing_rate
+    FROM documents
+    """,
+)
+def audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, value-oracled (round 4): per document, a WAV
+    payload is synthesized with analytically known content — a 16-bit
+    PCM square wave at amplitude 1000*(doc_id%9+1) with 100+(n_chars%400)
+    samples at 8 kHz — then parsed back through the REAL decoder
+    (functions/multimodal.decode_wav: stdlib RIFF/PCM parsing, not a
+    stub) and reduced to features. The DuckDB twin computes the SAME
+    features analytically from the fixture columns, so any decode defect
+    (endianness, sample width, header offsets, channel interleave) or
+    feature-math drift breaks the value hash: rms of a ±a square wave is
+    exactly a/32768, the zero-crossing rate of strict alternation is
+    exactly 1.0, and n_samples/duration expose truncated reads.
+
+    Scale shape: one Arrow-batched mapInPandas pass (the documented
+    vectorized-Python path, like the Avro codec) — synth+decode per
+    batch, payloads never shuffled; output is one thin feature row per
+    media item."""
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+
+    from dataflowjavasdk_spark.functions.multimodal import (
+        decode_wav,
+        extract_audio_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = 100 + int(n_chars) % 400
+                amp = 1000 * (int(doc_id) % 9 + 1)
+                pcm = np.full(n, amp, dtype="<i2")
+                pcm[1::2] = -amp  # strict alternation: zcr == 1.0
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(pcm.tobytes())
+                payloads.append(buf.getvalue())
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, schema="media_id long, payload binary")
+    feats = extract_audio_features(media)
+    assert decode_wav is not None  # the extractor routes through it
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        F.round("duration_s", 9).alias("duration_s"),
+        F.round("rms", 9).alias("rms"),
+        "zero_crossing_rate",
+    )
