@@ -1092,3 +1092,70 @@ def audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 9).alias("rms"),
         "zero_crossing_rate",
     )
+
+
+@query(
+    "bmp_image_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(1 + (doc_id % 16) AS INT) AS width,
+           CAST(1 + (n_chars % 12) AS INT) AS height,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+           CAST(n_chars % 256 AS DOUBLE) AS mean_g,
+           CAST((doc_id + n_chars) % 256 AS DOUBLE) AS mean_b,
+           round(0.299::DOUBLE * (doc_id % 256) + 0.587::DOUBLE * (n_chars % 256)
+                 + 0.114::DOUBLE * ((doc_id + n_chars) % 256), 9) AS mean_luma
+    FROM documents
+    """,
+)
+def bmp_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, value-oracled — the BMP sibling of
+    audio_wav_features: per document a solid-color 24-bit BMP with
+    column-derived dimensions (widths 1..16 sweep every 4-byte
+    row-padding remainder) is written with an independent encoder
+    (struct-packed here), parsed back through the REAL decoder
+    (functions/multimodal.decode_bmp — header offsets, BGR order,
+    bottom-up rows, padding), and reduced to channel means the DuckDB
+    twin derives in closed form. A decode defect in any of those steps
+    shifts a mean and breaks the hash."""
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+
+    from dataflowjavasdk_spark.functions.multimodal import extract_bmp_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = 1 + int(doc_id) % 16
+                h = 1 + int(n_chars) % 12
+                r, g = int(doc_id) % 256, int(n_chars) % 256
+                b = (int(doc_id) + int(n_chars)) % 256
+                row_bytes = (w * 3 + 3) & ~3
+                row = bytes((b, g, r)) * w + b"\x00" * (row_bytes - w * 3)
+                body = row * h
+                header = b"BM" + struct.pack(
+                    "<IHHI", 14 + 40 + len(body), 0, 0, 14 + 40
+                )
+                dib = struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+                )
+                payloads.append(header + dib + body)
+            yield _pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(synth, schema="media_id long, payload binary")
+    feats = extract_bmp_features(media)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "mean_r",
+        "mean_g",
+        "mean_b",
+        F.round("mean_luma", 9).alias("mean_luma"),
+    )

@@ -58,8 +58,9 @@ def test_relational_queries_stay_jvm_side(spark):
         # documented Arrow-batched Python codec (sources/avro.py).
         "avro_roundtrip_checksum",
         "avro_logical_types_roundtrip",
-        # real WAV decode path: synth + stdlib PCM parse in mapInPandas
+        # real WAV/BMP decode paths: synth + pure-Python parse in mapInPandas
         "audio_wav_features",
+        "bmp_image_features",
     }
     for name in all_queries():
         if name in allowed_python:
