@@ -117,6 +117,8 @@ HEADLINE = [
     "source_repetition_mix",
     "curation_filter_funnel",
     "duplicate_passage_stats",
+    # real-decode multimodal path (WAV synth + stdlib PCM parse)
+    "audio_wav_features",
 ]
 
 
