@@ -97,7 +97,9 @@ def extract_image_features(df: DataFrame, payload_col: str = "payload") -> DataF
                         "phash": phash,
                     }
                 )
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "mean_luma", "phash"]
+            )
 
     return df.select("media_id", payload_col).mapInPandas(
         run, schema=IMAGE_FEATURES_SCHEMA
@@ -187,7 +189,14 @@ def extract_audio_features(df: DataFrame, payload_col: str = "payload") -> DataF
                         "zero_crossing_rate": zcr,
                     }
                 )
-            yield pd.DataFrame(out)
+            # explicit columns: a zero-row batch must still match the schema
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_rate", "n_channels", "n_samples",
+                    "duration_s", "rms", "zero_crossing_rate",
+                ],
+            )
 
     return df.select("media_id", payload_col).mapInPandas(
         run, schema=AUDIO_FEATURES_SCHEMA
@@ -202,6 +211,8 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
+    if len(payload) < 54:  # file header (14) + BITMAPINFOHEADER (40)
+        raise ValueError(f"truncated BMP header ({len(payload)} bytes)")
     data_offset = struct.unpack_from("<I", payload, 10)[0]
     header_size = struct.unpack_from("<I", payload, 14)[0]
     if header_size < 40:
@@ -209,18 +220,27 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     width, height = struct.unpack_from("<ii", payload, 18)
     planes, bpp = struct.unpack_from("<HH", payload, 26)
     compression = struct.unpack_from("<I", payload, 30)[0]
+    if planes != 1:
+        raise ValueError(f"corrupt BMP: planes={planes}")
     if bpp != 24 or compression != 0:
         raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
     bottom_up = height > 0
     height = abs(height)
+    if width <= 0 or height == 0:
+        raise ValueError(f"degenerate BMP dimensions {width}x{height}")
     row_bytes = (width * 3 + 3) & ~3
-    img = np.zeros((height, width, 3), dtype=np.uint8)
-    for r in range(height):
-        off = data_offset + r * row_bytes
-        row = np.frombuffer(payload, dtype=np.uint8, count=width * 3, offset=off)
-        dest = height - 1 - r if bottom_up else r
-        img[dest] = row.reshape(width, 3)[:, ::-1]  # BGR -> RGB
-    return img
+    if len(payload) < data_offset + height * row_bytes:
+        raise ValueError("truncated BMP pixel data")
+    # One vectorized pass over the pixel block (no per-row Python loop —
+    # this is the mapInPandas hot path): rows × padded-row-bytes, strip
+    # padding, BGR -> RGB, flip bottom-up row order.
+    block = np.frombuffer(
+        payload, dtype=np.uint8, count=height * row_bytes, offset=data_offset
+    ).reshape(height, row_bytes)
+    img = block[:, : width * 3].reshape(height, width, 3)[..., ::-1]
+    if bottom_up:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
 
 
 def extract_bmp_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -245,7 +265,13 @@ def extract_bmp_features(df: DataFrame, payload_col: str = "payload") -> DataFra
                         "mean_luma": float(luma),
                     }
                 )
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height",
+                    "mean_r", "mean_g", "mean_b", "mean_luma",
+                ],
+            )
 
     return df.select("media_id", payload_col).mapInPandas(
         run, schema=BMP_FEATURES_SCHEMA

@@ -1050,10 +1050,7 @@ def audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as _pd
 
-    from dataflowjavasdk_spark.functions.multimodal import (
-        decode_wav,
-        extract_audio_features,
-    )
+    from dataflowjavasdk_spark.functions.multimodal import extract_audio_features
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
 
@@ -1083,7 +1080,6 @@ def audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(synth, schema="media_id long, payload binary")
     feats = extract_audio_features(media)
-    assert decode_wav is not None  # the extractor routes through it
     return feats.select(
         "media_id",
         "sample_rate",

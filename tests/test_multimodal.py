@@ -165,3 +165,54 @@ def test_bmp_decoder_rejects_non_bmp():
 
     with pytest.raises(ValueError, match="not a BMP"):
         M.decode_bmp(b"\x89PNG____")
+
+
+def test_bmp_decoder_rejects_truncated_and_degenerate():
+    import struct
+
+    import pytest
+
+    from dataflowjavasdk_spark.functions import multimodal as M
+
+    with pytest.raises(ValueError, match="truncated BMP header"):
+        M.decode_bmp(b"BM" + b"\x00" * 20)
+    # zero-height header, otherwise valid
+    header = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 3, 0, 1, 24, 0, 0, 2835, 2835, 0, 0)
+    with pytest.raises(ValueError, match="degenerate"):
+        M.decode_bmp(header + dib)
+    # body shorter than height*row_bytes
+    dib2 = struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, 0, 2835, 2835, 0, 0)
+    with pytest.raises(ValueError, match="truncated BMP pixel data"):
+        M.decode_bmp(header + dib2 + b"\x00" * 5)
+
+
+def test_bmp_decoder_top_down_rows():
+    """Negative biHeight means top-down row order — same pixels out."""
+    import numpy as np
+    import struct
+
+    from dataflowjavasdk_spark.functions import multimodal as M
+
+    px = np.array([[[1, 2, 3], [4, 5, 6]], [[7, 8, 9], [10, 11, 12]]], np.uint8)
+    h, w, _ = px.shape
+    row_bytes = (w * 3 + 3) & ~3
+    body = b""
+    for r in range(h):  # top-down: natural order
+        row = px[r][:, ::-1].tobytes()
+        body += row + b"\x00" * (row_bytes - len(row))
+    header = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    assert (M.decode_bmp(header + dib + body) == px).all()
+
+
+def test_extractors_tolerate_empty_batches(spark):
+    """A zero-row input partition must still match the declared schema
+    (pd.DataFrame([]) has no columns; the extractors pass them
+    explicitly)."""
+    from dataflowjavasdk_spark.functions import multimodal as M
+
+    empty = spark.createDataFrame([], "media_id long, payload binary").repartition(4)
+    assert M.extract_audio_features(empty).collect() == []
+    assert M.extract_bmp_features(empty).collect() == []
+    assert M.extract_image_features(empty).collect() == []
