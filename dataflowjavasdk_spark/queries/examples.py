@@ -1155,3 +1155,56 @@ def bmp_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_b",
         F.round("mean_luma", 9).alias("mean_luma"),
     )
+
+
+@query(
+    "png_image_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(1 + (n_chars % 9) AS INT) AS width,
+           CAST(1 + (doc_id % 7) AS INT) AS height,
+           3 AS n_channels,
+           CAST((doc_id * 3) % 256 AS DOUBLE) AS mean_r,
+           CAST((n_chars * 5) % 256 AS DOUBLE) AS mean_g,
+           CAST((doc_id + 7 * n_chars) % 256 AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+)
+def png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode, value-oracled — the compressed-codec member of
+    the real-decode trio (WAV PCM, BMP struct, PNG zlib+unfilter): a
+    solid-color PNG with column-derived dims is written by the engine's
+    own minimal encoder, decoded back through decode_png (chunk walk,
+    zlib inflate, filter reversal — the hand-filtered byte tests in
+    tests/test_multimodal.py pin the non-trivial filter paths), and
+    reduced to channel means the DuckDB twin states in closed form. Any
+    chunk-offset, inflate, or unfilter defect shifts a mean and breaks
+    the value hash."""
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+
+    from dataflowjavasdk_spark.functions.multimodal import (
+        encode_png,
+        extract_png_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = 1 + int(n_chars) % 9
+                h = 1 + int(doc_id) % 7
+                img = np.zeros((h, w, 3), dtype=np.uint8)
+                img[..., 0] = (int(doc_id) * 3) % 256
+                img[..., 1] = (int(n_chars) * 5) % 256
+                img[..., 2] = (int(doc_id) + 7 * int(n_chars)) % 256
+                payloads.append(encode_png(img))
+            yield _pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(synth, schema="media_id long, payload binary")
+    return extract_png_features(media)

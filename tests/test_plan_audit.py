@@ -61,6 +61,7 @@ def test_relational_queries_stay_jvm_side(spark):
         # real WAV/BMP decode paths: synth + pure-Python parse in mapInPandas
         "audio_wav_features",
         "bmp_image_features",
+        "png_image_features",
     }
     for name in all_queries():
         if name in allowed_python:
