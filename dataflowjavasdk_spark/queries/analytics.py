@@ -416,3 +416,71 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("nonpositive_prices"),
     )
+
+
+@query(
+    "key_skew_profile",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ),
+    top10 AS (
+      SELECT sum(n) AS top10_n
+      FROM (SELECT n FROM counts ORDER BY n DESC, user_id LIMIT 10)
+    )
+    SELECT (SELECT sum(n) FROM counts)::BIGINT AS n_rows,
+           (SELECT count(*) FROM counts)::BIGINT AS n_keys,
+           round((SELECT max(n) FROM counts)::DOUBLE
+                 / (SELECT sum(n) FROM counts)::DOUBLE, 9) AS top1_share,
+           round((SELECT top10_n FROM top10)::DOUBLE
+                 / (SELECT sum(n) FROM counts)::DOUBLE, 9) AS top10_share,
+           round((SELECT sum(n * n) FROM counts)::DOUBLE
+                 / ((SELECT sum(n) FROM counts)::DOUBLE
+                    * (SELECT sum(n) FROM counts)::DOUBLE), 9)
+             AS collision_prob
+    FROM (SELECT 1)
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profile for events.user_id — the diagnostic that
+    decides salting / AQE-skew settings BEFORE a 100 TB job runs: total
+    rows, distinct keys, top-1 and top-10 key shares, and the key
+    collision probability sum((n_i/N)^2) (a Gini-style concentration
+    measure: 1/n_keys when uniform, ->1 under a single hot key — also
+    exactly the probability two random rows shuffle to the same key).
+
+    Plan: one count aggregate over the key column, then only
+    key-cardinality rows feed three 1-row aggregates + a deterministic
+    top-10 (TakeOrderedAndProject) combined via broadcast singletons —
+    the raw table is scanned once, and nothing wider than (key, count)
+    shuffles."""
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    counts = counts.localCheckpoint(eager=False)  # feeds 3 consumers
+    stats = counts.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("n").alias("__max_n"),
+        F.sum(F.col("n") * F.col("n")).cast("double").alias("__sum_n2"),
+    )
+    top10 = (
+        counts.orderBy(F.col("n").desc(), "user_id")
+        .limit(10)
+        .agg(F.sum("n").cast("double").alias("__top10_n"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(top10))
+        .select(
+            "n_rows",
+            "n_keys",
+            F.round(F.col("__max_n").cast("double") / F.col("n_rows"), 9).alias(
+                "top1_share"
+            ),
+            F.round(F.col("__top10_n") / F.col("n_rows"), 9).alias("top10_share"),
+            F.round(
+                F.col("__sum_n2")
+                / (F.col("n_rows").cast("double") * F.col("n_rows").cast("double")),
+                9,
+            ).alias("collision_prob"),
+        )
+    )

@@ -189,6 +189,7 @@ def test_no_cartesian_products_anywhere(spark):
         "approx_distinct_users",       # 1-row verdict aggregate
         "kll_quantiles_rollup",        # O(#types) sketch rows broadcast for
                                        # the rank audit (NULL-scope OR join)
+        "key_skew_profile",            # 1-row top-10 aggregate crossed
         "embedding_decontamination",   # constant-size benchmark broadcast
     }
     for name in all_queries():
