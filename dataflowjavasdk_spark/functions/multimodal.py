@@ -302,6 +302,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         if len(data) < length:
             raise ValueError("truncated PNG chunk")
         if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError(f"corrupt PNG IHDR length {length}")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat += data
@@ -320,9 +322,17 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"unsupported PNG color type {ctype_n}")
     if w == 0 or h == 0:
         raise ValueError(f"degenerate PNG dimensions {w}x{h}")
-    raw = zlib.decompress(idat)
     stride = 1 + w * ch
-    if len(raw) != h * stride:
+    # Bounded inflate: cap output at the expected size BEFORE allocating,
+    # so a deflate-bomb IDAT cannot OOM the executor; surface zlib errors
+    # under the decoder's ValueError contract.
+    try:
+        d = zlib.decompressobj()
+        raw = d.decompress(idat, h * stride)
+        extra = d.decompress(b"", 1)
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG stream: {exc}") from exc
+    if len(raw) != h * stride or extra or d.unconsumed_tail:
         raise ValueError("PNG pixel data size mismatch")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
     out = np.zeros((h, w * ch), dtype=np.uint8)

@@ -450,18 +450,22 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the probability two random rows shuffle to the same key).
 
     Plan: one count aggregate over the key column, then only
-    key-cardinality rows feed three 1-row aggregates + a deterministic
-    top-10 (TakeOrderedAndProject) combined via broadcast singletons —
+    key-cardinality rows feed one stats aggregate + a deterministic
+    top-10 (TakeOrderedAndProject) combined via a broadcast singleton —
     the raw table is scanned once, and nothing wider than (key, count)
     shuffles."""
     events = load_table(spark, sf_dir, "events")
     counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    counts = counts.localCheckpoint(eager=False)  # feeds 3 consumers
+    counts = counts.localCheckpoint(eager=False)  # feeds both consumers
     stats = counts.agg(
         F.sum("n").cast("long").alias("n_rows"),
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.max("n").alias("__max_n"),
-        F.sum(F.col("n") * F.col("n")).cast("double").alias("__sum_n2"),
+        # decimal square: a hot key past ~3e9 rows would silently wrap a
+        # BIGINT n*n — the one case a skew diagnostic must get right
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n"))
+        .cast("double")
+        .alias("__sum_n2"),
     )
     top10 = (
         counts.orderBy(F.col("n").desc(), "user_id")

@@ -216,6 +216,7 @@ def test_extractors_tolerate_empty_batches(spark):
     assert M.extract_audio_features(empty).collect() == []
     assert M.extract_bmp_features(empty).collect() == []
     assert M.extract_image_features(empty).collect() == []
+    assert M.extract_png_features(empty).collect() == []
 
 
 def _png_from_raw(w, h, ctype, raw):
@@ -299,3 +300,39 @@ def test_png_spark_extractor(spark):
     got = M.extract_png_features(df).collect()[0]
     assert (got["width"], got["height"], got["n_channels"]) == (6, 4, 3)
     assert (got["mean_r"], got["mean_g"], got["mean_b"]) == (200.0, 100.0, 50.0)
+
+
+def test_png_decoder_bounds_inflate_and_wraps_zlib_errors():
+    """A deflate-bomb IDAT (tiny dims, huge decompressed stream) must be
+    rejected at the declared size without materializing the bomb, and
+    truncated/garbage IDAT surfaces as ValueError per the decoder
+    contract (not zlib.error / struct.error)."""
+    import zlib
+
+    import pytest
+
+    from dataflowjavasdk_spark.functions import multimodal as M
+
+    # bomb: IHDR says 1x1 gray (2 expected bytes) but IDAT inflates to 10 MB
+    bomb = _png_from_raw(1, 1, 0, b"\x00" * (10 * 1024 * 1024))
+    with pytest.raises(ValueError, match="size mismatch"):
+        M.decode_png(bomb)
+    # garbage IDAT -> zlib error surfaced as ValueError
+    import struct as _s
+
+    def chunk(t, d):
+        body = t + d
+        return _s.pack(">I", len(d)) + body + _s.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+    garbage = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _s.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", b"\xff\xfe\xfd")
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="corrupt PNG stream"):
+        M.decode_png(garbage)
+    # malformed IHDR length -> ValueError, not struct.error
+    bad_ihdr = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", b"\x00\x01")
+    with pytest.raises(ValueError, match="corrupt PNG IHDR"):
+        M.decode_png(bad_ihdr)
