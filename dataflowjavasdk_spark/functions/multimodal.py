@@ -442,3 +442,62 @@ def extract_png_features(df: DataFrame, payload_col: str = "payload") -> DataFra
     return df.select("media_id", payload_col).mapInPandas(
         run, schema=PNG_FEATURES_SCHEMA
     )
+
+
+def _le_int(payload_col: str, offset: int, nbytes: int):
+    """Little-endian unsigned int from binary bytes [offset, offset+n)
+    (1-indexed), as a pure JVM expression: per-byte hex slices
+    concatenated in reverse order, then base-16 conv."""
+    parts = [
+        F.hex(F.substring(F.col(payload_col), offset + i, 1))
+        for i in range(nbytes - 1, -1, -1)
+    ]
+    return F.conv(F.concat(*parts), 16, 10).cast("int")
+
+
+def _be_int(payload_col: str, offset: int, nbytes: int):
+    return F.conv(F.hex(F.substring(F.col(payload_col), offset, nbytes)), 16, 10).cast(
+        "int"
+    )
+
+
+def sniff_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL container-header sniffing as pure JVM expressions (no Python
+    anywhere): magic-byte dispatch plus per-format header fields —
+    PNG width/height (big-endian IHDR), BMP width/height (little-endian
+    BITMAPINFOHEADER), WAV sample rate/channels (little-endian fmt
+    chunk). Unknown payloads get type 'application/octet-stream' and
+    NULL fields.
+
+    This replaces attach_media_meta's pseudo-metadata with the real
+    thing for the formats the engine decodes. At 100 TB the pattern is
+    sniff ONCE at ingest (this projection), persist the meta struct next
+    to the payload, and let every later query filter on meta columns
+    with the blob column never read (the pushdown property
+    tests/test_multimodal.py pins for the stored layout)."""
+    p = payload_col
+    is_png = F.substring(F.col(p), 1, 8) == F.lit(b"\x89PNG\r\n\x1a\n")
+    is_bmp = F.substring(F.col(p), 1, 2) == F.lit(b"BM")
+    is_wav = (F.substring(F.col(p), 1, 4) == F.lit(b"RIFF")) & (
+        F.substring(F.col(p), 9, 4) == F.lit(b"WAVE")
+    )
+    null_i = F.lit(None).cast("int")
+    meta = F.struct(
+        F.when(is_png, "image/png")
+        .when(is_bmp, "image/bmp")
+        .when(is_wav, "audio/wav")
+        .otherwise("application/octet-stream")
+        .alias("media_type"),
+        F.when(is_png, _be_int(p, 17, 4))
+        .when(is_bmp, _le_int(p, 19, 4))
+        .otherwise(null_i)
+        .alias("width"),
+        F.when(is_png, _be_int(p, 21, 4))
+        .when(is_bmp, _le_int(p, 23, 4))
+        .otherwise(null_i)
+        .alias("height"),
+        # canonical WAV: 'fmt ' chunk at offset 13 → rate at 25, nch at 23
+        F.when(is_wav, _le_int(p, 25, 4)).otherwise(null_i).alias("sample_rate"),
+        F.when(is_wav, _le_int(p, 23, 2)).otherwise(null_i).alias("n_channels"),
+    )
+    return df.withColumn("meta", meta)

@@ -336,3 +336,33 @@ def test_png_decoder_bounds_inflate_and_wraps_zlib_errors():
     bad_ihdr = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", b"\x00\x01")
     with pytest.raises(ValueError, match="corrupt PNG IHDR"):
         M.decode_png(bad_ihdr)
+
+
+def test_sniff_media_meta_real_headers_jvm_only(spark):
+    """sniff_media_meta reads REAL container headers with pure JVM
+    expressions: types and dimensions/rate match what the full decoders
+    report, and the plan contains no Python stage at all."""
+    import numpy as np
+
+    from dataflowjavasdk_spark.functions import multimodal as M
+    from dataflowjavasdk_spark.plans import audit
+
+    png = M.encode_png(np.zeros((7, 13, 3), dtype=np.uint8))
+    bmp_px = np.zeros((2, 3, 3), dtype=np.uint8)
+    bmp = _bmp_bytes(bmp_px)
+    wav = _wav_bytes(rate=22050, nch=2, seconds=0.01)
+    rows = [(1, bytearray(png)), (2, bytearray(bmp)), (3, bytearray(wav)),
+            (4, bytearray(b"plain text payload"))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = M.sniff_media_meta(df)
+    p = audit(out)
+    assert p.python_evals == 0, "sniffing must stay JVM-side"
+    got = {r["media_id"]: r["meta"].asDict() for r in out.collect()}
+    assert got[1]["media_type"] == "image/png"
+    assert (got[1]["width"], got[1]["height"]) == (13, 7)
+    assert got[2]["media_type"] == "image/bmp"
+    assert (got[2]["width"], got[2]["height"]) == (3, 2)
+    assert got[3]["media_type"] == "audio/wav"
+    assert (got[3]["sample_rate"], got[3]["n_channels"]) == (22050, 2)
+    assert got[4]["media_type"] == "application/octet-stream"
+    assert got[4]["width"] is None
