@@ -1208,3 +1208,95 @@ def png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(synth, schema="media_id long, payload binary")
     return extract_png_features(media)
+
+
+@query(
+    "media_meta_sniff",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                           WHEN 1 THEN 'image/bmp'
+                           ELSE 'audio/wav' END AS media_type,
+           CASE doc_id % 3 WHEN 0 THEN CAST(1 + (n_chars % 9) AS INT)
+                           WHEN 1 THEN CAST(1 + (n_chars % 16) AS INT)
+                           ELSE NULL END AS width,
+           CASE doc_id % 3 WHEN 0 THEN CAST(1 + (doc_id % 7) AS INT)
+                           WHEN 1 THEN CAST(1 + (doc_id % 12) AS INT)
+                           ELSE NULL END AS height,
+           CASE doc_id % 3 WHEN 2 THEN CAST(8000 + 100 * (doc_id % 5) AS INT)
+                           ELSE NULL END AS sample_rate,
+           CASE doc_id % 3 WHEN 2 THEN CAST(1 + (doc_id % 2) AS INT)
+                           ELSE NULL END AS n_channels
+    FROM documents
+    """,
+)
+def media_meta_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-JVM header sniffing, value-oracled over a MIXED-format media
+    corpus: each document becomes a PNG, BMP, or WAV payload (doc_id%3)
+    with column-derived header fields, written by the engine's real
+    encoders; sniff_media_meta then reads type + dimensions/rate back
+    with Column expressions only (magic dispatch, endian-correct header
+    slices — functions/multimodal.py), and the DuckDB twin states the
+    expected fields in closed form. The one Python stage is the payload
+    SYNTHESIS; the sniffing projection itself is JVM-only (pinned by
+    tests/test_multimodal.py's plan audit). This is the ingest-time
+    pattern: sniff once, persist the meta struct, filter on it forever
+    without touching blobs."""
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+
+    from dataflowjavasdk_spark.functions.multimodal import (
+        encode_png,
+        sniff_media_meta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                kind = doc_id % 3
+                if kind == 0:
+                    img = np.zeros((1 + doc_id % 7, 1 + n_chars % 9, 3), np.uint8)
+                    payloads.append(encode_png(img))
+                elif kind == 1:
+                    w, h = 1 + n_chars % 16, 1 + doc_id % 12
+                    row_bytes = (w * 3 + 3) & ~3
+                    body = (b"\x00" * row_bytes) * h
+                    header = b"BM" + struct.pack(
+                        "<IHHI", 14 + 40 + len(body), 0, 0, 14 + 40
+                    )
+                    dib = struct.pack(
+                        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                        2835, 2835, 0, 0,
+                    )
+                    payloads.append(header + dib + body)
+                else:
+                    rate, nch = 8000 + 100 * (doc_id % 5), 1 + doc_id % 2
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as wv:
+                        wv.setnchannels(nch)
+                        wv.setsampwidth(2)
+                        wv.setframerate(rate)
+                        wv.writeframes(b"\x00\x00" * (8 * nch))
+                    payloads.append(buf.getvalue())
+            yield _pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(synth, schema="media_id long, payload binary")
+    return sniff_media_meta(media).select(
+        "media_id",
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.col("meta.n_channels").alias("n_channels"),
+    )

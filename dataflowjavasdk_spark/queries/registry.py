@@ -83,6 +83,7 @@ _PRIORITY: tuple[str, ...] = (
     "bmp_image_features",
     "png_image_features",
     "key_skew_profile",
+    "media_meta_sniff",
     # (3) last driver-checked in round 1 — i.e. against the PRE-regeneration
     # fixtures that no longer exist; re-establish driver evidence on the
     # current files (they pass the local gate every session)

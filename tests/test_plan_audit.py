@@ -62,6 +62,7 @@ def test_relational_queries_stay_jvm_side(spark):
         "audio_wav_features",
         "bmp_image_features",
         "png_image_features",
+        "media_meta_sniff",
     }
     for name in all_queries():
         if name in allowed_python:
