@@ -195,21 +195,61 @@ def main() -> None:
         "first_run_total": round(sum(first_run.values()), 4),
         "sf": sf,
     }
-    # Durable artifact first: the FULL payload (incl. per-query first_run)
-    # lands in BENCH.json at the repo root, so a truncated console capture
-    # can never lose the round's perf signal again (round 3's BENCH_r03
-    # was `parsed: null` because the driver's tail window clipped the
-    # 4.5 KB stdout line).
+    # Durable artifact first: the FULL payload (incl. per-query first_run
+    # and full query names in seconds) lands in BENCH.json at the repo
+    # root, so a truncated console capture can never lose the round's perf
+    # signal again (round 3's BENCH_r03 was `parsed: null` because the
+    # driver's tail window clipped the 4.5 KB stdout line).
     with open(os.path.join(_REPO_ROOT, "BENCH.json"), "w") as fh:
         json.dump(payload, fh)
         fh.write("\n")
-    # Console contract line LAST and kept narrow: the driver-required keys
-    # plus the one-number first_run_total; the per-query first_run detail
-    # lives in BENCH.json only. ~2.2 KB at 56 queries — half the width
-    # that overflowed the round-3 capture.
-    line = dict(payload)
-    del line["first_run"]
-    print(json.dumps(line), flush=True)
+    # Console contract line LAST and PROVABLY narrow: the driver's tail
+    # capture is 2,000 chars and rounds 3 AND 4 both overflowed it (4.5 KB
+    # then 2,217 bytes → "parsed": null twice). Per-query values go out as
+    # whole milliseconds (ints), keys as 12-char prefixes (full-precision
+    # seconds under full names stay in BENCH.json), separators compact.
+    # 65 queries ≈ 1.3 KB; the hard assertion below means growth past the
+    # capture window fails loudly here instead of silently at the driver.
+    line = contract_line(payload)
+    assert len(line) <= 1800, (
+        f"bench contract line is {len(line)} bytes; the driver captures "
+        "2,000 — shorten keys/values (see contract_line)"
+    )
+    print(line, flush=True)
+
+
+def short_keys(names: list[str], width: int = 12) -> dict[str, str]:
+    """Deterministic unique <=width-char key per query name (prefix
+    truncation; collisions get a numeric suffix)."""
+    out: dict[str, str] = {}
+    for n in names:
+        s = n[:width]
+        i, base = 2, s
+        while s in out.values():
+            s = f"{base[: width - 2]}{i}"
+            i += 1
+        out[n] = s
+    return out
+
+
+def contract_line(payload: dict) -> str:
+    """The one console JSON line for the driver: required keys with
+    whole-millisecond per-query values under shortened names."""
+    keymap = short_keys(list(payload["queries"]))
+    return json.dumps(
+        {
+            "metric": payload["metric"],
+            "value": payload["value"],
+            "unit": payload["unit"],
+            "queries": {
+                keymap[k]: int(round(v * 1000)) for k, v in payload["queries"].items()
+            },
+            "queries_unit": "ms",
+            "first_run_total": payload["first_run_total"],
+            "sf": payload["sf"],
+        },
+        separators=(",", ":"),
+    )
 
 
 if __name__ == "__main__":

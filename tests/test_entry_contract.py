@@ -93,3 +93,34 @@ def test_priority_prefix_maximizes_fresh_driver_coverage():
         f"{len(wasted)} of the 50 driver sample slots repeat queries already "
         f"green in {rounds[-1]}: {wasted}"
     )
+
+
+def test_bench_contract_line_fits_driver_capture():
+    """The driver's tail capture is 2,000 chars; rounds 3 AND 4 both lost
+    BENCH_r{N}.json to an over-wide console line. Construct the line with
+    the CURRENT headline list and worst-plausible widths (9999 ms per
+    query, 4-decimal totals) and pin it under bench.py's own 1,800-byte
+    assertion so headline growth can't silently re-break the contract."""
+    import bench
+
+    names = list(bench.HEADLINE)
+    payload = {
+        "metric": "headline_queries_warm_total",
+        "value": 9999.9999,
+        "unit": "sec",
+        "queries": {n: 9.9990 for n in names},
+        "first_run_total": 9999.9999,
+        "sf": 0.1,
+    }
+    line = bench.contract_line(payload)
+    assert len(line) <= 1800, f"{len(line)} bytes at {len(names)} queries"
+    # Shortened keys must stay unique (a collision would silently merge
+    # two queries' timings in the driver artifact).
+    keymap = bench.short_keys(names)
+    assert len(set(keymap.values())) == len(names)
+    # And the line must be valid JSON with every query represented.
+    import json as _json
+
+    parsed = _json.loads(line)
+    assert len(parsed["queries"]) == len(names)
+    assert parsed["queries_unit"] == "ms"
