@@ -10,10 +10,12 @@ Design (the part that matters at 100 TB):
   mapInPandas: payloads stream through Python in bounded batches
   (spark.sql.execution.arrow.maxRecordsPerBatch controls memory), one
   pass, no shuffle.
-- Codec status: WAV audio, uncompressed 24-bit BMP, and PNG decode for
-  REAL (stdlib `wave` / pure struct parsing / zlib inflate + scanline
-  unfiltering — decode_wav, decode_bmp, decode_png below); only
-  JPEG/video-class codecs (needing PIL/ffmpeg, absent here) are STUBBED. The stubs are deterministic so the plumbing
+- Codec status: WAV audio, uncompressed 24-bit BMP, PNG, and baseline
+  JPEG decode for REAL (stdlib `wave` / pure struct parsing / zlib
+  inflate + scanline unfiltering / Huffman + dequant + IDCT —
+  decode_wav, decode_bmp, decode_png here, decode_jpeg in
+  functions/jpeg.py); only video-class codecs (needing ffmpeg, absent
+  here) remain STUBBED. The stubs are deterministic so the plumbing
   (schema, partitioning, UDF signatures, batch shapes) is fully testable;
   swap `_decode_image_stub` for a real decoder in production.
 """
@@ -121,9 +123,10 @@ def sample_frames(df: DataFrame, every_nth: int = 10) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# REAL decoders (round 4): formats with pure-Python/stdlib codecs need no
-# stub — WAV via the stdlib `wave` module, BMP via struct parsing, PNG via
-# zlib + filter reversal. Only JPEG/video formats remain stubbed here.
+# REAL decoders (rounds 4-5): formats with pure-Python/stdlib codecs need
+# no stub — WAV via the stdlib `wave` module, BMP via struct parsing, PNG
+# via zlib + filter reversal, baseline JPEG via functions/jpeg.py
+# (Huffman + dequant + IDCT). Only video formats remain stubbed here.
 # ---------------------------------------------------------------------------
 
 AUDIO_FEATURES_SCHEMA = (
@@ -441,6 +444,64 @@ def extract_png_features(df: DataFrame, payload_col: str = "payload") -> DataFra
 
     return df.select("media_id", payload_col).mapInPandas(
         run, schema=PNG_FEATURES_SCHEMA
+    )
+
+
+JPEG_FEATURES_SCHEMA = (
+    "media_id bigint, width int, height int, n_components int, "
+    "mean_y double, mean_cb double, mean_cr double"
+)
+
+
+def extract_jpeg_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Real JPEG feature extraction (functions/jpeg.decode_jpeg — baseline
+    Huffman + dequant + IDCT, pure stdlib/numpy) over mapInPandas:
+    dimensions, component count, per-plane means. Means are reported in
+    the coding space (Y'CbCr, what the file stores) — grayscale rows get
+    NULL chroma means. Same 100 TB shape as the other decode passes:
+    Arrow-batched, one pass, payloads never shuffled."""
+    from dataflowjavasdk_spark.functions.jpeg import decode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for media_id, payload in zip(batch["media_id"], batch[payload_col]):
+                img = decode_jpeg(bytes(payload))
+                if img.ndim == 2:
+                    out.append(
+                        {
+                            "media_id": media_id,
+                            "width": img.shape[1],
+                            "height": img.shape[0],
+                            "n_components": 1,
+                            "mean_y": float(img.mean()),
+                            "mean_cb": None,
+                            "mean_cr": None,
+                        }
+                    )
+                else:
+                    mm = img.reshape(-1, 3).mean(axis=0)
+                    out.append(
+                        {
+                            "media_id": media_id,
+                            "width": img.shape[1],
+                            "height": img.shape[0],
+                            "n_components": 3,
+                            "mean_y": float(mm[0]),
+                            "mean_cb": float(mm[1]),
+                            "mean_cr": float(mm[2]),
+                        }
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height", "n_components",
+                    "mean_y", "mean_cb", "mean_cr",
+                ],
+            )
+
+    return df.select("media_id", payload_col).mapInPandas(
+        run, schema=JPEG_FEATURES_SCHEMA
     )
 
 

@@ -58,110 +58,61 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # whose 50-slot sample it optimizes). test_entry_contract uses it to know
 # whether the no-wasted-slot invariant is still checkable or the ordering
 # is due for its per-round rotation.
-_PRIORITY_ROUND = 4
+_PRIORITY_ROUND = 5
 
 _PRIORITY: tuple[str, ...] = (
-    # Round-4 ordering (VERDICT.md r3 "Next round" #2/#3). The driver
-    # samples a 50-entry prefix per round; CORRECTNESS_r03 covered 50
-    # queries on the current (post-regeneration) fixtures, so the r04
-    # prefix is exactly the highest-value queries NOT in r03:
-    # (1) the one query never driver-sampled in any round
-    "kmeans_ivf_refined",
-    # (2) new this round — no prior driver row exists at all
-    "calendar_month_events_tz",
-    "calendar_year_orders",
-    "wordcount_regex",
-    "kll_quantiles_rollup",
-    "embedding_decontamination",
-    "bzip2_json_roundtrip_checksum",
-    "vocab_coverage_curve",
-    "source_repetition_mix",
-    "curation_filter_funnel",
-    "duplicate_passage_stats",
-    "tumbling_emit_time_earliest",
-    "audio_wav_features",
-    "bmp_image_features",
-    "png_image_features",
-    "key_skew_profile",
-    "media_meta_sniff",
-    # (3) last driver-checked in round 1 — i.e. against the PRE-regeneration
-    # fixtures that no longer exist; re-establish driver evidence on the
-    # current files (they pass the local gate every session)
-    "q15_top_supplier",
-    "argmax_event_per_type",
-    "autocomplete_prefix_topk",
-    "calendar_week_events",
-    "cogroup_customer_orders",
-    "count_per_element_priority",
-    "count_per_key_events",
-    "cube_returnflag_status",
-    "deterministic_sample_global",
-    "deterministic_sample_per_key",
-    "distinct_event_users",
-    "exact_percentiles_quantity",
-    "first_events_per_user",
-    "flatten_union_counts",
-    "grouped_stats_nation",
-    "hot_key_salted_agg",
-    "partition_split_counts",
-    "pivot_daily_type_counts",
-    "q10_returned_revenue",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q16_part_supplier_counts",
-    "q18_large_orders",
-    "q19_bracket_revenue",
-    "q22_idle_rich_customers",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "secondary_sort_per_user",
-    "set_ops_users",
-    "side_input_global_mean",
-    "top_global_orders",
-    "top_sessions",
-    "topk_per_group",
-    "user_running_totals",
-    "value_moments_per_type",
-    "wordcount_via_facade",
-    # (4) last checked in round 2 (also pre-regeneration fixtures); the
-    # head of this group fills the remaining r04 slots, the tail is first
-    # in line for round 5. Order: value-bearing pipelines first, cheap
-    # checksum/roundtrip rows last.
+    # Round-5 ordering (VERDICT.md r4 "Next round" #2). CORRECTNESS_r03 ∪
+    # r04 covered 100 distinct queries on the current (post-regeneration)
+    # fixtures; the 48 below are exactly the queries whose FRESHEST driver
+    # row is still r01/r02 — i.e. measured against fixtures that no longer
+    # exist (they pass the local gate every session). They fill 48 of the
+    # driver's 50 sample slots; the 2 spare slots at the head go to
+    # round-5-new queries (no driver row at all yet — per r4 verdict #9,
+    # never-sampled beats stale-but-once-green).
+    # (1) new this round — no prior driver row exists at all
+    "jpeg_image_features",
+    "tfidf_regex",
+    # (2) freshest driver row is r01/r02 (pre-regeneration fixtures):
+    # derived from CORRECTNESS_r0{1..4}.json, latest-round-wins. Ordered
+    # value-bearing pipelines first, cheap checksum/roundtrip rows last.
     "minhash_lsh_near_dups",
     "simhash_near_dup_pairs",
     "q1_pricing_summary",
     "q6_forecast_revenue",
+    "q12_priority_shipping",
     "join_left_outer_customer_orders",
     "join_semi_anti_counts",
+    "asof_join_click_purchase",
+    "range_join_click_purchase",
     "approx_distinct_users",
-    "json_props_per_type",
     "approx_quantiles_value",
-    "q12_priority_shipping",
+    "json_props_per_type",
     "session_stats_per_user",
     "multimodal_payload_stats",
     "ivf_ann_topk",
-    "asof_join_click_purchase",
-    "range_join_click_purchase",
     "ivf_ann_multiprobe",
+    "cosine_topk_bruteforce",
+    "ann_lsh_topk",
+    "ann_lsh_multitable",
+    "embedding_label_stats",
+    "embedding_near_dup_pairs",
     "tumbling_hourly_events",
     "sliding_windows_events",
     "session_windows_events",
+    "session_windows_dynamic_gap",
     "calendar_day_events",
     "global_window_events",
-    "session_windows_dynamic_gap",
     "rollup_hourly_to_daily",
     "custom_merged_windows_events",
+    "top_sessions",
+    "user_running_totals",
+    "value_moments_per_type",
+    "topk_per_group",
     "wordcount",
+    "wordcount_via_facade",
     "token_count_stats",
     "language_id_quality",
     "doc_fingerprints",
-    "cosine_topk_bruteforce",
-    "ann_lsh_topk",
-    "embedding_label_stats",
-    "embedding_near_dup_pairs",
-    "ann_lsh_multitable",
     "dedup_exact",
     "simhash_fingerprints",
     "distinct_users_rollup",
@@ -172,11 +123,13 @@ _PRIORITY: tuple[str, ...] = (
     "stratified_source_mix",
     "counting_input_checksum",
     "avro_roundtrip_checksum",
-    # (5) everything r03-green follows in registration order — the full
-    # local gate (tools/check_correctness.py, all queries, every session)
-    # re-verifies all of them meanwhile. test_entry_contract derives the
-    # group accounting instead of this comment repeating counts that can
-    # drift (r3 ADVICE).
+    # (3) round-5-new queries that missed the 50-slot cut queue here —
+    # first in line for round 6 (the local gate covers them meanwhile).
+    # (4) everything r03/r04-green follows in registration order — the
+    # full local gate (tools/check_correctness.py, all queries, every
+    # session) re-verifies all of them meanwhile. test_entry_contract
+    # derives the group accounting instead of this comment repeating
+    # counts that can drift (r3 ADVICE).
 )
 
 

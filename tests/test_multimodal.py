@@ -366,3 +366,180 @@ def test_sniff_media_meta_real_headers_jvm_only(spark):
     assert (got[3]["sample_rate"], got[3]["n_channels"]) == (22050, 2)
     assert got[4]["media_type"] == "application/octet-stream"
     assert got[4]["width"] is None
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (functions/jpeg.py)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_roundtrip_block_constant_exact():
+    """Per-8x8-block-constant planes are DC-only in DCT space, so with
+    all-ones quant tables the codec must round-trip EXACTLY — across
+    grayscale, 4:4:4, 4:2:0, partial-MCU crops, and restart intervals."""
+    import numpy as np
+
+    from dataflowjavasdk_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    def block_pattern(w, h):
+        img = np.zeros((h, w), np.uint8)
+        for by in range(-(-h // 8)):
+            for bx in range(-(-w // 8)):
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = 40 + 17 * bx + 29 * by
+        return img
+
+    for w, h in [(1, 1), (8, 8), (9, 7), (21, 19), (16, 16), (17, 9)]:
+        img = block_pattern(w, h)
+        assert np.array_equal(decode_jpeg(encode_jpeg(img)), img), (w, h)
+        color = np.zeros((h, w, 3), np.uint8)
+        color[..., 0], color[..., 1], color[..., 2] = img, 77, 201
+        assert np.array_equal(decode_jpeg(encode_jpeg(color)), color), (w, h)
+        got = decode_jpeg(encode_jpeg(color, subsample=True))
+        assert np.array_equal(got, color), ("420", w, h)
+    # restart intervals: DC predictors reset per segment, byte-aligned
+    img = block_pattern(41, 33)
+    got = decode_jpeg(encode_jpeg(img, restart_interval=4))
+    assert np.array_equal(got, img)
+
+
+def test_jpeg_hand_built_mcu_vs_independent_idct():
+    """Hand-assembled single-MCU JPEG with NONZERO AC coefficients and a
+    non-trivial quant table, decoded against an INDEPENDENT double-loop
+    T.81 IDCT — the bitstream, Huffman tables, and expectation are all
+    built by hand here, so the codec can't be symmetrically wrong.
+
+    Layout: custom canonical DHTs (DC: one 1-bit code for category 2;
+    AC: 2-bit codes for 0x01/0x12/0x00), quant 16/11/12/14 on the first
+    four zigzag slots, coefficients [DC=3, AC(u=1,v=0)=1, skip,
+    AC(u=0,v=2)=-2, EOB] → dequantized F(0,0)=48, F(1,0)=11,
+    F(0,2)=-28."""
+    import math
+    import struct
+
+    import numpy as np
+
+    from dataflowjavasdk_spark.functions.jpeg import decode_jpeg
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    dqt = bytes([0x00, 16, 11, 12, 14] + [1] * 60)
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    dht_dc = bytes([0x00] + [1] + [0] * 15 + [2])  # one 1-bit code -> cat 2
+    dht_ac = bytes([0x10] + [0, 3] + [0] * 14 + [0x01, 0x12, 0x00])
+    sos = bytes([1, 1, 0x00]) + b"\x00\x3f\x00"
+    # bits: DC '0'+mag'11'(+3); AC '00'+mag'1'(+1); '01'+mag'01'(-2); EOB '10'
+    scan = bytes([0b01100101, 0b01101111])
+    payload = (
+        b"\xff\xd8"
+        + seg(0xDB, dqt)
+        + seg(0xC0, sof)
+        + seg(0xC4, dht_dc)
+        + seg(0xC4, dht_ac)
+        + seg(0xDA, sos)
+        + scan
+        + b"\xff\xd9"
+    )
+    got = decode_jpeg(payload)
+
+    F = {(0, 0): 48.0, (1, 0): 11.0, (0, 2): -28.0}  # (u, v) -> dequantized
+    expected = np.zeros((8, 8), dtype=np.uint8)
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for (u, v), val in F.items():
+                cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                s += (
+                    cu * cv * val
+                    * math.cos((2 * x + 1) * u * math.pi / 16)
+                    * math.cos((2 * y + 1) * v * math.pi / 16)
+                )
+            expected[y, x] = min(255, max(0, round(s / 4 + 128)))
+    assert np.array_equal(got, expected), (got, expected)
+
+
+def test_jpeg_lossy_roundtrip_tolerance():
+    """All-ones quant on arbitrary content is exact up to the forward-DCT
+    integer rounding: reconstruction within ±1 everywhere. A coarse quant
+    table must still land within its quantization error bound."""
+    import numpy as np
+
+    from dataflowjavasdk_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (24, 31), np.uint8)
+    out = decode_jpeg(encode_jpeg(img))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+    smooth = np.add.outer(np.arange(16) * 3, np.arange(16) * 2).astype(np.uint8)
+    q = np.full((8, 8), 4, dtype=np.int32)
+    out = decode_jpeg(encode_jpeg(smooth, quant=q))
+    assert np.abs(out.astype(int) - smooth.astype(int)).max() <= 16
+
+
+def test_jpeg_rejects_bad_payloads():
+    import pytest
+
+    import numpy as np
+
+    from dataflowjavasdk_spark.functions.jpeg import (
+        build_huffman,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"PK\x03\x04 not a jpeg")
+    good = encode_jpeg(np.full((8, 8), 99, np.uint8))
+    # progressive frame marker: SOF0 (0xC0) -> SOF2 (0xC2)
+    idx = good.index(b"\xff\xc0")
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg(good[:idx] + b"\xff\xc2" + good[idx + 2 :])
+    # truncated mid-scan: no trailing marker at all
+    with pytest.raises(ValueError, match="truncated JPEG scan"):
+        decode_jpeg(good[:-4])
+    # entropy stream exhausted: scan bytes removed but EOI kept
+    sos = good.index(b"\xff\xda")
+    scan_start = sos + 2 + int.from_bytes(good[sos + 2 : sos + 4], "big")
+    with pytest.raises(ValueError, match="truncated JPEG entropy"):
+        decode_jpeg(good[:scan_start] + b"\xff\xd9")
+    # corrupt Huffman spec: BITS promises more codes than VALS delivers
+    with pytest.raises(ValueError, match="corrupt Huffman"):
+        build_huffman([0, 3] + [0] * 14, [1, 2])
+
+
+def test_jpeg_spark_extractor_mixed_gray_color(spark):
+    """extract_jpeg_features over a mixed grayscale/4:2:0 batch: schema,
+    NULL chroma means for gray rows, exact means for block-constant
+    payloads."""
+    import numpy as np
+
+    from dataflowjavasdk_spark.functions.jpeg import encode_jpeg
+    from dataflowjavasdk_spark.functions.multimodal import extract_jpeg_features
+
+    gray = np.full((6, 10), 120, np.uint8)
+    color = np.zeros((4, 5, 3), np.uint8)
+    color[..., 0], color[..., 1], color[..., 2] = 60, 80, 100
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(gray))), (2, bytearray(encode_jpeg(color, subsample=True)))],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in extract_jpeg_features(df).collect()}
+    assert rows[1].width == 10 and rows[1].height == 6
+    assert rows[1].n_components == 1 and rows[1].mean_y == 120.0
+    assert rows[1].mean_cb is None and rows[1].mean_cr is None
+    assert rows[2].n_components == 3
+    assert (rows[2].mean_y, rows[2].mean_cb, rows[2].mean_cr) == (60.0, 80.0, 100.0)
+
+
+def test_jpeg_ycbcr_to_rgb():
+    import numpy as np
+
+    from dataflowjavasdk_spark.functions.jpeg import ycbcr_to_rgb
+
+    # neutral chroma -> gray; JFIF matrix on a known triple
+    neutral = np.array([[[128, 128, 128]]], np.uint8)
+    assert (ycbcr_to_rgb(neutral) == 128).all()
+    px = ycbcr_to_rgb(np.array([[[81, 90, 240]]], np.uint8))[0, 0]
+    assert tuple(px) == (238, 14, 14)  # ~pure red in YCbCr
