@@ -41,11 +41,16 @@ IMAGE_FEATURES_SCHEMA = (
 )
 
 
-def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Derive the typed metadata struct for raw binary payloads. Real
-    pipelines sniff container headers; the stub derives deterministic
-    pseudo-metadata from payload length/bytes so downstream partition
-    and filter logic is exercised honestly."""
+def _attach_stub_media_meta(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """STUB (superseded — use `sniff_media_meta` below): derives
+    deterministic PSEUDO-metadata from payload length/bytes, not from
+    the real container headers. Kept private so no caller reaches the
+    fake path by accident; it remains only to exercise the
+    metadata-pushdown plumbing tests against arbitrary (non-media)
+    payload bytes. Real header sniffing for PNG/JPEG/BMP/WAV is
+    `sniff_media_meta` (pure JVM expressions)."""
     ln = F.length(F.col(payload_col))
     return df.withColumn(
         "meta",
@@ -526,9 +531,19 @@ def sniff_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """REAL container-header sniffing as pure JVM expressions (no Python
     anywhere): magic-byte dispatch plus per-format header fields —
     PNG width/height (big-endian IHDR), BMP width/height (little-endian
-    BITMAPINFOHEADER), WAV sample rate/channels (little-endian fmt
-    chunk). Unknown payloads get type 'application/octet-stream' and
-    NULL fields.
+    BITMAPINFOHEADER, sign-aware: top-down files store a negative
+    biHeight and sniff to the positive pixel height), WAV sample
+    rate/channels (little-endian fmt chunk), JPEG type detection.
+    Unknown payloads get type 'application/octet-stream' and NULL
+    fields.
+
+    Hardening (r4 ADVICE): WAV field extraction is GATED on the 'fmt '
+    chunk id actually sitting at the canonical offset 13 — a RIFF/WAVE
+    file with LIST/JUNK chunks before fmt still sniffs as audio/wav but
+    reports NULL rate/channels instead of silently wrong bytes. JPEG
+    dims are always NULL by design: SOF sits at a variable offset behind
+    variable-length segments, which is a segment walk (decode_jpeg), not
+    a fixed-offset projection.
 
     This replaces attach_media_meta's pseudo-metadata with the real
     thing for the formats the engine decodes. At 100 TB the pattern is
@@ -538,13 +553,32 @@ def sniff_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     tests/test_multimodal.py pins for the stored layout)."""
     p = payload_col
     is_png = F.substring(F.col(p), 1, 8) == F.lit(b"\x89PNG\r\n\x1a\n")
+    is_jpeg = F.substring(F.col(p), 1, 3) == F.lit(b"\xff\xd8\xff")
     is_bmp = F.substring(F.col(p), 1, 2) == F.lit(b"BM")
     is_wav = (F.substring(F.col(p), 1, 4) == F.lit(b"RIFF")) & (
         F.substring(F.col(p), 9, 4) == F.lit(b"WAVE")
     )
+    # canonical layout gate: the first chunk after 'WAVE' must be 'fmt '
+    wav_canonical = is_wav & (F.substring(F.col(p), 13, 4) == F.lit(b"fmt "))
+    # biHeight is SIGNED little-endian; negative = top-down row order.
+    # Read unsigned as long (a 32-bit cast would overflow for negatives),
+    # undo two's complement, take the magnitude.
+    bmp_h_raw = F.conv(
+        F.concat(
+            *[F.hex(F.substring(F.col(p), 23 + i, 1)) for i in range(3, -1, -1)]
+        ),
+        16,
+        10,
+    ).cast("long")
+    bmp_height = F.abs(
+        F.when(bmp_h_raw >= F.lit(1 << 31), bmp_h_raw - F.lit(1 << 32)).otherwise(
+            bmp_h_raw
+        )
+    ).cast("int")
     null_i = F.lit(None).cast("int")
     meta = F.struct(
         F.when(is_png, "image/png")
+        .when(is_jpeg, "image/jpeg")
         .when(is_bmp, "image/bmp")
         .when(is_wav, "audio/wav")
         .otherwise("application/octet-stream")
@@ -554,11 +588,15 @@ def sniff_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         .otherwise(null_i)
         .alias("width"),
         F.when(is_png, _be_int(p, 21, 4))
-        .when(is_bmp, _le_int(p, 23, 4))
+        .when(is_bmp, bmp_height)
         .otherwise(null_i)
         .alias("height"),
         # canonical WAV: 'fmt ' chunk at offset 13 → rate at 25, nch at 23
-        F.when(is_wav, _le_int(p, 25, 4)).otherwise(null_i).alias("sample_rate"),
-        F.when(is_wav, _le_int(p, 23, 2)).otherwise(null_i).alias("n_channels"),
+        F.when(wav_canonical, _le_int(p, 25, 4)).otherwise(null_i).alias(
+            "sample_rate"
+        ),
+        F.when(wav_canonical, _le_int(p, 23, 2)).otherwise(null_i).alias(
+            "n_channels"
+        ),
     )
     return df.withColumn("meta", meta)

@@ -1307,45 +1307,74 @@ def jpeg_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "media_meta_sniff",
+    "media_sniff_prune",
     oracle="""
-    SELECT doc_id AS media_id,
-           CASE doc_id % 3 WHEN 0 THEN 'image/png'
-                           WHEN 1 THEN 'image/bmp'
-                           ELSE 'audio/wav' END AS media_type,
-           CASE doc_id % 3 WHEN 0 THEN CAST(1 + (n_chars % 9) AS INT)
-                           WHEN 1 THEN CAST(1 + (n_chars % 16) AS INT)
-                           ELSE NULL END AS width,
-           CASE doc_id % 3 WHEN 0 THEN CAST(1 + (doc_id % 7) AS INT)
-                           WHEN 1 THEN CAST(1 + (doc_id % 12) AS INT)
-                           ELSE NULL END AS height,
-           CASE doc_id % 3 WHEN 2 THEN CAST(8000 + 100 * (doc_id % 5) AS INT)
-                           ELSE NULL END AS sample_rate,
-           CASE doc_id % 3 WHEN 2 THEN CAST(1 + (doc_id % 2) AS INT)
-                           ELSE NULL END AS n_channels
-    FROM documents
+    WITH sniffed AS (
+      SELECT CASE doc_id % 6 WHEN 0 THEN 'image/png'
+                             WHEN 1 THEN 'image/bmp'
+                             WHEN 2 THEN 'audio/wav'
+                             WHEN 3 THEN 'image/jpeg'
+                             WHEN 4 THEN 'image/bmp'
+                             ELSE 'audio/wav' END AS media_type,
+             CASE doc_id % 6 WHEN 0 THEN 1 + (n_chars % 9)
+                             WHEN 1 THEN 1 + (n_chars % 16)
+                             WHEN 4 THEN 1 + (n_chars % 16)
+                             ELSE NULL END AS width
+      FROM documents
+    )
+    SELECT media_type,
+           CAST(width // 4 AS INT) AS width_bucket,
+           count(*) AS n,
+           CAST(max(width) AS INT) AS max_width
+    FROM sniffed
+    WHERE media_type LIKE 'image/%'
+    GROUP BY media_type, width_bucket
     """,
 )
-def media_meta_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pure-JVM header sniffing, value-oracled over a MIXED-format media
-    corpus: each document becomes a PNG, BMP, or WAV payload (doc_id%3)
-    with column-derived header fields, written by the engine's real
-    encoders; sniff_media_meta then reads type + dimensions/rate back
-    with Column expressions only (magic dispatch, endian-correct header
-    slices — functions/multimodal.py), and the DuckDB twin states the
-    expected fields in closed form. The one Python stage is the payload
-    SYNTHESIS; the sniffing projection itself is JVM-only (pinned by
-    tests/test_multimodal.py's plan audit). This is the ingest-time
-    pattern: sniff once, persist the meta struct, filter on it forever
-    without touching blobs."""
+def media_sniff_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sniff-then-prune at the query layer (VERDICT r4 "Next round" #7):
+    count images by media_type × width bucket over the mixed six-kind
+    corpus. The payload column IS read (the sniffing projection needs
+    its header bytes) but the blob never reaches a shuffle — the
+    sniffed meta columns are projected out before the aggregate, so the
+    exchange moves only (media_type, width_bucket, partial counts).
+    tests/test_multimodal.py asserts exactly that on the physical plan
+    (no Exchange input contains `payload`), mirroring the stored-layout
+    pushdown test: at 100 TB you sniff once at ingest, and every later
+    rollup shuffles kilobytes of grouping keys, not terabytes of blobs.
+    JPEG rows group under a NULL width bucket by design (dims need the
+    segment walk, not the fixed-offset projection)."""
+    from dataflowjavasdk_spark.functions.multimodal import sniff_media_meta
+
+    media = _mixed_media_corpus(spark, sf_dir)
+    sniffed = sniff_media_meta(media).select(
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.width").alias("width"),
+    )
+    return (
+        sniffed.filter(F.col("media_type").startswith("image/"))
+        .groupBy(
+            "media_type",
+            F.floor(F.col("width") / 4).cast("int").alias("width_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("width").cast("int").alias("max_width"),
+        )
+    )
+
+
+def _mixed_media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared six-kind media corpus for the sniffing queries: one payload
+    per document — PNG / bottom-up BMP / canonical WAV / JPEG / top-down
+    BMP (negative biHeight) / non-canonical WAV (LIST before fmt) by
+    doc_id%6, header fields derived from (doc_id, n_chars) so oracles
+    can state them in closed form."""
     from collections.abc import Iterator as _Iterator
 
     import pandas as _pd
 
-    from dataflowjavasdk_spark.functions.multimodal import (
-        encode_png,
-        sniff_media_meta,
-    )
+    from dataflowjavasdk_spark.functions.multimodal import encode_png
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
 
@@ -1356,27 +1385,33 @@ def media_meta_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         import numpy as np
 
+        from dataflowjavasdk_spark.functions.jpeg import encode_jpeg
+
+        def bmp_bytes(w: int, h: int, top_down: bool) -> bytes:
+            row_bytes = (w * 3 + 3) & ~3
+            body = (b"\x00" * row_bytes) * h
+            header = b"BM" + struct.pack(
+                "<IHHI", 14 + 40 + len(body), 0, 0, 14 + 40
+            )
+            dib = struct.pack(
+                "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0,
+                len(body), 2835, 2835, 0, 0,
+            )
+            return header + dib + body
+
         for pdf in batches:
             payloads = []
             for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
                 doc_id, n_chars = int(doc_id), int(n_chars)
-                kind = doc_id % 3
+                kind = doc_id % 6
                 if kind == 0:
                     img = np.zeros((1 + doc_id % 7, 1 + n_chars % 9, 3), np.uint8)
                     payloads.append(encode_png(img))
-                elif kind == 1:
-                    w, h = 1 + n_chars % 16, 1 + doc_id % 12
-                    row_bytes = (w * 3 + 3) & ~3
-                    body = (b"\x00" * row_bytes) * h
-                    header = b"BM" + struct.pack(
-                        "<IHHI", 14 + 40 + len(body), 0, 0, 14 + 40
+                elif kind in (1, 4):
+                    payloads.append(
+                        bmp_bytes(1 + n_chars % 16, 1 + doc_id % 12, kind == 4)
                     )
-                    dib = struct.pack(
-                        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
-                        2835, 2835, 0, 0,
-                    )
-                    payloads.append(header + dib + body)
-                else:
+                elif kind == 2:
                     rate, nch = 8000 + 100 * (doc_id % 5), 1 + doc_id % 2
                     buf = io.BytesIO()
                     with wave.open(buf, "wb") as wv:
@@ -1385,9 +1420,79 @@ def media_meta_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
                         wv.setframerate(rate)
                         wv.writeframes(b"\x00\x00" * (8 * nch))
                     payloads.append(buf.getvalue())
+                elif kind == 3:
+                    img = np.full(
+                        (1 + doc_id % 7, 1 + n_chars % 9), 60, np.uint8
+                    )
+                    payloads.append(encode_jpeg(img))
+                else:  # kind == 5: RIFF/WAVE with LIST before fmt
+                    fmt = struct.pack(
+                        "<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16
+                    )
+                    payloads.append(
+                        b"RIFF"
+                        + struct.pack("<I", 4 + 12 + 24 + 8)
+                        + b"WAVE"
+                        + b"LIST"
+                        + struct.pack("<I", 4)
+                        + b"INFO"
+                        + b"fmt "
+                        + struct.pack("<I", 16)
+                        + fmt
+                        + b"data"
+                        + struct.pack("<I", 0)
+                    )
             yield _pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
-    media = docs.mapInPandas(synth, schema="media_id long, payload binary")
+    return docs.mapInPandas(synth, schema="media_id long, payload binary")
+
+
+@query(
+    "media_meta_sniff",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 6 WHEN 0 THEN 'image/png'
+                           WHEN 1 THEN 'image/bmp'
+                           WHEN 2 THEN 'audio/wav'
+                           WHEN 3 THEN 'image/jpeg'
+                           WHEN 4 THEN 'image/bmp'
+                           ELSE 'audio/wav' END AS media_type,
+           CASE doc_id % 6 WHEN 0 THEN CAST(1 + (n_chars % 9) AS INT)
+                           WHEN 1 THEN CAST(1 + (n_chars % 16) AS INT)
+                           WHEN 4 THEN CAST(1 + (n_chars % 16) AS INT)
+                           ELSE NULL END AS width,
+           CASE doc_id % 6 WHEN 0 THEN CAST(1 + (doc_id % 7) AS INT)
+                           WHEN 1 THEN CAST(1 + (doc_id % 12) AS INT)
+                           WHEN 4 THEN CAST(1 + (doc_id % 12) AS INT)
+                           ELSE NULL END AS height,
+           CASE doc_id % 6 WHEN 2 THEN CAST(8000 + 100 * (doc_id % 5) AS INT)
+                           ELSE NULL END AS sample_rate,
+           CASE doc_id % 6 WHEN 2 THEN CAST(1 + (doc_id % 2) AS INT)
+                           ELSE NULL END AS n_channels
+    FROM documents
+    """,
+)
+def media_meta_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-JVM header sniffing, value-oracled over a MIXED-format media
+    corpus (round 5: six kinds, including the adversarial layouts from
+    the r4 verdict): each document becomes one of PNG / bottom-up BMP /
+    canonical WAV / JPEG / TOP-DOWN BMP (negative biHeight — must sniff
+    to the positive pixel height) / NON-CANONICAL WAV (LIST chunk before
+    fmt — must sniff as audio/wav with NULL fields, never garbage bytes)
+    by doc_id%6, with column-derived header fields written by the
+    engine's real encoders; sniff_media_meta then reads type +
+    dimensions/rate back with Column expressions only (magic dispatch,
+    endian- and sign-correct header slices, fmt-chunk gate —
+    functions/multimodal.py), and the DuckDB twin states the expected
+    fields in closed form. JPEG dims are NULL by design (SOF sits behind
+    variable-length segments; dims need decode_jpeg's segment walk). The
+    one Python stage is the payload SYNTHESIS; the sniffing projection
+    itself is JVM-only (pinned by tests/test_multimodal.py's plan
+    audit). This is the ingest-time pattern: sniff once, persist the
+    meta struct, filter on it forever without touching blobs."""
+    from dataflowjavasdk_spark.functions.multimodal import sniff_media_meta
+
+    media = _mixed_media_corpus(spark, sf_dir)
     return sniff_media_meta(media).select(
         "media_id",
         F.col("meta.media_type").alias("media_type"),

@@ -302,6 +302,7 @@ def countmin_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_rows,
            TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok, TRUE AS p90_ok
     FROM events
+    WHERE event_type IS NOT NULL
     GROUP BY ROLLUP(event_type)
     """,
 )
@@ -325,8 +326,15 @@ def kll_quantiles_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     inclusive-rank semantics — must land within eps=0.025 of the target
     (k=200 rated normalized rank error ~1.65%). The rank-audit pass
     re-reads a 2-column projection once; production would trust the rated
-    error and skip it."""
-    events = load_table(spark, sf_dir, "events")
+    error and skip it.
+
+    NULL event_type keys are filtered up front (r4 ADVICE): a NULL group
+    would coalesce into the merged 'ALL' sentinel AND make the
+    `__et.isNull()` join arm match every row twice, double-counting the
+    rank audit — the oracle applies the same filter."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     per_type = events.groupBy("event_type").agg(
         F.kll_sketch_agg_double("value", F.lit(200)).alias("sk")
     )

@@ -13,7 +13,7 @@ from dataflowjavasdk_spark.functions import multimodal as M
 def media(spark):
     rows = [(i, bytes([i % 251] * (50 + i))) for i in range(20)]
     df = spark.createDataFrame(rows, "media_id bigint, payload binary")
-    return M.attach_media_meta(df)
+    return M._attach_stub_media_meta(df)
 
 
 def test_metadata_struct_shape(media):
@@ -347,12 +347,46 @@ def test_sniff_media_meta_real_headers_jvm_only(spark):
     from dataflowjavasdk_spark.functions import multimodal as M
     from dataflowjavasdk_spark.plans import audit
 
+    import struct
+
+    from dataflowjavasdk_spark.functions.jpeg import encode_jpeg
+
     png = M.encode_png(np.zeros((7, 13, 3), dtype=np.uint8))
     bmp_px = np.zeros((2, 3, 3), dtype=np.uint8)
     bmp = _bmp_bytes(bmp_px)
     wav = _wav_bytes(rate=22050, nch=2, seconds=0.01)
+    jpg = encode_jpeg(np.full((4, 6), 50, dtype=np.uint8))
+    # top-down BMP: negative biHeight (r4 ADVICE — sign-aware sniffing)
+    w_td, h_td = 5, 4
+    row_bytes = (w_td * 3 + 3) & ~3
+    body = (b"\x00" * row_bytes) * h_td
+    td_bmp = (
+        b"BM"
+        + struct.pack("<IHHI", 14 + 40 + len(body), 0, 0, 14 + 40)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w_td, -h_td, 1, 24, 0, len(body), 2835, 2835, 0, 0
+        )
+        + body
+    )
+    # non-canonical WAV: LIST chunk BEFORE fmt (r4 ADVICE — must sniff as
+    # audio/wav but with NULL fields, not silently wrong bytes)
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    nc_wav = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 12 + 24 + 8)
+        + b"WAVE"
+        + b"LIST"
+        + struct.pack("<I", 4)
+        + b"INFO"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + struct.pack("<I", 0)
+    )
     rows = [(1, bytearray(png)), (2, bytearray(bmp)), (3, bytearray(wav)),
-            (4, bytearray(b"plain text payload"))]
+            (4, bytearray(b"plain text payload")), (5, bytearray(jpg)),
+            (6, bytearray(td_bmp)), (7, bytearray(nc_wav))]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     out = M.sniff_media_meta(df)
     p = audit(out)
@@ -366,6 +400,16 @@ def test_sniff_media_meta_real_headers_jvm_only(spark):
     assert (got[3]["sample_rate"], got[3]["n_channels"]) == (22050, 2)
     assert got[4]["media_type"] == "application/octet-stream"
     assert got[4]["width"] is None
+    # JPEG: type detected; dims stay NULL by design (SOF offset varies)
+    assert got[5]["media_type"] == "image/jpeg"
+    assert got[5]["width"] is None and got[5]["height"] is None
+    # top-down BMP: sniffer and decoder agree on the positive height
+    assert got[6]["media_type"] == "image/bmp"
+    assert (got[6]["width"], got[6]["height"]) == (w_td, h_td)
+    assert M.decode_bmp(td_bmp).shape == (h_td, w_td, 3)
+    # non-canonical WAV: still audio/wav, fields NULL instead of garbage
+    assert got[7]["media_type"] == "audio/wav"
+    assert got[7]["sample_rate"] is None and got[7]["n_channels"] is None
 
 
 # ---------------------------------------------------------------------------
@@ -543,3 +587,33 @@ def test_jpeg_ycbcr_to_rgb():
     assert (ycbcr_to_rgb(neutral) == 128).all()
     px = ycbcr_to_rgb(np.array([[[81, 90, 240]]], np.uint8))[0, 0]
     assert tuple(px) == (238, 14, 14)  # ~pure red in YCbCr
+
+
+def test_media_sniff_prune_blob_never_shuffles(spark):
+    """media_sniff_prune's contract at 100 TB: the payload column is read
+    (sniffing needs header bytes) but no Exchange input carries the blob
+    — the shuffle moves only grouping keys + partial aggregates."""
+    import re
+
+    from dataflowjavasdk_spark.plans import audit
+    from dataflowjavasdk_spark.queries.registry import get
+    from tests.conftest import SMOKE_SF
+
+    df = get("media_sniff_prune").fn(spark, SMOKE_SF)
+    p = audit(df)
+    assert p.exchanges >= 1, "the rollup must aggregate (shuffle expected)"
+    # formatted explain: each "(N) Exchange" block lists "Input [n]: [...]"
+    blocks = re.split(r"^\(\d+\) ", p.text, flags=re.M)
+    exchange_inputs = [
+        b for b in blocks if b.startswith("Exchange")
+    ]
+    assert exchange_inputs, p.text
+    for b in exchange_inputs:
+        m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)
+        assert m, b
+        assert "payload" not in m.group(1), (
+            f"blob column reached a shuffle: {m.group(1)}"
+        )
+    # and the result itself is non-trivial
+    rows = df.collect()
+    assert any(r.media_type == "image/jpeg" and r.width_bucket is None for r in rows)
