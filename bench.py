@@ -119,6 +119,11 @@ HEADLINE = [
     "duplicate_passage_stats",
     # real-decode multimodal path (WAV synth + stdlib PCM parse)
     "audio_wav_features",
+    # round-5 additions: baseline JPEG decode, regex-tokenized TF-IDF,
+    # sniff-then-prune rollup (blob never shuffles)
+    "jpeg_image_features",
+    "tfidf_regex",
+    "media_sniff_prune",
 ]
 
 

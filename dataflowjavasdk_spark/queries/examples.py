@@ -1052,7 +1052,14 @@ def audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dataflowjavasdk_spark.functions.multimodal import extract_audio_features
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # decode-parallelism fan-out before the Python stage (see
+    # jpeg_image_features): the tiny 2-column relation shuffles, the
+    # synthesized payloads never do
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
         import io
@@ -1120,7 +1127,14 @@ def bmp_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dataflowjavasdk_spark.functions.multimodal import extract_bmp_features
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # decode-parallelism fan-out before the Python stage (see
+    # jpeg_image_features): the tiny 2-column relation shuffles, the
+    # synthesized payloads never do
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
         import struct
@@ -1189,7 +1203,14 @@ def png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_png_features,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # decode-parallelism fan-out before the Python stage (see
+    # jpeg_image_features): the tiny 2-column relation shuffles, the
+    # synthesized payloads never do
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
         import numpy as np
@@ -1264,7 +1285,18 @@ def jpeg_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dataflowjavasdk_spark.functions.multimodal import extract_jpeg_features
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # Decode parallelism must not depend on the INPUT file layout: the
+    # fixture is one small parquet (one task), which would serialize
+    # 5,000 codec round-trips behind a single Python worker. Repartition
+    # the 2-column metadata relation (16 bytes/row — the payload doesn't
+    # exist yet) so the Python stage fans out across every core; at
+    # 100 TB stored payloads arrive pre-partitioned by the scan and this
+    # exchange is dwarfed by the decode it parallelizes.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
         import numpy as np
@@ -1376,7 +1408,13 @@ def _mixed_media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dataflowjavasdk_spark.functions.multimodal import encode_png
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # same decode-parallelism rationale as jpeg_image_features: fan the
+    # 2-column metadata out before the Python synth stage
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
         import io

@@ -63,6 +63,10 @@ def test_relational_queries_stay_jvm_side(spark):
         "bmp_image_features",
         "png_image_features",
         "media_meta_sniff",
+        # round 5: baseline JPEG decode + the sniff-prune rollup over the
+        # same synthesized corpus (Python stage = payload synth/decode)
+        "jpeg_image_features",
+        "media_sniff_prune",
     }
     for name in all_queries():
         if name in allowed_python:
@@ -192,6 +196,7 @@ def test_no_cartesian_products_anywhere(spark):
                                        # the rank audit (NULL-scope OR join)
         "key_skew_profile",            # 1-row top-10 aggregate crossed
         "embedding_decontamination",   # constant-size benchmark broadcast
+        "tfidf_regex",                 # same 1-row N-docs broadcast as tfidf
     }
     for name in all_queries():
         p = _plan(spark, name)
