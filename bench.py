@@ -124,6 +124,9 @@ HEADLINE = [
     "jpeg_image_features",
     "tfidf_regex",
     "media_sniff_prune",
+    # round-5 video family: MJPEG-in-AVI sample-then-decode, GIF/LZW
+    "mjpeg_frame_sample",
+    "gif_frame_features",
 ]
 
 

@@ -1339,6 +1339,151 @@ def jpeg_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mjpeg_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(1 + doc_id % 12 AS INT) AS n_frames,
+           CAST((doc_id % 12 + 3) // 3 AS INT) AS n_sampled,
+           CAST(8 * (1 + n_chars % 3) AS INT) AS width,
+           CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+           CAST(doc_id % 200
+                + 6 * ((doc_id % 12 + 3) // 3 - 1) AS DOUBLE) AS mean_luma
+    FROM documents
+    """,
+)
+def mjpeg_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode, value-oracled — MJPEG-in-AVI (round 5; closes
+    the video-family gap the stub left): per document the encoder twin
+    writes an AVI whose 1..12 frames are block-constant JPEGs (frame f's
+    luma = base + 4f, exact DC-only roundtrip), the container walk
+    counts ALL frames, and only every 3rd frame is decoded
+    (sample-then-decode — at 100 TB frames are the expensive unit, so
+    extraction is byte-local and decode cost scales with the SAMPLED
+    count). The sampled-frame mean luma is integer-exact in closed form:
+    base + 6*(ceil(n/3) - 1). Any container-walk, frame-boundary,
+    sampling-order, or JPEG defect shifts the count or the mean."""
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+
+    from dataflowjavasdk_spark.functions.multimodal import extract_mjpeg_features
+
+    # decode-parallelism fan-out before the Python stage (see
+    # jpeg_image_features)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        import numpy as np
+
+        from dataflowjavasdk_spark.functions.jpeg import encode_jpeg
+        from dataflowjavasdk_spark.functions.video import encode_avi_mjpeg
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                n = 1 + doc_id % 12
+                w, h = 8 * (1 + n_chars % 3), 8 * (1 + doc_id % 2)
+                base = doc_id % 200
+                frames = [
+                    encode_jpeg(np.full((h, w), base + 4 * f, np.uint8))
+                    for f in range(n)
+                ]
+                payloads.append(encode_avi_mjpeg(frames, w, h))
+            yield _pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(synth, schema="media_id long, payload binary")
+    return extract_mjpeg_features(media, every_nth=3)
+
+
+@query(
+    "gif_frame_features",
+    oracle="""
+    WITH ex AS (
+      SELECT doc_id, n_chars, 1 + n_chars % 5 AS n,
+             unnest(range(1 + n_chars % 5)) AS fi
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(n AS INT) AS n_frames,
+           4 AS palette_size,
+           CAST(1 + n_chars % 10 AS INT) AS width,
+           CAST(1 + doc_id % 8 AS INT) AS height,
+           round(avg(CAST((doc_id * ((fi % 4) + 1)) % 256 AS DOUBLE)), 6)
+             AS mean_r,
+           round(avg(CAST((n_chars * ((fi % 4) + 2)) % 256 AS DOUBLE)), 6)
+             AS mean_g,
+           round(avg(CAST(((doc_id + n_chars) * ((fi % 4) + 3)) % 256
+                          AS DOUBLE)), 6) AS mean_b
+    FROM ex
+    GROUP BY doc_id, n_chars, n
+    """,
+)
+def gif_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF decode, value-oracled (round 5): per document
+    the encoder twin writes a GIF89a whose 1..5 frames each fill the
+    canvas with palette index f%4, over a 4-color palette derived from
+    the fixture columns; decode_gif (LZW decompression, sub-block
+    reassembly, palette resolution — functions/video.py) reproduces the
+    index arrays exactly and the DuckDB twin states the palette-resolved
+    mean RGB by enumerating frame indices with range(). Any LZW, block-
+    walk, palette, or compositing defect shifts a mean or the frame
+    count. Rejection coverage (interlace, local palettes, truncated or
+    overrunning LZW streams) lives in tests/test_multimodal.py."""
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+
+    from dataflowjavasdk_spark.functions.multimodal import extract_gif_features
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        import numpy as np
+
+        from dataflowjavasdk_spark.functions.video import encode_gif
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                n = 1 + n_chars % 5
+                w, h = 1 + n_chars % 10, 1 + doc_id % 8
+                pal = [
+                    (
+                        (doc_id * (i + 1)) % 256,
+                        (n_chars * (i + 2)) % 256,
+                        ((doc_id + n_chars) * (i + 3)) % 256,
+                    )
+                    for i in range(4)
+                ]
+                frames = [np.full((h, w), f % 4, np.uint8) for f in range(n)]
+                payloads.append(encode_gif(frames, pal))
+            yield _pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(synth, schema="media_id long, payload binary")
+    feats = extract_gif_features(media)
+    return feats.select(
+        "media_id",
+        "n_frames",
+        "palette_size",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+@query(
     "media_sniff_prune",
     oracle="""
     WITH sniffed AS (

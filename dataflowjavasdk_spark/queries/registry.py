@@ -126,6 +126,8 @@ _PRIORITY: tuple[str, ...] = (
     # (3) round-5-new queries that missed the 50-slot cut queue here —
     # first in line for round 6 (the local gate covers them meanwhile).
     "media_sniff_prune",
+    "mjpeg_frame_sample",
+    "gif_frame_features",
     # (4) everything r03/r04-green follows in registration order — the
     # full local gate (tools/check_correctness.py, all queries, every
     # session) re-verifies all of them meanwhile. test_entry_contract

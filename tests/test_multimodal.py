@@ -617,3 +617,140 @@ def test_media_sniff_prune_blob_never_shuffles(spark):
     # and the result itself is non-trivial
     rows = df.collect()
     assert any(r.media_type == "image/jpeg" and r.width_bucket is None for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Video family (functions/video.py): MJPEG-in-AVI + GIF/LZW
+# ---------------------------------------------------------------------------
+
+
+def test_avi_mjpeg_roundtrip_and_sampling():
+    import numpy as np
+
+    from dataflowjavasdk_spark.functions.jpeg import encode_jpeg
+    from dataflowjavasdk_spark.functions.video import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        extract_mjpeg_frames,
+    )
+
+    frames_px = [np.full((16, 24), 40 + 13 * i, np.uint8) for i in range(7)]
+    avi = encode_avi_mjpeg([encode_jpeg(f) for f in frames_px], 24, 16, fps=5)
+    assert len(extract_mjpeg_frames(avi)) == 7
+    dec = decode_avi_mjpeg(avi)
+    assert all(np.array_equal(d, f) for d, f in zip(dec, frames_px))
+    # sample-then-decode: every 3rd frame, in stream order
+    dec3 = decode_avi_mjpeg(avi, every_nth=3)
+    assert len(dec3) == 3
+    assert np.array_equal(dec3[1], frames_px[3])
+    assert np.array_equal(dec3[2], frames_px[6])
+
+
+def test_avi_rejects_bad_payloads():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from dataflowjavasdk_spark.functions.jpeg import encode_jpeg
+    from dataflowjavasdk_spark.functions.video import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        extract_mjpeg_frames,
+    )
+
+    with pytest.raises(ValueError, match="not an AVI"):
+        extract_mjpeg_frames(b"RIFF\x00\x00\x00\x00WAVE")
+    good = encode_avi_mjpeg([encode_jpeg(np.zeros((8, 8), np.uint8))], 8, 8)
+    # chunk size runs past the container end
+    idx = good.index(b"00dc")
+    bad = good[: idx + 4] + struct.pack("<I", 1 << 24) + good[idx + 8 :]
+    with pytest.raises(ValueError, match="truncated AVI chunk"):
+        extract_mjpeg_frames(bad)
+    with pytest.raises(ValueError, match="no video frames"):
+        decode_avi_mjpeg(good.replace(b"00dc", b"01wb"))
+
+
+def test_gif_lzw_boundary_regression():
+    """Pinned bug: the decoder appends a table entry after EVERY data
+    code, including the final one the encoder never materializes — when
+    that phantom entry lands on the 2^code_size boundary the EOI widths
+    diverged ('truncated GIF LZW stream' on constant runs). Sweep run
+    lengths across several boundaries plus random payloads."""
+    import numpy as np
+
+    from dataflowjavasdk_spark.functions.video import _lzw_decode, _lzw_encode
+
+    rng = np.random.default_rng(5)
+    for size in list(range(1, 200)) + [4000, 6000]:
+        flat = bytes([1]) * size
+        assert _lzw_decode(_lzw_encode(flat, 2), 2, size) == flat, size
+        rand = bytes(rng.integers(0, 4, size, dtype=np.uint8))
+        assert _lzw_decode(_lzw_encode(rand, 2), 2, size) == rand, size
+
+
+def test_gif_roundtrip_and_rejections():
+    import numpy as np
+    import pytest
+
+    from dataflowjavasdk_spark.functions.video import decode_gif, encode_gif
+
+    rng = np.random.default_rng(3)
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    frames = [rng.integers(0, 4, (11, 13)).astype(np.uint8) for _ in range(4)]
+    palette, got = decode_gif(encode_gif(frames, pal))
+    assert len(got) == 4
+    assert all(np.array_equal(a, b) for a, b in zip(got, frames))
+    assert tuple(palette[2]) == (0, 0, 255)
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"BM_not_gif")
+    good = bytearray(encode_gif(frames[:1], pal))
+    # flip the interlace flag in the image descriptor
+    desc = good.index(0x2C)
+    bad = bytearray(good)
+    bad[desc + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_gif(bytes(bad))
+    # truncate mid-LZW: drop the trailer and final sub-blocks
+    with pytest.raises((ValueError, IndexError)):
+        decode_gif(bytes(good[:-6]))
+    # declared size mismatch: shrink logical height after encoding
+    bad2 = bytearray(good)
+    bad2[8] = 5  # canvas height 11 -> 5; frame descriptor disagrees
+    with pytest.raises(ValueError, match="partial-canvas"):
+        decode_gif(bytes(bad2))
+
+
+def test_video_spark_extractors(spark):
+    """Both video extractors through mapInPandas: schema + exact features
+    for synthesized payloads."""
+    import numpy as np
+
+    from dataflowjavasdk_spark.functions.jpeg import encode_jpeg
+    from dataflowjavasdk_spark.functions.multimodal import (
+        extract_gif_features,
+        extract_mjpeg_features,
+    )
+    from dataflowjavasdk_spark.functions.video import encode_avi_mjpeg, encode_gif
+
+    frames = [encode_jpeg(np.full((8, 16), 30 + 4 * f, np.uint8)) for f in range(5)]
+    avi = encode_avi_mjpeg(frames, 16, 8)
+    df = spark.createDataFrame(
+        [(1, bytearray(avi))], "media_id long, payload binary"
+    )
+    r = extract_mjpeg_features(df, every_nth=2).collect()[0]
+    # sampled frames 0,2,4 -> lumas 30,38,46 -> mean 38
+    assert (r.n_frames, r.n_sampled, r.width, r.height) == (5, 3, 16, 8)
+    assert r.mean_luma == 38.0
+
+    gif = encode_gif(
+        [np.full((4, 6), 0, np.uint8), np.full((4, 6), 1, np.uint8)],
+        [(10, 20, 30), (50, 60, 70)],
+    )
+    df = spark.createDataFrame(
+        [(2, bytearray(gif))], "media_id long, payload binary"
+    )
+    g = extract_gif_features(df).collect()[0]
+    assert (g.n_frames, g.palette_size, g.width, g.height) == (2, 4, 6, 4)
+    assert (g.mean_r, g.mean_g, g.mean_b) == (30.0, 40.0, 50.0)

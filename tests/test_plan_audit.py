@@ -67,6 +67,9 @@ def test_relational_queries_stay_jvm_side(spark):
         # same synthesized corpus (Python stage = payload synth/decode)
         "jpeg_image_features",
         "media_sniff_prune",
+        # round 5 video family: container walk + per-frame decode
+        "mjpeg_frame_sample",
+        "gif_frame_features",
     }
     for name in all_queries():
         if name in allowed_python:
