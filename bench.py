@@ -127,6 +127,8 @@ HEADLINE = [
     # round-5 video family: MJPEG-in-AVI sample-then-decode, GIF/LZW
     "mjpeg_frame_sample",
     "gif_frame_features",
+    # round-5 WARC ingestion round trip (web-archive source format)
+    "warc_ingest_checksum",
 ]
 
 

@@ -1339,6 +1339,101 @@ def jpeg_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "warc_ingest_checksum",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_records,
+           CAST(SUM(length(trim(regexp_replace(
+                 'doc ' || doc_id || ' ' || text, '\\s+', ' ', 'g'))))
+             AS BIGINT) AS total_text_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def warc_ingest_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion round trip (round 5) — the web-archive source
+    format of real training-data pipelines: every document becomes an
+    HTML page (title + escaped body + a script block that must be
+    stripped) inside a WARC/1.0 response record, written as per-record
+    gzip members across 4 shards with interleaved request records
+    (sources/warc.py, FileBasedSink temp/rename commit); the reader
+    scans shards with file-level parallelism (binaryFile), filters
+    WARC-Type=response, splits the HTTP block, and the HTML extractor
+    (stdlib html.parser: script/style subtrees dropped, entities
+    resolved, tag boundaries spaced, whitespace collapsed) recovers the
+    visible text. The per-language checksum compares record counts,
+    extracted-text lengths (closed form: 'doc {id} ' + collapsed body)
+    and URL-recovered doc_ids against the parquet original — any record
+    framing, gzip-member, HTTP-split, escaping, or extraction defect
+    shifts a sum. At 100 TB: WARC is the INGEST format — parse once with
+    per-file parallelism, persist columnar, query parquet ever after."""
+    import html as _html
+    import tempfile
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+
+    from dataflowjavasdk_spark.sources.warc import (
+        read_warc,
+        with_extracted_text,
+        write_warc,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+
+    def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "url": [], "warc_date": [], "status": [],
+                "content_type": [], "html": [],
+            }
+            for doc_id, lang, text in zip(
+                pdf["doc_id"], pdf["lang"], pdf["text"]
+            ):
+                out["url"].append(
+                    f"https://{lang}.example.org/doc/{int(doc_id)}"
+                )
+                out["warc_date"].append("2024-01-01T00:00:00Z")
+                out["status"].append(200)
+                out["content_type"].append("text/html")
+                out["html"].append(
+                    f"<html><head><title>doc {int(doc_id)}</title></head>"
+                    f"<body><p>{_html.escape(str(text))}</p>"
+                    f"<script>var x={int(doc_id)};</script></body></html>"
+                )
+            yield _pd.DataFrame(out)
+
+    pages = docs.repartition(4).mapInPandas(
+        synth,
+        schema="url string, warc_date string, status int, "
+        "content_type string, html string",
+    )
+    d = tempfile.mkdtemp(prefix="warc_rt_")
+    write_warc(pages, d, with_requests=True)
+    back = with_extracted_text(read_warc(spark, d))
+    return (
+        back.select(
+            F.regexp_extract(
+                "url", r"https://([a-z]+)\.example\.org/doc/(\d+)", 1
+            ).alias("lang"),
+            F.regexp_extract(
+                "url", r"https://([a-z]+)\.example\.org/doc/(\d+)", 2
+            ).cast("long").alias("doc_id"),
+            F.length("text").alias("text_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum("text_chars").cast("long").alias("total_text_chars"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        )
+    )
+
+
+@query(
     "mjpeg_frame_sample",
     oracle="""
     SELECT doc_id AS media_id,

@@ -70,6 +70,10 @@ def test_relational_queries_stay_jvm_side(spark):
         # round 5 video family: container walk + per-frame decode
         "mjpeg_frame_sample",
         "gif_frame_features",
+        # round 5 WARC ingest: record framing + HTML parse are Python by
+        # nature (no JVM expression parses HTML); binaryFile scan + one
+        # mapInPandas pass
+        "warc_ingest_checksum",
     }
     for name in all_queries():
         if name in allowed_python:
