@@ -1085,7 +1085,14 @@ def audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = docs.mapInPandas(synth, schema="media_id long, payload binary")
+    # Pin the synthesized corpus (lazy localCheckpoint): in production
+    # these payloads are STORED — re-reading them is a scan, not a
+    # re-synthesis — so steady-state timings measure the DECODE pass and
+    # first_run pays the one-time corpus build (the minhash signature
+    # pattern, SCALE.md principle 7).
+    media = docs.mapInPandas(
+        synth, schema="media_id long, payload binary"
+    ).localCheckpoint(eager=False)
     feats = extract_audio_features(media)
     return feats.select(
         "media_id",
@@ -1158,7 +1165,14 @@ def bmp_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(header + dib + body)
             yield _pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
-    media = docs.mapInPandas(synth, schema="media_id long, payload binary")
+    # Pin the synthesized corpus (lazy localCheckpoint): in production
+    # these payloads are STORED — re-reading them is a scan, not a
+    # re-synthesis — so steady-state timings measure the DECODE pass and
+    # first_run pays the one-time corpus build (the minhash signature
+    # pattern, SCALE.md principle 7).
+    media = docs.mapInPandas(
+        synth, schema="media_id long, payload binary"
+    ).localCheckpoint(eager=False)
     feats = extract_bmp_features(media)
     return feats.select(
         "media_id",
@@ -1227,7 +1241,14 @@ def png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_png(img))
             yield _pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
-    media = docs.mapInPandas(synth, schema="media_id long, payload binary")
+    # Pin the synthesized corpus (lazy localCheckpoint): in production
+    # these payloads are STORED — re-reading them is a scan, not a
+    # re-synthesis — so steady-state timings measure the DECODE pass and
+    # first_run pays the one-time corpus build (the minhash signature
+    # pattern, SCALE.md principle 7).
+    media = docs.mapInPandas(
+        synth, schema="media_id long, payload binary"
+    ).localCheckpoint(eager=False)
     return extract_png_features(media)
 
 
@@ -1325,7 +1346,14 @@ def jpeg_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payloads.append(encode_jpeg(luma))
             yield _pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
-    media = docs.mapInPandas(synth, schema="media_id long, payload binary")
+    # Pin the synthesized corpus (lazy localCheckpoint): in production
+    # these payloads are STORED — re-reading them is a scan, not a
+    # re-synthesis — so steady-state timings measure the DECODE pass and
+    # first_run pays the one-time corpus build (the minhash signature
+    # pattern, SCALE.md principle 7).
+    media = docs.mapInPandas(
+        synth, schema="media_id long, payload binary"
+    ).localCheckpoint(eager=False)
     feats = extract_jpeg_features(media)
     return feats.select(
         "media_id",
@@ -1491,7 +1519,14 @@ def mjpeg_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_avi_mjpeg(frames, w, h))
             yield _pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
-    media = docs.mapInPandas(synth, schema="media_id long, payload binary")
+    # Pin the synthesized corpus (lazy localCheckpoint): in production
+    # these payloads are STORED — re-reading them is a scan, not a
+    # re-synthesis — so steady-state timings measure the DECODE pass and
+    # first_run pays the one-time corpus build (the minhash signature
+    # pattern, SCALE.md principle 7).
+    media = docs.mapInPandas(
+        synth, schema="media_id long, payload binary"
+    ).localCheckpoint(eager=False)
     return extract_mjpeg_features(media, every_nth=3)
 
 
@@ -1564,7 +1599,14 @@ def gif_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_gif(frames, pal))
             yield _pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
-    media = docs.mapInPandas(synth, schema="media_id long, payload binary")
+    # Pin the synthesized corpus (lazy localCheckpoint): in production
+    # these payloads are STORED — re-reading them is a scan, not a
+    # re-synthesis — so steady-state timings measure the DECODE pass and
+    # first_run pays the one-time corpus build (the minhash signature
+    # pattern, SCALE.md principle 7).
+    media = docs.mapInPandas(
+        synth, schema="media_id long, payload binary"
+    ).localCheckpoint(eager=False)
     feats = extract_gif_features(media)
     return feats.select(
         "media_id",
@@ -1722,7 +1764,11 @@ def _mixed_media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             yield _pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
-    return docs.mapInPandas(synth, schema="media_id long, payload binary")
+    # pinned like the other media corpora: the mixed corpus is consumed
+    # by two queries and simulates stored payloads
+    return docs.mapInPandas(
+        synth, schema="media_id long, payload binary"
+    ).localCheckpoint(eager=False)
 
 
 @query(
