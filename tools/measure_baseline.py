@@ -145,6 +145,36 @@ def spark_queries(spark):
             )
         )
 
+    def tfidf_regex():
+        # Plain user's TF-IDF over the regex tokenizer: driver-side
+        # count() for N, no pinning (the tokenized relation recomputes
+        # for both branches), no broadcast decisions — the obvious code.
+        from pyspark.sql.window import Window as W
+
+        pat = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+        tok = docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit(pat), 0)
+            ).alias("term"),
+        )
+        tf = (
+            tok.groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("n_term"))
+            .withColumn("n_doc", F.sum("n_term").over(W.partitionBy("doc_id")))
+        )
+        dfr = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+        n_docs = docs.count()
+        return tf.join(dfr, "term").select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("n_term").cast("double") / F.col("n_doc"))
+                * F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1)),
+                9,
+            ).alias("tfidf"),
+        )
+
     return {
         "q1_pricing_summary": q1,
         "q3_join_agg": q3,
@@ -155,6 +185,7 @@ def spark_queries(spark):
         "session_windows_events": session_windows,
         "topk_per_group": topk_per_group,
         "quantile_rollup": quantile_rollup,
+        "tfidf_regex": tfidf_regex,
     }
 
 
@@ -211,6 +242,22 @@ DUCK_SQL = {
                                     ORDER BY sum_value DESC, user_id) AS rk
           FROM sums)
         SELECT * FROM ranked WHERE rk <= 3""",
+    "tfidf_regex": """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS term
+          FROM documents),
+        tf AS (
+          SELECT doc_id, term, count(*) AS n_term,
+                 sum(count(*)) OVER (PARTITION BY doc_id) AS n_doc
+          FROM tok GROUP BY doc_id, term),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT tf.doc_id, tf.term,
+               round((tf.n_term::DOUBLE / tf.n_doc)
+                     * ln((n.n_docs + 1)::DOUBLE / (df.df + 1)), 9)
+        FROM tf JOIN df USING (term) CROSS JOIN n""",
     "quantile_rollup": """
         SELECT coalesce(event_type, 'ALL') AS scope,
                quantile_cont(value, [0.25, 0.5, 0.75, 0.9]) AS qs
@@ -232,6 +279,7 @@ ENGINE_TWIN = {
     "session_windows_events": "session_windows_events",
     "topk_per_group": "topk_per_group",
     "quantile_rollup": "kll_quantiles_rollup",
+    "tfidf_regex": "tfidf_regex",
 }
 
 
