@@ -129,6 +129,8 @@ HEADLINE = [
     "gif_frame_features",
     # round-5 WARC ingestion round trip (web-archive source format)
     "warc_ingest_checksum",
+    # round-5 product-quantization ANN (ADC + exact re-rank)
+    "pq_adc_topk",
 ]
 
 

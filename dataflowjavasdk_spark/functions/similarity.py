@@ -109,6 +109,21 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.sqrt(norm2(a) * norm2(b))
 
 
+def l2sq(a: Column, b: Column) -> Column:
+    """Left-fold squared L2 distance in double — the same sequential fold
+    shape as `dot`, so DuckDB's list_reduce reproduces it bit for bit."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def simhash64_udf():
     """Vectorized 64-bit SimHash over pre-tokenized arrays.
 

@@ -262,6 +262,192 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
 
 
+_SQL_L2SQ = """
+  list_reduce(
+    list_prepend(0.0::DOUBLE,
+      list_transform(list_zip({a}, {b}),
+                     p -> (p[1]::DOUBLE - p[2]::DOUBLE)
+                          * (p[1]::DOUBLE - p[2]::DOUBLE))),
+    (x, y) -> x + y)
+"""
+
+
+def _sql_l2sq(a: str, b: str) -> str:
+    return _SQL_L2SQ.format(a=a, b=b)
+
+
+@query(
+    "pq_adc_topk",
+    oracle=f"""
+    WITH ms AS (SELECT unnest(range(4)) AS m),
+    cb AS (
+      SELECT vec_id AS centroid_id, m,
+             embedding[(m*16+1):(m*16+16)] AS cv
+      FROM embeddings, ms WHERE vec_id < 4
+    ),
+    sub AS (
+      SELECT vec_id, m, embedding[(m*16+1):(m*16+16)] AS sv
+      FROM embeddings, ms
+    ),
+    assigned AS (
+      SELECT s.vec_id, s.m, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY s.vec_id, s.m
+               ORDER BY {_sql_l2sq('s.sv', 'c.cv')} ASC, c.centroid_id
+             ) AS crk
+      FROM sub s JOIN cb c USING (m)
+    ),
+    codes AS (
+      SELECT vec_id, m, centroid_id AS code FROM assigned WHERE crk = 1
+    ),
+    wide AS (
+      SELECT vec_id,
+             MAX(CASE WHEN m = 0 THEN code END) AS c0,
+             MAX(CASE WHEN m = 1 THEN code END) AS c1,
+             MAX(CASE WHEN m = 2 THEN code END) AS c2,
+             MAX(CASE WHEN m = 3 THEN code END) AS c3
+      FROM codes GROUP BY vec_id
+    ),
+    dtab AS (
+      SELECT s.vec_id AS query_id, s.m, c.centroid_id,
+             {_sql_l2sq('s.sv', 'c.cv')} AS d
+      FROM sub s JOIN cb c USING (m)
+      WHERE s.vec_id >= 10 AND s.vec_id < 15
+    ),
+    adc AS (
+      SELECT t0.query_id, w.vec_id AS neighbor_id,
+             t0.d + t1.d + t2.d + t3.d AS adc_dist
+      FROM wide w
+      JOIN dtab t0 ON t0.m = 0 AND t0.centroid_id = w.c0
+      JOIN dtab t1 ON t1.m = 1 AND t1.centroid_id = w.c1
+                   AND t1.query_id = t0.query_id
+      JOIN dtab t2 ON t2.m = 2 AND t2.centroid_id = w.c2
+                   AND t2.query_id = t0.query_id
+      JOIN dtab t3 ON t3.m = 3 AND t3.centroid_id = w.c3
+                   AND t3.query_id = t0.query_id
+      WHERE w.vec_id <> t0.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist ASC, neighbor_id) AS rk
+      FROM adc
+    )
+    SELECT r.query_id, r.neighbor_id, r.adc_dist,
+           {_sql_l2sq('q.embedding', 'n.embedding')} AS exact_dist, r.rk
+    FROM ranked r
+    JOIN embeddings q ON q.vec_id = r.query_id
+    JOIN embeddings n ON n.vec_id = r.neighbor_id
+    WHERE r.rk <= 5
+    """,
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (round 5) — the memory-compression scale path beside IVF's cell
+    pruning and LSH's bucketing: the 64-dim corpus is split into M=4
+    subspaces of 16 dims; each subspace gets a K=4 codebook (seeded from
+    the first 4 vectors, the ivf_ann_topk convention — a real build
+    would k-means them with the kmeans_ivf_refined machinery); every
+    corpus vector is encoded as 4 small codes (here 2 bits each — at
+    scale 8 bits × 8-16 subspaces turns a 256-byte vector into 8-16
+    bytes, the difference between an index that fits executor memory and
+    one that doesn't). Queries never decode the corpus: each query
+    precomputes a (M × K) distance TABLE to the codebook, and a corpus
+    vector's approximate distance is four table lookups summed in fixed
+    left-to-right order (ADC). The ADC top-5 is then re-ranked against
+    the EXACT full-dimension distance — the candidates + exact-rerank
+    production pattern. All distances are the bit-identical left-fold
+    (functions/similarity.l2sq ≡ DuckDB list_reduce), assignments and
+    top-k carry deterministic tiebreaks, so the whole pipeline is
+    value-hash-oracled with no rounding.
+
+    Scale shape: codebook and distance tables are constant-size
+    broadcasts (M×K sub-vectors; queries×M×K doubles); encoding is one
+    map-side pass + a bounded argmin window per (vector, subspace); the
+    ADC joins are broadcasts against the 4-column code relation (the
+    only corpus-sized shuffle is the final per-query top-k window over
+    candidate rows). The full-precision embedding column is read ONLY
+    for the 25 re-ranked pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    M, K, SUB = 4, 4, 16
+
+    def subspaces(df: DataFrame, id_out: str, vec_out: str) -> DataFrame:
+        return df.select(
+            F.col("vec_id").alias(id_out),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).cast("long").alias("m"),
+                            F.slice("embedding", m * SUB + 1, SUB).alias(vec_out),
+                        )
+                        for m in range(M)
+                    ]
+                )
+            ).alias("s"),
+        ).select(id_out, "s.m", f"s.{vec_out}")
+
+    cb = subspaces(emb.filter(F.col("vec_id") < K), "centroid_id", "cv")
+    sub = subspaces(emb, "vec_id", "sv")
+    assigned = sub.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "centroid_id", S.l2sq(F.col("sv"), F.col("cv")).alias("d")
+    )
+    cw = W.partitionBy("vec_id", "m").orderBy(F.col("d").asc(), F.col("centroid_id"))
+    codes = (
+        assigned.withColumn("crk", F.row_number().over(cw))
+        .filter(F.col("crk") == 1)
+        .select("vec_id", "m", F.col("centroid_id").alias("code"))
+    )
+    wide = codes.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("m") == m, F.col("code"))).alias(f"c{m}")
+            for m in range(M)
+        ]
+    )
+    dtab = (
+        sub.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(cb), "m")
+        .select(
+            "query_id", "m", "centroid_id",
+            S.l2sq(F.col("sv"), F.col("cv")).alias("d"),
+        )
+    )
+    adc = wide
+    for m in range(M):
+        dm = dtab.filter(F.col("m") == m).select(
+            "query_id",
+            F.col("centroid_id").alias(f"c{m}"),
+            F.col("d").alias(f"d{m}"),
+        )
+        on = [f"c{m}"] if m == 0 else ["query_id", f"c{m}"]
+        adc = adc.join(F.broadcast(dm), on)
+    adc = adc.filter(F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            F.col("d0") + F.col("d1") + F.col("d2") + F.col("d3")
+        ).alias("adc_dist"),
+    )
+    rw = W.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
+    top = adc.withColumn("rk", F.row_number().over(rw)).filter(F.col("rk") <= 5)
+    qv = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    nv = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+    )
+    return (
+        top.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_dist",
+            S.l2sq(F.col("qv"), F.col("nv")).alias("exact_dist"),
+            "rk",
+        )
+    )
+
+
 @query(
     "asof_join_click_purchase",
     oracle="""
