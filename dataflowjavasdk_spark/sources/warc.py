@@ -140,11 +140,18 @@ def write_warc(df, path: str, with_requests: bool = True) -> int:
     Input columns: url, warc_date, status, content_type, html. Returns
     the number of shards. `with_requests` interleaves a request record
     before each response, as real crawls do (the reader filters)."""
+    import uuid
+
     import pandas as pd
     from pyspark import TaskContext
 
     tmp = os.path.join(path, "_temporary")
     os.makedirs(tmp, exist_ok=True)
+    # Unique write id per sink invocation (the FileBasedSink convention):
+    # appending a second crawl segment to the same directory must create
+    # NEW files, never overwrite part-00000 of an earlier write — file
+    # sources track seen paths, so an overwrite would be silently skipped.
+    write_id = uuid.uuid4().hex[:8]
 
     def encode(batches: Iterator) -> Iterator:
         pid = TaskContext.get().partitionId()
@@ -175,7 +182,7 @@ def write_warc(df, path: str, with_requests: bool = True) -> int:
                 count += 1
         if not count:
             return
-        shard = os.path.join(tmp, f"part-{pid:05d}.warc.gz")
+        shard = os.path.join(tmp, f"part-{pid:05d}-{write_id}.warc.gz")
         with open(shard + ".inprogress", "wb") as fh:
             fh.write(buf.getvalue())
         os.rename(shard + ".inprogress", shard)

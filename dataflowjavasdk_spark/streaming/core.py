@@ -130,6 +130,44 @@ def read_stream_avro(
     return files.mapInPandas(decode, schema=spark_schema)
 
 
+def read_stream_warc(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
+    """Unbounded WARC source — streaming twin of sources/warc.read_warc
+    (round 5): crawl segments dropped into `path` become micro-batches
+    via the binaryFile streaming source (one whole .warc.gz per row — a
+    crawl's parallelism unit), parsed to response records by the same
+    record-framing code as the batch reader. This is the live-crawl
+    ingestion shape: segments land, each micro-batch parses its files
+    once and the pipeline persists columnar; everything downstream
+    (watermarks on fetch time, dedup, windowed aggregation) is
+    source-agnostic."""
+    from dataflowjavasdk_spark.sources.warc import WARC_SCHEMA, parse_warc
+
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", "*.warc.gz")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path).select("content")
+
+    def decode(batches):
+        import pandas as pd
+
+        cols = ["url", "warc_date", "status", "content_type", "html"]
+        for pdf in batches:
+            for raw in pdf["content"]:
+                rows = parse_warc(bytes(raw))
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(decode, schema=WARC_SCHEMA)
+
+
 def rate_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     """CountingInput.unbounded().withRate(...) (historical
     sdk/io/CountingInput.java): synthetic unbounded sequence."""

@@ -106,3 +106,47 @@ def test_write_skips_empty_partitions(spark, tmp_path):
     n_shards = write_warc(df, d)
     assert n_shards == 1  # 7 empty partitions write nothing
     assert read_warc(spark, d).count() == 1
+
+
+def test_read_stream_warc_microbatches_and_batch_equivalence(spark, tmp_path):
+    """Streaming WARC drop-dir: crawl segments landed into the dir become
+    micro-batches (exactly-once across rounds against one checkpoint),
+    and the streamed rows equal the batch read on the same files."""
+    from dataflowjavasdk_spark.streaming import core as SC
+
+    def pages(lo, hi):
+        return spark.createDataFrame(
+            [(f"https://s.example/{i}", "2024-01-01T00:00:00Z", 200,
+              "text/html", f"<p>doc {i}</p>") for i in range(lo, hi)],
+            "url string, warc_date string, status int, content_type string, "
+            "html string",
+        ).coalesce(1)
+
+    d = str(tmp_path / "warc_stream")
+    ckpt = str(tmp_path / "ckpt")
+    write_warc(pages(0, 4), d)
+
+    def run_round():
+        got = []
+
+        def sink(batch_df, batch_id):
+            got.extend(r.url for r in batch_df.collect())
+
+        q = (
+            SC.read_stream_warc(spark, d)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return set(got)
+
+    assert run_round() == {f"https://s.example/{i}" for i in range(4)}
+    # second segment lands; exactly-once: only the NEW file this round
+    write_warc(pages(4, 7), d)
+    assert run_round() == {f"https://s.example/{i}" for i in range(4, 7)}
+    # unified-model contract: batch read sees the union of all segments
+    batch = {r.url for r in read_warc(spark, d).collect()}
+    assert batch == {f"https://s.example/{i}" for i in range(7)}
