@@ -131,6 +131,8 @@ HEADLINE = [
     "warc_ingest_checksum",
     # round-5 product-quantization ANN (ADC + exact re-rank)
     "pq_adc_topk",
+    # round-5 in-plan BPE tokenizer training (3 merge rounds)
+    "bpe_train_merges",
 ]
 
 

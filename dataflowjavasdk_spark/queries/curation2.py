@@ -680,6 +680,140 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20)
 
 
+def _bpe_stage_sql(i: int) -> str:
+    """One unrolled BPE training round: pair counts over t{i-1}, argmax
+    with deterministic tiebreak, greedy left-to-right merge into t{i}."""
+    return f"""
+    p{i} AS (
+      SELECT s[i] AS lhs, s[i + 1] AS rhs, SUM(c) AS cnt
+      FROM (
+        SELECT c, s, unnest(range(1, len(s))) AS i
+        FROM (SELECT c, string_split(trim(tok), ' ') AS s FROM t{i - 1})
+      )
+      GROUP BY 1, 2
+    ),
+    b{i} AS (SELECT lhs, rhs, cnt FROM p{i} ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+    t{i} AS (
+      SELECT w, c,
+             replace(tok, ' ' || lhs || ' ' || rhs || ' ',
+                          ' ' || lhs || rhs || ' ') AS tok
+      FROM t{i - 1} CROSS JOIN b{i}
+    )"""
+
+
+@query(
+    "bpe_train_merges",
+    oracle=f"""
+    WITH words AS (
+      SELECT t AS w, count(*) AS c
+      FROM (SELECT unnest(regexp_extract_all(text,
+                     '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS t
+            FROM documents)
+      GROUP BY t
+    ),
+    t0 AS (
+      SELECT w, c, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS tok
+      FROM words
+    ),{_bpe_stage_sql(1)},{_bpe_stage_sql(2)},{_bpe_stage_sql(3)}
+    SELECT 1 AS step, lhs, rhs, lhs || rhs AS merged,
+           CAST(cnt AS BIGINT) AS pair_count
+    FROM b1
+    UNION ALL
+    SELECT 2, lhs, rhs, lhs || rhs, CAST(cnt AS BIGINT) FROM b2
+    UNION ALL
+    SELECT 3, lhs, rhs, lhs || rhs, CAST(cnt AS BIGINT) FROM b3
+    """,
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, three merge rounds fully in-plan (round
+    5) — the iterative extension of bpe_merge_candidates (which scores
+    one round of pre-token pairs; this one actually trains at the
+    character level, like kmeans_ivf_refined turned IVF seeding into
+    real Lloyd iterations). Words are the distinct pre-tokens with
+    corpus counts; each word's tokenization is a spaced symbol string
+    (' h e l l o '); a round counts adjacent symbol pairs weighted by
+    word count, picks the argmax pair with a deterministic (count desc,
+    lhs, rhs) tiebreak, and merges it greedily left-to-right via literal
+    replace() — whose non-overlapping LTR semantics are IDENTICAL in
+    Spark and DuckDB (probed: ' a a a ' + (a,a) -> ' aa a ' in both), so
+    every round is integer-exact and the whole trainer value-hash
+    oracles with no rounding. The chosen merge never touches the driver:
+    it is a 1-row relation broadcast-cross-joined into the next round's
+    plan (the kmeans codebook pattern).
+
+    Output: (step, lhs, rhs, merged, pair_count) for the three learned
+    merges — the head of the merges.txt a real BPE build ships.
+
+    Scale shape: everything after the word-count aggregate operates on
+    the VOCABULARY relation, not the corpus (words are distinct
+    pre-tokens with counts — bounded, millions at 100 TB, not
+    trillions); per round: one vocab-sized pair aggregate + a 1-row
+    argmax + a map-side literal replace. The word and per-round token
+    relations are pinned (lazy localCheckpoint) because each is consumed
+    by two branches (pair counting and the merge rewrite) — the
+    round-3b scan-discipline rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.regexp_extract_all(
+        F.col("text"), F.lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), 0
+    )
+    words = (
+        docs.select(F.explode(tk).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tok = words.select(
+        "w",
+        "c",
+        F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")).alias("tok"),
+    ).localCheckpoint(eager=False)
+
+    outs = []
+    for step in (1, 2, 3):
+        s = F.split(F.trim(F.col("tok")), " ")
+        pairs = tok.select(
+            "c",
+            F.explode(
+                F.zip_with(
+                    F.slice(s, 1, F.size(s) - 1),
+                    F.slice(s, 2, F.size(s) - 1),
+                    lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+                )
+            ).alias("p"),
+        ).select("c", "p.lhs", "p.rhs")
+        counted = pairs.groupBy("lhs", "rhs").agg(F.sum("c").alias("cnt"))
+        best = (
+            counted.orderBy(F.col("cnt").desc(), "lhs", "rhs")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        outs.append(
+            best.select(
+                F.lit(step).alias("step"),
+                "lhs",
+                "rhs",
+                F.concat("lhs", "rhs").alias("merged"),
+                F.col("cnt").cast("long").alias("pair_count"),
+            )
+        )
+        tok = (
+            tok.crossJoin(F.broadcast(best))
+            .select(
+                "w",
+                "c",
+                F.replace(
+                    F.col("tok"),
+                    F.concat(F.lit(" "), "lhs", F.lit(" "), "rhs", F.lit(" ")),
+                    F.concat(F.lit(" "), "lhs", "rhs", F.lit(" ")),
+                ).alias("tok"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 @query(
     "near_dup_graph_triangles",
     oracle=f"""

@@ -204,6 +204,7 @@ def test_no_cartesian_products_anywhere(spark):
         "key_skew_profile",            # 1-row top-10 aggregate crossed
         "embedding_decontamination",   # constant-size benchmark broadcast
         "tfidf_regex",                 # same 1-row N-docs broadcast as tfidf
+        "bpe_train_merges",            # 3x 1-row argmax merge broadcasts
     }
     for name in all_queries():
         p = _plan(spark, name)
