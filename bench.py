@@ -133,6 +133,8 @@ HEADLINE = [
     "pq_adc_topk",
     # round-5 in-plan BPE tokenizer training (3 merge rounds)
     "bpe_train_merges",
+    # round-5 scaled-integer PageRank over the near-dup graph
+    "pagerank_near_dup",
 ]
 
 

@@ -288,6 +288,133 @@ def near_dup_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs_capped(sh)
 
 
+def _pagerank_stage_sql(i: int) -> str:
+    """One unrolled scaled-integer PageRank round over `edges`/`deg`:
+    contribution = floor(rank/outdeg) summed exactly, damping in integer
+    arithmetic (all BIGINT — order-independent, so cross-engine exact)."""
+    return f"""
+    r{i} AS (
+      SELECT d.node,
+             (SELECT base FROM params)
+               + (85 * COALESCE(SUM(r.rank // d2.outdeg), 0)) // 100 AS rank
+      FROM deg d
+      LEFT JOIN edges e ON e.dst = d.node
+      LEFT JOIN r{i - 1} r ON r.node = e.src
+      LEFT JOIN deg d2 ON d2.node = e.src
+      GROUP BY d.node
+    )"""
+
+
+@query(
+    "pagerank_near_dup",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),{_jaccard_pairs_sql("corpus")},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM jacc_pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM jacc_pairs
+    ),
+    deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src),
+    params AS (
+      SELECT count(*) AS n,
+             1000000000000000 // count(*) AS r_init,
+             (15 * 1000000000000000) // (100 * count(*)) AS base
+      FROM deg
+    ),
+    r0 AS (SELECT node, (SELECT r_init FROM params) AS rank FROM deg),
+    {_pagerank_stage_sql(1)},{_pagerank_stage_sql(2)},{_pagerank_stage_sql(3)}
+    SELECT node AS doc_id, CAST(rank AS BIGINT) AS rank_scaled,
+           CAST(row_number() OVER (ORDER BY rank DESC, node) AS BIGINT) AS rk
+    FROM r3
+    QUALIFY rk <= 10
+    """,
+)
+def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup similarity graph, three damped rounds in
+    SCALED-INTEGER arithmetic (round 5) — the canonical-representative
+    centrality signal: in a near-dup cluster, the highest-PageRank member
+    is the one most connected to the rest, a principled pick for the
+    canonical copy (vs dedup_exact's min-id convention). Iterative float
+    PageRank cannot be value-hash-oracled (per-node sums are
+    order-dependent); this one stores rank as a BIGINT numerator at
+    scale 10^15, computes contributions as floor(rank/outdeg), sums them
+    exactly (integer addition commutes), and applies 0.85 damping as
+    (85*sum)//100 — every round bit-identical across engines, same trick
+    family as the exact-decimal aggregates. Undirected edges from the
+    df-capped Jaccard pair stage (every node has outdeg >= 1, so no
+    dangling-mass redistribution is needed).
+
+    Scale shape: rank state is (node, int64) — 16 bytes/node; each round
+    is one equi-join of edges against ranks plus a sum aggregate (the
+    classic distributed PageRank shape); edge/degree relations and
+    per-round ranks are pinned (consumed by the next round's two
+    branches). 3 rounds unrolled; production would loop with a
+    convergence check on the exact integer deltas."""
+    corpus = _corpus(spark, sf_dir)
+    sh = corpus.select(
+        "doc_id", S.shingles("text", 3).alias("grams")
+    ).withColumn("n", F.size("grams"))
+    pairs = _jaccard_pairs_capped(sh).select("id_a", "id_b")
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint(eager=False)
+    )
+    scale = 10**15
+    params = deg.agg(
+        (F.lit(scale) / F.count(F.lit(1))).cast("long").alias("r_init"),
+        (F.lit(15 * scale) / (F.lit(100) * F.count(F.lit(1))))
+        .cast("long")
+        .alias("base"),
+    )
+    params = params.localCheckpoint(eager=False)
+    # integer division: Spark's `/` on longs is double division — use DIV
+    ranks = deg.crossJoin(F.broadcast(params)).select(
+        "node", F.col("r_init").alias("rank")
+    )
+    for _ in range(3):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(
+                deg.select(F.col("node").alias("dn"), "outdeg"),
+                F.col("src") == F.col("dn"),
+            )
+            .select("dst", F.expr("rank DIV outdeg").alias("contrib"))
+        )
+        summed = contribs.groupBy("dst").agg(F.sum("contrib").alias("insum"))
+        ranks = (
+            deg.select("node")
+            .join(summed, F.col("node") == F.col("dst"), "left")
+            .crossJoin(F.broadcast(params))
+            .select(
+                "node",
+                (
+                    F.col("base")
+                    + F.expr("85 * coalesce(insum, 0L) DIV 100")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    w = W.orderBy(F.col("rank").desc(), F.col("node"))
+    return (
+        ranks.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("rank").cast("long").alias("rank_scaled"),
+            "rk",
+        )
+    )
+
+
 @query(
     "minhash_lsh_near_dups",
     oracle=f"""

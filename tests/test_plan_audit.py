@@ -205,6 +205,7 @@ def test_no_cartesian_products_anywhere(spark):
         "embedding_decontamination",   # constant-size benchmark broadcast
         "tfidf_regex",                 # same 1-row N-docs broadcast as tfidf
         "bpe_train_merges",            # 3x 1-row argmax merge broadcasts
+        "pagerank_near_dup",           # 1-row scale-params broadcast/round
     }
     for name in all_queries():
         p = _plan(spark, name)
