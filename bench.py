@@ -135,6 +135,8 @@ HEADLINE = [
     "bpe_train_merges",
     # round-5 scaled-integer PageRank over the near-dup graph
     "pagerank_near_dup",
+    # round-5 SCD type-2 dimension history (warehouse MERGE pattern)
+    "scd2_customer_history",
 ]
 
 

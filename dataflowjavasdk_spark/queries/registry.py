@@ -132,6 +132,7 @@ _PRIORITY: tuple[str, ...] = (
     "pq_adc_topk",
     "bpe_train_merges",
     "pagerank_near_dup",
+    "scd2_customer_history",
     # (4) everything r03/r04-green follows in registration order — the
     # full local gate (tools/check_correctness.py, all queries, every
     # session) re-verifies all of them meanwhile. test_entry_contract

@@ -289,3 +289,75 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         waiting.join(su, waiting.l_suppkey == su.s_suppkey)
         .select("s_suppkey", "s_name", "numwait")
     )
+
+
+@query(
+    "scd2_customer_history",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey,
+             'SEG' || CAST(c_custkey % 5 AS VARCHAR) AS new_segment
+      FROM customer WHERE c_custkey % 3 = 0
+    ),
+    closed AS (
+      SELECT c.c_custkey, 1 AS ver, c.c_mktsegment AS segment,
+             DATE '1995-01-01' AS valid_from,
+             CASE WHEN u.c_custkey IS NULL THEN NULL
+                  ELSE DATE '1996-06-01' END AS valid_to
+      FROM customer c LEFT JOIN updates u USING (c_custkey)
+    ),
+    opened AS (
+      SELECT c_custkey, 2 AS ver, new_segment AS segment,
+             DATE '1996-06-01' AS valid_from,
+             CAST(NULL AS DATE) AS valid_to
+      FROM updates
+    )
+    SELECT c_custkey, ver, segment, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM (SELECT * FROM closed UNION ALL SELECT * FROM opened)
+    """,
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 (round 5) — the warehouse MERGE
+    pattern expressed without a transactional table format: an updates
+    batch (every 3rd customer moves to a derived segment, effective
+    1996-06-01) is applied to the customer dimension by CLOSING the
+    affected current rows (valid_to = effective date) and OPENING new
+    version-2 rows (valid_to NULL), while untouched customers keep their
+    open version-1 row. Emits the full bitemporal history with an
+    is_current flag — the layout every point-in-time dimension join
+    reads.
+
+    Scale shape: one left join of the dimension against the (small)
+    updates batch plus a union — no window, no shuffle beyond the join
+    (updates broadcast under AQE); at 100 TB the dimension is still tiny
+    next to facts, and the rewrite is a full-dimension copy-on-write,
+    which is exactly what Delta/Iceberg MERGE does under the hood."""
+    cu = load_table(spark, sf_dir, "customer")
+    eff = F.lit("1996-06-01").cast("date")
+    updates = cu.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("SEG"), (F.col("c_custkey") % 5).cast("string")).alias(
+            "new_segment"
+        ),
+    )
+    closed = (
+        cu.join(updates, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.lit(1).alias("ver"),
+            F.col("c_mktsegment").alias("segment"),
+            F.lit("1995-01-01").cast("date").alias("valid_from"),
+            F.when(F.col("new_segment").isNotNull(), eff).alias("valid_to"),
+        )
+    )
+    opened = updates.select(
+        "c_custkey",
+        F.lit(2).alias("ver"),
+        F.col("new_segment").alias("segment"),
+        eff.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    return closed.unionByName(opened).withColumn(
+        "is_current", F.col("valid_to").isNull()
+    )

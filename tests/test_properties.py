@@ -609,3 +609,90 @@ def test_parquet_round_trip_full_coder_table(spark, tmp_path_factory, rows):
 
     assert norm(back.collect()) == norm(df.collect())
     assert back.schema == df.schema
+
+
+@given(
+    data=st.binary(min_size=0, max_size=3000),
+    mcs=st.integers(min_value=2, max_value=8),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_lzw_round_trip_property(data, mcs):
+    """GIF-variant LZW: any byte payload whose symbols fit the code width
+    round-trips exactly — sweeps code-width growth boundaries, table
+    resets, and the phantom-final-entry case the value oracle caught."""
+    from dataflowjavasdk_spark.functions.video import _lzw_decode, _lzw_encode
+
+    alphabet = 1 << mcs
+    clipped = bytes(b % alphabet for b in data)
+    assert _lzw_decode(_lzw_encode(clipped, mcs), mcs, len(clipped)) == clipped
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=20),
+    base=st.integers(min_value=0, max_value=150),
+    dx=st.integers(min_value=0, max_value=20),
+    dy=st.integers(min_value=0, max_value=30),
+    color=st.booleans(),
+    subsample=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_block_constant_round_trip_property(w, h, base, dx, dy, color, subsample):
+    """Baseline JPEG: any per-8x8-block-constant pattern (DC-only blocks,
+    all-ones quant) round-trips EXACTLY across dims that sweep every
+    partial-MCU crop case, gray and 4:4:4/4:2:0 color."""
+    import numpy as np
+
+    from dataflowjavasdk_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    luma = np.zeros((h, w), np.uint8)
+    for by in range(-(-h // 8)):
+        for bx in range(-(-w // 8)):
+            luma[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = base + dx * bx + dy * by
+    if color:
+        img = np.zeros((h, w, 3), np.uint8)
+        img[..., 0], img[..., 1], img[..., 2] = luma, 77, 201
+        out = decode_jpeg(encode_jpeg(img, subsample=subsample))
+        assert np.array_equal(out, img), (w, h, subsample)
+    else:
+        out = decode_jpeg(encode_jpeg(luma))
+        assert np.array_equal(out, luma), (w, h)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",), blacklist_characters="\x00"
+                ),
+                max_size=200,
+            ),
+            st.sampled_from([200, 301, 404, 500]),
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_warc_record_framing_property(rows):
+    """WARC framing: arbitrary unicode HTML bodies (multi-byte UTF-8,
+    CRLF-bearing, empty) round-trip through record build + parse with
+    byte-accurate Content-Length — no record ever bleeds into the next."""
+    import gzip
+
+    from dataflowjavasdk_spark.sources.warc import build_warc_record, parse_warc
+
+    blob = b"".join(
+        build_warc_record(f"https://p.example/{i}", html, status=status)
+        for i, html, status in rows
+    )
+    for payload in (blob, gzip.compress(blob)):
+        recs = parse_warc(payload)
+        assert len(recs) == len(rows)
+        for rec, (i, html, status) in zip(recs, rows):
+            assert rec["url"] == f"https://p.example/{i}"
+            assert rec["status"] == status
+            assert rec["html"] == html
