@@ -137,6 +137,8 @@ HEADLINE = [
     "pagerank_near_dup",
     # round-5 SCD type-2 dimension history (warehouse MERGE pattern)
     "scd2_customer_history",
+    # round-5 IVFPQ (coarse cells + residual PQ + ADC, the FAISS shape)
+    "ivfpq_adc_topk",
 ]
 
 

@@ -449,6 +449,226 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivfpq_adc_topk",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 8
+    ),
+    cell_rk AS (
+      SELECT e.vec_id, e.embedding, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_sql_cosine('e.embedding', 'c.cv')} DESC,
+                                         c.cell) AS crk
+      FROM embeddings e CROSS JOIN centroids c
+    ),
+    assigned AS (
+      SELECT r.vec_id, r.cell,
+             list_transform(list_zip(r.embedding, c.cv),
+                            p -> p[1]::DOUBLE - p[2]::DOUBLE) AS res
+      FROM cell_rk r JOIN centroids c ON c.cell = r.cell
+      WHERE r.crk = 1
+    ),
+    ms AS (SELECT unnest(range(4)) AS m),
+    pq_cb AS (
+      SELECT a.vec_id - 20 AS code, m, res[(m*16+1):(m*16+16)] AS cv
+      FROM assigned a, ms WHERE a.vec_id >= 20 AND a.vec_id < 24
+    ),
+    sub AS (
+      SELECT vec_id, cell, m, res[(m*16+1):(m*16+16)] AS sv FROM assigned, ms
+    ),
+    code_rk AS (
+      SELECT s.vec_id, s.cell, s.m, c.code,
+             row_number() OVER (PARTITION BY s.vec_id, s.m
+                                ORDER BY {_sql_l2sq('s.sv', 'c.cv')} ASC,
+                                         c.code) AS krk
+      FROM sub s JOIN pq_cb c USING (m)
+    ),
+    wide AS (
+      SELECT vec_id, cell,
+             MAX(CASE WHEN m = 0 THEN code END) AS c0,
+             MAX(CASE WHEN m = 1 THEN code END) AS c1,
+             MAX(CASE WHEN m = 2 THEN code END) AS c2,
+             MAX(CASE WHEN m = 3 THEN code END) AS c3
+      FROM code_rk WHERE krk = 1 GROUP BY vec_id, cell
+    ),
+    dtab AS (
+      SELECT s.vec_id AS query_id, s.cell AS qcell, s.m, c.code,
+             {_sql_l2sq('s.sv', 'c.cv')} AS d
+      FROM sub s JOIN pq_cb c USING (m)
+      WHERE s.vec_id >= 10 AND s.vec_id < 15
+    ),
+    adc AS (
+      SELECT t0.query_id, w.vec_id AS neighbor_id,
+             t0.d + t1.d + t2.d + t3.d AS adc_dist
+      FROM wide w
+      JOIN dtab t0 ON t0.m = 0 AND t0.code = w.c0 AND t0.qcell = w.cell
+      JOIN dtab t1 ON t1.m = 1 AND t1.code = w.c1
+                   AND t1.query_id = t0.query_id
+      JOIN dtab t2 ON t2.m = 2 AND t2.code = w.c2
+                   AND t2.query_id = t0.query_id
+      JOIN dtab t3 ON t3.m = 3 AND t3.code = w.c3
+                   AND t3.query_id = t0.query_id
+      WHERE w.vec_id <> t0.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist ASC, neighbor_id) AS rk
+      FROM adc
+    )
+    SELECT r.query_id, r.neighbor_id, r.adc_dist,
+           {_sql_l2sq('q.embedding', 'n.embedding')} AS exact_dist, r.rk
+    FROM ranked r
+    JOIN embeddings q ON q.vec_id = r.query_id
+    JOIN embeddings n ON n.vec_id = r.neighbor_id
+    WHERE r.rk <= 5
+    """,
+)
+def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ (round 5) — the FAISS-style composition that completes the
+    similarity-search ladder (brute-force → LSH → IVF → IVF+multiprobe →
+    k-means-refined → PQ → IVFPQ): a coarse quantizer assigns every
+    vector to one of 8 IVF cells (cosine argmax, the ivf_ann_topk
+    convention), each vector's RESIDUAL against its cell centroid is
+    product-quantized (M=4 × 16-dim subspaces; sub-codebooks seeded from
+    the residuals of vectors 20-23 — seeds 0-3 would be their own cell
+    centroids with zero residuals), and queries search ONLY their own
+    cell (nprobe=1) with an ADC distance table over residual space, then
+    exact-re-rank the top 5. Residual encoding is what makes PQ accurate
+    inside a cell (residual norms are much smaller than vector norms).
+    Every distance is the bit-identical left fold; assignments, codes and
+    top-k all carry deterministic tiebreaks — value-hash-oracled end to
+    end with no rounding.
+
+    Scale shape: both codebooks are constant-size broadcasts; the
+    per-vector state after encoding is (cell, 4 codes) — at production
+    sizes 8 bits × 8-16 subspaces, the index that keeps a trillion-vector
+    corpus in executor memory. Candidate scoring touches only same-cell
+    rows (the IVF pruning), ADC is table lookups, and the full-precision
+    embedding column is read only for the 25 re-ranked pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    M, K, SUB = 4, 4, 16
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cv")
+    )
+    cw = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cell"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "cell",
+            "cv",
+            S.cosine(F.col("embedding"), F.col("cv")).alias("ccos"),
+        )
+        .withColumn("crk", F.row_number().over(cw))
+        .filter(F.col("crk") == 1)
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with(
+                "embedding", "cv", lambda x, y: x.cast("double") - y.cast("double")
+            ).alias("res"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def res_subspaces(df: DataFrame, id_cols: list, vec_out: str) -> DataFrame:
+        return df.select(
+            *id_cols,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).cast("long").alias("m"),
+                            F.slice("res", m * SUB + 1, SUB).alias(vec_out),
+                        )
+                        for m in range(M)
+                    ]
+                )
+            ).alias("s"),
+        ).select(*id_cols, "s.m", f"s.{vec_out}")
+
+    pq_cb = res_subspaces(
+        assigned.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 24)).select(
+            (F.col("vec_id") - 20).alias("code"), "res"
+        ),
+        ["code"],
+        "cv",
+    )
+    sub = res_subspaces(assigned, ["vec_id", "cell"], "sv")
+    krk = W.partitionBy("vec_id", "m").orderBy(F.col("d").asc(), F.col("code"))
+    codes = (
+        sub.join(F.broadcast(pq_cb), "m")
+        .select(
+            "vec_id", "cell", "m", "code",
+            S.l2sq(F.col("sv"), F.col("cv")).alias("d"),
+        )
+        .withColumn("krk", F.row_number().over(krk))
+        .filter(F.col("krk") == 1)
+    )
+    wide = codes.groupBy("vec_id", "cell").agg(
+        *[
+            F.max(F.when(F.col("m") == m, F.col("code"))).alias(f"c{m}")
+            for m in range(M)
+        ]
+    )
+    dtab = (
+        sub.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cell").alias("qcell"),
+            "m",
+            "sv",
+        )
+        .join(F.broadcast(pq_cb), "m")
+        .select(
+            "query_id", "qcell", "m", "code",
+            S.l2sq(F.col("sv"), F.col("cv")).alias("d"),
+        )
+    )
+    adc = wide
+    for m in range(M):
+        dm = dtab.filter(F.col("m") == m).select(
+            "query_id",
+            *(["qcell"] if m == 0 else []),
+            F.col("code").alias(f"c{m}"),
+            F.col("d").alias(f"d{m}"),
+        )
+        if m == 0:
+            adc = adc.join(
+                F.broadcast(dm),
+                (adc["c0"] == dm["c0"]) & (adc["cell"] == dm["qcell"]),
+            ).drop(dm["c0"])
+        else:
+            adc = adc.join(F.broadcast(dm), ["query_id", f"c{m}"])
+    adc = adc.filter(F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (F.col("d0") + F.col("d1") + F.col("d2") + F.col("d3")).alias("adc_dist"),
+    )
+    rw = W.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    top = adc.withColumn("rk", F.row_number().over(rw)).filter(F.col("rk") <= 5)
+    qv = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    nv = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+    )
+    return (
+        top.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_dist",
+            S.l2sq(F.col("qv"), F.col("nv")).alias("exact_dist"),
+            "rk",
+        )
+    )
+
+
+@query(
     "asof_join_click_purchase",
     oracle="""
     SELECT l.user_id, l.event_id, l.ts,

@@ -133,6 +133,7 @@ _PRIORITY: tuple[str, ...] = (
     "bpe_train_merges",
     "pagerank_near_dup",
     "scd2_customer_history",
+    "ivfpq_adc_topk",
     # (4) everything r03/r04-green follows in registration order — the
     # full local gate (tools/check_correctness.py, all queries, every
     # session) re-verifies all of them meanwhile. test_entry_contract
