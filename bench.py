@@ -139,6 +139,9 @@ HEADLINE = [
     "scd2_customer_history",
     # round-5 IVFPQ (coarse cells + residual PQ + ADC, the FAISS shape)
     "ivfpq_adc_topk",
+    # round-5 incremental view maintenance + dead-letter split
+    "q1_incremental_refresh",
+    "json_deadletter_split",
 ]
 
 

@@ -449,6 +449,57 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "json_deadletter_split",
+    oracle="""
+    SELECT CASE WHEN doc_id % 13 = 0 THEN 'dead' ELSE 'ok' END AS outcome,
+           count(*) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(SUM(CASE WHEN doc_id % 13 <> 0 THEN doc_id * 2 END) AS BIGINT)
+             AS sum_parsed_k
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def json_deadletter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dead-letter-queue pattern (the canonical Dataflow ParDo
+    side-output idiom — historical ParDo.withOutputTags, whose tagged
+    Python path is unit-tested in tests/test_pardo.py; here expressed
+    Spark-first): a JSON ingest where every 13th payload is corrupted
+    (truncated mid-object) is parsed with from_json, well-formed rows
+    flow to the main output and malformed rows are routed to the DLQ
+    branch instead of failing the pipeline. The query emits per-outcome
+    counts plus checksums: sum_doc_id proves routing partitions the
+    input exactly, sum_parsed_k (k = 2*doc_id, recovered FROM the parsed
+    JSON, NULL for dead rows) proves the main branch really parsed.
+
+    Scale shape: one scan, pure JVM expressions (from_json + conditional
+    aggregation), one bounded 2-row rollup — the DLQ split adds zero
+    shuffles; production would write the two branches to separate sinks
+    with the same plan shape."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payload = F.concat(
+        F.lit('{"k": '), (F.col("doc_id") * 2).cast("string"), F.lit("}")
+    )
+    corrupted = F.when(
+        F.col("doc_id") % 13 == 0, F.substring(payload, 1, 6)
+    ).otherwise(payload)
+    parsed = F.from_json(corrupted, "k long")
+    return (
+        docs.select(
+            "doc_id",
+            F.when(parsed["k"].isNull(), "dead").otherwise("ok").alias("outcome"),
+            parsed["k"].alias("k"),
+        )
+        .groupBy("outcome")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.sum("k").cast("long").alias("sum_parsed_k"),
+        )
+    )
+
+
+@query(
     "ivfpq_adc_topk",
     oracle=f"""
     WITH centroids AS (

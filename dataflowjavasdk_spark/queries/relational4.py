@@ -28,6 +28,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from dataflowjavasdk_spark.queries.helpers import (
+    SQL_CHARGE,
+    SQL_DISC_PRICE,
+    charge,
+    disc_price,
+    sql_dsum,
+)
 from dataflowjavasdk_spark.queries.registry import query
 from dataflowjavasdk_spark.sources.tables import load_table
 
@@ -361,3 +368,80 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return closed.unionByName(opened).withColumn(
         "is_current", F.col("valid_to").isNull()
     )
+
+
+@query(
+    "q1_incremental_refresh",
+    oracle=f"""
+    WITH refreshed AS (
+      SELECT * FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        AND l_orderkey % 23 <> 5
+      UNION ALL
+      SELECT * FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        AND l_orderkey % 17 = 3
+    )
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 12, 2)} AS sum_qty,
+           {sql_dsum('l_extendedprice', 18, 2)} AS sum_base_price,
+           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({SQL_CHARGE}) AS DOUBLE) AS sum_charge,
+           count(*) AS count_order
+    FROM refreshed
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance under TPC-H-style refresh streams
+    (round 5): the Q1 aggregate is maintained as a materialized view and
+    REFRESHED from delta batches alone — a delete stream (orderkey%23==5,
+    the RF2 shape) and an insert stream (orderkey%17==3 re-arrivals, the
+    RF1 shape) — by summing SIGNED partial aggregates: mv_partials +
+    insert_partials - delete_partials per group. The base relation is
+    scanned once to build the MV; the refresh touches only the deltas.
+
+    This only works EXACTLY because of the engine's exact-decimal
+    discipline: decimal sums are associative and invertible, so
+    incremental-apply equals full recompute BIT FOR BIT — and the oracle
+    IS the full recompute over the refreshed relation, making the IVM
+    identity itself the thing the driver verifies. (Float sums would
+    drift under add/subtract reordering; AVG-family columns are derived
+    sum/count at the end, never maintained directly.)
+
+    Scale shape: the MV is |groups| rows (4 here; bounded by group
+    cardinality at any scale); refresh cost is one aggregate over each
+    delta batch + a |groups|-sized merge — independent of base size,
+    which is the entire point of IVM at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+
+    def partials(df: DataFrame, sign: int) -> DataFrame:
+        s = F.lit(sign)
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            (s * F.sum(F.col("l_quantity").cast("decimal(12,2)"))).alias("p_qty"),
+            (s * F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))).alias(
+                "p_base"
+            ),
+            (s * F.sum(disc_price())).alias("p_disc"),
+            (s * F.sum(charge())).alias("p_charge"),
+            (s * F.count(F.lit(1))).alias("p_n"),
+        )
+
+    mv = partials(li, 1).localCheckpoint(eager=False)  # built once, persisted
+    deletes = partials(li.filter(F.col("l_orderkey") % 23 == 5), -1)
+    inserts = partials(li.filter(F.col("l_orderkey") % 17 == 3), 1)
+    merged = (
+        mv.unionByName(deletes)
+        .unionByName(inserts)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("p_qty").cast("double").alias("sum_qty"),
+            F.sum("p_base").cast("double").alias("sum_base_price"),
+            F.sum("p_disc").cast("double").alias("sum_disc_price"),
+            F.sum("p_charge").cast("double").alias("sum_charge"),
+            F.sum("p_n").cast("long").alias("count_order"),
+        )
+    )
+    return merged
