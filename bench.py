@@ -142,6 +142,9 @@ HEADLINE = [
     # round-5 incremental view maintenance + dead-letter split
     "q1_incremental_refresh",
     "json_deadletter_split",
+    # round-5 salted-join skew escape hatch + frame-level audio energy
+    "salted_join_hot_keys",
+    "audio_frame_energy",
 ]
 
 

@@ -510,6 +510,56 @@ def extract_jpeg_features(df: DataFrame, payload_col: str = "payload") -> DataFr
     )
 
 
+AUDIO_FRAMES_SCHEMA = (
+    "media_id bigint, n_frames int, n_silent int, mean_frame_rms double, "
+    "max_frame_rms double"
+)
+
+
+def extract_audio_frame_energy(
+    df: DataFrame, payload_col: str = "payload", frame: int = 160
+) -> DataFrame:
+    """Frame-level audio analysis (round 5): decode WAV PCM, slice the
+    mono signal into fixed `frame`-sample windows (160 = 20 ms at 8 kHz,
+    the standard speech frame), and emit per-clip frame statistics —
+    frame count, silent-frame count (rms < 1e-9), mean and max frame
+    RMS. The framing step every VAD / silence-trim / diarization
+    pipeline runs first; trailing samples short of a full frame are
+    dropped (the usual convention). Vectorized: one reshape + one
+    per-frame reduction per clip, Arrow-batched, payloads never
+    shuffled."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for media_id, payload in zip(batch["media_id"], batch[payload_col]):
+                _rate, _nch, pcm = decode_wav(bytes(payload))
+                mono = pcm.mean(axis=1)
+                n_frames = mono.shape[0] // frame
+                frames = mono[: n_frames * frame].reshape(n_frames, frame)
+                rms = np.sqrt((frames**2).mean(axis=1))
+                out.append(
+                    {
+                        "media_id": media_id,
+                        "n_frames": n_frames,
+                        "n_silent": int((rms < 1e-9).sum()),
+                        "mean_frame_rms": float(rms.mean()) if n_frames else 0.0,
+                        "max_frame_rms": float(rms.max()) if n_frames else 0.0,
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_frames", "n_silent",
+                    "mean_frame_rms", "max_frame_rms",
+                ],
+            )
+
+    return df.select("media_id", payload_col).mapInPandas(
+        run, schema=AUDIO_FRAMES_SCHEMA
+    )
+
+
 VIDEO_FEATURES_SCHEMA = (
     "media_id bigint, n_frames int, n_sampled int, width int, height int, "
     "mean_luma double"

@@ -488,3 +488,48 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("collision_prob"),
         )
     )
+
+
+@query(
+    "salted_join_hot_keys",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)) * len(event_type)) AS DOUBLE)
+             AS weighted_sum
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def salted_join_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted-join operator driven end-to-end (round 5 — previously
+    unit-tested only): events keyed by event_type are EXTREMELY skewed
+    (a handful of types, tens of thousands of rows each — every key is
+    hot), so the dimension join runs through operators/join.salted_join:
+    the skewed side salts into 8 deterministic sub-keys, the small side
+    replicates once per salt, and each hot key's rows spread over 8
+    reducers instead of one. The oracle recomputes the joined weighted
+    aggregate WITHOUT any join (the weight is derivable from the key),
+    so the value hash proves the salted join preserved multiplicity
+    EXACTLY — the property that breaks first when a salting
+    implementation double-joins or drops a replica. Sums are
+    exact-decimal, so salting's reordering cannot drift them.
+
+    At 100 TB this is the escape hatch when AQE cannot see the skew
+    (mid-stage skew, or a key whose hotness only materializes after a
+    transform); fanout*|dims| replication is the bounded price."""
+    from dataflowjavasdk_spark.operators.join import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    dims = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("weight", F.length("event_type"))
+    )
+    joined = salted_join(ev, dims, on=["event_type"], fanout=8)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)") * F.col("weight"))
+        .cast("double")
+        .alias("weighted_sum"),
+    )

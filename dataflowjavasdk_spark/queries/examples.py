@@ -449,6 +449,80 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "audio_frame_energy",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(2 * (1 + doc_id % 4) AS INT) AS n_frames,
+           CAST(1 + doc_id % 4 AS INT) AS n_silent,
+           round((1000 * (1 + doc_id % 9)) / 65536.0, 9) AS mean_frame_rms,
+           round((1000 * (1 + doc_id % 9)) / 32768.0, 9) AS max_frame_rms
+    FROM documents
+    """,
+)
+def audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio energy, value-oracled (round 5 — the windowed
+    sibling of audio_wav_features' clip-level stats): per document a WAV
+    is synthesized whose FIRST half is an alternating ±a square wave
+    (a = 1000*(1+doc_id%9)) and whose second half is silence, sized to
+    an exact whole number of 160-sample (20 ms @ 8 kHz) frames; the
+    extractor frames the decoded PCM and reports silent-frame counts and
+    frame-RMS stats the DuckDB twin states in closed form (|±a| frames
+    have rms exactly a/32768; power-of-two denominators keep the floats
+    exact, rounded at 9 dp for the one sqrt ulp). This is the VAD /
+    silence-trim primitive; a framing or crop defect shifts the silent
+    count, an energy defect shifts the rms columns."""
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+
+    from dataflowjavasdk_spark.functions.multimodal import (
+        extract_audio_frame_energy,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                k = 1 + doc_id % 4
+                a = 1000 * (1 + doc_id % 9)
+                sig = np.zeros(320 * k, dtype="<i2")
+                sig[: 160 * k : 2] = a
+                sig[1 : 160 * k : 2] = -a
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wv:
+                    wv.setnchannels(1)
+                    wv.setsampwidth(2)
+                    wv.setframerate(8000)
+                    wv.writeframes(sig.tobytes())
+                payloads.append(buf.getvalue())
+            yield _pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(
+        synth, schema="media_id long, payload binary"
+    ).localCheckpoint(eager=False)
+    feats = extract_audio_frame_energy(media)
+    return feats.select(
+        "media_id",
+        "n_frames",
+        "n_silent",
+        F.round("mean_frame_rms", 9).alias("mean_frame_rms"),
+        F.round("max_frame_rms", 9).alias("max_frame_rms"),
+    )
+
+
+@query(
     "json_deadletter_split",
     oracle="""
     SELECT CASE WHEN doc_id % 13 = 0 THEN 'dead' ELSE 'ok' END AS outcome,

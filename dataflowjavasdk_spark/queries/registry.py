@@ -136,6 +136,8 @@ _PRIORITY: tuple[str, ...] = (
     "ivfpq_adc_topk",
     "q1_incremental_refresh",
     "json_deadletter_split",
+    "salted_join_hot_keys",
+    "audio_frame_energy",
     # (4) everything r03/r04-green follows in registration order — the
     # full local gate (tools/check_correctness.py, all queries, every
     # session) re-verifies all of them meanwhile. test_entry_contract

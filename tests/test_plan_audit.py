@@ -74,6 +74,7 @@ def test_relational_queries_stay_jvm_side(spark):
         # nature (no JVM expression parses HTML); binaryFile scan + one
         # mapInPandas pass
         "warc_ingest_checksum",
+        "audio_frame_energy",
     }
     for name in all_queries():
         if name in allowed_python:
