@@ -484,23 +484,28 @@ def _magnitude(v: int) -> tuple[int, int]:
 
 def encode_jpeg(
     img: np.ndarray,
-    subsample: bool = False,
+    subsample: bool | str = False,
     quant: np.ndarray | None = None,
     restart_interval: int = 0,
 ) -> bytes:
     """Minimal baseline JPEG encoder — the writer twin for tests and the
     oracled synthesizer (same role as encode_png). Input: (h, w) uint8
     grayscale or (h, w, 3) uint8 Y'CbCr planes (NOT RGB — the caller owns
-    color conversion, keeping oracles closed-form). `subsample=True`
-    writes 4:2:0 (2x2 luma sampling, chroma average-pooled); default
-    quant tables are all-ones, so per-block-constant inputs round-trip
-    EXACTLY (a constant 8x8 block is a lone DC coefficient)."""
+    color conversion, keeping oracles closed-form). `subsample`:
+    False/"444" (no subsampling), True/"420" (2x2 luma sampling, chroma
+    average-pooled both axes), or "422" (2x1 — chroma pooled
+    horizontally only, the broadcast-video layout); default quant tables
+    are all-ones, so per-block-constant inputs round-trip EXACTLY (a
+    constant 8x8 block is a lone DC coefficient)."""
     arr = np.asarray(img, dtype=np.uint8)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("degenerate image")
     q = np.ones((8, 8), dtype=np.int32) if quant is None else np.asarray(quant)
+    mode = {False: "444", True: "420"}.get(subsample, subsample)
+    if mode not in ("444", "420", "422"):
+        raise ValueError(f"unsupported subsampling {subsample!r}")
 
     dc_l = build_huffman(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_l = build_huffman(AC_LUMA_BITS, AC_LUMA_VALS)
@@ -512,13 +517,14 @@ def encode_jpeg(
     if gray:
         comps = [(1, 1, 1, 0)]
         planes = {1: arr}
-    elif subsample:
-        comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
-        # pad to even dims by edge replication, then 2x2 average-pool chroma
-        ph, pw = (h + 1) & ~1, (w + 1) & ~1
+    elif mode in ("420", "422"):
+        fy = 2 if mode == "420" else 1  # vertical pooling factor
+        comps = [(1, 2, fy, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        # pad to pooling-aligned dims by edge replication, then average-pool
+        ph, pw = (h + fy - 1) // fy * fy, (w + 1) & ~1
         padded = np.pad(arr, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
-        cb = padded[:, :, 1].reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-        cr = padded[:, :, 2].reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cb = padded[:, :, 1].reshape(ph // fy, fy, pw // 2, 2).mean(axis=(1, 3))
+        cr = padded[:, :, 2].reshape(ph // fy, fy, pw // 2, 2).mean(axis=(1, 3))
         planes = {
             1: arr[:, :, 0],
             2: np.round(cb).astype(np.uint8),

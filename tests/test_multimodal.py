@@ -440,6 +440,8 @@ def test_jpeg_roundtrip_block_constant_exact():
         assert np.array_equal(decode_jpeg(encode_jpeg(color)), color), (w, h)
         got = decode_jpeg(encode_jpeg(color, subsample=True))
         assert np.array_equal(got, color), ("420", w, h)
+        got = decode_jpeg(encode_jpeg(color, subsample="422"))
+        assert np.array_equal(got, color), ("422", w, h)
     # restart intervals: DC predictors reset per segment, byte-aligned
     img = block_pattern(41, 33)
     got = decode_jpeg(encode_jpeg(img, restart_interval=4))

@@ -634,13 +634,13 @@ def test_gif_lzw_round_trip_property(data, mcs):
     dx=st.integers(min_value=0, max_value=20),
     dy=st.integers(min_value=0, max_value=30),
     color=st.booleans(),
-    subsample=st.booleans(),
+    subsample=st.sampled_from(["444", "420", "422"]),
 )
 @settings(max_examples=40, deadline=None)
 def test_jpeg_block_constant_round_trip_property(w, h, base, dx, dy, color, subsample):
     """Baseline JPEG: any per-8x8-block-constant pattern (DC-only blocks,
     all-ones quant) round-trips EXACTLY across dims that sweep every
-    partial-MCU crop case, gray and 4:4:4/4:2:0 color."""
+    partial-MCU crop case, gray and 4:4:4/4:2:0/4:2:2 color."""
     import numpy as np
 
     from dataflowjavasdk_spark.functions.jpeg import decode_jpeg, encode_jpeg
