@@ -404,6 +404,12 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in range(M)
         ]
     )
+    # Pin the distance table (queries x M x K rows, constant-size): the
+    # four per-subspace ADC joins below each reference it, and without
+    # the pin Spark re-derives it per branch — 4 extra pruned scan pairs
+    # of the embeddings relation (the scan-discipline audit caught 12
+    # refs vs the allowance of 4). Pinning the TABLE, not the corpus,
+    # is the 100 TB shape: it is the broadcast-sized artifact.
     dtab = (
         sub.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
         .withColumnRenamed("vec_id", "query_id")
@@ -412,6 +418,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "m", "centroid_id",
             S.l2sq(F.col("sv"), F.col("cv")).alias("d"),
         )
+        .localCheckpoint(eager=False)
     )
     adc = wide
     for m in range(M):

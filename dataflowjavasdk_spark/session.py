@@ -95,9 +95,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # Managed-table root for bucketed tables (write_bucketed). Static
         # conf — takes effect only for a fresh JVM; kept out of the repo.
+        # Per-process by default: two engine processes (e.g. a pytest run
+        # beside a bench run) sharing one warehouse race on saveAsTable's
+        # _SUCCESS/.crc commit files; the catalog is in-memory per JVM
+        # anyway, so there is nothing to share.
         .config(
             "spark.sql.warehouse.dir",
-            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                f"/tmp/spark_graft_warehouse_{os.getpid()}",
+            ),
         )
     )
     for key, value in _RUNTIME_CONFS.items():

@@ -35,6 +35,12 @@ _ALLOW = {
     "theta_audience_overlap": 7,   # set algebra: A, B, A∪B branches + exact twins
     "near_dup_clusters": 5,        # CC iteration unrolling over checkpointed edges
     "leakage_safe_split": 5,       # composes near_dup_clusters (same shape)
+    # 4 audited refs (codes-path sub+cb, qv, nv; dtab is pinned) + 1
+    # Catalyst-INJECTED bloom_filter_agg runtime filter: a scalar
+    # subquery re-scanning the 5-row pruned query slice to pre-filter
+    # the first ADC join. Optimizer-added, pruned, and beneficial —
+    # not a lost pin.
+    "pq_adc_topk": 5,
 }
 # Queries that were the round-3 recompute bugs: their fact relation must
 # now appear at most this many times (they were 22/18/11/6/6 before).
