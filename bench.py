@@ -145,6 +145,9 @@ HEADLINE = [
     # round-5 salted-join skew escape hatch + frame-level audio energy
     "salted_join_hot_keys",
     "audio_frame_energy",
+    "bpe_encoded_token_freq",
+    "image_resize_features",
+    "audio_tone_detect",
 ]
 
 

@@ -286,6 +286,76 @@ def extract_bmp_features(df: DataFrame, payload_col: str = "payload") -> DataFra
     )
 
 
+RESIZED_FEATURES_SCHEMA = (
+    "media_id long, out_width int, out_height int, "
+    "nn_mean_r double, box_mean_r double, mean_g double"
+)
+
+
+def resize_nearest(img: np.ndarray, factor: int) -> np.ndarray:
+    """Nearest-neighbor integer downscale: destination pixel (i, j) takes
+    source pixel (factor*i, factor*j) — the floor-sampling convention.
+    Pure stride view, zero copies until the caller needs contiguity."""
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    return img[::factor, ::factor]
+
+
+def resize_box(img: np.ndarray, factor: int) -> np.ndarray:
+    """Box-filter (area-average) integer downscale: destination pixel is
+    the exact mean of its factor x factor source block, computed in
+    float64 (every intermediate is an exact small-integer sum, so the
+    one division per block is the only rounding step — correctly rounded
+    and reproducible). Requires dims divisible by factor."""
+    h, w = img.shape[:2]
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    if h % factor or w % factor:
+        raise ValueError(f"dims {w}x{h} not divisible by factor {factor}")
+    blocks = img.astype(np.float64).reshape(
+        h // factor, factor, w // factor, factor, -1
+    )
+    return blocks.mean(axis=(1, 3))
+
+
+def extract_resized_features(
+    df: DataFrame, factor: int = 2, payload_col: str = "payload"
+) -> DataFrame:
+    """Decode BMP payloads and reduce BOTH downscale kernels to channel
+    means: nearest-neighbor (the cheap thumbnailer) and box filter (the
+    antialiased one). Emitting both from one decode pass is the
+    production shape — decode cost dominates, kernels are cheap."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for media_id, payload in zip(batch["media_id"], batch[payload_col]):
+                img = decode_bmp(bytes(payload))
+                nn = resize_nearest(img, factor)
+                box = resize_box(img, factor)
+                out.append(
+                    {
+                        "media_id": media_id,
+                        "out_width": nn.shape[1],
+                        "out_height": nn.shape[0],
+                        "nn_mean_r": float(nn[..., 0].mean()),
+                        "box_mean_r": float(box[..., 0].mean()),
+                        "mean_g": float(box[..., 1].mean()),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "out_width", "out_height",
+                    "nn_mean_r", "box_mean_r", "mean_g",
+                ],
+            )
+
+    return df.select("media_id", payload_col).mapInPandas(
+        run, schema=RESIZED_FEATURES_SCHEMA
+    )
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """REAL PNG decoder (stdlib zlib + the PNG spec, no PIL): parses the
     chunk stream, inflates IDAT, and reverses all five scanline filters
@@ -557,6 +627,67 @@ def extract_audio_frame_energy(
 
     return df.select("media_id", payload_col).mapInPandas(
         run, schema=AUDIO_FRAMES_SCHEMA
+    )
+
+
+TONE_FEATURES_SCHEMA = (
+    "media_id bigint, n_samples int, dominant_bin int, dominant_freq_hz int"
+)
+
+
+def extract_tone_detection(
+    df: DataFrame,
+    freqs_hz: tuple[int, ...] = (400, 800, 1200, 1600, 2000, 2400, 2800, 3200),
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Spectral probe bank (the DTMF/pilot-tone detection primitive):
+    decode WAV PCM and measure signal power at each probe frequency with
+    a single-bin DFT — |sum_n x[n] e^(-2*pi*i*f*n/sr)|^2, the matched
+    filter Goertzel computes recursively; here the whole bank is ONE
+    (n_samples x n_probes) matrix product per clip, so the work is
+    vectorized instead of a per-sample Python recurrence. Emits the
+    argmax probe (first-match-wins on exact ties, which never occur for
+    a tone ON a probe frequency) as bin index and frequency. Integer
+    outputs only, so the query layer can value-hash exactly; the float
+    power spectrum never leaves the extractor."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bank = np.asarray(freqs_hz, dtype=np.float64)
+        # (n, n_probes) complex exponential bases, memoized per (n, rate):
+        # clips in a corpus overwhelmingly share a duration/rate profile,
+        # so the basis builds once per partition, one GEMV per clip.
+        bases: dict[tuple[int, int], np.ndarray] = {}
+        for batch in batches:
+            out = []
+            for media_id, payload in zip(batch["media_id"], batch[payload_col]):
+                rate, _nch, pcm = decode_wav(bytes(payload))
+                mono = pcm.mean(axis=1)
+                n = mono.shape[0]
+                basis = bases.get((n, rate))
+                if basis is None:
+                    basis = np.exp(
+                        -2j * np.pi * np.outer(np.arange(n), bank) / float(rate)
+                    )
+                    bases[(n, rate)] = basis
+                power = np.abs(mono @ basis) ** 2
+                best = int(np.argmax(power))
+                out.append(
+                    {
+                        "media_id": media_id,
+                        "n_samples": n,
+                        "dominant_bin": best,
+                        "dominant_freq_hz": int(freqs_hz[best]),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_samples", "dominant_bin", "dominant_freq_hz",
+                ],
+            )
+
+    return df.select("media_id", payload_col).mapInPandas(
+        run, schema=TONE_FEATURES_SCHEMA
     )
 
 

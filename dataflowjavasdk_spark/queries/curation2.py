@@ -752,6 +752,17 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     relations are pinned (lazy localCheckpoint) because each is consumed
     by two branches (pair counting and the merge rewrite) — the
     round-3b scan-discipline rule."""
+    outs, _tok = _bpe_train_rounds(_bpe_vocab_tok(spark, sf_dir), rounds=3)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _bpe_vocab_tok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, count, spaced-symbol-string) vocabulary relation, pinned —
+    the trainer's working set (shared by bpe_train_merges and the encode
+    query in curation3)."""
     docs = load_table(spark, sf_dir, "documents")
     tk = F.regexp_extract_all(
         F.col("text"), F.lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), 0
@@ -761,14 +772,24 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    tok = words.select(
+    return words.select(
         "w",
         "c",
         F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")).alias("tok"),
     ).localCheckpoint(eager=False)
 
+
+def _bpe_train_rounds(
+    tok: DataFrame, rounds: int = 3
+) -> tuple[list[DataFrame], DataFrame]:
+    """Run `rounds` BPE merge rounds over the pinned vocab relation.
+
+    Returns ([1-row best-merge DataFrames], final tok relation) so the
+    trainer (which reports the merges) and the encoder (which consumes
+    the final tokenization) share one implementation.
+    """
     outs = []
-    for step in (1, 2, 3):
+    for step in range(1, rounds + 1):
         s = F.split(F.trim(F.col("tok")), " ")
         pairs = tok.select(
             "c",
@@ -808,10 +829,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    return outs, tok
 
 
 @query(

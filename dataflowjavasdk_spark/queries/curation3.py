@@ -347,3 +347,89 @@ def duplicate_passage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dup).cast("double") / F.count(F.lit(1)).cast("double"), 9
         ).alias("dup_fraction"),
     )
+
+
+def _bpe_words_t0_sql() -> str:
+    """The trainer's words/t0 CTE text (mirrors curation2._bpe_vocab_tok)."""
+    return """
+    words AS (
+      SELECT t AS w, count(*) AS c
+      FROM (SELECT unnest(regexp_extract_all(text,
+                     '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS t
+            FROM documents)
+      GROUP BY t
+    ),
+    t0 AS (
+      SELECT w, c, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS tok
+      FROM words
+    )"""
+
+
+def _bpe_encode_oracle() -> str:
+    from dataflowjavasdk_spark.queries.curation2 import _bpe_stage_sql
+
+    stages = ",".join(_bpe_stage_sql(i) for i in (1, 2, 3))
+    return f"""
+    WITH {_bpe_words_t0_sql()},{stages},
+    syms AS (
+      SELECT c, unnest(string_split(trim(tok), ' ')) AS sym FROM t3
+    ),
+    counted AS (
+      SELECT sym AS token,
+             CAST(length(sym) AS INT) AS n_chars,
+             CAST(SUM(c) AS BIGINT) AS n_occurrences,
+             row_number() OVER (ORDER BY SUM(c) DESC, sym) AS rk
+      FROM syms GROUP BY sym
+    )
+    SELECT token, n_chars, n_occurrences, rk FROM counted WHERE rk <= 15
+    """
+
+
+@query("bpe_encoded_token_freq", oracle=_bpe_encode_oracle())
+def bpe_encoded_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING with the trained merges (round 5) — the apply half
+    of the train→encode tokenizer loop that bpe_train_merges opened: the
+    three learned merges are applied to the whole vocabulary (the
+    trainer's final per-word tokenization IS the encoded corpus, because
+    encoding is word-local and words carry their corpus counts), and the
+    corpus-wide token frequency table of the ENCODED text is reported —
+    the top-15 (token, length, occurrences) rows with a deterministic
+    (count desc, token) rank. Merged multi-character symbols entering
+    the top ranks is the observable proof that encoding actually applied
+    the merges rather than re-counting characters.
+
+    Cross-engine exactness: the encoder inherits the trainer's
+    guarantees — greedy left-to-right literal replace() with identical
+    non-overlapping semantics in Spark and DuckDB, integer counts
+    throughout, no floats anywhere — so the whole encode pipeline
+    value-hash oracles exactly.
+
+    Scale shape: encoding never touches the corpus again — it operates
+    on the VOCABULARY relation (distinct pre-tokens with counts; the
+    count-weighted symbol explode is vocab-sized), so the marginal cost
+    of encoding after training is one explode + one bounded aggregate +
+    a top-15 TakeOrderedAndProject. At 100 TB the corpus-sized work
+    happened once in the shared word-count aggregate (pinned by the
+    trainer), which is exactly how a production tokenizer build amortizes
+    its corpus pass."""
+    from dataflowjavasdk_spark.queries.curation2 import (
+        _bpe_train_rounds,
+        _bpe_vocab_tok,
+    )
+
+    _outs, tok = _bpe_train_rounds(_bpe_vocab_tok(spark, sf_dir), rounds=3)
+    syms = tok.select(
+        "c", F.explode(F.split(F.trim(F.col("tok")), " ")).alias("sym")
+    )
+    counted = syms.groupBy("sym").agg(F.sum("c").alias("n"))
+    w = W.orderBy(F.col("n").desc(), F.col("sym"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 15)
+        .select(
+            F.col("sym").alias("token"),
+            F.length("sym").cast("int").alias("n_chars"),
+            F.col("n").cast("long").alias("n_occurrences"),
+            "rk",
+        )
+    )

@@ -530,6 +530,79 @@ def audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "audio_tone_detect",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(800 AS INT) AS n_samples,
+           CAST(doc_id % 8 AS INT) AS dominant_bin,
+           CAST(400 * (1 + doc_id % 8) AS INT) AS dominant_freq_hz
+    FROM documents
+    """,
+)
+def audio_tone_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral tone detection, value-oracled (round 5) — the frequency-
+    domain sibling of audio_frame_energy's time-domain stats: per
+    document a 100 ms 8 kHz mono WAV carrying a pure sine at
+    f = 400*(1+doc_id%8) Hz (always a whole number of periods in the
+    clip, always strictly below Nyquist) is decoded by the REAL WAV
+    parser and pushed through an 8-probe single-bin-DFT bank
+    (functions/multimodal.extract_tone_detection — the vectorized
+    Goertzel); the detected dominant probe must equal the synthesized
+    frequency, which the DuckDB twin states in closed form. On-probe
+    tones with whole-period windows give the true bin a power margin of
+    orders of magnitude over spectral leakage, so int16 quantization of
+    the sine cannot flip the argmax — integer outputs, exact hash.
+
+    This is the DTMF / pilot-tone / language-band screening primitive;
+    a windowing, decode, or basis-phase defect lands the energy in the
+    wrong bin and breaks every row.
+
+    Scale shape: identical to the other real-decode passes — payloads
+    synthesized once and pinned, one Arrow-batched mapInPandas, the
+    probe-bank matrix is (800 x 8) built per batch, only 4 integer
+    columns ever shuffle."""
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+
+    from dataflowjavasdk_spark.functions.multimodal import (
+        extract_tone_detection,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                f = 400 * (1 + int(doc_id) % 8)
+                t = np.arange(800, dtype=np.float64) / 8000.0
+                sig = np.round(12000.0 * np.sin(2 * np.pi * f * t)).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wv:
+                    wv.setnchannels(1)
+                    wv.setsampwidth(2)
+                    wv.setframerate(8000)
+                    wv.writeframes(sig.tobytes())
+                payloads.append(buf.getvalue())
+            yield _pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(
+        synth, schema="media_id long, payload binary"
+    ).localCheckpoint(eager=False)
+    return extract_tone_detection(media)
+
+
+@query(
     "json_deadletter_split",
     oracle="""
     SELECT CASE WHEN doc_id % 13 = 0 THEN 'dead' ELSE 'ok' END AS outcome,
@@ -1721,6 +1794,92 @@ def bmp_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_b",
         F.round("mean_luma", 9).alias("mean_luma"),
     )
+
+
+@query(
+    "image_resize_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(1 + doc_id % 8 AS INT) AS out_width,
+           CAST(1 + n_chars % 6 AS INT) AS out_height,
+           CAST(doc_id % 64 + doc_id % 8 + 2 * (n_chars % 6) AS DOUBLE)
+             AS nn_mean_r,
+           CAST(doc_id % 64 + doc_id % 8 + 2 * (n_chars % 6) AS DOUBLE) + 1.5
+             AS box_mean_r,
+           CAST(n_chars % 256 AS DOUBLE) AS mean_g
+    FROM documents
+    """,
+)
+def image_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE, value-oracled (round 5) — the thumbnail/downscale
+    primitive of the multimodal layer, with BOTH kernels proven from one
+    decode pass: per document a (2w x 2h) 24-bit BMP carrying a linear
+    red gradient r(x,y) = r0 + x + 2y (r0 = doc_id%64; max value 100,
+    never wraps) is decoded by the REAL decoder and downscaled 2x by
+    nearest-neighbor (floor sampling) and by box filter (area average).
+    The two kernels provably DIFFER on a gradient — NN's mean is
+    r0+(w-1)+2(h-1) (it samples only even coordinates), the box mean
+    sits exactly +1.5 above it (the half-pixel centroid shift) — and
+    the constant green channel is the negative control both kernels
+    must leave untouched. Every reported mean is integer-or-half-exact
+    in float64 (sums < 2^53, one correctly-rounded division), so the
+    DuckDB twin states all three in closed form with no rounding.
+
+    Scale shape: same as every real-decode query — the payload column
+    is synthesized once and pinned (production: stored), decode+resize
+    is one Arrow-batched mapInPandas pass with NO shuffle of pixel
+    data; only the 6-column feature rows move. A 100 TB thumbnail job
+    is exactly this plan with a sink instead of the feature rollup."""
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+
+    from dataflowjavasdk_spark.functions.multimodal import (
+        extract_resized_features,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                w, h = 2 * (1 + doc_id % 8), 2 * (1 + n_chars % 6)
+                r0 = doc_id % 64
+                img = np.zeros((h, w, 3), np.uint8)
+                img[..., 0] = (
+                    r0 + np.arange(w)[None, :] + 2 * np.arange(h)[:, None]
+                )
+                img[..., 1] = n_chars % 256
+                img[..., 2] = (doc_id + n_chars) % 256
+                bgr = img[..., ::-1]
+                row_bytes = (w * 3 + 3) & ~3
+                pad = b"\x00" * (row_bytes - w * 3)
+                body = b"".join(
+                    bgr[y].tobytes() + pad for y in range(h - 1, -1, -1)
+                )
+                header = b"BM" + struct.pack(
+                    "<IHHI", 14 + 40 + len(body), 0, 0, 14 + 40
+                )
+                dib = struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+                )
+                payloads.append(header + dib + body)
+            yield _pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(
+        synth, schema="media_id long, payload binary"
+    ).localCheckpoint(eager=False)
+    return extract_resized_features(media, factor=2)
 
 
 @query(

@@ -138,6 +138,9 @@ _PRIORITY: tuple[str, ...] = (
     "json_deadletter_split",
     "salted_join_hot_keys",
     "audio_frame_energy",
+    "bpe_encoded_token_freq",
+    "image_resize_features",
+    "audio_tone_detect",
     # (4) everything r03/r04-green follows in registration order — the
     # full local gate (tools/check_correctness.py, all queries, every
     # session) re-verifies all of them meanwhile. test_entry_contract

@@ -80,3 +80,40 @@ def test_duplicate_passage_planted_pair(spark, tmp_path_factory):
     # Only the exact shared 8-gram is duplicated: 1 position per doc.
     assert got[1]["n_dup_spans"] == 1 and got[2]["n_dup_spans"] == 1
     assert got[3]["n_dup_spans"] == 0
+
+
+def test_bpe_encode_conserves_symbol_mass(spark):
+    """Trainer/encoder consistency: every applied merge collapses two
+    adjacent symbols into one, so the encoded corpus must contain
+    exactly (total pre-merge symbols - sum of the three pair_counts)
+    symbol occurrences — a conservation law linking bpe_train_merges'
+    reported counts to bpe_encoded_token_freq's input relation."""
+    from dataflowjavasdk_spark.queries.curation2 import (
+        _bpe_train_rounds,
+        _bpe_vocab_tok,
+    )
+
+    tok0 = _bpe_vocab_tok(spark, SMOKE_SF)
+    outs, tok3 = _bpe_train_rounds(tok0, rounds=3)
+
+    def total_symbols(tok):
+        return (
+            tok.select(
+                F.sum(
+                    F.size(F.split(F.trim("tok"), " ")) * F.col("c")
+                ).alias("n")
+            ).collect()[0]["n"]
+        )
+
+    merged_occurrences = sum(o.collect()[0]["pair_count"] for o in outs)
+    assert total_symbols(tok3) == total_symbols(tok0) - merged_occurrences
+
+    # and the registered encode query agrees with a direct recount of
+    # its own top row
+    top = get("bpe_encoded_token_freq").fn(spark, SMOKE_SF).collect()
+    assert len(top) == 15
+    assert [r["rk"] for r in top] == list(range(1, 16))
+    assert all(r["n_chars"] == len(r["token"]) for r in top)
+    # at least one multi-character merged symbol must appear in the
+    # top-15 — the observable effect of encoding with the merges
+    assert any(r["n_chars"] >= 2 for r in top)

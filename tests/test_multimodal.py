@@ -756,3 +756,71 @@ def test_video_spark_extractors(spark):
     g = extract_gif_features(df).collect()[0]
     assert (g.n_frames, g.palette_size, g.width, g.height) == (2, 4, 6, 4)
     assert (g.mean_r, g.mean_g, g.mean_b) == (30.0, 40.0, 50.0)
+
+
+def test_resize_kernels_hand_built():
+    """NN takes the top-left of each block; box averages the block —
+    pinned on a hand-built 4x4 gradient independent of the query's
+    closed-form oracle."""
+    import numpy as np
+
+    from dataflowjavasdk_spark.functions.multimodal import (
+        resize_box,
+        resize_nearest,
+    )
+
+    # r(x, y) = 10 + x + 4y, green/blue constant
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[..., 0] = 10 + np.arange(4)[None, :] + 4 * np.arange(4)[:, None]
+    img[..., 1] = 7
+    nn = resize_nearest(img, 2)
+    assert nn.shape == (2, 2, 3)
+    assert nn[..., 0].tolist() == [[10, 12], [18, 20]]
+    box = resize_box(img, 2)
+    # block mean of {r0, r0+1, r0+4, r0+5} = r0 + 2.5
+    assert box[..., 0].tolist() == [[12.5, 14.5], [20.5, 22.5]]
+    assert float(box[..., 1].mean()) == 7.0
+    with pytest.raises(ValueError):
+        resize_box(np.zeros((3, 4, 3), np.uint8), 2)
+    with pytest.raises(ValueError):
+        resize_nearest(img, 0)
+
+
+def test_tone_detection_bank(spark):
+    """Each probe frequency must win its own clip; an off-bank tone
+    lands on the nearest probe (leakage maximum), and a silent clip
+    falls to bin 0 deterministically."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from dataflowjavasdk_spark.functions.multimodal import (
+        extract_tone_detection,
+    )
+
+    def clip(freq_hz):
+        t = np.arange(800, dtype=np.float64) / 8000.0
+        sig = np.round(12000.0 * np.sin(2 * np.pi * freq_hz * t)).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wv:
+            wv.setnchannels(1)
+            wv.setsampwidth(2)
+            wv.setframerate(8000)
+            wv.writeframes(sig.tobytes())
+        return buf.getvalue()
+
+    rows = [(i, clip(400 * (i + 1))) for i in range(8)]
+    # Off-bank AND off-grid (119.5 periods in the window): leakage is
+    # maximal and concentrates on the nearest probe. (An off-bank but
+    # on-grid tone like 1190 Hz would be orthogonal to every probe —
+    # near-zero power everywhere and a noise-driven argmax.)
+    rows.append((100, clip(1195)))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["media_id"]: (r["dominant_bin"], r["dominant_freq_hz"])
+        for r in extract_tone_detection(df).collect()
+    }
+    for i in range(8):
+        assert got[i] == (i, 400 * (i + 1)), f"probe {i} misdetected: {got[i]}"
+    assert got[100] == (2, 1200)

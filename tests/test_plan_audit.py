@@ -75,6 +75,11 @@ def test_relational_queries_stay_jvm_side(spark):
         # mapInPandas pass
         "warc_ingest_checksum",
         "audio_frame_energy",
+        # round 5 third batch: real-decode resize kernels and the
+        # single-bin-DFT tone probe bank (payload synth + decode in
+        # mapInPandas, same discipline as the rest of the media family)
+        "image_resize_features",
+        "audio_tone_detect",
     }
     for name in all_queries():
         if name in allowed_python:
