@@ -844,3 +844,78 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("cluster_id").alias("n_clusters"),
         )
     )
+
+
+@query(
+    "cluster_representative_dedup",
+    oracle=f"""
+    WITH RECURSIVE corpus AS ({_CORPUS_SQL}),{_jaccard_pairs_sql("corpus")},
+    pairs AS (SELECT id_a, id_b FROM jacc_pairs),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach AS (
+      SELECT a AS node, b AS r FROM edges
+      UNION
+      SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a
+    ),
+    comp AS (
+      SELECT node, least(node, min(r)) AS component FROM reach GROUP BY node
+    ),
+    labeled AS (
+      SELECT c.doc_id, coalesce(comp.component, c.doc_id) AS cluster_id,
+             length(c.text) AS len
+      FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id
+    ),
+    ranked AS (
+      SELECT cluster_id, doc_id, len,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY len DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM labeled
+    )
+    SELECT cluster_id,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           doc_id AS rep_doc_id,
+           CAST(len AS INT) AS rep_len
+    FROM ranked WHERE rk = 1 AND cluster_size >= 2
+    """,
+)
+def cluster_representative_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware representative selection — the KEEP-ONE policy that
+    completes the fuzzy-dedup story (candidates -> verified pairs ->
+    clusters -> which copy survives): per near-dup cluster the surviving
+    document is the argmax-by-length one (tiebreak: min doc_id), NOT the
+    min-id canonical near_dup_clusters defaults to. On the dup-injected
+    corpus this is observable policy: a {{original, truncated-variant}}
+    cluster keeps the fuller original, while exact-copy clusters fall to
+    the id tiebreak — production pipelines keep the longest / least
+    mangled variant, not an arbitrary one (Lee et al. 2021 keep-one
+    convention). Output is the multi-doc clusters only (the injected
+    dups), each with its size and surviving (id, length).
+
+    Shape: one argmax aggregate — max(struct(len, -doc_id)) per cluster
+    gives the representative with no second window pass; the struct
+    ordering encodes the (len desc, doc_id asc) policy exactly, and
+    cluster sizes ride the same aggregate. At 100 TB this adds ONE
+    cluster-keyed shuffle of (cluster_id, len, doc_id) triples on top of
+    the clustering pipeline — document text never moves."""
+    clusters = near_dup_clusters(spark, sf_dir)
+    lens = _corpus(spark, sf_dir).select(
+        "doc_id", F.length("text").alias("len")
+    )
+    labeled = clusters.join(lens, "doc_id")
+    agg = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.max(F.struct(F.col("len"), (-F.col("doc_id")).alias("neg_id"))).alias(
+            "best"
+        ),
+    )
+    return agg.filter(F.col("cluster_size") >= 2).select(
+        "cluster_id",
+        "cluster_size",
+        (-F.col("best.neg_id")).alias("rep_doc_id"),
+        F.col("best.len").cast("int").alias("rep_len"),
+    )

@@ -321,3 +321,42 @@ def test_leakage_safe_split_has_no_cross_split_near_dups(spark):
     # and the split is genuinely two-sided on this fixture
     sides = {r["split"] for r in assign.select("split").distinct().collect()}
     assert sides == {"train", "eval"}
+
+
+def test_cluster_representative_is_longest_then_min_id(spark):
+    """The keep-one policy, verified independently of the query's own
+    aggregate: per multi-doc cluster the representative must be the
+    longest member, with min doc_id breaking exact-length ties (exact
+    copies). Pandas recomputes the argmax from the raw labeled rows."""
+    from dataflowjavasdk_spark.queries.dedup import (
+        _corpus,
+        cluster_representative_dedup,
+        near_dup_clusters,
+    )
+    from tests.conftest import SMOKE_SF
+
+    labeled = (
+        near_dup_clusters(spark, SMOKE_SF)
+        .join(
+            _corpus(spark, SMOKE_SF).select(
+                "doc_id", F.length("text").alias("len")
+            ),
+            "doc_id",
+        )
+        .toPandas()
+    )
+    got = {
+        r["cluster_id"]: (r["cluster_size"], r["rep_doc_id"], r["rep_len"])
+        for r in cluster_representative_dedup(spark, SMOKE_SF).collect()
+    }
+    assert got, "fixture corpus must contain injected multi-doc clusters"
+    by_cluster = labeled.groupby("cluster_id")
+    n_multi = 0
+    for cid, grp in by_cluster:
+        if len(grp) < 2:
+            assert cid not in got
+            continue
+        n_multi += 1
+        best = grp.sort_values(["len", "doc_id"], ascending=[False, True]).iloc[0]
+        assert got[cid] == (len(grp), best["doc_id"], best["len"]), cid
+    assert n_multi == len(got)

@@ -35,6 +35,10 @@ _ALLOW = {
     "theta_audience_overlap": 7,   # set algebra: A, B, A∪B branches + exact twins
     "near_dup_clusters": 5,        # CC iteration unrolling over checkpointed edges
     "leakage_safe_split": 5,       # composes near_dup_clusters (same shape)
+    # composes near_dup_clusters (5) + the length projection of the
+    # 3-branch dup-injection _corpus constructor; all extra scans are
+    # the by-design pruned corpus branches, no lost pin
+    "cluster_representative_dedup": 6,
     # 4 audited refs (codes-path sub+cb, qv, nv; dtab is pinned) + 1
     # Catalyst-INJECTED bloom_filter_agg runtime filter: a scalar
     # subquery re-scanning the 5-row pruned query slice to pre-filter
