@@ -696,3 +696,73 @@ def test_warc_record_framing_property(rows):
             assert rec["url"] == f"https://p.example/{i}"
             assert rec["status"] == status
             assert rec["html"] == html
+
+
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@_settings
+def test_box_resize_composes_and_conserves_mass(w, h, seed):
+    """Box-filter laws on random uint8 images with power-of-two block
+    sizes (every division is by 2^k, so float64 arithmetic is EXACT and
+    the laws hold bitwise, not approximately):
+    - composition: box(2) then box(2) == box(4)
+    - mass conservation: sum(resized) * factor^2 == sum(original)
+    - nearest-neighbor picks exactly the stride-sampled source pixels.
+    """
+    import numpy as np
+
+    from dataflowjavasdk_spark.functions.multimodal import (
+        resize_box,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(4 * h, 4 * w, 3), dtype=np.uint8)
+    once = resize_box(resize_box(img, 2), 2)
+    direct = resize_box(img, 4)
+    assert np.array_equal(once, direct)
+    assert float(direct.sum()) * 16.0 == float(img.astype(np.float64).sum())
+    nn = resize_nearest(img, 4)
+    assert np.array_equal(nn, img[::4, ::4])
+
+
+@given(
+    bin_i=st.integers(min_value=0, max_value=7),
+    amp=st.integers(min_value=100, max_value=20000),
+    phase_deg=st.integers(min_value=0, max_value=359),
+)
+@_settings
+def test_tone_detection_invariant_to_amplitude_and_phase(
+    spark, bin_i, amp, phase_deg
+):
+    """Detection must be a function of frequency only: any amplitude in
+    the int16 range and any starting phase still put the argmax on the
+    synthesized probe bin."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from dataflowjavasdk_spark.functions.multimodal import (
+        extract_tone_detection,
+    )
+
+    f = 400 * (bin_i + 1)
+    t = np.arange(800, dtype=np.float64) / 8000.0
+    sig = np.round(
+        amp * np.sin(2 * np.pi * f * t + np.deg2rad(phase_deg))
+    ).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        wv.writeframes(sig.tobytes())
+    df = spark.createDataFrame(
+        [(0, buf.getvalue())], "media_id long, payload binary"
+    )
+    [row] = extract_tone_detection(df).collect()
+    assert (row["dominant_bin"], row["dominant_freq_hz"]) == (bin_i, f)
