@@ -148,6 +148,7 @@ HEADLINE = [
     "bpe_encoded_token_freq",
     "image_resize_features",
     "audio_tone_detect",
+    "ewma_user_values",
 ]
 
 
@@ -247,7 +248,7 @@ def main() -> None:
     print(line, flush=True)
 
 
-def short_keys(names: list[str], width: int = 12) -> dict[str, str]:
+def short_keys(names: list[str], width: int = 11) -> dict[str, str]:
     """Deterministic unique <=width-char key per query name (prefix
     truncation; collisions get a numeric suffix)."""
     out: dict[str, str] = {}

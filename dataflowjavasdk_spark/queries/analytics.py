@@ -533,3 +533,69 @@ def salted_join_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("weighted_sum"),
     )
+
+
+@query(
+    "ewma_user_values",
+    oracle="""
+    WITH cents AS (
+      SELECT user_id, ts, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events
+    ),
+    ranked AS (
+      SELECT user_id, v,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM cents
+    )
+    SELECT user_id,
+           CAST(count(*) AS INT) AS n_used,
+           CAST(SUM(v * (1::BIGINT << (32 - rk))) AS BIGINT) AS weighted_sum,
+           CAST(SUM(v * (1::BIGINT << (32 - rk))) AS DOUBLE)
+             / 4294967296.0 / 100.0 AS ewma_value
+    FROM ranked WHERE rk <= 32
+    GROUP BY user_id
+    """,
+)
+def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing EWMA smoothing, integer-exact (round 5) — the
+    time-series feature the event family lacked: each user's current
+    smoothed value under dyadic decay alpha = 1/2 over the TRAILING 32
+    events (newest weight 1/2, then 1/4, ...). The whole computation is
+    integers — cent-scaled values times power-of-two weights 2^(32-rank)
+    summed as BIGINT (max |sum| < 2^53, proven against the fixture value
+    range) — and the reported double is that one integer divided by
+    2^32*100, an exact power-of-two-and-100 descale both engines perform
+    identically, so the query value-hash oracles with zero float drift.
+    Capping the window at 32 is what MAKES it exact (unbounded dyadic
+    tails underflow float64 at term 53): the standard production
+    trade-off of bounded-state streaming smoothing, stated honestly.
+
+    Scale shape: one shuffle on user_id for the ordered rank window
+    (WindowGroupLimit prunes to 32 rows per key before the weighted
+    aggregate), then a per-key sum — state is 32 (rank, cents) pairs per
+    user regardless of history length, the same bound the streaming
+    trigger kernel enforces. The Beam analog composed
+    Top.perKey(32, byTimestamp) + a CombineFn; here it is two window
+    expressions fused into one exchange."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("v"),
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    ranked = ev.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 32)
+    # shiftleft() takes a literal bit count in the Python API; the
+    # per-row weight 2^(32-rk) needs the SQL form
+    term = F.col("v") * F.expr("shiftleft(1L, 32 - rk)")
+    return ranked.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_used"),
+        F.sum(term).cast("long").alias("weighted_sum"),
+        (
+            F.sum(term).cast("double") / F.lit(4294967296.0) / F.lit(100.0)
+        ).alias("ewma_value"),
+    )

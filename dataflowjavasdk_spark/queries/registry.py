@@ -142,6 +142,7 @@ _PRIORITY: tuple[str, ...] = (
     "image_resize_features",
     "audio_tone_detect",
     "cluster_representative_dedup",
+    "ewma_user_values",
     # (4) everything r03/r04-green follows in registration order — the
     # full local gate (tools/check_correctness.py, all queries, every
     # session) re-verifies all of them meanwhile. test_entry_contract

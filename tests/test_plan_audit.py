@@ -222,3 +222,15 @@ def test_no_cartesian_products_anywhere(spark):
             assert "BroadcastNestedLoopJoin" not in p.text, (
                 f"{name} has an unexpected nested-loop join"
             )
+
+
+def test_ewma_single_exchange_with_mapside_window_prune(spark):
+    """ewma_user_values: ONE user_id exchange serves both the rank window
+    and the final aggregate, and Spark plants WindowGroupLimit on BOTH
+    sides of it — the map-side (Partial) instance means each task ships
+    at most 32 rows per user, the property that bounds the shuffle at
+    any history length."""
+    p = _plan(spark, "ewma_user_values")
+    assert p.python_evals == 0
+    assert p.exchanges == 1
+    assert p.text.count("WindowGroupLimit (") >= 2  # partial + final
