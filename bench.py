@@ -149,6 +149,7 @@ HEADLINE = [
     "image_resize_features",
     "audio_tone_detect",
     "ewma_user_values",
+    "mad_outliers_per_type",
 ]
 
 

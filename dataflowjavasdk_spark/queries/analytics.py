@@ -599,3 +599,72 @@ def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(term).cast("double") / F.lit(4294967296.0) / F.lit(100.0)
         ).alias("ewma_value"),
     )
+
+
+@query(
+    "mad_outliers_per_type",
+    oracle="""
+    WITH cents AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, v,
+             quantile_cont(v, 0.5) OVER (PARTITION BY event_type) AS med_c
+      FROM cents
+    ),
+    dev AS (
+      SELECT event_type, v, med_c, abs(v - med_c) AS absdev
+      FROM med
+    ),
+    mad AS (
+      SELECT event_type, med_c, absdev,
+             quantile_cont(absdev, 0.5) OVER (PARTITION BY event_type) AS mad_c
+      FROM dev
+    )
+    SELECT event_type,
+           count(*) AS n,
+           round(max(med_c) / 100.0, 9) AS median_value,
+           round(max(mad_c) / 100.0, 9) AS mad_value,
+           CAST(SUM(CASE WHEN absdev > 3 * mad_c THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM mad GROUP BY event_type
+    """,
+)
+def mad_outliers_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type (round 5) — the
+    median/MAD twin of zscore_outliers_per_type, which a heavy-tailed
+    value column breaks (one whale inflates mean AND stddev until
+    nothing is an outlier; the median absolute deviation is immune):
+    flag events with |v - median| > 3*MAD. Exactness: values are
+    cent-scaled integers; interpolated medians land on multiples of
+    1/2, absolute deviations on 1/2, MAD on 1/4 — all dyadic fractions,
+    exact in float64 — and Spark's percentile() and DuckDB's
+    quantile_cont() share the (n-1)*p interpolation rule (probed), so
+    the 3*MAD comparison is bit-identical in both engines; only the
+    final /100 descale rounds, identically from identical inputs.
+
+    Scale shape: both medians are WINDOW aggregates over the same
+    event_type partitioning, so the whole query is one scan + ONE
+    exchange (the second window and the final groupBy reuse the first
+    window's partitioning); per-type state is the sorted value list the
+    exact median inherently needs — the sketch family (kll_quantiles_
+    rollup) is the documented mergeable-state alternative when a type's
+    rows exceed executor memory."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("v"),
+    )
+    w = W.partitionBy("event_type")
+    med = ev.withColumn("med_c", F.percentile("v", F.lit(0.5)).over(w))
+    dev = med.withColumn("absdev", F.abs(F.col("v") - F.col("med_c")))
+    mad = dev.withColumn("mad_c", F.percentile("absdev", F.lit(0.5)).over(w))
+    return mad.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.max("med_c") / 100.0, 9).alias("median_value"),
+        F.round(F.max("mad_c") / 100.0, 9).alias("mad_value"),
+        F.sum(
+            F.when(F.col("absdev") > 3 * F.col("mad_c"), 1).otherwise(0)
+        ).cast("long").alias("n_outliers"),
+    )

@@ -143,6 +143,7 @@ _PRIORITY: tuple[str, ...] = (
     "audio_tone_detect",
     "cluster_representative_dedup",
     "ewma_user_values",
+    "mad_outliers_per_type",
     # (4) everything r03/r04-green follows in registration order — the
     # full local gate (tools/check_correctness.py, all queries, every
     # session) re-verifies all of them meanwhile. test_entry_contract
