@@ -150,6 +150,7 @@ HEADLINE = [
     "audio_tone_detect",
     "ewma_user_values",
     "mad_outliers_per_type",
+    "multimodal_curation_pipeline",
 ]
 
 

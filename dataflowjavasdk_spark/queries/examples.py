@@ -2522,3 +2522,162 @@ def media_meta_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.sample_rate").alias("sample_rate"),
         F.col("meta.n_channels").alias("n_channels"),
     )
+
+
+@query(
+    "multimodal_curation_pipeline",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, n_chars, doc_id % 6 AS kind FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             CASE kind WHEN 0 THEN 'image/png'
+                       WHEN 3 THEN 'image/jpeg'
+                       WHEN 1 THEN 'image/bmp'
+                       WHEN 4 THEN 'image/bmp'
+                       ELSE 'audio/wav' END AS media_type,
+             CASE WHEN kind IN (0, 3)
+                    THEN (1 + n_chars % 9) * (1 + doc_id % 7)
+                  WHEN kind IN (1, 4)
+                    THEN (1 + n_chars % 16) * (1 + doc_id % 12)
+                  WHEN kind = 2 THEN 8
+                  ELSE 0 END AS units,
+             CASE WHEN kind = 3 THEN 60.0
+                  WHEN kind IN (0, 1, 4) THEN 0.0
+                  ELSE NULL END AS mean_pix,
+             CASE WHEN kind = 2 THEN 8000 + 100 * (doc_id % 5)
+                  WHEN kind = 5 THEN 44100
+                  ELSE NULL END AS rate
+      FROM base
+    ),
+    flagged AS (
+      SELECT media_type, units, mean_pix,
+             CASE WHEN media_type LIKE 'image/%' THEN units >= 8
+                  ELSE units > 0 AND rate >= 8100 END AS kept
+      FROM feat
+    )
+    SELECT media_type,
+           count(*) AS n_total,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN kept THEN units END) AS BIGINT)
+             AS sum_kept_units,
+           CAST(SUM(CASE WHEN kept THEN mean_pix END) AS DOUBLE)
+             AS sum_kept_luma
+    FROM flagged GROUP BY media_type
+    """,
+)
+def multimodal_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed MULTIMODAL curation flagship (round 5) — the media
+    twin of training_data_pipeline, one oracle-checked plan over the
+    six-kind mixed corpus:
+
+      stored payloads → JVM header sniff (route key, no Python)
+      → per-format branch: images decoded by magic dispatch
+        (decode_png / decode_bmp / decode_jpeg), audio by decode_wav
+      → quality gates: images keep >= 8 decoded pixels; audio keeps
+        non-empty clips at >= 8100 Hz (the empty non-canonical-layout
+        WAV is dropped here — the dead-letter of the media world)
+      → per-type survival counts + decoded-feature checksums.
+
+    Every decoded number is closed-form from the synthesis: PNG/BMP are
+    zero-filled (mean 0.0), the JPEG is a constant-60 gray whose DC-only
+    blocks round-trip EXACTLY (the pinned codec property), WAV units
+    count frames — so the whole routed pipeline value-hash oracles.
+
+    Scale shape: the route split is a JVM filter on header bytes of the
+    PINNED corpus — each decoder's mapInPandas sees ONLY its branch,
+    with no exchange before decode (blobs never shuffle; the union's
+    branches carry 4-column feature rows). At 100 TB this is the
+    ingest-curation topology: sniff once, route, decode per format at
+    scan parallelism, and only survival stats + checksums ever reach a
+    shuffle."""
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+
+    from dataflowjavasdk_spark.functions.multimodal import sniff_media_meta
+
+    media = _mixed_media_corpus(spark, sf_dir)
+    sniffed = sniff_media_meta(media).select(
+        "media_id", "payload", F.col("meta.media_type").alias("media_type")
+    )
+
+    def decode_images(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        from dataflowjavasdk_spark.functions.jpeg import decode_jpeg
+        from dataflowjavasdk_spark.functions.multimodal import (
+            decode_bmp,
+            decode_png,
+        )
+
+        for pdf in batches:
+            out = []
+            for media_id, payload, mtype in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                raw = bytes(payload)
+                if raw[:8] == b"\x89PNG\r\n\x1a\n":
+                    img = decode_png(raw)
+                elif raw[:2] == b"BM":
+                    img = decode_bmp(raw)
+                else:
+                    img = decode_jpeg(raw)
+                out.append(
+                    {
+                        "media_id": media_id,
+                        "media_type": mtype,
+                        "units": int(img.shape[0] * img.shape[1]),
+                        "mean_pix": float(img.astype("float64").mean()),
+                        "rate": None,
+                    }
+                )
+            yield _pd.DataFrame(
+                out, columns=["media_id", "media_type", "units", "mean_pix", "rate"]
+            )
+
+    def decode_audio(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        from dataflowjavasdk_spark.functions.multimodal import decode_wav
+
+        for pdf in batches:
+            out = []
+            for media_id, payload, mtype in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                rate, _nch, pcm = decode_wav(bytes(payload))
+                out.append(
+                    {
+                        "media_id": media_id,
+                        "media_type": mtype,
+                        "units": int(pcm.shape[0]),
+                        "mean_pix": None,
+                        "rate": int(rate),
+                    }
+                )
+            yield _pd.DataFrame(
+                out, columns=["media_id", "media_type", "units", "mean_pix", "rate"]
+            )
+
+    feat_schema = (
+        "media_id long, media_type string, units long, "
+        "mean_pix double, rate int"
+    )
+    images = sniffed.filter(F.col("media_type").startswith("image/")).mapInPandas(
+        decode_images, schema=feat_schema
+    )
+    audio = sniffed.filter(F.col("media_type") == "audio/wav").mapInPandas(
+        decode_audio, schema=feat_schema
+    )
+    feats = images.unionByName(audio)
+    kept = F.when(
+        F.col("media_type").startswith("image/"), F.col("units") >= 8
+    ).otherwise((F.col("units") > 0) & (F.col("rate") >= 8100))
+    return feats.withColumn("kept", kept).groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("units"))).cast("long").alias(
+            "sum_kept_units"
+        ),
+        F.sum(F.when(F.col("kept"), F.col("mean_pix"))).cast("double").alias(
+            "sum_kept_luma"
+        ),
+    )

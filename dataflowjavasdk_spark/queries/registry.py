@@ -144,6 +144,7 @@ _PRIORITY: tuple[str, ...] = (
     "cluster_representative_dedup",
     "ewma_user_values",
     "mad_outliers_per_type",
+    "multimodal_curation_pipeline",
     # (4) everything r03/r04-green follows in registration order — the
     # full local gate (tools/check_correctness.py, all queries, every
     # session) re-verifies all of them meanwhile. test_entry_contract

@@ -824,3 +824,34 @@ def test_tone_detection_bank(spark):
     for i in range(8):
         assert got[i] == (i, 400 * (i + 1)), f"probe {i} misdetected: {got[i]}"
     assert got[100] == (2, 1200)
+
+
+def test_multimodal_pipeline_routes_and_keeps_blobs_unshuffled(spark):
+    """The composed pipeline's scale contract: payloads feed the routed
+    decode branches but NO Exchange input carries the blob — only the
+    4-column feature rows and rollup partials shuffle. And the routing
+    must be real: every branch's survival stats land in the output."""
+    import re
+
+    from dataflowjavasdk_spark.plans import audit
+    from dataflowjavasdk_spark.queries.registry import get
+    from tests.conftest import SMOKE_SF
+
+    df = get("multimodal_curation_pipeline").fn(spark, SMOKE_SF)
+    p = audit(df)
+    assert p.exchanges >= 1
+    blocks = re.split(r"^\(\d+\) ", p.text, flags=re.M)
+    for b in (b for b in blocks if b.startswith("Exchange")):
+        m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)
+        assert m, b
+        assert "payload" not in m.group(1), (
+            f"blob column reached a shuffle: {m.group(1)}"
+        )
+    rows = {r.media_type: r for r in df.collect()}
+    assert set(rows) == {"image/png", "image/bmp", "image/jpeg", "audio/wav"}
+    # the non-canonical empty WAV rows must be dropped by the gate
+    wav = rows["audio/wav"]
+    assert wav.n_kept < wav.n_total
+    # decoded-value checksum: every kept JPEG is the constant-60 gray
+    jpg = rows["image/jpeg"]
+    assert jpg.sum_kept_luma == 60.0 * jpg.n_kept

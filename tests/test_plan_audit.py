@@ -80,6 +80,9 @@ def test_relational_queries_stay_jvm_side(spark):
         # mapInPandas, same discipline as the rest of the media family)
         "image_resize_features",
         "audio_tone_detect",
+        # the composed sniff->route->decode flagship (two routed decode
+        # branches over the pinned mixed corpus)
+        "multimodal_curation_pipeline",
     }
     for name in all_queries():
         if name in allowed_python:
