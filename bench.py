@@ -151,6 +151,7 @@ HEADLINE = [
     "ewma_user_values",
     "mad_outliers_per_type",
     "multimodal_curation_pipeline",
+    "event_cooccurrence_pairs",
 ]
 
 

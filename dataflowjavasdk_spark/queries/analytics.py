@@ -668,3 +668,93 @@ def mad_outliers_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("absdev") > 3 * F.col("mad_c"), 1).otherwise(0)
         ).cast("long").alias("n_outliers"),
     )
+
+
+@query(
+    "event_cooccurrence_pairs",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    stypes AS (
+      SELECT DISTINCT user_id, session_id, event_type FROM numbered
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM stypes a
+      JOIN stypes b ON a.user_id = b.user_id
+                   AND a.session_id = b.session_id
+                   AND a.event_type < b.event_type
+    ),
+    counted AS (
+      SELECT type_a, type_b, count(*) AS n_sessions,
+             row_number() OVER (ORDER BY count(*) DESC, type_a, type_b) AS rk
+      FROM pairs GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b, n_sessions, rk FROM counted WHERE rk <= 20
+    """,
+)
+def event_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining over sessions (round 5) — the market-basket
+    primitive the behavioral family lacked: which event types CO-OCCUR
+    in the same 30-minute session (order-free, unlike the transition
+    matrix's ordered bigrams)? Sessions are the lag/cumulative-sum
+    assignment both engines state identically; each session reduces to
+    its DISTINCT type set; unordered pairs come from a self-join on the
+    session key with type_a < type_b (each pair counted once per
+    session); the global top-20 carries a deterministic (count desc,
+    pair) rank. Everything is integer counts — exact hash.
+
+    Scale shape: the self-join operates on the session-DISTINCT relation
+    (#sessions x #types-per-session rows — far below the event count)
+    and is an equi-join on (user, session): co-located, never cartesian;
+    with T distinct types a session contributes at most T(T-1)/2 pair
+    rows, so the pair stage is bounded by T^2/2 per session regardless
+    of event volume. The distinct relation is pinned (both join sides
+    consume it — the scan-discipline rule); the final aggregate's key
+    space is type pairs: bounded, broadcastable forever."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    wo = W.partitionBy("user_id").orderBy("ts")
+    new_sess = (
+        F.when(
+            (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wo))
+            < 1800,
+            0,
+        )
+        .otherwise(1)
+        .alias("new_session")
+    )
+    flagged = ev.select("user_id", "ts", "event_type", new_sess)
+    numbered = flagged.select(
+        "user_id",
+        "event_type",
+        F.sum("new_session").over(
+            wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("session_id"),
+    )
+    stypes = (
+        numbered.select("user_id", "session_id", "event_type")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a = stypes.select("user_id", "session_id", F.col("event_type").alias("type_a"))
+    b = stypes.select("user_id", "session_id", F.col("event_type").alias("type_b"))
+    pairs = a.join(b, ["user_id", "session_id"]).filter(
+        F.col("type_a") < F.col("type_b")
+    )
+    counted = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    wr = W.orderBy(F.col("n_sessions").desc(), "type_a", "type_b")
+    return counted.withColumn("rk", F.row_number().over(wr)).filter(
+        F.col("rk") <= 20
+    )
