@@ -433,3 +433,52 @@ def bpe_encoded_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+@query(
+    "training_shard_manifest",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16
+               AS shard
+      FROM documents
+    )
+    SELECT shard,
+           count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id
+    FROM assigned GROUP BY shard
+    """,
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic output sharding + manifest (round 5) — the last
+    step of every training-data build: docs are hash-assigned to 16
+    shards (md5 of the key, NOT doc_id % N — modulo on a sequential key
+    correlates shard with ingest time and skews any time-correlated
+    column; the md5 draw is the same replayable-randomness idiom as the
+    source mixers), and the MANIFEST rows a downstream loader checks
+    before reading (per-shard doc count, byte mass, key range) are the
+    query output. Integer-only, exact hash; the assignment is
+    reproducible forever from the key alone, which is what makes
+    incremental re-builds and loader-side verification possible.
+
+    Scale shape: one scan, one aggregate with a 16-key space; in
+    production the same expression feeds write.partitionBy (or
+    repartition(N, shard) + per-task files) and THIS query is the
+    cheap audit run against what landed. Balance expectation: md5
+    uniformity puts each shard within ~2 sigma of n/16 — the skew
+    check is the test's assertion, not an aggregate average."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    from dataflowjavasdk_spark.functions.text import md5_long
+
+    assigned = docs.withColumn(
+        "shard", md5_long(F.col("doc_id").cast("string")) % 16
+    )
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )

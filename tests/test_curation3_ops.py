@@ -117,3 +117,25 @@ def test_bpe_encode_conserves_symbol_mass(spark):
     # at least one multi-character merged symbol must appear in the
     # top-15 — the observable effect of encoding with the merges
     assert any(r["n_chars"] >= 2 for r in top)
+
+
+def test_shard_manifest_partitions_and_balances(spark):
+    """The manifest must partition the corpus exactly (no doc lost or
+    double-assigned) and md5 uniformity must keep every shard within a
+    loose 3x band of the ideal size — a modulo-on-sequential-key bug
+    (shard correlating with doc_id ranges) would blow the band or
+    collapse the key ranges."""
+    rows = get("training_shard_manifest").fn(spark, SMOKE_SF).collect()
+    total = sum(r["n_docs"] for r in rows)
+    from dataflowjavasdk_spark.sources.tables import load_table
+
+    n = load_table(spark, SMOKE_SF, "documents").count()
+    assert total == n
+    assert {r["shard"] for r in rows} == set(range(16))
+    ideal = n / 16
+    for r in rows:
+        assert ideal / 3 <= r["n_docs"] <= ideal * 3, (r["shard"], r["n_docs"])
+    # hash assignment: every shard's key range spans nearly the whole
+    # corpus (a sequential/modulo assignment would give disjoint ranges)
+    for r in rows:
+        assert r["max_doc_id"] - r["min_doc_id"] > n // 2
