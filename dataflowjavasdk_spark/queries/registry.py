@@ -147,6 +147,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_curation_pipeline",
     "event_cooccurrence_pairs",
     "training_shard_manifest",
+    "ann_recall_report",
     # (4) everything r03/r04-green follows in registration order — the
     # full local gate (tools/check_correctness.py, all queries, every
     # session) re-verifies all of them meanwhile. test_entry_contract

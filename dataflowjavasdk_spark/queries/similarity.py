@@ -337,3 +337,112 @@ def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cosine") >= 0.4).alias("is_contaminated"),
         )
     )
+
+
+@query(
+    "ann_recall_report",
+    oracle=f"""
+    WITH q0 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                WHERE vec_id < 5),
+    ex_scored AS (
+      SELECT q0.query_id, e.vec_id AS neighbor_id,
+             {_sql_cosine('q0.qv', 'e.embedding')} AS cosine
+      FROM q0 CROSS JOIN embeddings e
+      WHERE e.vec_id <> q0.query_id
+    ),
+    ex_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM ex_scored) WHERE rk <= 5
+    ),
+    b AS (
+      SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket
+      FROM embeddings
+    ),
+    qb AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
+           FROM b WHERE vec_id < 5),
+    ann_scored AS (
+      SELECT qb.query_id, e.vec_id AS neighbor_id,
+             {_sql_cosine('qb.qv', 'e.embedding')} AS cosine
+      FROM qb JOIN b e ON e.bucket = qb.qbucket AND e.vec_id <> qb.query_id
+    ),
+    ann_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM ann_scored) WHERE rk <= 5
+    )
+    SELECT x.query_id,
+           count(*) AS n_exact,
+           (SELECT count(*) FROM ann_top a
+            WHERE a.query_id = x.query_id) AS n_ann,
+           CAST(SUM(CASE WHEN EXISTS (
+                  SELECT 1 FROM ann_top a
+                  WHERE a.query_id = x.query_id
+                    AND a.neighbor_id = x.neighbor_id)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN EXISTS (
+                  SELECT 1 FROM ann_top a
+                  WHERE a.query_id = x.query_id
+                    AND a.neighbor_id = x.neighbor_id)
+                THEN 1 ELSE 0 END) * 20 AS BIGINT) AS recall_pct
+    FROM ex_top x GROUP BY x.query_id
+    """,
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality EVAL, in-plan (round 5) — the measurement every ANN
+    deployment runs before trusting an index: recall@5 of the LSH index
+    (ann_lsh_topk) against brute-force ground truth
+    (cosine_topk_bruteforce), per query. Both pipelines are the already-
+    oracled registered queries composed unchanged; the report joins
+    their top-5 sets and counts overlap — n_hits*20 gives an INTEGER
+    recall percentage (k=5), so the whole eval value-hash oracles with
+    no float output at all (the cosine scores never leave the ranking).
+    A query whose LSH bucket holds fewer than 5 neighbors shows
+    n_ann < 5 — the candidate-starvation signal that tells an operator
+    to add tables (ann_lsh_multitable) or raise nprobe (IVF).
+
+    Scale shape: ground truth costs one corpus scan per query batch (the
+    documented brute-force baseline — at 100 TB you run it over a
+    SAMPLED query set, which is exactly what the vec_id < 5 probe set
+    is); the report side joins two 25-row relations. Production recall
+    tracking is this query on a nightly sample."""
+    # Pin both 25-row top-k relations: each feeds its count aggregate AND
+    # the hit join — without the pin Spark re-derives the full scoring
+    # pipeline per consumer (8 corpus scans; the scan-discipline rule).
+    exact = (
+        cosine_topk_bruteforce(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    ann = (
+        ann_lsh_topk(spark, sf_dir)
+        .select("query_id", F.col("neighbor_id").alias("ann_neighbor_id"))
+        .localCheckpoint(eager=False)
+    )
+    exact_g = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    ann_g = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ann"))
+    hits = (
+        exact.join(
+            ann,
+            (exact.query_id == ann.query_id)
+            & (exact.neighbor_id == ann.ann_neighbor_id),
+        )
+        .groupBy(exact.query_id)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    out = (
+        exact_g.join(ann_g, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_ann", F.lit(0)).alias("n_ann"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) * 20).alias("recall_pct"),
+        )
+    )
+    return out
