@@ -152,6 +152,7 @@ HEADLINE = [
     "mad_outliers_per_type",
     "multimodal_curation_pipeline",
     "event_cooccurrence_pairs",
+    "image_ahash_dedup",
 ]
 
 
@@ -251,7 +252,7 @@ def main() -> None:
     print(line, flush=True)
 
 
-def short_keys(names: list[str], width: int = 11) -> dict[str, str]:
+def short_keys(names: list[str], width: int = 10) -> dict[str, str]:
     """Deterministic unique <=width-char key per query name (prefix
     truncation; collisions get a numeric suffix)."""
     out: dict[str, str] = {}

@@ -356,6 +356,55 @@ def extract_resized_features(
     )
 
 
+AHASH_SCHEMA = "media_id long, hash_hi long, hash_lo long"
+
+
+def ahash64(img: np.ndarray) -> tuple[int, int]:
+    """Perceptual average-hash: box-average the (first-channel) image to
+    8x8, threshold each cell against the 8x8 mean (strict >), fold the
+    64 bits row-major MSB-first into two unsigned 32-bit halves
+    (returned as non-negative ints — two halves sidestep the signed
+    int64 overflow a single 64-bit fold hits in both engines).
+
+    Exactness: for integer pixels with power-of-two block sizes every
+    block average and the 8x8 mean are exact dyadic floats, so the
+    threshold comparison is an integer decision — the hash is
+    bit-reproducible, never approximately so."""
+    h, w = img.shape[:2]
+    if h % 8 or w % 8:
+        raise ValueError(f"dims {w}x{h} not divisible by 8")
+    ch = img[..., 0] if img.ndim == 3 else img
+    blocks = ch.astype(np.float64).reshape(8, h // 8, 8, w // 8)
+    cells = blocks.mean(axis=(1, 3))
+    bits = (cells > cells.mean()).astype(np.uint64).ravel()
+    hi = 0
+    lo = 0
+    for k in range(32):
+        hi = (hi << 1) | int(bits[k])
+        lo = (lo << 1) | int(bits[32 + k])
+    return hi, lo
+
+
+def extract_image_ahash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """BMP decode + 64-bit perceptual average-hash per payload — the
+    fingerprint stage of image near-dup detection (the image twin of
+    simhash_fingerprints)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for media_id, payload in zip(batch["media_id"], batch[payload_col]):
+                hi, lo = ahash64(decode_bmp(bytes(payload)))
+                out.append(
+                    {"media_id": media_id, "hash_hi": hi, "hash_lo": lo}
+                )
+            yield pd.DataFrame(out, columns=["media_id", "hash_hi", "hash_lo"])
+
+    return df.select("media_id", payload_col).mapInPandas(
+        run, schema=AHASH_SCHEMA
+    )
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """REAL PNG decoder (stdlib zlib + the PNG spec, no PIL): parses the
     chunk stream, inflates IDAT, and reverses all five scanline filters

@@ -2681,3 +2681,108 @@ def multimodal_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_kept_luma"
         ),
     )
+
+
+@query(
+    "image_ahash_dedup",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, 1 + doc_id % 3 AS a, 1 + n_chars % 3 AS b
+      FROM documents
+    ),
+    hashes AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(range(0, 32), k ->
+                 CASE WHEN a * (2 * (k % 8) - 7) + b * (2 * (k // 8) - 7) > 0
+                      THEN 1::BIGINT ELSE 0::BIGINT END)),
+               (acc, bit) -> acc * 2 + bit) AS hash_hi,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(range(32, 64), k ->
+                 CASE WHEN a * (2 * (k % 8) - 7) + b * (2 * (k // 8) - 7) > 0
+                      THEN 1::BIGINT ELSE 0::BIGINT END)),
+               (acc, bit) -> acc * 2 + bit) AS hash_lo
+      FROM params
+    )
+    SELECT hash_hi, hash_lo,
+           count(*) AS n_images,
+           min(doc_id) AS min_media_id
+    FROM hashes GROUP BY hash_hi, hash_lo
+    """,
+)
+def image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual IMAGE dedup, value-oracled (round 5) — the image twin
+    of simhash_fingerprints, closing the multimodal curation loop with
+    the capability image-heavy training sets actually dedup on: each
+    document becomes a 16x16 BMP carrying the gradient
+    r(x,y) = r0 + a*x + b*y (slopes a,b from the doc columns; the
+    BRIGHTNESS OFFSET r0 varies per doc), the REAL decoder + 2x box
+    averaging reduce it to the 8x8 aHash grid, and the 64-bit
+    average-hash (strict > against the grid mean, row-major MSB-first,
+    two unsigned 32-bit halves) buckets the corpus. The test of
+    perceptual-ness is IN the construction: r0 cancels out of the
+    threshold (a*(2j-7) + b*(2i-7) > 0), so images differing only in
+    brightness land in the SAME bucket, and PROPORTIONAL slopes (the
+    same gradient direction at different contrast) hash identically
+    too — the corpus collapses into 7 slope-direction classes from 9
+    (a,b) pairs, which is exactly what a perceptual hash is for and
+    what the DuckDB twin states in closed form. Every cell average
+    and the grid mean are exact dyadic floats (power-of-two blocks), so
+    the hash is bit-reproducible, never approximately so.
+
+    At 100 TB: fingerprint once at ingest (one Arrow-batched decode
+    pass, payloads never shuffle), group/join on the 16-byte hash pair
+    — the exact-dedup shape; near-dup (small hamming distance) extends
+    it with the simhash pigeonhole banding over the same halves."""
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+
+    from dataflowjavasdk_spark.functions.multimodal import extract_image_ahash
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                a, b = 1 + doc_id % 3, 1 + n_chars % 3
+                r0 = doc_id % 64
+                img = np.zeros((16, 16, 3), np.uint8)
+                img[..., 0] = (
+                    r0
+                    + a * np.arange(16)[None, :]
+                    + b * np.arange(16)[:, None]
+                )
+                bgr = img[..., ::-1]
+                pad = b"\x00" * ((16 * 3 + 3) & ~3 - 16 * 3)
+                body = b"".join(
+                    bgr[y].tobytes() + pad for y in range(15, -1, -1)
+                )
+                header = b"BM" + struct.pack(
+                    "<IHHI", 14 + 40 + len(body), 0, 0, 14 + 40
+                )
+                dib = struct.pack(
+                    "<IiiHHIIiiII", 40, 16, 16, 1, 24, 0, len(body),
+                    2835, 2835, 0, 0,
+                )
+                payloads.append(header + dib + body)
+            yield _pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(
+        synth, schema="media_id long, payload binary"
+    ).localCheckpoint(eager=False)
+    hashes = extract_image_ahash(media)
+    return hashes.groupBy("hash_hi", "hash_lo").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.min("media_id").alias("min_media_id"),
+    )

@@ -148,6 +148,7 @@ _PRIORITY: tuple[str, ...] = (
     "event_cooccurrence_pairs",
     "training_shard_manifest",
     "ann_recall_report",
+    "image_ahash_dedup",
     # (4) everything r03/r04-green follows in registration order — the
     # full local gate (tools/check_correctness.py, all queries, every
     # session) re-verifies all of them meanwhile. test_entry_contract

@@ -855,3 +855,25 @@ def test_multimodal_pipeline_routes_and_keeps_blobs_unshuffled(spark):
     # decoded-value checksum: every kept JPEG is the constant-60 gray
     jpg = rows["image/jpeg"]
     assert jpg.sum_kept_luma == 60.0 * jpg.n_kept
+
+
+def test_ahash_brightness_and_contrast_invariance():
+    """The perceptual contract, pinned directly on the kernel: adding a
+    constant brightness or scaling the gradient contrast must not move
+    the hash; rotating the gradient direction must."""
+    import numpy as np
+
+    from dataflowjavasdk_spark.functions.multimodal import ahash64
+
+    def grad(a, b, r0):
+        img = (
+            r0 + a * np.arange(16)[None, :] + b * np.arange(16)[:, None]
+        )
+        return img.astype(np.uint8)
+
+    base = ahash64(grad(1, 2, 10))
+    assert ahash64(grad(1, 2, 50)) == base          # brightness-invariant
+    assert ahash64(grad(2, 4, 10)) == base          # contrast-invariant
+    assert ahash64(grad(2, 1, 10)) != base          # direction-sensitive
+    with pytest.raises(ValueError):
+        ahash64(np.zeros((12, 16), np.uint8))

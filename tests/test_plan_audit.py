@@ -83,6 +83,8 @@ def test_relational_queries_stay_jvm_side(spark):
         # the composed sniff->route->decode flagship (two routed decode
         # branches over the pinned mixed corpus)
         "multimodal_curation_pipeline",
+        # perceptual image fingerprinting (decode + aHash in mapInPandas)
+        "image_ahash_dedup",
     }
     for name in all_queries():
         if name in allowed_python:
