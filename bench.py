@@ -240,7 +240,7 @@ def main() -> None:
     # Console contract line LAST and PROVABLY narrow: the driver's tail
     # capture is 2,000 chars and rounds 3 AND 4 both overflowed it (4.5 KB
     # then 2,217 bytes → "parsed": null twice). Per-query values go out as
-    # whole milliseconds (ints), keys as 12-char prefixes (full-precision
+    # whole milliseconds (ints), keys as short_keys-width prefixes (10 chars) (full-precision
     # seconds under full names stay in BENCH.json), separators compact.
     # 65 queries ≈ 1.3 KB; the hard assertion below means growth past the
     # capture window fails loudly here instead of silently at the driver.

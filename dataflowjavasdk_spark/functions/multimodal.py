@@ -251,6 +251,30 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(img)
 
 
+def encode_bmp(pixels: np.ndarray, top_down: bool = False) -> bytes:
+    """Minimal uncompressed 24-bit BMP encoder from an (h, w, 3) RGB
+    array — the decoder's twin (BITMAPINFOHEADER, BGR order, 4-byte row
+    padding, bottom-up rows by default, negative biHeight when
+    top_down). One shared implementation for every synth fixture: the
+    row-padding expression was previously re-typed per query and one
+    copy carried an operator-precedence bug that only its hardcoded
+    width masked."""
+    import struct
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row_bytes = (w * 3 + 3) & ~3
+    pad = b"\x00" * (row_bytes - w * 3)
+    rows = range(h) if top_down else range(h - 1, -1, -1)
+    body = b"".join(px[y][:, ::-1].tobytes() + pad for y in rows)
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(body), 0, 0, 14 + 40)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0,
+        len(body), 2835, 2835, 0, 0,
+    )
+    return header + dib + body
+
+
 def extract_bmp_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Real image feature extraction for BMP payloads (decode_bmp):
     dimensions, per-channel means, Rec.601 luma."""
@@ -312,8 +336,12 @@ def resize_box(img: np.ndarray, factor: int) -> np.ndarray:
         raise ValueError(f"factor must be >= 1, got {factor}")
     if h % factor or w % factor:
         raise ValueError(f"dims {w}x{h} not divisible by factor {factor}")
+    # Preserve dimensionality: 2-D (grayscale) in -> 2-D out, matching
+    # resize_nearest (the reshape(-1) form grew a trailing singleton
+    # channel axis on grayscale input).
+    tail = img.shape[2:]
     blocks = img.astype(np.float64).reshape(
-        h // factor, factor, w // factor, factor, -1
+        h // factor, factor, w // factor, factor, *tail
     )
     return blocks.mean(axis=(1, 3))
 

@@ -724,10 +724,13 @@ def event_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     space is type pairs: bounded, broadcastable forever."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
     wo = W.partitionBy("user_id").orderBy("ts")
+    # Microsecond-exact gap test: cast-to-long TRUNCATES to seconds,
+    # which flips boundary gaps vs the oracle's INTERVAL comparison
+    # (one consecutive gap at sf0.1 provably lands on the line).
     new_sess = (
         F.when(
-            (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wo))
-            < 1800,
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wo))
+            < 1800 * 1_000_000,
             0,
         )
         .otherwise(1)

@@ -680,6 +680,24 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20)
 
 
+# The trainer's words/t0 CTE text — ONE copy, composed into both the
+# trainer oracle below and the encoder oracle in curation3 (mirrors
+# _bpe_vocab_tok on the Spark side; a hand-synced second copy would let
+# the two oracles silently test different tokenizations).
+_BPE_WORDS_T0_SQL = """
+    words AS (
+      SELECT t AS w, count(*) AS c
+      FROM (SELECT unnest(regexp_extract_all(text,
+                     '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS t
+            FROM documents)
+      GROUP BY t
+    ),
+    t0 AS (
+      SELECT w, c, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS tok
+      FROM words
+    )"""
+
+
 def _bpe_stage_sql(i: int) -> str:
     """One unrolled BPE training round: pair counts over t{i-1}, argmax
     with deterministic tiebreak, greedy left-to-right merge into t{i}."""
@@ -704,17 +722,7 @@ def _bpe_stage_sql(i: int) -> str:
 @query(
     "bpe_train_merges",
     oracle=f"""
-    WITH words AS (
-      SELECT t AS w, count(*) AS c
-      FROM (SELECT unnest(regexp_extract_all(text,
-                     '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS t
-            FROM documents)
-      GROUP BY t
-    ),
-    t0 AS (
-      SELECT w, c, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS tok
-      FROM words
-    ),{_bpe_stage_sql(1)},{_bpe_stage_sql(2)},{_bpe_stage_sql(3)}
+    WITH {_BPE_WORDS_T0_SQL},{_bpe_stage_sql(1)},{_bpe_stage_sql(2)},{_bpe_stage_sql(3)}
     SELECT 1 AS step, lhs, rhs, lhs || rhs AS merged,
            CAST(cnt AS BIGINT) AS pair_count
     FROM b1

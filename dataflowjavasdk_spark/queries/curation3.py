@@ -349,28 +349,15 @@ def duplicate_passage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_words_t0_sql() -> str:
-    """The trainer's words/t0 CTE text (mirrors curation2._bpe_vocab_tok)."""
-    return """
-    words AS (
-      SELECT t AS w, count(*) AS c
-      FROM (SELECT unnest(regexp_extract_all(text,
-                     '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS t
-            FROM documents)
-      GROUP BY t
-    ),
-    t0 AS (
-      SELECT w, c, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS tok
-      FROM words
-    )"""
-
-
 def _bpe_encode_oracle() -> str:
-    from dataflowjavasdk_spark.queries.curation2 import _bpe_stage_sql
+    from dataflowjavasdk_spark.queries.curation2 import (
+        _BPE_WORDS_T0_SQL,
+        _bpe_stage_sql,
+    )
 
     stages = ",".join(_bpe_stage_sql(i) for i in (1, 2, 3))
     return f"""
-    WITH {_bpe_words_t0_sql()},{stages},
+    WITH {_BPE_WORDS_T0_SQL},{stages},
     syms AS (
       SELECT c, unnest(string_split(trim(tok), ' ')) AS sym FROM t3
     ),

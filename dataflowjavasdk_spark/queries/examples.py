@@ -1755,7 +1755,9 @@ def bmp_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
-        import struct
+        import numpy as np
+
+        from dataflowjavasdk_spark.functions.multimodal import encode_bmp
 
         for pdf in batches:
             payloads = []
@@ -1764,16 +1766,9 @@ def bmp_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 h = 1 + int(n_chars) % 12
                 r, g = int(doc_id) % 256, int(n_chars) % 256
                 b = (int(doc_id) + int(n_chars)) % 256
-                row_bytes = (w * 3 + 3) & ~3
-                row = bytes((b, g, r)) * w + b"\x00" * (row_bytes - w * 3)
-                body = row * h
-                header = b"BM" + struct.pack(
-                    "<IHHI", 14 + 40 + len(body), 0, 0, 14 + 40
-                )
-                dib = struct.pack(
-                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
-                )
-                payloads.append(header + dib + body)
+                img = np.empty((h, w, 3), np.uint8)
+                img[..., 0], img[..., 1], img[..., 2] = r, g, b
+                payloads.append(encode_bmp(img))
             yield _pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
     # Pin the synthesized corpus (lazy localCheckpoint): in production
@@ -1835,6 +1830,7 @@ def image_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as _pd
 
     from dataflowjavasdk_spark.functions.multimodal import (
+        encode_bmp,
         extract_resized_features,
     )
 
@@ -1845,8 +1841,6 @@ def image_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
-        import struct
-
         import numpy as np
 
         for pdf in batches:
@@ -1861,19 +1855,7 @@ def image_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 img[..., 1] = n_chars % 256
                 img[..., 2] = (doc_id + n_chars) % 256
-                bgr = img[..., ::-1]
-                row_bytes = (w * 3 + 3) & ~3
-                pad = b"\x00" * (row_bytes - w * 3)
-                body = b"".join(
-                    bgr[y].tobytes() + pad for y in range(h - 1, -1, -1)
-                )
-                header = b"BM" + struct.pack(
-                    "<IHHI", 14 + 40 + len(body), 0, 0, 14 + 40
-                )
-                dib = struct.pack(
-                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
-                )
-                payloads.append(header + dib + body)
+                payloads.append(encode_bmp(img))
             yield _pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
     media = docs.mapInPandas(
@@ -2404,17 +2386,10 @@ def _mixed_media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from dataflowjavasdk_spark.functions.jpeg import encode_jpeg
 
+        from dataflowjavasdk_spark.functions.multimodal import encode_bmp
+
         def bmp_bytes(w: int, h: int, top_down: bool) -> bytes:
-            row_bytes = (w * 3 + 3) & ~3
-            body = (b"\x00" * row_bytes) * h
-            header = b"BM" + struct.pack(
-                "<IHHI", 14 + 40 + len(body), 0, 0, 14 + 40
-            )
-            dib = struct.pack(
-                "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0,
-                len(body), 2835, 2835, 0, 0,
-            )
-            return header + dib + body
+            return encode_bmp(np.zeros((h, w, 3), np.uint8), top_down=top_down)
 
         for pdf in batches:
             payloads = []
@@ -2738,7 +2713,10 @@ def image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as _pd
 
-    from dataflowjavasdk_spark.functions.multimodal import extract_image_ahash
+    from dataflowjavasdk_spark.functions.multimodal import (
+        encode_bmp,
+        extract_image_ahash,
+    )
 
     docs = (
         load_table(spark, sf_dir, "documents")
@@ -2747,8 +2725,6 @@ def image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
-        import struct
-
         import numpy as np
 
         for pdf in batches:
@@ -2763,19 +2739,7 @@ def image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + a * np.arange(16)[None, :]
                     + b * np.arange(16)[:, None]
                 )
-                bgr = img[..., ::-1]
-                pad = b"\x00" * ((16 * 3 + 3) & ~3 - 16 * 3)
-                body = b"".join(
-                    bgr[y].tobytes() + pad for y in range(15, -1, -1)
-                )
-                header = b"BM" + struct.pack(
-                    "<IHHI", 14 + 40 + len(body), 0, 0, 14 + 40
-                )
-                dib = struct.pack(
-                    "<IiiHHIIiiII", 40, 16, 16, 1, 24, 0, len(body),
-                    2835, 2835, 0, 0,
-                )
-                payloads.append(header + dib + body)
+                payloads.append(encode_bmp(img))
             yield _pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
     media = docs.mapInPandas(

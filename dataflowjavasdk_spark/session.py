@@ -65,6 +65,26 @@ def configure_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def _default_warehouse_dir() -> str:
+    """The warehouse root: SPARK_GRAFT_WAREHOUSE if set (caller owns the
+    lifecycle), else a per-pid /tmp dir registered for cleanup at exit."""
+    override = os.environ.get("SPARK_GRAFT_WAREHOUSE")
+    if override:
+        return override
+    path = f"/tmp/spark_graft_warehouse_{os.getpid()}"
+    global _CLEANUP_REGISTERED
+    if not _CLEANUP_REGISTERED:
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        _CLEANUP_REGISTERED = True
+    return path
+
+
+_CLEANUP_REGISTERED = False
+
+
 def get_spark(
     app_name: str = "dataflowjavasdk-spark",
     master: str | None = None,
@@ -98,14 +118,11 @@ def get_spark(
         # Per-process by default: two engine processes (e.g. a pytest run
         # beside a bench run) sharing one warehouse race on saveAsTable's
         # _SUCCESS/.crc commit files; the catalog is in-memory per JVM
-        # anyway, so there is nothing to share.
-        .config(
-            "spark.sql.warehouse.dir",
-            os.environ.get(
-                "SPARK_GRAFT_WAREHOUSE",
-                f"/tmp/spark_graft_warehouse_{os.getpid()}",
-            ),
-        )
+        # anyway, so there is nothing to share. The per-pid default dir
+        # is removed at interpreter exit (unlike the old fixed path it
+        # is never reused, so without cleanup every run would leak its
+        # bucketed-table bytes into /tmp).
+        .config("spark.sql.warehouse.dir", _default_warehouse_dir())
     )
     for key, value in _RUNTIME_CONFS.items():
         builder = builder.config(key, value)
