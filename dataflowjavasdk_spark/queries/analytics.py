@@ -761,3 +761,101 @@ def event_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.withColumn("rk", F.row_number().over(wr)).filter(
         F.col("rk") <= 20
     )
+
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+    WITH corrupted_orders AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + 10000000
+                  ELSE o_custkey END AS o_custkey
+      FROM orders
+    ),
+    edges AS (
+      SELECT 'lineitem.l_orderkey -> orders' AS fk_edge,
+             (SELECT count(*) FROM lineitem) AS n_child,
+             (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+      UNION ALL
+      SELECT 'orders.o_custkey -> customer (corrupted ingest)',
+             (SELECT count(*) FROM corrupted_orders),
+             (SELECT count(*) FROM corrupted_orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+      UNION ALL
+      SELECT 'events.user_id -> customer',
+             (SELECT count(*) FROM events),
+             (SELECT count(*) FROM events e
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = e.user_id))
+    )
+    SELECT fk_edge, n_child, CAST(n_orphans AS BIGINT) AS n_orphans,
+           round(n_orphans::DOUBLE / n_child::DOUBLE, 9) AS orphan_share
+    FROM edges
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit (round 5) — the FK half
+    of data-quality checking that the single-table table_profile can't
+    see (Deequ's isContainedIn/complianceConstraint shape): for each FK
+    edge, count child rows whose key has no parent. Two edges are the
+    clean fixtures (zero orphans — the green-CI negative control); the
+    orders→customer edge is audited through a DETERMINISTICALLY
+    CORRUPTED ingest (every 97th order's custkey shifted out of range,
+    the dup-injection convention), so the nonzero branch of the
+    operator is value-oracled too — an audit that can only ever print
+    zeros is untested by construction.
+
+    Scale shape: each edge is one LEFT ANTI join counted — the parent
+    side is key-projected (a few bytes per row; customer/orders keys
+    broadcast at toy scale, co-partitioned sort-merge at 100 TB where
+    AQE decides), the child side streams map-side, and only 1-row
+    counts reach the union. This is the nightly conformance gate a
+    warehouse runs between ingest and publish."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey")
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    corrupted = od.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_custkey") + 10_000_000
+        )
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+    )
+
+    def edge(name: str, child: DataFrame, key, parent: DataFrame, pkey) -> DataFrame:
+        orphans = child.join(
+            parent, child[key] == parent[pkey], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        total = child.agg(F.count(F.lit(1)).alias("n_child"))
+        return (
+            total.crossJoin(orphans)
+            .select(
+                F.lit(name).alias("fk_edge"),
+                "n_child",
+                F.col("n_orphans").cast("long").alias("n_orphans"),
+                F.round(
+                    F.col("n_orphans").cast("double")
+                    / F.col("n_child").cast("double"),
+                    9,
+                ).alias("orphan_share"),
+            )
+        )
+
+    out = edge(
+        "lineitem.l_orderkey -> orders", li, "l_orderkey",
+        od.select("o_orderkey"), "o_orderkey",
+    )
+    out = out.unionByName(
+        edge(
+            "orders.o_custkey -> customer (corrupted ingest)",
+            corrupted.select("o_custkey"), "o_custkey", cu, "c_custkey",
+        )
+    )
+    return out.unionByName(
+        edge("events.user_id -> customer", ev, "user_id", cu, "c_custkey")
+    )

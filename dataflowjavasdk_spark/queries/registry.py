@@ -149,6 +149,7 @@ _PRIORITY: tuple[str, ...] = (
     "training_shard_manifest",
     "ann_recall_report",
     "image_ahash_dedup",
+    "referential_integrity_audit",
     # (4) everything r03/r04-green follows in registration order — the
     # full local gate (tools/check_correctness.py, all queries, every
     # session) re-verifies all of them meanwhile. test_entry_contract
