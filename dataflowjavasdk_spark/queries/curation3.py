@@ -469,3 +469,94 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+@query(
+    "token_bigram_lm",
+    oracle="""
+    WITH toks AS (
+      SELECT regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]') AS tk
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT tk[i] AS lhs, tk[i + 1] AS rhs
+      FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+            FROM toks WHERE len(tk) >= 2)
+    ),
+    counted AS (
+      SELECT lhs, rhs, count(*) AS c_ab FROM bigrams GROUP BY lhs, rhs
+    ),
+    scored AS (
+      SELECT lhs, rhs, c_ab,
+             SUM(c_ab) OVER (PARTITION BY lhs) AS c_a,
+             (SELECT count(DISTINCT rhs) FROM counted) AS v
+      FROM counted
+    ),
+    ranked AS (
+      SELECT lhs, rhs, CAST(c_ab AS BIGINT) AS c_ab,
+             CAST(c_a AS BIGINT) AS c_a,
+             round((c_ab + 1)::DOUBLE / (c_a + v)::DOUBLE, 9) AS p_smoothed,
+             row_number() OVER (
+               ORDER BY (c_ab + 1)::DOUBLE / (c_a + v)::DOUBLE DESC,
+                        lhs, rhs) AS rk
+      FROM scored
+    )
+    SELECT lhs, rhs, c_ab, c_a, p_smoothed, rk FROM ranked WHERE rk <= 20
+    """,
+)
+def token_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed bigram language model (round 5) — the MODELING quantity
+    on top of raw adjacency counts (bpe_merge_candidates ranks c(ab);
+    a language model needs P(b|a)): add-one-smoothed conditional
+    probability (c_ab + 1) / (c_a + V) over the regex pre-tokens, V =
+    the conditional support size. Everything is integers until ONE
+    division per row — identical correctly-rounded IEEE in both engines
+    from identical integer inputs — and the top-20 rank orders by that
+    same quotient with a deterministic (lhs, rhs) tiebreak, so the whole
+    model head value-hash oracles at 9 dp. This is the next-token
+    statistic of classic LM pipelines (and the perplexity scorer's
+    numerator); the transition matrix is its event-sequence cousin.
+
+    Scale shape: ONE corpus pass builds the bigram-count relation
+    (row-local zip explode, one aggregate whose key space is the bigram
+    vocabulary — bounded); the antecedent totals are a window over that
+    same vocab-bounded relation (no second corpus scan, no join), V is
+    a 1-row aggregate, and the top-20 is TakeOrderedAndProject. The
+    corpus is touched exactly once."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.regexp_extract_all(
+        F.col("text"), F.lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), 0
+    )
+    s = docs.select(tk.alias("tk")).filter(F.size("tk") >= 2)
+    bigrams = s.select(
+        F.explode(
+            F.zip_with(
+                F.slice("tk", 1, F.size("tk") - 1),
+                F.slice("tk", 2, F.size("tk") - 1),
+                lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+            )
+        ).alias("p")
+    ).select("p.lhs", "p.rhs")
+    counted = bigrams.groupBy("lhs", "rhs").agg(
+        F.count(F.lit(1)).alias("c_ab")
+    ).localCheckpoint(eager=False)  # feeds the window AND the V aggregate
+    v = counted.agg(F.count_distinct("rhs").alias("v"))
+    scored = counted.crossJoin(F.broadcast(v)).withColumn(
+        "c_a", F.sum("c_ab").over(W.partitionBy("lhs"))
+    )
+    p = (F.col("c_ab") + 1).cast("double") / (F.col("c_a") + F.col("v")).cast(
+        "double"
+    )
+    wr = W.orderBy(p.desc(), "lhs", "rhs")
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 20)
+        .select(
+            "lhs",
+            "rhs",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.col("c_a").cast("long").alias("c_a"),
+            F.round(p, 9).alias("p_smoothed"),
+            "rk",
+        )
+    )
