@@ -828,22 +828,25 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def edge(name: str, child: DataFrame, key, parent: DataFrame, pkey) -> DataFrame:
-        orphans = child.join(
-            parent, child[key] == parent[pkey], "left_anti"
-        ).agg(F.count(F.lit(1)).alias("n_orphans"))
-        total = child.agg(F.count(F.lit(1)).alias("n_child"))
-        return (
-            total.crossJoin(orphans)
-            .select(
-                F.lit(name).alias("fk_edge"),
-                "n_child",
-                F.col("n_orphans").cast("long").alias("n_orphans"),
-                F.round(
-                    F.col("n_orphans").cast("double")
-                    / F.col("n_child").cast("double"),
-                    9,
-                ).alias("orphan_share"),
-            )
+        # ONE left-outer pass yields both counts (total + parentless):
+        # a separate count aggregate beside an anti-join would scan the
+        # child relation twice — at 100 TB that doubles the lineitem
+        # read for no information gain.
+        joined = child.join(parent, child[key] == parent[pkey], "left_outer")
+        return joined.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.when(parent[pkey].isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        ).select(
+            F.lit(name).alias("fk_edge"),
+            "n_child",
+            "n_orphans",
+            F.round(
+                F.col("n_orphans").cast("double")
+                / F.col("n_child").cast("double"),
+                9,
+            ).alias("orphan_share"),
         )
 
     out = edge(

@@ -521,8 +521,12 @@ def token_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     (row-local zip explode, one aggregate whose key space is the bigram
     vocabulary — bounded); the antecedent totals are a window over that
     same vocab-bounded relation (no second corpus scan, no join), V is
-    a 1-row aggregate, and the top-20 is TakeOrderedAndProject. The
-    corpus is touched exactly once."""
+    a 1-row aggregate, and the global rank is a single-partition sorted
+    window over the VOCAB-bounded scored relation — the same
+    single-sorted-pass shape vocab_coverage_curve documents (the rank
+    column rules out TakeOrderedAndProject; the one-task stage is
+    bounded by vocabulary size, never by the corpus). The corpus is
+    touched exactly once."""
     docs = load_table(spark, sf_dir, "documents")
     tk = F.regexp_extract_all(
         F.col("text"), F.lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), 0

@@ -125,6 +125,11 @@ _PRIORITY: tuple[str, ...] = (
     "avro_roundtrip_checksum",
     # (3) round-5-new queries that missed the 50-slot cut queue here —
     # first in line for round 6 (the local gate covers them meanwhile).
+    # Deliberate trade vs the never-sampled-first policy: the r4 verdict's
+    # done-criterion for THIS round is "every query registered at verdict
+    # time gets a current-fixture driver row" — displacing stale entries
+    # with these would break that; their never-sampled priority applies
+    # at the round-6 rotation instead.
     "media_sniff_prune",
     "mjpeg_frame_sample",
     "gif_frame_features",

@@ -77,7 +77,16 @@ def _default_warehouse_dir() -> str:
         import atexit
         import shutil
 
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        owner_pid = os.getpid()
+
+        def _cleanup() -> None:
+            # Fork guard: a forked child inherits this handler with the
+            # PARENT's path baked in — without the pid check the child's
+            # exit would delete the parent's live warehouse mid-run.
+            if os.getpid() == owner_pid:
+                shutil.rmtree(path, ignore_errors=True)
+
+        atexit.register(_cleanup)
         _CLEANUP_REGISTERED = True
     return path
 

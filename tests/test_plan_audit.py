@@ -219,8 +219,6 @@ def test_no_cartesian_products_anywhere(spark):
         "pagerank_near_dup",           # 1-row scale-params broadcast/round
         "pq_adc_topk",                 # constant codebook/dtable broadcasts
         "ivfpq_adc_topk",              # same + coarse-centroid broadcast
-        "referential_integrity_audit",  # per-edge 1-row count aggregates
-                                        # crossed into the report rows
         "token_bigram_lm",              # 1-row vocab-size (V) broadcast
     }
     for name in all_queries():
