@@ -564,3 +564,85 @@ def token_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+@query(
+    "ingest_drift_report",
+    oracle="""
+    WITH a AS (
+      SELECT source, count(*) AS n_a,
+             CAST(SUM(n_chars) AS BIGINT) AS chars_a
+      FROM documents WHERE doc_id % 10 <> 0 GROUP BY source
+    ),
+    b AS (
+      SELECT source, count(*) AS n_b,
+             CAST(SUM(n_chars) AS BIGINT) AS chars_b
+      FROM documents GROUP BY source
+    )
+    SELECT b.source,
+           coalesce(a.n_a, 0) AS n_prev,
+           b.n_b AS n_curr,
+           b.n_b - coalesce(a.n_a, 0) AS delta_docs,
+           CASE WHEN coalesce(a.n_a, 0) = 0 THEN NULL
+                ELSE round((b.n_b - a.n_a) * 100.0 / a.n_a, 9) END
+             AS growth_pct,
+           round(chars_b::DOUBLE / b.n_b, 9) AS mean_chars_curr,
+           CASE WHEN coalesce(a.n_a, 0) = 0 THEN NULL
+                ELSE round(chars_b::DOUBLE / b.n_b
+                           - chars_a::DOUBLE / a.n_a, 9) END
+             AS mean_chars_drift
+    FROM b LEFT JOIN a USING (source)
+    """,
+)
+def ingest_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot ingest drift (round 5) — the BETWEEN-runs twin of
+    curation_filter_funnel's within-run survival report, and the check a
+    daily pipeline runs before publishing: per source, document-count
+    and mean-length drift between the previous snapshot (simulated as
+    the doc_id%10<>0 subset — a deterministic 10% delta, so both drift
+    branches produce non-trivial values) and the current one. A source
+    appearing only in the current snapshot reports NULL drift columns
+    (the new-source signal) rather than dividing by zero. Exactness:
+    counts and char masses are integers; each reported rate is ONE
+    correctly-rounded IEEE division (or a difference of two), identical
+    cross-engine from identical integers, rounded at 9 dp.
+
+    Scale shape: two source-keyed aggregates (key space = #sources,
+    bounded) and a broadcast-sized join between them; in production the
+    'previous' side is yesterday's persisted manifest — a few rows per
+    source — so the daily drift gate costs one aggregate over today's
+    ingest plus a tiny join, never a scan of history."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    a = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_a"),
+            F.sum("n_chars").cast("long").alias("chars_a"),
+        )
+    )
+    b = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.sum("n_chars").cast("long").alias("chars_b"),
+    )
+    j = b.join(a, "source", "left")
+    n_prev = F.coalesce(F.col("n_a"), F.lit(0))
+    mean_curr = F.col("chars_b").cast("double") / F.col("n_b")
+    mean_prev = F.col("chars_a").cast("double") / F.col("n_a")
+    return j.select(
+        "source",
+        n_prev.alias("n_prev"),
+        F.col("n_b").alias("n_curr"),
+        (F.col("n_b") - n_prev).alias("delta_docs"),
+        F.when(
+            n_prev == 0, F.lit(None).cast("double")
+        ).otherwise(
+            F.round((F.col("n_b") - F.col("n_a")) * 100.0 / F.col("n_a"), 9)
+        ).alias("growth_pct"),
+        F.round(mean_curr, 9).alias("mean_chars_curr"),
+        F.when(n_prev == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(mean_curr - mean_prev, 9))
+        .alias("mean_chars_drift"),
+    )

@@ -156,6 +156,7 @@ _PRIORITY: tuple[str, ...] = (
     "image_ahash_dedup",
     "referential_integrity_audit",
     "token_bigram_lm",
+    "ingest_drift_report",
     # (4) everything r03/r04-green follows in registration order — the
     # full local gate (tools/check_correctness.py, all queries, every
     # session) re-verifies all of them meanwhile. test_entry_contract
