@@ -14,10 +14,12 @@ Design (the part that matters at 100 TB):
   JPEG decode for REAL (stdlib `wave` / pure struct parsing / zlib
   inflate + scanline unfiltering / Huffman + dequant + IDCT —
   decode_wav, decode_bmp, decode_png here, decode_jpeg in
-  functions/jpeg.py); only video-class codecs (needing ffmpeg, absent
-  here) remain STUBBED. The stubs are deterministic so the plumbing
-  (schema, partitioning, UDF signatures, batch shapes) is fully testable;
-  swap `_decode_image_stub` for a real decoder in production.
+  functions/jpeg.py), plus MJPEG-in-AVI and GIF in functions/video.py;
+  only ffmpeg-class video codecs (H.264 era, absent here) remain
+  STUBBED with deterministic fakes so the plumbing (schema,
+  partitioning, UDF signatures, batch shapes) stays testable.
+  `extract_image_features` dispatches on container magic bytes to the
+  REAL decoders — there is no pseudo-feature image path left.
 """
 
 from __future__ import annotations
@@ -68,40 +70,75 @@ def _attach_stub_media_meta(
     )
 
 
-def _decode_image_stub(payload: bytes) -> np.ndarray:
-    """STUB decoder: deterministic fake 8×8 grayscale "image" derived from
-    payload bytes. Production: PIL.Image.open(io.BytesIO(payload)).
-    Raises on empty payload like a real decoder would."""
+def _decode_image(payload: bytes) -> np.ndarray:
+    """REAL image decode, dispatched on container magic bytes to the
+    in-module/in-package codecs: BMP (decode_bmp), PNG (decode_png),
+    baseline JPEG (functions/jpeg.py). Raises ValueError on empty or
+    unrecognized payloads — callers route those to the dead-letter
+    split, never a task failure."""
     if not payload:
         raise ValueError("empty media payload")
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    reps = -(-64 // len(arr))  # ceil-div: tile payload to ≥64 bytes
-    return np.tile(arr, reps)[:64].reshape(8, 8)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from dataflowjavasdk_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    raise ValueError("unsupported image container (BMP/PNG/JPEG supported)")
+
+
+def _luma_plane(img: np.ndarray) -> np.ndarray:
+    """Rec.601 luma as float64: gray images pass through, RGB(A) mixes
+    the first three channels (same coefficients as extract_bmp_features)."""
+    if img.ndim == 2:
+        return img.astype(np.float64)
+    rgb = img[..., :3].astype(np.float64)
+    return 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+
+
+def _ahash_any_dims(luma: np.ndarray) -> int:
+    """Signed-int64 8x8 average-hash over an arbitrary-sized luma plane:
+    box-average into an 8x8 grid with floor boundaries (i*dim)//8 via
+    np.add.reduceat (cells of size <8 degrade to single-pixel cells),
+    threshold against the grid mean, fold row-major MSB-first.
+    Deterministic — float64 box means are computed in one fixed order.
+    For the exactness-critical dedup path use ahash64 (dims % 8 == 0,
+    dyadic-exact)."""
+    out = luma
+    for axis, dim in enumerate(luma.shape):
+        bounds = (np.arange(8) * dim) // 8
+        counts = np.maximum(np.diff(np.append(bounds, dim)), 1)
+        shape = [1, 1]
+        shape[axis] = 8
+        out = np.add.reduceat(out, bounds, axis=axis) / counts.reshape(shape)
+    bits = (out > out.mean()).astype(np.uint64).ravel()
+    val = int((bits << np.arange(63, -1, -1, dtype=np.uint64)).sum(dtype=np.uint64))
+    return val - (1 << 64) if val >= (1 << 63) else val
 
 
 def extract_image_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Decode + feature-extract via mapInPandas: per batch, decode each
-    payload (stub), emit (dims, mean luminance, perceptual-hash-ish
-    bits). The Spark-side shape — iterator of Arrow batches in, bounded
-    batches out, payload column dropped from the output — is the real
-    production plumbing."""
+    """REAL decode + feature-extract via mapInPandas: per Arrow batch,
+    sniff each payload's container magic, decode with the matching real
+    codec (BMP/PNG/baseline JPEG), emit dims, Rec.601 mean luma, and a
+    64-bit average-hash over the luma plane. Iterator of bounded batches
+    in/out; the payload column is dropped from the output so blobs never
+    travel past the decode stage."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             out = []
             for media_id, payload in zip(batch["media_id"], batch[payload_col]):
-                img = _decode_image_stub(bytes(payload))
-                mean = float(img.mean())
-                bits = (img.flatten() > img.mean()).astype(np.uint64)
-                phash = int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
-                phash = phash - (1 << 64) if phash >= (1 << 63) else phash
+                img = _decode_image(bytes(payload))
+                luma = _luma_plane(img)
                 out.append(
                     {
                         "media_id": media_id,
                         "width": img.shape[1],
                         "height": img.shape[0],
-                        "mean_luma": mean,
-                        "phash": phash,
+                        "mean_luma": float(luma.mean()),
+                        "phash": _ahash_any_dims(luma),
                     }
                 )
             yield pd.DataFrame(
@@ -792,6 +829,10 @@ def extract_mjpeg_features(
             out = []
             for media_id, payload in zip(batch["media_id"], batch[payload_col]):
                 raw = extract_mjpeg_frames(bytes(payload))
+                if not raw:
+                    # mirror decode_avi_mjpeg's clean rejection: a parseable
+                    # but frameless AVI is a decode error, not an IndexError
+                    raise ValueError("AVI contains no video frames")
                 sampled = [decode_jpeg(f) for f in raw[::every_nth]]
                 lumas = [
                     (fr if fr.ndim == 2 else fr[..., 0]).mean() for fr in sampled
@@ -862,6 +903,53 @@ def extract_gif_features(df: DataFrame, payload_col: str = "payload") -> DataFra
     return df.select("media_id", payload_col).mapInPandas(
         run, schema=GIF_FEATURES_SCHEMA
     )
+
+
+def extract_features_deadletter(
+    df: DataFrame,
+    per_payload,
+    feature_schema: str,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Dead-letter wrapper for any per-payload decode (the
+    ParDo.withOutputTags idiom applied to the multimodal decode budget):
+    per Arrow batch, run `per_payload(bytes) -> dict` on each row;
+    ValueErrors become DLQ rows (`error` set, feature columns NULL)
+    instead of task failures. Corrupt media in a 100 TB crawl is
+    routine — one bad GIF must cost one row, not a stage retry.
+    Output schema: media_id + `feature_schema` fields + error string."""
+    names = [c.split()[0] for c in feature_schema.split(",")]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", *names, "error"]
+        for batch in batches:
+            out = []
+            for media_id, payload in zip(batch["media_id"], batch[payload_col]):
+                row = {"media_id": media_id, "error": None}
+                row.update(dict.fromkeys(names))
+                try:
+                    row.update(per_payload(bytes(payload)))
+                except ValueError as exc:
+                    row["error"] = str(exc)
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", payload_col).mapInPandas(
+        run, schema=f"media_id long, {feature_schema}, error string"
+    )
+
+
+def image_features_payload(payload: bytes) -> dict:
+    """Per-payload twin of extract_image_features for the dead-letter
+    wrapper: sniff + real decode + dims/luma/ahash."""
+    img = _decode_image(payload)
+    luma = _luma_plane(img)
+    return {
+        "width": img.shape[1],
+        "height": img.shape[0],
+        "mean_luma": float(luma.mean()),
+        "phash": _ahash_any_dims(luma),
+    }
 
 
 def _le_int(payload_col: str, offset: int, nbytes: int):

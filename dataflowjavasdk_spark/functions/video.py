@@ -267,7 +267,10 @@ def decode_gif(payload: bytes) -> tuple[np.ndarray, list[np.ndarray]]:
     (n, 3) uint8 RGB, [frame index arrays (h, w) uint8])."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
-    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    try:
+        w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    except struct.error as exc:
+        raise ValueError("truncated GIF payload") from exc
     pos = 13
     if not flags & 0x80:
         raise ValueError("GIF without a global palette unsupported")
@@ -276,38 +279,51 @@ def decode_gif(payload: bytes) -> tuple[np.ndarray, list[np.ndarray]]:
         payload, dtype=np.uint8, count=gct_size * 3, offset=pos
     ).reshape(gct_size, 3)
     pos += gct_size * 3
+    if len(payload) < pos:
+        raise ValueError("truncated GIF payload")
     frames: list[np.ndarray] = []
-    while pos < len(payload):
-        block = payload[pos]
-        pos += 1
-        if block == 0x3B:  # trailer
-            break
-        if block == 0x21:  # extension: label + sub-blocks
+    # bounds-checked walk: every byte/struct read below re-raises a
+    # uniform ValueError on truncation (module rejection convention —
+    # corrupt payloads must surface as diagnosable decode errors the
+    # dead-letter split can catch, never raw IndexError task failures)
+    try:
+        while pos < len(payload):
+            block = payload[pos]
             pos += 1
-            while payload[pos] != 0:
-                pos += 1 + payload[pos]
-            pos += 1
-        elif block == 0x2C:  # image descriptor
-            ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos)
-            pos += 9
-            if iflags & 0x40:
-                raise ValueError("interlaced GIF unsupported")
-            if iflags & 0x80:
-                raise ValueError("local palettes unsupported")
-            if (ix, iy, iw, ih) != (0, 0, w, h):
-                raise ValueError("partial-canvas GIF frames unsupported")
-            min_code = payload[pos]
-            pos += 1
-            data = bytearray()
-            while payload[pos] != 0:
-                n = payload[pos]
-                data += payload[pos + 1 : pos + 1 + n]
-                pos += 1 + n
-            pos += 1
-            idx = _lzw_decode(bytes(data), min_code, w * h)
-            frames.append(np.frombuffer(idx, dtype=np.uint8).reshape(h, w))
-        else:
-            raise ValueError(f"unknown GIF block 0x{block:02x}")
+            if block == 0x3B:  # trailer
+                break
+            if block == 0x21:  # extension: label + sub-blocks
+                pos += 1
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            elif block == 0x2C:  # image descriptor
+                ix, iy, iw, ih, iflags = struct.unpack_from(
+                    "<HHHHB", payload, pos
+                )
+                pos += 9
+                if iflags & 0x40:
+                    raise ValueError("interlaced GIF unsupported")
+                if iflags & 0x80:
+                    raise ValueError("local palettes unsupported")
+                if (ix, iy, iw, ih) != (0, 0, w, h):
+                    raise ValueError("partial-canvas GIF frames unsupported")
+                min_code = payload[pos]
+                pos += 1
+                data = bytearray()
+                while payload[pos] != 0:
+                    n = payload[pos]
+                    if pos + 1 + n > len(payload):
+                        raise ValueError("truncated GIF payload")
+                    data += payload[pos + 1 : pos + 1 + n]
+                    pos += 1 + n
+                pos += 1
+                idx = _lzw_decode(bytes(data), min_code, w * h)
+                frames.append(np.frombuffer(idx, dtype=np.uint8).reshape(h, w))
+            else:
+                raise ValueError(f"unknown GIF block 0x{block:02x}")
+    except (IndexError, struct.error) as exc:
+        raise ValueError("truncated GIF payload") from exc
     if not frames:
         raise ValueError("GIF contains no image frames")
     return palette, frames

@@ -763,6 +763,48 @@ def event_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fk_audit_edge(
+    name: str, child: DataFrame, key: str, parent: DataFrame, pkey: str
+) -> DataFrame:
+    """One FK-conformance edge, safe under NON-UNIQUE parent keys: the
+    parent is grouped by key first (one row per key value), so the
+    child's left-outer join can never inflate n_child via join
+    multiplicity; the grouped relation also yields n_parent_dups (key
+    values appearing more than once) as a finding in its own right.
+    ONE left-outer pass over the child yields both child counts — a
+    separate count aggregate beside an anti-join would scan the child
+    twice; at 100 TB that doubles the lineitem read for no information
+    gain. The 1-row dup count attaches via broadcast cross join."""
+    pk = parent.groupBy(pkey).agg(F.count(F.lit(1)).alias("pk_n"))
+    pk = pk.localCheckpoint(eager=False)  # one parent scan feeds both uses
+    dups = pk.agg(
+        F.sum(F.when(F.col("pk_n") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_parent_dups")
+    )
+    joined = child.join(pk, child[key] == pk[pkey], "left_outer")
+    return (
+        joined.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.when(pk[pkey].isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        )
+        .crossJoin(F.broadcast(dups))
+        .select(
+            F.lit(name).alias("fk_edge"),
+            "n_child",
+            "n_orphans",
+            "n_parent_dups",
+            F.round(
+                F.col("n_orphans").cast("double")
+                / F.col("n_child").cast("double"),
+                9,
+            ).alias("orphan_share"),
+        )
+    )
+
+
 @query(
     "referential_integrity_audit",
     oracle="""
@@ -772,26 +814,47 @@ def event_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE o_custkey END AS o_custkey
       FROM orders
     ),
+    dup_customer AS (
+      SELECT c_custkey FROM customer
+      UNION ALL
+      SELECT c_custkey FROM customer WHERE c_custkey % 53 = 0
+    ),
     edges AS (
       SELECT 'lineitem.l_orderkey -> orders' AS fk_edge,
              (SELECT count(*) FROM lineitem) AS n_child,
              (SELECT count(*) FROM lineitem l
               WHERE NOT EXISTS (SELECT 1 FROM orders o
-                                WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+                                WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+             (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+                                    GROUP BY 1 HAVING count(*) > 1) t)
+               AS n_parent_dups
       UNION ALL
       SELECT 'orders.o_custkey -> customer (corrupted ingest)',
              (SELECT count(*) FROM corrupted_orders),
              (SELECT count(*) FROM corrupted_orders o
               WHERE NOT EXISTS (SELECT 1 FROM customer c
-                                WHERE c.c_custkey = o.o_custkey))
+                                WHERE c.c_custkey = o.o_custkey)),
+             (SELECT count(*) FROM (SELECT c_custkey FROM customer
+                                    GROUP BY 1 HAVING count(*) > 1) t)
       UNION ALL
       SELECT 'events.user_id -> customer',
              (SELECT count(*) FROM events),
              (SELECT count(*) FROM events e
               WHERE NOT EXISTS (SELECT 1 FROM customer c
-                                WHERE c.c_custkey = e.user_id))
+                                WHERE c.c_custkey = e.user_id)),
+             (SELECT count(*) FROM (SELECT c_custkey FROM customer
+                                    GROUP BY 1 HAVING count(*) > 1) t)
+      UNION ALL
+      SELECT 'orders.o_custkey -> customer (dup-injected parent)',
+             (SELECT count(*) FROM orders),
+             (SELECT count(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM dup_customer c
+                                WHERE c.c_custkey = o.o_custkey)),
+             (SELECT count(*) FROM (SELECT c_custkey FROM dup_customer
+                                    GROUP BY 1 HAVING count(*) > 1) t)
     )
     SELECT fk_edge, n_child, CAST(n_orphans AS BIGINT) AS n_orphans,
+           CAST(n_parent_dups AS BIGINT) AS n_parent_dups,
            round(n_orphans::DOUBLE / n_child::DOUBLE, 9) AS orphan_share
     FROM edges
     """,
@@ -806,14 +869,20 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     CORRUPTED ingest (every 97th order's custkey shifted out of range,
     the dup-injection convention), so the nonzero branch of the
     operator is value-oracled too — an audit that can only ever print
-    zeros is untested by construction.
+    zeros is untested by construction. The fourth edge audits against a
+    DUP-INJECTED parent (every 53rd customer key repeated): it proves
+    the audit counts stay exact when the parent key is NOT unique —
+    n_child must equal count(child), never the join multiplicity — and
+    exercises the nonzero branch of n_parent_dups, the new column that
+    reports parent-side uniqueness violations as findings of their own.
 
-    Scale shape: each edge is one LEFT ANTI join counted — the parent
-    side is key-projected (a few bytes per row; customer/orders keys
-    broadcast at toy scale, co-partitioned sort-merge at 100 TB where
-    AQE decides), the child side streams map-side, and only 1-row
-    counts reach the union. This is the nightly conformance gate a
-    warehouse runs between ingest and publish."""
+    Scale shape: each edge is one parent groupBy(pkey) (key bytes only —
+    this is what makes non-unique parents safe: the child joins the
+    GROUPED key relation, one row per key) + one left-outer pass over
+    the child yielding both counts; the parent-dup count is a 1-row
+    aggregate over the grouped relation, attached via broadcast. Only
+    1-row relations reach the union. This is the nightly conformance
+    gate a warehouse runs between ingest and publish."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
     od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cu = load_table(spark, sf_dir, "customer").select("c_custkey")
@@ -826,39 +895,26 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("o_custkey"))
         .alias("o_custkey"),
     )
+    dup_cu = cu.unionByName(cu.filter(F.col("c_custkey") % 53 == 0))
 
-    def edge(name: str, child: DataFrame, key, parent: DataFrame, pkey) -> DataFrame:
-        # ONE left-outer pass yields both counts (total + parentless):
-        # a separate count aggregate beside an anti-join would scan the
-        # child relation twice — at 100 TB that doubles the lineitem
-        # read for no information gain.
-        joined = child.join(parent, child[key] == parent[pkey], "left_outer")
-        return joined.agg(
-            F.count(F.lit(1)).alias("n_child"),
-            F.sum(F.when(parent[pkey].isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("n_orphans"),
-        ).select(
-            F.lit(name).alias("fk_edge"),
-            "n_child",
-            "n_orphans",
-            F.round(
-                F.col("n_orphans").cast("double")
-                / F.col("n_child").cast("double"),
-                9,
-            ).alias("orphan_share"),
-        )
-
-    out = edge(
+    out = fk_audit_edge(
         "lineitem.l_orderkey -> orders", li, "l_orderkey",
         od.select("o_orderkey"), "o_orderkey",
     )
     out = out.unionByName(
-        edge(
+        fk_audit_edge(
             "orders.o_custkey -> customer (corrupted ingest)",
             corrupted.select("o_custkey"), "o_custkey", cu, "c_custkey",
         )
     )
+    out = out.unionByName(
+        fk_audit_edge(
+            "events.user_id -> customer", ev, "user_id", cu, "c_custkey"
+        )
+    )
     return out.unionByName(
-        edge("events.user_id -> customer", ev, "user_id", cu, "c_custkey")
+        fk_audit_edge(
+            "orders.o_custkey -> customer (dup-injected parent)",
+            od.select("o_custkey"), "o_custkey", dup_cu, "c_custkey",
+        )
     )

@@ -403,15 +403,17 @@ def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
+    # top-10 via orderBy+limit (TakeOrderedAndProject's bounded per-task
+    # heap + driver merge), NOT an unpartitioned row_number window — the
+    # window form plans a single-partition sort over the whole O(nodes)
+    # rank relation, which grows with the corpus. The rank index is
+    # derived AFTER the limit: a window over 10 rows is free.
+    top = ranks.orderBy(F.col("rank").desc(), F.col("node")).limit(10)
     w = W.orderBy(F.col("rank").desc(), F.col("node"))
-    return (
-        ranks.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 10)
-        .select(
-            F.col("node").alias("doc_id"),
-            F.col("rank").cast("long").alias("rank_scaled"),
-            "rk",
-        )
+    return top.select(
+        F.col("node").alias("doc_id"),
+        F.col("rank").cast("long").alias("rank_scaled"),
+        F.row_number().over(w).cast("long").alias("rk"),
     )
 
 

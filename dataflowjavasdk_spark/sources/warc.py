@@ -34,6 +34,7 @@ import gzip
 import io
 import os
 import re
+import shutil
 from collections.abc import Iterator
 from html.parser import HTMLParser
 
@@ -193,6 +194,11 @@ def write_warc(df, path: str, with_requests: bool = True) -> int:
         os.replace(
             row["shard"], os.path.join(path, os.path.basename(row["shard"]))
         )
+    # FileBasedSink finalize: drop the staging dir so failed/retried task
+    # attempts can't accumulate orphaned .inprogress files across appends
+    # (read_warc globs only top-level *.warc.gz, so this is hygiene, not
+    # correctness).
+    shutil.rmtree(tmp, ignore_errors=True)
     return len(manifest)
 
 
@@ -242,16 +248,22 @@ class _TextExtractor(HTMLParser):
             self.parts.append(data)
 
 
-_WS = re.compile(r"\s+")
+# ASCII class, not \s: the oracle twin collapses with DuckDB/RE2
+# regexp_replace('\s+') which is ASCII-only — unicode whitespace (NBSP,
+#  , ...) must survive in BOTH engines or the value hash diverges.
+_WS = re.compile(r"[ \t\n\r\f\v]+")
 
 
 def extract_html_text(html: str) -> str:
     """HTML → visible text: script/style dropped, entities resolved, tag
-    boundaries become spaces, whitespace collapsed, ends trimmed."""
+    boundaries become spaces, ASCII whitespace collapsed, ends trimmed."""
     p = _TextExtractor()
     p.feed(html)
     p.close()
-    return _WS.sub(" ", "".join(p.parts)).strip()
+    # strip(" ") not strip(): after the ASCII collapse the ends hold at
+    # most a plain ' ', and DuckDB's trim() removes only spaces — a
+    # unicode-aware strip would diverge on text ending in NBSP etc.
+    return _WS.sub(" ", "".join(p.parts)).strip(" ")
 
 
 def with_extracted_text(df, html_col: str = "html"):

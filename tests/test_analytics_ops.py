@@ -102,3 +102,28 @@ def test_table_profile_matches_direct_counts(spark):
     assert row["null_totalprice"] == 0
     assert row["nonpositive_prices"] == 0
     assert 0 < row["min_price"] <= row["max_price"]
+
+
+def test_fk_audit_edge_nonunique_parent_exact_counts(spark):
+    """The silent-miscount regression the FK audit exists to catch: a
+    parent with DUPLICATED keys must not inflate n_child through join
+    multiplicity, and the dup shows up as n_parent_dups."""
+    from dataflowjavasdk_spark.queries.analytics import fk_audit_edge
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (99,)], "k long"
+    )
+    # parent key 1 appears 3x, key 2 twice, key 3 once; 99 missing
+    parent = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (2,), (3,)], "p long"
+    )
+    row = fk_audit_edge("child.k -> parent", child, "k", parent, "p").collect()[0]
+    assert row["n_child"] == 5          # NOT 3*2 + 2 + 1 + 1 = 10
+    assert row["n_orphans"] == 1        # only 99
+    assert row["n_parent_dups"] == 2    # keys 1 and 2
+    assert abs(row["orphan_share"] - 0.2) < 1e-12
+
+    # unique-parent negative control: dups report 0
+    uniq = spark.createDataFrame([(1,), (2,), (3,)], "p long")
+    row = fk_audit_edge("e", child, "k", uniq, "p").collect()[0]
+    assert (row["n_child"], row["n_orphans"], row["n_parent_dups"]) == (5, 1, 0)

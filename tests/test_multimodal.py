@@ -30,22 +30,59 @@ def test_metadata_filter_without_payload(media):
     assert small.count() > 0
 
 
-def test_image_feature_extraction_batch_shape(media):
-    feats = M.extract_image_features(media)
-    rows = feats.collect()
-    assert len(rows) == 20
-    for r in rows:
-        assert r["width"] == 8 and r["height"] == 8
-        assert 0.0 <= r["mean_luma"] <= 255.0
-    # deterministic stub: same payload → same phash
-    again = {r["media_id"]: r["phash"] for r in M.extract_image_features(media).collect()}
-    first = {r["media_id"]: r["phash"] for r in rows}
-    assert again == first
+def test_image_feature_extraction_real_decode(spark):
+    """extract_image_features sniffs container magic and REAL-decodes:
+    a BMP, a PNG, and a JPEG in one batch, each through its own codec;
+    features match numpy ground truth on the decoded pixels."""
+    import numpy as np
+
+    from dataflowjavasdk_spark.functions.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(11)
+    bmp_px = rng.integers(0, 256, size=(6, 10, 3), dtype=np.uint8)
+    png_px = rng.integers(0, 256, size=(5, 7), dtype=np.uint8)  # gray
+    jpg_px = np.full((16, 16), 128, dtype=np.uint8)  # flat gray block
+    rows = [
+        (1, bytearray(M.encode_bmp(bmp_px))),
+        (2, bytearray(M.encode_png(png_px))),
+        (3, bytearray(encode_jpeg(jpg_px))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in M.extract_image_features(df).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (10, 6)
+    rgb = bmp_px.astype(np.float64)
+    luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    assert abs(got[1]["mean_luma"] - luma.mean()) < 1e-9
+    assert (got[2]["width"], got[2]["height"]) == (7, 5)
+    assert abs(got[2]["mean_luma"] - png_px.astype(np.float64).mean()) < 1e-9
+    assert (got[3]["width"], got[3]["height"]) == (16, 16)
+    assert abs(got[3]["mean_luma"] - 128.0) < 2.0  # lossy codec tolerance
+    # deterministic: same payloads → same phash
+    again = {r["media_id"]: r["phash"] for r in M.extract_image_features(df).collect()}
+    assert again == {k: v["phash"] for k, v in got.items()}
 
 
-def test_decode_stub_raises_on_empty(spark):
-    with pytest.raises(ValueError):
-        M._decode_image_stub(b"")
+def test_image_decode_rejects_empty_and_unknown():
+    with pytest.raises(ValueError, match="empty"):
+        M._decode_image(b"")
+    with pytest.raises(ValueError, match="unsupported image container"):
+        M._decode_image(b"\x00\x01\x02not-an-image")
+
+
+def test_ahash_any_dims_matches_exact_path():
+    """On dims divisible by 8 the generic box-average hash must agree
+    bit-for-bit with ahash64's exact dyadic kernel."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    hi, lo = M.ahash64(img)
+    folded = (hi << 32) | lo
+    folded = folded - (1 << 64) if folded >= (1 << 63) else folded
+    assert M._ahash_any_dims(img.astype(np.float64)) == folded
+    # non-multiple-of-8 and tiny dims still hash deterministically
+    small = rng.integers(0, 256, size=(5, 3), dtype=np.uint8).astype(np.float64)
+    assert M._ahash_any_dims(small) == M._ahash_any_dims(small.copy())
 
 
 def test_frame_sampling_fanout(media):
@@ -714,9 +751,15 @@ def test_gif_roundtrip_and_rejections():
     bad[desc + 9] |= 0x40
     with pytest.raises(ValueError, match="interlaced"):
         decode_gif(bytes(bad))
-    # truncate mid-LZW: drop the trailer and final sub-blocks
-    with pytest.raises((ValueError, IndexError)):
+    # truncate mid-LZW: drop the trailer and final sub-blocks — uniform
+    # ValueError rejection (module convention), never a raw IndexError
+    with pytest.raises(ValueError, match="truncated GIF"):
         decode_gif(bytes(good[:-6]))
+    # truncate inside the header / palette
+    with pytest.raises(ValueError, match="truncated GIF"):
+        decode_gif(b"GIF89a\x0b\x00")
+    with pytest.raises(ValueError, match="truncated GIF"):
+        decode_gif(bytes(good[: good.index(0x2C) + 2]))
     # declared size mismatch: shrink logical height after encoding
     bad2 = bytearray(good)
     bad2[8] = 5  # canvas height 11 -> 5; frame descriptor disagrees
@@ -877,3 +920,85 @@ def test_ahash_brightness_and_contrast_invariance():
     assert ahash64(grad(2, 1, 10)) != base          # direction-sensitive
     with pytest.raises(ValueError):
         ahash64(np.zeros((12, 16), np.uint8))
+
+
+def test_decode_deadletter_split_corrupt_media(spark):
+    """Adversarial payloads per codec family, driven through the
+    mapInPandas dead-letter wrapper: a truncated-LZW GIF, an AVI whose
+    00dc chunk is not JPEG, and a frameless-but-parseable AVI must each
+    land in the DLQ branch with a diagnosable error — never a task
+    failure — while good rows in the SAME Arrow batch still decode."""
+    import numpy as np
+
+    from dataflowjavasdk_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from dataflowjavasdk_spark.functions.video import (
+        decode_avi_mjpeg,
+        decode_gif,
+        encode_avi_mjpeg,
+        encode_gif,
+    )
+
+    good_gif = encode_gif(
+        [np.arange(64, dtype=np.uint8).reshape(8, 8) % 4], [(0, 0, 0)] * 4
+    )
+    bad_gif = good_gif[:-6]  # drop trailer + final sub-block bytes
+    jpg = encode_jpeg(np.full((8, 8), 77, dtype=np.uint8))
+    good_avi = encode_avi_mjpeg([jpg], 8, 8)
+    bad_avi = good_avi.replace(jpg, b"\x00" * len(jpg))  # non-JPEG 00dc
+    # direct decoder contracts first
+    with pytest.raises(ValueError, match="truncated GIF"):
+        decode_gif(bad_gif)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_avi_mjpeg(bad_avi)
+
+    def gif_mean(payload: bytes) -> dict:
+        _pal, frames = decode_gif(payload)
+        return {"feat": float(frames[0].mean())}
+
+    def mjpeg_mean(payload: bytes) -> dict:
+        frames = decode_avi_mjpeg(payload)
+        return {"feat": float(frames[0].mean())}
+
+    rows = [(1, bytearray(good_gif)), (2, bytearray(bad_gif))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["media_id"]: r
+        for r in M.extract_features_deadletter(df, gif_mean, "feat double").collect()
+    }
+    assert got[1]["error"] is None and got[1]["feat"] is not None
+    assert "truncated GIF" in got[2]["error"] and got[2]["feat"] is None
+
+    rows = [(3, bytearray(good_avi)), (4, bytearray(bad_avi))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["media_id"]: r
+        for r in M.extract_features_deadletter(df, mjpeg_mean, "feat double").collect()
+    }
+    assert got[3]["error"] is None and abs(got[3]["feat"] - 77.0) < 1e-9
+    assert "SOI" in got[4]["error"] and got[4]["feat"] is None
+
+
+def test_mjpeg_features_reject_frameless_avi(spark):
+    """A parseable AVI with zero video frames: extract_mjpeg_features
+    must raise the clean ValueError (not IndexError), and the
+    dead-letter wrapper must route it, not die."""
+    import struct as _struct
+
+    from dataflowjavasdk_spark.functions import multimodal as MM
+
+    body = b"AVI " + b"LIST" + _struct.pack("<I", 4) + b"movi"
+    frameless = b"RIFF" + _struct.pack("<I", len(body)) + body
+    df = spark.createDataFrame(
+        [(9, bytearray(frameless))], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="no video frames"):
+        MM.extract_mjpeg_features(df).collect()
+
+    def feats(payload: bytes) -> dict:
+        from dataflowjavasdk_spark.functions.video import decode_avi_mjpeg
+
+        frames = decode_avi_mjpeg(payload)
+        return {"n": len(frames)}
+
+    got = M.extract_features_deadletter(df, feats, "n long").collect()[0]
+    assert "no video frames" in got["error"] and got["n"] is None

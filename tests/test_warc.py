@@ -71,6 +71,11 @@ def test_extract_html_text_semantics():
     assert extract_html_text("") == ""
     # nested script inside skipped subtree stays skipped
     assert extract_html_text("<script>a<style>b</style>c</script>d") == "d"
+    # unicode whitespace survives: the oracle twin collapses with
+    # DuckDB/RE2 '\s+' (ASCII-only), so the Python side must not be
+    # unicode-aware — NBSP inside and U+2028 at the end both preserved
+    assert extract_html_text("<p>a\u00a0b</p>") == "a\u00a0b"
+    assert extract_html_text("<p>c\u2028</p>") == "c\u2028"
 
 
 def test_spark_write_read_roundtrip(spark, tmp_path):
