@@ -905,6 +905,87 @@ def extract_gif_features(df: DataFrame, payload_col: str = "payload") -> DataFra
     )
 
 
+CURATION_FEATURES_SCHEMA = (
+    "media_id long, media_type string, units long, mean_pix double, rate int"
+)
+
+
+def curate_media_features(sniffed: DataFrame) -> DataFrame:
+    """The multimodal curation core — route → decode → quality-gate —
+    as a SOURCE-AGNOSTIC composition (the unified-model promise: the
+    same code runs on a bounded DataFrame and on a streaming drop-dir,
+    tests/test_streaming.py drives the unbounded twin). Input columns:
+    media_id, payload, media_type (from sniff_media_meta). Output: one
+    feature row per media item plus the boolean `kept` gate — images
+    keep >= 8 decoded pixels, audio keeps non-empty clips at >= 8100 Hz.
+    Callers aggregate (batch: plain groupBy; streaming: update-mode
+    groupBy) — aggregation stays outside so the composition itself has
+    NO shuffle and blobs never leave their input partition."""
+    from collections.abc import Iterator as _Iterator
+
+    def decode_images(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        from dataflowjavasdk_spark.functions.jpeg import decode_jpeg
+
+        for pdf in batches:
+            out = []
+            for media_id, payload, mtype in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                raw = bytes(payload)
+                if raw[:8] == b"\x89PNG\r\n\x1a\n":
+                    img = decode_png(raw)
+                elif raw[:2] == b"BM":
+                    img = decode_bmp(raw)
+                else:
+                    img = decode_jpeg(raw)
+                out.append(
+                    {
+                        "media_id": media_id,
+                        "media_type": mtype,
+                        "units": int(img.shape[0] * img.shape[1]),
+                        "mean_pix": float(img.astype("float64").mean()),
+                        "rate": None,
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "media_type", "units", "mean_pix", "rate"],
+            )
+
+    def decode_audio(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload, mtype in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                rate, _nch, pcm = decode_wav(bytes(payload))
+                out.append(
+                    {
+                        "media_id": media_id,
+                        "media_type": mtype,
+                        "units": int(pcm.shape[0]),
+                        "mean_pix": None,
+                        "rate": int(rate),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "media_type", "units", "mean_pix", "rate"],
+            )
+
+    images = sniffed.filter(
+        F.col("media_type").startswith("image/")
+    ).mapInPandas(decode_images, schema=CURATION_FEATURES_SCHEMA)
+    audio = sniffed.filter(F.col("media_type") == "audio/wav").mapInPandas(
+        decode_audio, schema=CURATION_FEATURES_SCHEMA
+    )
+    feats = images.unionByName(audio)
+    kept = F.when(
+        F.col("media_type").startswith("image/"), F.col("units") >= 8
+    ).otherwise((F.col("units") > 0) & (F.col("rate") >= 8100))
+    return feats.withColumn("kept", kept)
+
+
 def extract_features_deadletter(
     df: DataFrame,
     per_payload,

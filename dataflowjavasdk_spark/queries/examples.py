@@ -2566,87 +2566,22 @@ def multimodal_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     branches carry 4-column feature rows). At 100 TB this is the
     ingest-curation topology: sniff once, route, decode per format at
     scan parallelism, and only survival stats + checksums ever reach a
-    shuffle."""
-    from collections.abc import Iterator as _Iterator
-
-    import pandas as _pd
-
-    from dataflowjavasdk_spark.functions.multimodal import sniff_media_meta
+    shuffle. The route→decode→gate core is the shared, source-agnostic
+    curate_media_features (functions/multimodal.py) — the SAME code
+    runs unbounded on a media drop-dir (streaming/core.read_stream_media;
+    pane-sequence test in tests/test_streaming.py), the unified-model
+    promise made concrete for the flagship."""
+    from dataflowjavasdk_spark.functions.multimodal import (
+        curate_media_features,
+        sniff_media_meta,
+    )
 
     media = _mixed_media_corpus(spark, sf_dir)
     sniffed = sniff_media_meta(media).select(
         "media_id", "payload", F.col("meta.media_type").alias("media_type")
     )
-
-    def decode_images(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
-        from dataflowjavasdk_spark.functions.jpeg import decode_jpeg
-        from dataflowjavasdk_spark.functions.multimodal import (
-            decode_bmp,
-            decode_png,
-        )
-
-        for pdf in batches:
-            out = []
-            for media_id, payload, mtype in zip(
-                pdf["media_id"], pdf["payload"], pdf["media_type"]
-            ):
-                raw = bytes(payload)
-                if raw[:8] == b"\x89PNG\r\n\x1a\n":
-                    img = decode_png(raw)
-                elif raw[:2] == b"BM":
-                    img = decode_bmp(raw)
-                else:
-                    img = decode_jpeg(raw)
-                out.append(
-                    {
-                        "media_id": media_id,
-                        "media_type": mtype,
-                        "units": int(img.shape[0] * img.shape[1]),
-                        "mean_pix": float(img.astype("float64").mean()),
-                        "rate": None,
-                    }
-                )
-            yield _pd.DataFrame(
-                out, columns=["media_id", "media_type", "units", "mean_pix", "rate"]
-            )
-
-    def decode_audio(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
-        from dataflowjavasdk_spark.functions.multimodal import decode_wav
-
-        for pdf in batches:
-            out = []
-            for media_id, payload, mtype in zip(
-                pdf["media_id"], pdf["payload"], pdf["media_type"]
-            ):
-                rate, _nch, pcm = decode_wav(bytes(payload))
-                out.append(
-                    {
-                        "media_id": media_id,
-                        "media_type": mtype,
-                        "units": int(pcm.shape[0]),
-                        "mean_pix": None,
-                        "rate": int(rate),
-                    }
-                )
-            yield _pd.DataFrame(
-                out, columns=["media_id", "media_type", "units", "mean_pix", "rate"]
-            )
-
-    feat_schema = (
-        "media_id long, media_type string, units long, "
-        "mean_pix double, rate int"
-    )
-    images = sniffed.filter(F.col("media_type").startswith("image/")).mapInPandas(
-        decode_images, schema=feat_schema
-    )
-    audio = sniffed.filter(F.col("media_type") == "audio/wav").mapInPandas(
-        decode_audio, schema=feat_schema
-    )
-    feats = images.unionByName(audio)
-    kept = F.when(
-        F.col("media_type").startswith("image/"), F.col("units") >= 8
-    ).otherwise((F.col("units") > 0) & (F.col("rate") >= 8100))
-    return feats.withColumn("kept", kept).groupBy("media_type").agg(
+    feats = curate_media_features(sniffed)
+    return feats.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n_total"),
         F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
         F.sum(F.when(F.col("kept"), F.col("units"))).cast("long").alias(

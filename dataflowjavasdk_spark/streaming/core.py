@@ -130,6 +130,41 @@ def read_stream_avro(
     return files.mapInPandas(decode, schema=spark_schema)
 
 
+def read_stream_media(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.bin",
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Unbounded media drop-dir — the streaming ingest leg of the
+    multimodal curation flagship: each file landed in `path` is ONE
+    opaque payload row (binaryFile source; media_id recovered from the
+    filename's digits, the PubsubIO idLabel analog). Downstream is the
+    exact batch topology: sniff_media_meta (pure JVM header sniff) →
+    curate_media_features (route → decode → gate) → update-mode
+    aggregation; blobs never shuffle — a micro-batch decodes its own
+    files at scan parallelism and only feature rows leave Python."""
+    from pyspark.sql import functions as F
+
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path).select(
+        F.regexp_extract(
+            F.element_at(F.split(F.col("path"), "/"), -1), r"(\d+)", 1
+        )
+        .cast("long")
+        .alias("media_id"),
+        F.col("content").alias("payload"),
+    )
+
+
 def read_stream_warc(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = 1
 ) -> DataFrame:

@@ -864,3 +864,126 @@ def test_streaming_calendar_windows_update_mode(spark, harness):
     out2 = harness.run_round(build, output_mode="update")
     got2 = {(str(r["ws"]), r["key"]): r["count"] for r in out2}
     assert got2 == {("2024-01-01 08:00:00", "a"): 2}
+
+
+def test_media_stream_curation_pane_sequence(spark, tmp_path):
+    """The flagship's streaming twin: media files land in a drop-dir,
+    each availableNow round runs sniff → route → decode → gate →
+    update-mode per-type aggregation against ONE checkpoint. Panes must
+    refine cumulatively across rounds (update-mode state survives
+    restarts), and the final counts must equal the batch flagship core
+    run over the same payloads — the unified-model contract."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dataflowjavasdk_spark.functions.jpeg import encode_jpeg
+    from dataflowjavasdk_spark.functions.multimodal import (
+        curate_media_features,
+        encode_bmp,
+        encode_png,
+        sniff_media_meta,
+    )
+    from dataflowjavasdk_spark.streaming import core as SC
+
+    def wav_bytes(rate, n):
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(b"\x01\x00" * n)
+        return buf.getvalue()
+
+    payloads = {
+        1: encode_png(np.zeros((4, 4), dtype=np.uint8)),        # kept (16 px)
+        2: encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8)),     # dropped (4 px)
+        3: encode_jpeg(np.full((8, 8), 60, dtype=np.uint8)),    # kept (64 px)
+        4: wav_bytes(8000, 5),                                  # dropped (rate)
+        5: wav_bytes(44100, 7),                                 # kept
+        6: encode_png(np.zeros((3, 3), dtype=np.uint8)),        # kept (9 px)
+    }
+    d = tmp_path / "media_drop"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(ids):
+        for i in ids:
+            (d / f"media-{i:04d}.bin").write_bytes(payloads[i])
+
+    def build_agg():
+        stream = SC.read_stream_media(spark, str(d))
+        sniffed = sniff_media_meta(stream).select(
+            "media_id", "payload", F.col("meta.media_type").alias("media_type")
+        )
+        return (
+            curate_media_features(sniffed)
+            .groupBy("media_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_total"),
+                F.sum(F.when(F.col("kept"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_kept"),
+            )
+        )
+
+    def run_round():
+        panes = []
+
+        def sink(batch_df, batch_id):
+            panes.extend(
+                (r["media_type"], r["n_total"], r["n_kept"])
+                for r in batch_df.collect()
+            )
+
+        q = (
+            build_agg()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        # latest pane per type this round
+        return {t: (n, k) for t, n, k in panes}
+
+    land([1, 2, 4])
+    out1 = run_round()
+    assert out1["image/png"] == (1, 1)
+    assert out1["image/bmp"] == (1, 0)
+    assert out1["audio/wav"] == (1, 0)
+    # round 2: new files REFINE the same keys (update-mode state held
+    # across the restart) and add a new key
+    land([3, 5, 6])
+    out2 = run_round()
+    assert out2["image/png"] == (2, 2)
+    assert out2["image/jpeg"] == (1, 1)
+    assert out2["audio/wav"] == (2, 1)
+    assert "image/bmp" not in out2  # unchanged key emits no update pane
+
+    # unified-model contract: batch core over the same payloads agrees
+    batch_media = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in payloads.items()],
+        "media_id long, payload binary",
+    )
+    sniffed = sniff_media_meta(batch_media).select(
+        "media_id", "payload", F.col("meta.media_type").alias("media_type")
+    )
+    batch = {
+        r["media_type"]: (r["n_total"], r["n_kept"])
+        for r in curate_media_features(sniffed)
+        .groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .collect()
+    }
+    final = dict(out1)
+    final.update(out2)
+    assert batch == final
