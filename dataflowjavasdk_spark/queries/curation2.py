@@ -787,57 +787,94 @@ def _bpe_vocab_tok(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
 
 
+def _bpe_step(
+    tok: DataFrame, step: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One BPE merge round over the pinned vocab relation: count adjacent
+    pairs weighted by word frequency, take the deterministic argmax
+    (count desc, then lexicographic — the cross-engine tiebreak), apply
+    the merge via a broadcast 1-row join. Returns (best [1-row: lhs,
+    rhs, cnt], report row, merged tok relation)."""
+    s = F.split(F.trim(F.col("tok")), " ")
+    pairs = tok.select(
+        "c",
+        F.explode(
+            F.zip_with(
+                F.slice(s, 1, F.size(s) - 1),
+                F.slice(s, 2, F.size(s) - 1),
+                lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+            )
+        ).alias("p"),
+    ).select("c", "p.lhs", "p.rhs")
+    counted = pairs.groupBy("lhs", "rhs").agg(F.sum("c").alias("cnt"))
+    best = (
+        counted.orderBy(F.col("cnt").desc(), "lhs", "rhs")
+        .limit(1)
+        .localCheckpoint(eager=False)
+    )
+    report = best.select(
+        F.lit(step).alias("step"),
+        "lhs",
+        "rhs",
+        F.concat("lhs", "rhs").alias("merged"),
+        F.col("cnt").cast("long").alias("pair_count"),
+    )
+    merged_tok = (
+        tok.crossJoin(F.broadcast(best))
+        .select(
+            "w",
+            "c",
+            F.replace(
+                F.col("tok"),
+                F.concat(F.lit(" "), "lhs", F.lit(" "), "rhs", F.lit(" ")),
+                F.concat(F.lit(" "), "lhs", "rhs", F.lit(" ")),
+            ).alias("tok"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    return best, report, merged_tok
+
+
 def _bpe_train_rounds(
     tok: DataFrame, rounds: int = 3
 ) -> tuple[list[DataFrame], DataFrame]:
-    """Run `rounds` BPE merge rounds over the pinned vocab relation.
-
-    Returns ([1-row best-merge DataFrames], final tok relation) so the
-    trainer (which reports the merges) and the encoder (which consumes
-    the final tokenization) share one implementation.
-    """
+    """Run `rounds` BPE merge rounds over the pinned vocab relation —
+    the fixed-round twin (fully in-plan: the 1-row argmax is broadcast,
+    never collected). Returns ([1-row report DataFrames], final tok) so
+    the trainer (which reports the merges) and the encoder (which
+    consumes the final tokenization) share one implementation."""
     outs = []
     for step in range(1, rounds + 1):
-        s = F.split(F.trim(F.col("tok")), " ")
-        pairs = tok.select(
-            "c",
-            F.explode(
-                F.zip_with(
-                    F.slice(s, 1, F.size(s) - 1),
-                    F.slice(s, 2, F.size(s) - 1),
-                    lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
-                )
-            ).alias("p"),
-        ).select("c", "p.lhs", "p.rhs")
-        counted = pairs.groupBy("lhs", "rhs").agg(F.sum("c").alias("cnt"))
-        best = (
-            counted.orderBy(F.col("cnt").desc(), "lhs", "rhs")
-            .limit(1)
-            .localCheckpoint(eager=False)
-        )
-        outs.append(
-            best.select(
-                F.lit(step).alias("step"),
-                "lhs",
-                "rhs",
-                F.concat("lhs", "rhs").alias("merged"),
-                F.col("cnt").cast("long").alias("pair_count"),
-            )
-        )
-        tok = (
-            tok.crossJoin(F.broadcast(best))
-            .select(
-                "w",
-                "c",
-                F.replace(
-                    F.col("tok"),
-                    F.concat(F.lit(" "), "lhs", F.lit(" "), "rhs", F.lit(" ")),
-                    F.concat(F.lit(" "), "lhs", "rhs", F.lit(" ")),
-                ).alias("tok"),
-            )
-            .localCheckpoint(eager=False)
-        )
+        _best, report, tok = _bpe_step(tok, step)
+        outs.append(report)
     return outs, tok
+
+
+def _bpe_train_until(
+    tok: DataFrame, min_pair_count: int, max_rounds: int = 20
+) -> tuple[list[DataFrame], DataFrame, int]:
+    """The PRODUCTION BPE training loop shape (round 6): iterate merge
+    rounds until the best remaining pair's corpus count falls below
+    `min_pair_count` — the data-driven convergence rule — behind the
+    `max_rounds` vocab budget (hitting the budget is a normal stop in
+    production BPE, not an error). Per round the 1-row argmax is both
+    broadcast into the merge (in-plan, exactly the fixed twin's plan)
+    and read by the driver for the stop decision — loop CONTROL, not
+    data movement (the same discipline as the PageRank/connected-
+    components convergence loops). Each round's tok relation is pinned
+    (lazy localCheckpoint in _bpe_step), keeping lineage flat.
+
+    Returns (merge reports, final tok, n_rounds). Round-count
+    independence once converged is pinned by tests/test_curation2_ops.py."""
+    outs = []
+    for step in range(1, max_rounds + 1):
+        best, report, merged_tok = _bpe_step(tok, step)
+        rows = best.collect()  # 1-row loop control (cnt of the argmax)
+        if not rows or rows[0]["cnt"] < min_pair_count:
+            return outs, tok, step - 1
+        outs.append(report)
+        tok = merged_tok
+    return outs, tok, max_rounds
 
 
 @query(

@@ -350,6 +350,19 @@ def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-round ranks are pinned (consumed by the next round's two
     branches). 3 rounds unrolled; production would loop with a
     convergence check on the exact integer deltas."""
+    edges, deg, params = _near_dup_graph(spark, sf_dir)
+    ranks = deg.crossJoin(F.broadcast(params)).select(
+        "node", F.col("r_init").alias("rank")
+    )
+    for _ in range(3):
+        ranks = _pagerank_step(edges, deg, params, ranks)
+    return _pagerank_top10(ranks)
+
+
+def _near_dup_graph(spark: SparkSession, sf_dir: str):
+    """Shared state for the PageRank family: undirected edges from the
+    df-capped Jaccard pair stage, out-degrees, and the scaled-integer
+    params relation — all pinned (each is consumed by every round)."""
     corpus = _corpus(spark, sf_dir)
     sh = corpus.select(
         "doc_id", S.shingles("text", 3).alias("grams")
@@ -370,50 +383,155 @@ def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scale = 10**15
     params = deg.agg(
+        F.count(F.lit(1)).alias("n"),
         (F.lit(scale) / F.count(F.lit(1))).cast("long").alias("r_init"),
         (F.lit(15 * scale) / (F.lit(100) * F.count(F.lit(1))))
         .cast("long")
         .alias("base"),
     )
-    params = params.localCheckpoint(eager=False)
-    # integer division: Spark's `/` on longs is double division — use DIV
-    ranks = deg.crossJoin(F.broadcast(params)).select(
-        "node", F.col("r_init").alias("rank")
+    return edges, deg, params.localCheckpoint(eager=False)
+
+
+def _pagerank_step(edges, deg, params, ranks):
+    """One damped scaled-integer PageRank round: contribution =
+    floor(rank/outdeg) summed exactly; integer division via DIV (Spark's
+    `/` on longs is double division)."""
+    contribs = (
+        edges.join(ranks, edges["src"] == ranks["node"])
+        .join(
+            deg.select(F.col("node").alias("dn"), "outdeg"),
+            F.col("src") == F.col("dn"),
+        )
+        .select("dst", F.expr("rank DIV outdeg").alias("contrib"))
     )
-    for _ in range(3):
-        contribs = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(
-                deg.select(F.col("node").alias("dn"), "outdeg"),
-                F.col("src") == F.col("dn"),
-            )
-            .select("dst", F.expr("rank DIV outdeg").alias("contrib"))
+    summed = contribs.groupBy("dst").agg(F.sum("contrib").alias("insum"))
+    return (
+        deg.select("node")
+        .join(summed, F.col("node") == F.col("dst"), "left")
+        .crossJoin(F.broadcast(params))
+        .select(
+            "node",
+            (
+                F.col("base") + F.expr("85 * coalesce(insum, 0L) DIV 100")
+            ).alias("rank"),
         )
-        summed = contribs.groupBy("dst").agg(F.sum("contrib").alias("insum"))
-        ranks = (
-            deg.select("node")
-            .join(summed, F.col("node") == F.col("dst"), "left")
-            .crossJoin(F.broadcast(params))
-            .select(
-                "node",
-                (
-                    F.col("base")
-                    + F.expr("85 * coalesce(insum, 0L) DIV 100")
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    # top-10 via orderBy+limit (TakeOrderedAndProject's bounded per-task
-    # heap + driver merge), NOT an unpartitioned row_number window — the
-    # window form plans a single-partition sort over the whole O(nodes)
-    # rank relation, which grows with the corpus. The rank index is
-    # derived AFTER the limit: a window over 10 rows is free.
+        .localCheckpoint(eager=False)
+    )
+
+
+def _pagerank_top10(ranks, extra_cols: list | None = None):
+    """Top-10 via orderBy+limit (TakeOrderedAndProject's bounded per-task
+    heap + driver merge), NOT an unpartitioned row_number window — the
+    window form plans a single-partition sort over the whole O(nodes)
+    rank relation, which grows with the corpus. The rank index is
+    derived AFTER the limit: a window over 10 rows is free."""
     top = ranks.orderBy(F.col("rank").desc(), F.col("node")).limit(10)
     w = W.orderBy(F.col("rank").desc(), F.col("node"))
     return top.select(
         F.col("node").alias("doc_id"),
         F.col("rank").cast("long").alias("rank_scaled"),
         F.row_number().over(w).cast("long").alias("rk"),
+        *(extra_cols or []),
+    )
+
+
+_PAGERANK_MAX_ROUNDS = 60
+
+
+@query(
+    "pagerank_converged",
+    oracle=f"""
+    WITH RECURSIVE corpus AS ({_CORPUS_SQL}),{_jaccard_pairs_sql("corpus")},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM jacc_pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM jacc_pairs
+    ),
+    deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src),
+    params AS (
+      SELECT count(*) AS n,
+             1000000000000000 // count(*) AS r_init,
+             (15 * 1000000000000000) // (100 * count(*)) AS base
+      FROM deg
+    ),
+    pr AS (
+      SELECT 0 AS iter, node, (SELECT r_init FROM params) AS rank FROM deg
+      UNION ALL
+      SELECT iter, node, rank FROM (
+        SELECT (SELECT max(p.iter) FROM pr p) + 1 AS iter,
+               d.node AS node,
+               (SELECT base FROM params)
+                 + (85 * COALESCE(SUM(r.rank // d2.outdeg), 0)) // 100 AS rank,
+               MIN(pp.rank) AS prev_rank
+        FROM deg d
+        JOIN pr pp ON pp.node = d.node
+        LEFT JOIN edges e ON e.dst = d.node
+        LEFT JOIN pr r ON r.node = e.src
+        LEFT JOIN deg d2 ON d2.node = e.src
+        GROUP BY d.node
+      ) g
+      WHERE iter <= 60
+      QUALIFY SUM(ABS(g.rank - g.prev_rank)) OVER () >= (SELECT n FROM params)
+    )
+    SELECT node AS doc_id, CAST(rank AS BIGINT) AS rank_scaled,
+           CAST(row_number() OVER (ORDER BY rank DESC, node) AS BIGINT) AS rk,
+           CAST((SELECT max(iter) FROM pr) AS BIGINT) AS n_rounds
+    FROM pr WHERE iter = (SELECT max(iter) FROM pr)
+    QUALIFY rk <= 10
+    """,
+)
+def pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup graph iterated TO CONVERGENCE (round
+    6) — the production loop shape the fixed-round twin's docstring
+    promises: each round applies the same bit-exact scaled-integer step
+    as `pagerank_near_dup`, then an IN-PLAN 1-row aggregate computes the
+    exact integer L1 delta vs the previous round; the loop adopts the
+    new ranks while delta >= n_nodes (average per-node drift >= 1 unit
+    at scale 10^15) and stops at the first round below it, bounded by
+    {_PAGERANK_MAX_ROUNDS} rounds (RuntimeError past the bound — silent
+    non-convergence is not an answer). Exact zero is NOT the stop rule
+    on purpose: truncated integer dynamics can enter +-1 limit cycles
+    (observed at sf0.1: a persistent delta of 4 across 1659 nodes), so
+    the threshold is the smallest principled bound that terminates.
+
+    The oracle runs the SAME rule in one recursive CTE — generation g+1
+    is emitted only while its L1 delta vs generation g stays >= n — so
+    both engines stop at the identical round and the value hash covers
+    the converged ranks AND the round count (n_rounds column).
+
+    Scale shape: identical per-round plan to the fixed twin ((node,
+    int64) state, one edge equi-join + sum per round, every round's
+    ranks pinned via lazy localCheckpoint so lineage stays flat); the
+    only driver traffic is the 1-row delta scalar per round — loop
+    CONTROL, not data movement (the same discipline as the CC
+    operator's convergence loop, functions/graph.py)."""
+    edges, deg, params = _near_dup_graph(spark, sf_dir)
+    p = params.collect()[0]  # 1-row control values: n / r_init / base
+    thr = p["n"]
+    ranks = (
+        deg.crossJoin(F.broadcast(params))
+        .select("node", F.col("r_init").alias("rank"))
+        .localCheckpoint(eager=False)
+    )
+    n_rounds = 0
+    for _ in range(_PAGERANK_MAX_ROUNDS):
+        new = _pagerank_step(edges, deg, params, ranks)
+        delta = (
+            ranks.select("node", F.col("rank").alias("prev_rank"))
+            .join(new, "node")
+            .agg(F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        if delta < thr:
+            break
+        ranks = new
+        n_rounds += 1
+    else:
+        raise RuntimeError(
+            f"PageRank failed to converge in {_PAGERANK_MAX_ROUNDS} rounds"
+        )
+    return _pagerank_top10(
+        ranks, [F.lit(n_rounds).cast("long").alias("n_rounds")]
     )
 
 

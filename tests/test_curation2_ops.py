@@ -158,3 +158,46 @@ def test_grouping_sets_are_additive(spark):
     assert math.isclose(
         grand[0]["revenue"], sum(r["revenue"] for r in leaves), rel_tol=1e-12
     )
+
+
+def test_bpe_train_until_convergence_round_count_independent(spark):
+    """The production train-until loop (VERDICT r5 #6): with a
+    data-derived threshold the loop must stop early, every adopted merge
+    must clear the threshold, the hypothetical next merge must not, and
+    raising the round budget must change NOTHING once converged —
+    round-count independence at fixture scale. The fixed-round twin's
+    first merges must be a prefix of the converged run (same argmax
+    sequence, one implementation)."""
+    from dataflowjavasdk_spark.queries.curation2 import (
+        _bpe_step,
+        _bpe_train_rounds,
+        _bpe_train_until,
+        _bpe_vocab_tok,
+    )
+
+    tok0 = _bpe_vocab_tok(spark, SMOKE_SF)
+    # data-derived threshold: half the first round's best count decays
+    # within a handful of rounds on any Zipf-ish corpus
+    best0, _, _ = _bpe_step(tok0, 1)
+    thr = best0.collect()[0]["cnt"] // 2
+
+    outs, final_tok, n_rounds = _bpe_train_until(tok0, thr, max_rounds=20)
+    assert 1 <= n_rounds < 20, "expected an early, data-driven stop"
+    merges = [o.collect()[0] for o in outs]
+    assert len(merges) == n_rounds
+    assert all(m["pair_count"] >= thr for m in merges)
+    # the merge the loop REFUSED is genuinely below threshold
+    next_best, _, _ = _bpe_step(final_tok, n_rounds + 1)
+    assert next_best.collect()[0]["cnt"] < thr
+
+    # round-count independence: a bigger budget changes nothing
+    outs2, final2, n2 = _bpe_train_until(tok0, thr, max_rounds=27)
+    assert n2 == n_rounds
+    assert [tuple(o.collect()[0]) for o in outs2] == [tuple(m) for m in merges]
+    chk = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert chk(final2) == chk(final_tok)
+
+    # the fixed-round twin is the converged run's prefix
+    fixed, _ = _bpe_train_rounds(tok0, rounds=min(3, n_rounds))
+    for f, m in zip(fixed, merges):
+        assert tuple(f.collect()[0]) == tuple(m)

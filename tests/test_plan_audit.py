@@ -217,6 +217,7 @@ def test_no_cartesian_products_anywhere(spark):
         "tfidf_regex",                 # same 1-row N-docs broadcast as tfidf
         "bpe_train_merges",            # 3x 1-row argmax merge broadcasts
         "pagerank_near_dup",           # 1-row scale-params broadcast/round
+        "pagerank_converged",          # same step, convergence-looped
         "pq_adc_topk",                 # constant codebook/dtable broadcasts
         "ivfpq_adc_topk",              # same + coarse-centroid broadcast
         "token_bigram_lm",              # 1-row vocab-size (V) broadcast
