@@ -646,3 +646,212 @@ def ingest_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(mean_curr - mean_prev, 9))
         .alias("mean_chars_drift"),
     )
+
+
+# RAG-style chunking: window/stride in tokens. Overlap = window - stride
+# keeps boundary context shared between adjacent chunks (the retrieval
+# convention); sequence_packing is the training-side packer, this is the
+# indexing-side splitter.
+_RAG_WINDOW = 32
+_RAG_STRIDE = 24
+
+
+@query(
+    "chunk_overlap_windows",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+      FROM documents
+    ),
+    base AS (SELECT doc_id, t, len(t) AS n FROM tk WHERE len(t) > 0),
+    chunks AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+             array_to_string(
+               t[i*{_RAG_STRIDE}+1 : i*{_RAG_STRIDE}+{_RAG_WINDOW}], ' '
+             ) AS chunk
+      FROM base, UNNEST(range(
+        1 + CASE WHEN n > {_RAG_WINDOW}
+                 THEN CAST(ceil((n - {_RAG_WINDOW}) / {_RAG_STRIDE}.0) AS BIGINT)
+                 ELSE 0 END)) AS u(i)
+    )
+    SELECT chunk_idx,
+           count(*) AS n_chunks,
+           CAST(SUM(len(list_filter(string_split(chunk, ' '), t -> t <> '')))
+             AS BIGINT) AS sum_tokens,
+           CAST(bit_xor(('0x' || substr(md5(chunk), 1, 15))::BIGINT)
+             AS BIGINT) AS xor_hash
+    FROM chunks GROUP BY chunk_idx
+    """,
+)
+def chunk_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping chunking (round 6) — the indexing-side
+    splitter every retrieval corpus needs: token windows of 32 with
+    stride 24 (8 tokens of shared boundary context per adjacent
+    pair), last window clipped to the document tail, docs
+    shorter than one window kept whole. The per-chunk-index report
+    (chunk count, token mass, bit_xor of 60-bit md5 chunk hashes) makes
+    every boundary decision value-hash-checkable: an off-by-one in any
+    start offset, clip, or stride flips a hash. bit_xor (not SUM) folds
+    the 2^60-range hashes without overflow and stays order-independent.
+
+    Scale shape: pure row-local expression fan-out (sequence + explode +
+    slice — no Python, no shuffle before the bounded per-chunk-index
+    aggregate, whose key space is the max chunk count of the longest
+    document, corpus-size-independent). One corpus scan. The companion
+    training-side op is sequence_packing; the dedup-side is
+    chunk_dedup_boilerplate."""
+    from dataflowjavasdk_spark.functions.text import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    base = docs.select(tk.alias("t")).withColumn("n", F.size("t")).filter(
+        F.col("n") > 0
+    )
+    n_chunks = F.lit(1) + F.when(
+        F.col("n") > _RAG_WINDOW,
+        F.ceil((F.col("n") - _RAG_WINDOW) / F.lit(float(_RAG_STRIDE))),
+    ).otherwise(0)
+    per_chunk = base.select(
+        F.explode(F.sequence(F.lit(0), n_chunks.cast("long") - 1)).alias(
+            "chunk_idx"
+        ),
+        F.slice(
+            "t", F.col("chunk_idx").cast("int") * _RAG_STRIDE + 1, _RAG_WINDOW
+        ).alias("ctoks"),
+    )
+    # token count from the slice directly; the hash from the joined text
+    # (identical to the oracle's re-split because tokens are non-empty
+    # and space-free by construction of the split)
+    return (
+        per_chunk.select(
+            "chunk_idx",
+            F.size("ctoks").alias("n_tok"),
+            md5_long(F.array_join("ctoks", " ")).alias("h"),
+        )
+        .groupBy("chunk_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tok").cast("long").alias("sum_tokens"),
+            F.expr("bit_xor(h)").cast("long").alias("xor_hash"),
+        )
+    )
+
+
+# Scaled-integer fluency scoring: SCALE * P_smoothed stays exact in both
+# engines (integer multiply + floor divide), so the CCNet-style LM gate
+# below is value-hash-checkable end to end.
+_FLUENCY_SCALE = 1_000_000_000
+
+
+@query(
+    "lm_fluency_filter",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]') AS tk
+      FROM documents
+    ),
+    db AS (
+      SELECT doc_id, lang, tk[i] AS lhs, tk[i + 1] AS rhs
+      FROM (SELECT doc_id, lang, tk, unnest(range(1, len(tk))) AS i
+            FROM toks WHERE len(tk) >= 2)
+    ),
+    counted AS (
+      SELECT lhs, rhs, count(*) AS c_ab FROM db GROUP BY lhs, rhs
+    ),
+    lm AS (
+      SELECT lhs, rhs, c_ab, SUM(c_ab) OVER (PARTITION BY lhs) AS c_a
+      FROM counted
+    ),
+    vv AS (SELECT count(DISTINCT rhs) AS v FROM counted),
+    scored AS (
+      SELECT d.doc_id, d.lang,
+             SUM(({_FLUENCY_SCALE} * (m.c_ab + 1))
+                 // (m.c_a + (SELECT v FROM vv))) // count(*) AS fluency
+      FROM db d JOIN lm m ON m.lhs = d.lhs AND m.rhs = d.rhs
+      GROUP BY d.doc_id, d.lang
+    ),
+    gate AS (SELECT SUM(fluency) // count(*) AS mean_fluency FROM scored)
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(SUM(CASE WHEN fluency >= (SELECT mean_fluency FROM gate)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(fluency) AS BIGINT) AS sum_fluency,
+           CAST(MIN(fluency) AS BIGINT) AS min_fluency,
+           CAST(MAX(fluency) AS BIGINT) AS max_fluency
+    FROM scored GROUP BY lang
+    """,
+)
+def lm_fluency_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM fluency gating (round 6) — the classic perplexity
+    filter reshaped for exact cross-engine checking: train the add-one
+    bigram LM on the corpus (token_bigram_lm's model), score every
+    document by its mean scaled conditional probability — per bigram
+    floor(SCALE * (c_ab+1) / (c_a+V)), per doc the integer mean — and
+    gate on the corpus mean fluency. Log-perplexity itself is
+    transcendental (not value-hash-oracle-able); the scaled linear
+    conditional keeps the same keep/drop ordering for a fixed-length
+    comparison while staying bit-identical in both engines. Report:
+    per-language survival counts + fluency extremes — the
+    quality-funnel row a curation run logs before dropping the tail.
+
+    Scale shape: ONE corpus pass builds the pinned per-doc bigram
+    relation; the LM is derived from it by a vocab-bounded aggregate +
+    window (no second corpus scan); scoring joins the bigram relation
+    back to the LM on (lhs, rhs) — an equi-join whose build side is the
+    vocab-bounded model, broadcast when small, shuffled when not (AQE
+    decides); V and the gate mean attach as 1-row broadcasts. No
+    Python, no cartesian, two corpus-sized exchanges (the score join +
+    the doc regroup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.regexp_extract_all(
+        F.col("text"), F.lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), 0
+    )
+    s = docs.select("doc_id", "lang", tk.alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    db = s.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.zip_with(
+                F.slice("tk", 1, F.size("tk") - 1),
+                F.slice("tk", 2, F.size("tk") - 1),
+                lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "lang", "p.lhs", "p.rhs").localCheckpoint(eager=False)
+    counted = db.groupBy("lhs", "rhs").agg(
+        F.count(F.lit(1)).alias("c_ab")
+    ).localCheckpoint(eager=False)  # feeds the window AND the V aggregate
+    lm = counted.withColumn("c_a", F.sum("c_ab").over(W.partitionBy("lhs")))
+    v = counted.agg(F.count_distinct("rhs").alias("v"))
+    bscore = F.expr(
+        f"({_FLUENCY_SCALE} * (c_ab + 1)) DIV (c_a + v)"
+    ).alias("bscore")
+    scored = (
+        db.join(lm, ["lhs", "rhs"])
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", "lang", bscore)
+        .groupBy("doc_id", "lang")
+        .agg(F.expr("sum(bscore) DIV count(1)").alias("fluency"))
+        .localCheckpoint(eager=False)  # feeds the gate AND the report
+    )
+    gate = scored.agg(
+        F.expr("sum(fluency) DIV count(1)").alias("mean_fluency")
+    )
+    return (
+        scored.crossJoin(F.broadcast(gate))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("fluency") >= F.col("mean_fluency"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_kept"),
+            F.sum("fluency").cast("long").alias("sum_fluency"),
+            F.min("fluency").cast("long").alias("min_fluency"),
+            F.max("fluency").cast("long").alias("max_fluency"),
+        )
+    )

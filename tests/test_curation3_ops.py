@@ -139,3 +139,51 @@ def test_shard_manifest_partitions_and_balances(spark):
     # corpus (a sequential/modulo assignment would give disjoint ranges)
     for r in rows:
         assert r["max_doc_id"] - r["min_doc_id"] > n // 2
+
+
+def test_chunk_overlap_windows_boundary_formula(spark):
+    """Chunk counts must follow the window/stride formula per document:
+    n_chunks(n) = 1 + ceil(max(n - W, 0) / S) — checked against raw
+    token lengths; token mass of chunk 0 equals min(n, W) summed."""
+    import math
+
+    from dataflowjavasdk_spark.queries.curation3 import (
+        _RAG_STRIDE,
+        _RAG_WINDOW,
+    )
+    from dataflowjavasdk_spark.queries.registry import get
+    from dataflowjavasdk_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    out = {r["chunk_idx"]: r for r in get("chunk_overlap_windows").fn(spark, SMOKE_SF).collect()}
+    lens = [
+        r["n"]
+        for r in load_table(spark, SMOKE_SF, "documents")
+        .select(F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("n"))
+        .collect()
+        if r["n"] > 0
+    ]
+    expected_total = sum(
+        1 + math.ceil(max(n - _RAG_WINDOW, 0) / _RAG_STRIDE) for n in lens
+    )
+    assert sum(r["n_chunks"] for r in out.values()) == expected_total
+    # every doc contributes exactly one chunk 0 of min(n, W) tokens
+    assert out[0]["n_chunks"] == len(lens)
+    assert out[0]["sum_tokens"] == sum(min(n, _RAG_WINDOW) for n in lens)
+
+
+def test_lm_fluency_filter_gate_sanity(spark):
+    """The fluency gate is a real partition: every language bucket's
+    extremes bracket the corpus mean decision, keeps are nonzero
+    somewhere and never exceed totals."""
+    from dataflowjavasdk_spark.queries.registry import get
+
+    rows = get("lm_fluency_filter").fn(spark, SMOKE_SF).collect()
+    assert rows
+    total = sum(r["n_docs"] for r in rows)
+    kept = sum(r["n_kept"] for r in rows)
+    assert 0 < kept < total  # the mean splits a non-degenerate corpus
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        assert r["min_fluency"] <= r["max_fluency"]
+        assert r["min_fluency"] * r["n_docs"] <= r["sum_fluency"] <= r["max_fluency"] * r["n_docs"]

@@ -222,6 +222,7 @@ def test_no_cartesian_products_anywhere(spark):
         "ivfpq_adc_topk",              # same + coarse-centroid broadcast
         "token_bigram_lm",              # 1-row vocab-size (V) broadcast
         "referential_integrity_audit",  # 1-row n_parent_dups attach per edge
+        "lm_fluency_filter",            # 1-row V + gate-mean broadcasts
     }
     for name in all_queries():
         p = _plan(spark, name)
