@@ -58,110 +58,78 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # whose 50-slot sample it optimizes). test_entry_contract uses it to know
 # whether the no-wasted-slot invariant is still checkable or the ordering
 # is due for its per-round rotation.
-_PRIORITY_ROUND = 5
+_PRIORITY_ROUND = 6
 
 _PRIORITY: tuple[str, ...] = (
-    # Round-5 ordering (VERDICT.md r4 "Next round" #2). CORRECTNESS_r03 ∪
-    # r04 covered 100 distinct queries on the current (post-regeneration)
-    # fixtures; the 48 below are exactly the queries whose FRESHEST driver
-    # row is still r01/r02 — i.e. measured against fixtures that no longer
-    # exist (they pass the local gate every session). They fill 48 of the
-    # driver's 50 sample slots; the 2 spare slots at the head go to
-    # round-5-new queries (no driver row at all yet — per r4 verdict #9,
-    # never-sampled beats stale-but-once-green).
-    # (1) new this round — no prior driver row exists at all
-    "jpeg_image_features",
-    "tfidf_regex",
-    # (2) freshest driver row is r01/r02 (pre-regeneration fixtures):
-    # derived from CORRECTNESS_r0{1..4}.json, latest-round-wins. Ordered
-    # value-bearing pipelines first, cheap checksum/roundtrip rows last.
-    "minhash_lsh_near_dups",
-    "simhash_near_dup_pairs",
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "q12_priority_shipping",
-    "join_left_outer_customer_orders",
-    "join_semi_anti_counts",
-    "asof_join_click_purchase",
-    "range_join_click_purchase",
-    "approx_distinct_users",
-    "approx_quantiles_value",
-    "json_props_per_type",
-    "session_stats_per_user",
-    "multimodal_payload_stats",
-    "ivf_ann_topk",
-    "ivf_ann_multiprobe",
-    "cosine_topk_bruteforce",
-    "ann_lsh_topk",
-    "ann_lsh_multitable",
-    "embedding_label_stats",
-    "embedding_near_dup_pairs",
-    "tumbling_hourly_events",
-    "sliding_windows_events",
-    "session_windows_events",
-    "session_windows_dynamic_gap",
-    "calendar_day_events",
-    "global_window_events",
-    "rollup_hourly_to_daily",
-    "custom_merged_windows_events",
-    "top_sessions",
-    "user_running_totals",
-    "value_moments_per_type",
-    "topk_per_group",
-    "wordcount",
-    "wordcount_via_facade",
-    "token_count_stats",
-    "language_id_quality",
-    "doc_fingerprints",
-    "dedup_exact",
-    "simhash_fingerprints",
-    "distinct_users_rollup",
-    "hll_distinct_rollup",
-    "theta_audience_overlap",
-    "bpe_token_stats",
-    "ngram_decontamination",
-    "stratified_source_mix",
-    "counting_input_checksum",
-    "avro_roundtrip_checksum",
-    # (3) round-5-new queries that missed the 50-slot cut queue here —
-    # first in line for round 6 (the local gate covers them meanwhile).
-    # Deliberate trade vs the never-sampled-first policy: the r4 verdict's
-    # done-criterion for THIS round is "every query registered at verdict
-    # time gets a current-fixture driver row" — displacing stale entries
-    # with these would break that; their never-sampled priority applies
-    # at the round-6 rotation instead.
+    # Round-6 ordering (VERDICT.md r5 "Next round" #1). The 50-slot
+    # driver sample = the 30 never-sampled queries (27 round-5-new that
+    # missed the r5 cut + 3 round-6-new) followed by 20 of the 50
+    # queries whose freshest driver row is r03 (the oldest
+    # current-fixture evidence), value-bearing pipelines first. Every
+    # registered query then has a green driver row in r03∪r04∪r05∪r06
+    # on current fixtures; the remaining 30 r03-fresh rows rotate in
+    # round 7.
+    # (1) round-6-new — no driver row exists at all
+    "pagerank_converged",
+    "chunk_overlap_windows",
+    "lm_fluency_filter",
+    # (2) round-5-new that missed the r5 sample cut (never sampled);
+    # composed/value-bearing pipelines first, per-format decodes after
+    "multimodal_curation_pipeline",
+    "pagerank_near_dup",
+    "referential_integrity_audit",
+    "token_bigram_lm",
+    "salted_join_hot_keys",
+    "scd2_customer_history",
+    "q1_incremental_refresh",
+    "json_deadletter_split",
+    "cluster_representative_dedup",
+    "image_ahash_dedup",
+    "pq_adc_topk",
+    "ivfpq_adc_topk",
+    "ann_recall_report",
+    "bpe_train_merges",
+    "bpe_encoded_token_freq",
+    "training_shard_manifest",
+    "ingest_drift_report",
+    "event_cooccurrence_pairs",
+    "ewma_user_values",
+    "mad_outliers_per_type",
     "media_sniff_prune",
     "mjpeg_frame_sample",
     "gif_frame_features",
-    "warc_ingest_checksum",
-    "pq_adc_topk",
-    "bpe_train_merges",
-    "pagerank_near_dup",
-    "scd2_customer_history",
-    "ivfpq_adc_topk",
-    "q1_incremental_refresh",
-    "json_deadletter_split",
-    "salted_join_hot_keys",
-    "audio_frame_energy",
-    "bpe_encoded_token_freq",
     "image_resize_features",
+    "audio_frame_energy",
     "audio_tone_detect",
-    "cluster_representative_dedup",
-    "ewma_user_values",
-    "mad_outliers_per_type",
-    "multimodal_curation_pipeline",
-    "event_cooccurrence_pairs",
-    "training_shard_manifest",
-    "ann_recall_report",
-    "image_ahash_dedup",
-    "referential_integrity_audit",
-    "token_bigram_lm",
-    "ingest_drift_report",
-    # (4) everything r03/r04-green follows in registration order — the
-    # full local gate (tools/check_correctness.py, all queries, every
-    # session) re-verifies all of them meanwhile. test_entry_contract
-    # derives the group accounting instead of this comment repeating
-    # counts that can drift (r3 ADVICE).
+    "warc_ingest_checksum",
+    # (3) freshest driver row is r03 — 20 of 50, value-bearing first;
+    # the 30 left (mostly format-roundtrip checksums) head round 7's
+    # rotation, and the full local gate re-verifies them every session
+    "q2_min_cost_supplier",
+    "q3_join_agg",
+    "q5_region_revenue",
+    "q11_important_stock",
+    "q17_small_quantity_revenue",
+    "q20_dominant_promo_suppliers",
+    "q21_waiting_suppliers",
+    "tfidf",
+    "training_data_pipeline",
+    "minhash_signatures",
+    "near_dup_pairs_jaccard",
+    "near_dup_clusters",
+    "near_dup_graph_triangles",
+    "edit_distance_near_dups",
+    "incremental_dedup",
+    "leakage_safe_split",
+    "sequence_packing",
+    "session_funnel_click_purchase",
+    "weekly_retention_cohorts",
+    "event_transition_matrix",
+    # (4) everything else follows in registration order — the full local
+    # gate (tools/check_correctness.py, all queries, every session)
+    # re-verifies all of them meanwhile. test_entry_contract derives the
+    # group accounting instead of this comment repeating counts that can
+    # drift (r3 ADVICE).
 )
 
 
