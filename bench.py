@@ -153,6 +153,12 @@ HEADLINE = [
     "multimodal_curation_pipeline",
     "event_cooccurrence_pairs",
     "image_ahash_dedup",
+    # round-6 additions: RAG chunking windows and the bigram-LM fluency
+    # gate (pagerank_converged stays out — its sf0.1 run is ~43
+    # sequential convergence rounds by design, a batch job, not a
+    # warm-loop comparable; the fixed-round twin represents the family)
+    "chunk_overlap_windows",
+    "lm_fluency_filter",
 ]
 
 
