@@ -159,6 +159,7 @@ HEADLINE = [
     # warm-loop comparable; the fixed-round twin represents the family)
     "chunk_overlap_windows",
     "lm_fluency_filter",
+    "gopher_quality_rules",
 ]
 
 

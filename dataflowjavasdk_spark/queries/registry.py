@@ -73,6 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     "pagerank_converged",
     "chunk_overlap_windows",
     "lm_fluency_filter",
+    "gopher_quality_rules",
     # (2) round-5-new that missed the r5 sample cut (never sampled);
     # composed/value-bearing pipelines first, per-format decodes after
     "multimodal_curation_pipeline",

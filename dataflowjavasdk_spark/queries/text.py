@@ -461,3 +461,146 @@ def unigram_rarity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rare_frac"),
         )
     )
+
+
+# Gopher-style rule thresholds (Rae et al. 2021, §A1.1 "quality
+# filtering" — the canonical heuristic gate), adapted to the
+# single-line fixture text (the line-level bullet/ellipsis rules need a
+# multi-line splitter; the token-level rules are the load-bearing ones).
+# Every ratio test is an exact INTEGER cross-multiplication so the gate
+# value-hash oracles: mean word length in [3,10] is 3n <= L <= 10n, the
+# symbol cap is 10*n_sym <= n, the alpha floor is 5*n_alpha >= 4*n.
+# Stopword list: Gopher's canonical 8 ("the be to of and that have
+# with") keyed on natural English; the synthetic fixture vocabulary
+# carries only a few true function words, so the list is adapted to the
+# ones the generator emits — same rule SHAPE (>= 2 distinct canonical
+# function words), non-degenerate on this corpus (~64% pass, both
+# branches exercised; the canonical list passes 0%, an untestable gate).
+_GOPHER_STOPWORDS = ("the", "a", "is", "in", "of")
+_GSW = ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS)
+
+
+def gopher_violation_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the five per-document Gopher rule violation flags (0/1
+    columns v_wordcount/v_wordlen/v_symbol/v_alpha/v_stopword) as pure
+    Column expressions — exposed separately from the rollup query so
+    each rule's BOTH branches are unit-testable on crafted documents
+    (tests/test_text_functions.py; the fixture never trips
+    wordlen/symbol/alpha)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    m = docs.withColumns(
+        {
+            "n": F.size(toks),
+            "sum_len": F.length(F.array_join(toks, "")),
+            "n_sym": F.size(
+                F.filter(toks, lambda t: t.contains("#") | t.contains("..."))
+            ),
+            "n_alpha": F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))),
+            "n_sw": F.size(
+                F.array_intersect(
+                    F.array_distinct(toks),
+                    F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS]),
+                )
+            ),
+        }
+    )
+    return m.withColumns(
+        {
+            "v_wordcount": F.when(
+                (F.col("n") < 50) | (F.col("n") > 100000), 1
+            ).otherwise(0),
+            "v_wordlen": F.when(
+                (F.col("sum_len") < 3 * F.col("n"))
+                | (F.col("sum_len") > 10 * F.col("n")),
+                1,
+            ).otherwise(0),
+            "v_symbol": F.when(10 * F.col("n_sym") > F.col("n"), 1).otherwise(0),
+            "v_alpha": F.when(5 * F.col("n_alpha") < 4 * F.col("n"), 1).otherwise(
+                0
+            ),
+            "v_stopword": F.when(F.col("n_sw") < 2, 1).otherwise(0),
+        }
+    ).drop("n", "sum_len", "n_sym", "n_alpha", "n_sw")
+
+
+@query(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH feat AS (
+      SELECT lang,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT lang,
+             len(toks) AS n,
+             length(array_to_string(toks, '')) AS sum_len,
+             len(list_filter(toks, t -> contains(t, '#')
+                                        OR contains(t, '...'))) AS n_sym,
+             len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+               AS n_alpha,
+             len(list_filter(list_distinct(toks), t -> t IN ({_GSW})))
+               AS n_sw
+      FROM feat
+    ),
+    v AS (
+      SELECT lang,
+             CASE WHEN n < 50 OR n > 100000 THEN 1 ELSE 0 END AS v_wordcount,
+             CASE WHEN sum_len < 3 * n OR sum_len > 10 * n
+                  THEN 1 ELSE 0 END AS v_wordlen,
+             CASE WHEN 10 * n_sym > n THEN 1 ELSE 0 END AS v_symbol,
+             CASE WHEN 5 * n_alpha < 4 * n THEN 1 ELSE 0 END AS v_alpha,
+             CASE WHEN n_sw < 2 THEN 1 ELSE 0 END AS v_stopword
+      FROM m
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(SUM(v_wordcount) AS BIGINT) AS v_wordcount,
+           CAST(SUM(v_wordlen) AS BIGINT) AS v_wordlen,
+           CAST(SUM(v_symbol) AS BIGINT) AS v_symbol,
+           CAST(SUM(v_alpha) AS BIGINT) AS v_alpha,
+           CAST(SUM(v_stopword) AS BIGINT) AS v_stopword,
+           CAST(SUM(CASE WHEN v_wordcount + v_wordlen + v_symbol
+                              + v_alpha + v_stopword = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+    FROM v GROUP BY lang
+    """,
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consolidated Gopher rule gate (round 6) — the canonical
+    heuristic quality filter applied as ONE pass with per-rule
+    violation accounting (a funnel that only reports the survivors
+    hides WHICH rule is eating the corpus): word-count bounds
+    [50, 100k], mean word length in [3, 10], symbol-token cap (10%,
+    '#'/'...'), alphabetic-token floor (80%), and the >= 2 distinct
+    canonical stopwords requirement. All ratio tests are exact integer
+    cross-multiplications, so both engines agree bit for bit; the
+    line-level bullet/ellipsis rules are out of scope on the
+    single-line fixture text (documented adaptation).
+
+    Scale shape: pure row-local Column expressions (split + filters +
+    one concat-length) into a per-language rollup — ONE corpus scan,
+    ONE bounded exchange, no Python. This is the gate that runs BEFORE
+    the expensive dedup/decontamination stages in a real pipeline;
+    chaining is funnel-ordered cheapest-first (curation_filter_funnel
+    reports that composition)."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = gopher_violation_flags(docs).select(
+        "lang", "v_wordcount", "v_wordlen", "v_symbol", "v_alpha", "v_stopword"
+    )
+    total_v = (
+        F.col("v_wordcount")
+        + F.col("v_wordlen")
+        + F.col("v_symbol")
+        + F.col("v_alpha")
+        + F.col("v_stopword")
+    )
+    return v.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("v_wordcount").cast("long").alias("v_wordcount"),
+        F.sum("v_wordlen").cast("long").alias("v_wordlen"),
+        F.sum("v_symbol").cast("long").alias("v_symbol"),
+        F.sum("v_alpha").cast("long").alias("v_alpha"),
+        F.sum("v_stopword").cast("long").alias("v_stopword"),
+        F.sum(F.when(total_v == 0, 1).otherwise(0)).cast("long").alias("n_pass"),
+    )

@@ -138,3 +138,36 @@ def test_repetition_gram_guard_short_docs(spark):
     )
     got = [r["n"] for r in df.select(F.size(g2).alias("n")).collect()]
     assert got == [0, 0, 0, 1, 2]
+
+
+def test_gopher_violation_flags_every_rule_both_branches(spark):
+    """Each Gopher rule must trip on its crafted violator and stay
+    silent on the clean doc — the fixture corpus never exercises the
+    wordlen/symbol/alpha violations, so this pins their nonzero
+    branches."""
+    from dataflowjavasdk_spark.queries.text import gopher_violation_flags
+
+    clean = " ".join(["the", "a", "is"] + ["word"] * 60)  # 63 tokens, len 4ish
+    too_short = " ".join(["the", "is"] + ["word"] * 10)  # 12 tokens, mean len ok
+    long_words = " ".join(["the", "a"] + ["x" * 40] * 60)
+    symbols = " ".join(["the", "a", "is"] + ["#tag"] * 30 + ["word"] * 30)
+    numeric = " ".join(["the", "a", "is"] + ["12345"] * 60)
+    no_stop = " ".join(["word"] * 60)
+    rows = [
+        (1, clean), (2, too_short), (3, long_words),
+        (4, symbols), (5, numeric), (6, no_stop),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_violation_flags(df).collect()}
+
+    def flags(i):
+        r = got[i]
+        return (r["v_wordcount"], r["v_wordlen"], r["v_symbol"],
+                r["v_alpha"], r["v_stopword"])
+
+    assert flags(1) == (0, 0, 0, 0, 0)
+    assert flags(2) == (1, 0, 0, 0, 0)          # word count < 50
+    assert flags(3)[1] == 1                     # mean word length > 10
+    assert flags(4)[2] == 1 and flags(4)[0] == 0  # symbol ratio > 10%
+    assert flags(5)[3] == 1                     # < 80% alphabetic tokens
+    assert flags(6)[4] == 1                     # < 2 canonical stopwords
