@@ -2685,3 +2685,66 @@ def image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_images"),
         F.min("media_id").alias("min_media_id"),
     )
+
+
+@query(
+    "tfrecord_roundtrip_checksum",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_records,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(SUM(-doc_id) AS BIGINT) AS sum_neg_id,
+           CAST(SUM(length(text)) AS BIGINT) AS total_text_chars,
+           CAST(SUM(n_chars % 1000) AS BIGINT) AS sum_meta
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def tfrecord_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord sink→source round trip (round 6) — the training-shard
+    format trainers actually read: every document row becomes a
+    tf.train.Example (hand-rolled proto2 wire codec — the container has
+    no protobuf runtime) framed with CRC-32C-masked record headers,
+    written as 4 shards via the FileBasedSink temp/rename commit
+    (sources/tfrecord.py), then read back with file-level parallelism
+    (binaryFile → CRC-verified frame walk → Example parse). The
+    per-language checksum sums the id (and its NEGATION — the 10-byte
+    two's-complement varint path), text lengths, and a modular metadata
+    feature, so any framing, CRC, varint, map-entry, or utf-8 defect
+    shifts a sum. At 100 TB: TFRecord is the EGRESS format — shards are
+    written once, one per partition, payload bytes never shuffle; read
+    parallelism is per shard exactly as data loaders consume them."""
+    import tempfile
+
+    from dataflowjavasdk_spark.sources.tfrecord import (
+        parse_examples,
+        read_tfrecord,
+        write_tfrecord,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (-F.col("doc_id")).alias("neg_id"),
+        "lang",
+        "text",
+        F.pmod("n_chars", F.lit(1000)).cast("long").alias("meta"),
+    )
+    d = tempfile.mkdtemp(prefix="tfrecord_rt_")
+    write_tfrecord(docs.repartition(4), d)
+    back = parse_examples(
+        read_tfrecord(spark, d),
+        {
+            "doc_id": "bigint",
+            "neg_id": "bigint",
+            "lang": "string",
+            "text": "string",
+            "meta": "bigint",
+        },
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        F.sum("neg_id").cast("long").alias("sum_neg_id"),
+        F.sum(F.length("text")).cast("long").alias("total_text_chars"),
+        F.sum("meta").cast("long").alias("sum_meta"),
+    )

@@ -1,0 +1,470 @@
+"""TFRecord source/sink + a hand-rolled tf.train.Example wire codec.
+
+TFRecord is the training-shard format the TensorFlow/JAX data loaders
+consume; a curation pipeline that cannot EMIT it cannot feed a trainer.
+Everything here is implemented from the public specs:
+
+- Record framing (TensorFlow `tensorflow/core/lib/io/record_writer.cc`
+  documented layout): ``uint64 length (LE) | uint32 masked_crc(length) |
+  data[length] | uint32 masked_crc(data)``, where the checksum is
+  CRC-32C (Castagnoli, RFC 3720 §B.4) with TensorFlow's published mask
+  ``((crc >> 15 | crc << 17) + 0xa282ead8) & 0xffffffff``.
+- Payloads are `tf.train.Example` protobuf messages. The container has
+  no protobuf runtime (the suite's documented `google.protobuf` skip),
+  so the wire format is encoded/decoded BY HAND from the public proto2
+  encoding spec: varint tags, length-delimited submessages,
+  ``Example{1: Features{1: map<string, Feature>}}`` with
+  ``Feature{1: BytesList | 2: FloatList | 3: Int64List}``. The encoder
+  emits map entries in sorted-key order so shard bytes are
+  deterministic; the decoder accepts any field order and both packed
+  and unpacked repeated scalars.
+- `write_tfrecord(df, path)`: distributed sharded writer with the
+  FileBasedSink temp/rename commit (one ``part-NNNNN.tfrecord`` per
+  non-empty partition; `_temporary/` removed after the driver commit).
+- `read_tfrecord(spark, path)`: `binaryFile` datasource for file-level
+  parallelism, then one Arrow-batched mapInPandas pass walking the
+  framing (both CRCs verified per record — a flipped bit raises
+  ValueError, never a silent wrong row).
+- `parse_examples(df, feature_spec)`: the `tf.io.parse_example` analog —
+  decodes the Example payload column into typed Spark columns.
+
+Scale shape: TFRecord is not splittable (no sync markers), so read
+parallelism is per FILE — exactly how trainers shard input (thousands of
+~100 MB–1 GB shards; `training_shard_manifest` already sizes shards
+deterministically). Writes are embarrassingly parallel, one shard per
+partition, payload bytes never shuffle. CRC-32C runs slice-by-8
+table-driven (8 bytes per Python-loop iteration) inside the Arrow batch
+pass.
+
+Reference lineage: the historical SDK's TextIO/AvroIO sharded-sink
+contract [H: sdk/io/FileBasedSink.java] — temp dir, per-bundle shard,
+driver finalize — applied to the record format trainers actually read.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import shutil
+import struct
+from collections.abc import Iterator
+
+# ---------------------------------------------------------------------------
+# CRC-32C (Castagnoli), slice-by-8. Public algorithm: RFC 3720 §B.4;
+# reflected polynomial 0x82F63B78.
+# ---------------------------------------------------------------------------
+
+_POLY = 0x82F63B78
+
+
+def _build_tables() -> list[list[int]]:
+    t0 = []
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (c >> 1) ^ _POLY if c & 1 else c >> 1
+        t0.append(c)
+    tables = [t0]
+    for k in range(1, 8):
+        prev = tables[k - 1]
+        tables.append([(prev[n] >> 8) ^ t0[prev[n] & 0xFF] for n in range(256)])
+    return tables
+
+
+_T = _build_tables()
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    """CRC-32C of ``data``. Verified against the RFC 3720 test vector
+    (crc32c(b'123456789') == 0xE3069283) in tests/test_tfrecord.py."""
+    c = crc ^ 0xFFFFFFFF
+    n = len(data)
+    i = 0
+    t0, t1, t2, t3, t4, t5, t6, t7 = _T
+    # slice-by-8: one table round per 8 input bytes
+    end8 = n - (n % 8)
+    while i < end8:
+        c ^= int.from_bytes(data[i : i + 4], "little")
+        b4, b5, b6, b7 = data[i + 4], data[i + 5], data[i + 6], data[i + 7]
+        c = (
+            t7[c & 0xFF]
+            ^ t6[(c >> 8) & 0xFF]
+            ^ t5[(c >> 16) & 0xFF]
+            ^ t4[(c >> 24) & 0xFF]
+            ^ t3[b4]
+            ^ t2[b5]
+            ^ t1[b6]
+            ^ t0[b7]
+        )
+        i += 8
+    while i < n:
+        c = (c >> 8) ^ t0[(c ^ data[i]) & 0xFF]
+        i += 1
+    return c ^ 0xFFFFFFFF
+
+
+_MASK_DELTA = 0xA282EAD8
+
+
+def masked_crc32c(data: bytes) -> int:
+    """TensorFlow's masked CRC: rotate right 15 then add the mask delta."""
+    crc = crc32c(data)
+    return (((crc >> 15) | (crc << 17)) + _MASK_DELTA) & 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# Record framing
+# ---------------------------------------------------------------------------
+
+
+def frame_record(data: bytes) -> bytes:
+    """length | masked_crc(length) | data | masked_crc(data)."""
+    header = struct.pack("<Q", len(data))
+    return (
+        header
+        + struct.pack("<I", masked_crc32c(header))
+        + data
+        + struct.pack("<I", masked_crc32c(data))
+    )
+
+
+def iter_records(blob: bytes) -> Iterator[bytes]:
+    """Walk a TFRecord file's bytes, verifying both CRCs per record.
+    Raises ValueError (the module's uniform rejection type) on truncation
+    or checksum mismatch — corrupt shards must surface, not skip."""
+    pos, n = 0, len(blob)
+    while pos < n:
+        if n - pos < 12:
+            raise ValueError("truncated TFRecord: partial header")
+        header = blob[pos : pos + 8]
+        (length,) = struct.unpack("<Q", header)
+        (hcrc,) = struct.unpack("<I", blob[pos + 8 : pos + 12])
+        if masked_crc32c(header) != hcrc:
+            raise ValueError("TFRecord header CRC mismatch")
+        pos += 12
+        if n - pos < length + 4:
+            raise ValueError("truncated TFRecord: partial payload")
+        data = blob[pos : pos + length]
+        (dcrc,) = struct.unpack("<I", blob[pos + length : pos + length + 4])
+        if masked_crc32c(data) != dcrc:
+            raise ValueError("TFRecord payload CRC mismatch")
+        pos += length + 4
+        yield data
+
+
+# ---------------------------------------------------------------------------
+# Minimal proto2 wire codec for tf.train.Example (public .proto layout:
+# tensorflow/core/example/example.proto + feature.proto).
+# ---------------------------------------------------------------------------
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift, result = 0, 0
+    while True:
+        if pos >= len(buf):
+            raise ValueError("truncated varint in Example payload")
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+        if shift > 70:
+            raise ValueError("varint overflow in Example payload")
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _len_delim(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _int64_varint(v: int) -> bytes:
+    # proto int64: negatives encode as 10-byte two's-complement varints
+    return _varint(v & 0xFFFFFFFFFFFFFFFF)
+
+
+def _from_u64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def encode_example(features: dict) -> bytes:
+    """Serialize ``{name: value}`` to tf.train.Example bytes.
+
+    Value types: ``bytes``/``str`` → BytesList; ``int`` → Int64List;
+    ``float`` → FloatList; a list of one of those → the multi-valued
+    list. Map entries are emitted in sorted-key order, so equal inputs
+    produce byte-identical Examples (checksum-stable shards)."""
+    entries = bytearray()
+    for name in sorted(features):
+        value = features[name]
+        vals = value if isinstance(value, (list, tuple)) else [value]
+        if vals and isinstance(vals[0], (bytes, str)):
+            body = b"".join(
+                _len_delim(1, v.encode("utf-8") if isinstance(v, str) else v)
+                for v in vals
+            )
+            feature = _len_delim(1, body)  # Feature.bytes_list
+        elif vals and isinstance(vals[0], bool):
+            raise ValueError("bool features are not part of tf.train.Example")
+        elif vals and isinstance(vals[0], int):
+            packed = b"".join(_int64_varint(v) for v in vals)
+            feature = _len_delim(3, _len_delim(1, packed))  # Feature.int64_list
+        elif vals and isinstance(vals[0], float):
+            packed = b"".join(struct.pack("<f", v) for v in vals)
+            feature = _len_delim(2, _len_delim(1, packed))  # Feature.float_list
+        elif not vals:
+            feature = b""  # empty Feature: unset oneof
+        else:
+            raise ValueError(f"unsupported feature type for {name!r}")
+        entry = _len_delim(1, name.encode("utf-8")) + _len_delim(2, feature)
+        entries += _len_delim(1, entry)  # Features.feature map entry
+    return _len_delim(1, bytes(entries))  # Example.features
+
+
+def _decode_scalar_list(buf: bytes, field_kind: int) -> list:
+    """Decode a BytesList/FloatList/Int64List message body (field 1,
+    packed or unpacked per the proto2 spec)."""
+    pos, out = 0, []
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        field, wire = key >> 3, key & 7
+        if field != 1:
+            raise ValueError(f"unexpected field {field} in scalar list")
+        if field_kind == 1:  # bytes
+            if wire != 2:
+                raise ValueError("BytesList values must be length-delimited")
+            ln, pos = _read_varint(buf, pos)
+            out.append(bytes(buf[pos : pos + ln]))
+            pos += ln
+        elif field_kind == 2:  # float
+            if wire == 2:  # packed
+                ln, pos = _read_varint(buf, pos)
+                out.extend(
+                    struct.unpack_from("<f", buf, pos + i)[0]
+                    for i in range(0, ln, 4)
+                )
+                pos += ln
+            elif wire == 5:
+                out.append(struct.unpack_from("<f", buf, pos)[0])
+                pos += 4
+            else:
+                raise ValueError("bad wire type for FloatList")
+        else:  # int64
+            if wire == 2:  # packed
+                ln, pos = _read_varint(buf, pos)
+                end = pos + ln
+                while pos < end:
+                    v, pos = _read_varint(buf, pos)
+                    out.append(_from_u64(v))
+            elif wire == 0:
+                v, pos = _read_varint(buf, pos)
+                out.append(_from_u64(v))
+            else:
+                raise ValueError("bad wire type for Int64List")
+    return out
+
+
+def _decode_feature(buf: bytes) -> list:
+    pos = 0
+    if not buf:
+        return []
+    key, pos = _read_varint(buf, pos)
+    field, wire = key >> 3, key & 7
+    if wire != 2 or field not in (1, 2, 3):
+        raise ValueError("malformed Feature message")
+    ln, pos = _read_varint(buf, pos)
+    return _decode_scalar_list(buf[pos : pos + ln], field)
+
+
+def decode_example(blob: bytes) -> dict:
+    """Parse tf.train.Example bytes → ``{name: list_of_values}``."""
+    pos, out = 0, {}
+    # Example: field 1 = Features
+    while pos < len(blob):
+        key, pos = _read_varint(blob, pos)
+        field, wire = key >> 3, key & 7
+        if field != 1 or wire != 2:
+            raise ValueError("malformed Example message")
+        ln, pos = _read_varint(blob, pos)
+        fbuf, fpos = blob[pos : pos + ln], 0
+        pos += ln
+        # Features: repeated map entry (field 1)
+        while fpos < len(fbuf):
+            k, fpos = _read_varint(fbuf, fpos)
+            if (k >> 3) != 1 or (k & 7) != 2:
+                raise ValueError("malformed Features map")
+            eln, fpos = _read_varint(fbuf, fpos)
+            ebuf, epos = fbuf[fpos : fpos + eln], 0
+            fpos += eln
+            name, vals = None, []
+            while epos < len(ebuf):
+                ek, epos = _read_varint(ebuf, epos)
+                ef, ew = ek >> 3, ek & 7
+                if ew != 2:
+                    raise ValueError("malformed map entry")
+                vln, epos = _read_varint(ebuf, epos)
+                vbuf = ebuf[epos : epos + vln]
+                epos += vln
+                if ef == 1:
+                    name = vbuf.decode("utf-8")
+                elif ef == 2:
+                    vals = _decode_feature(vbuf)
+            if name is None:
+                raise ValueError("map entry without key")
+            out[name] = vals
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark-facing writer / reader / parser
+# ---------------------------------------------------------------------------
+
+
+def write_tfrecord(df, path: str) -> int:
+    """Write ``df`` as TFRecord shards of tf.train.Example records, one
+    ``part-{pid:05d}.tfrecord`` per non-empty partition, FileBasedSink
+    temp/rename commit. Column-type mapping: string → BytesList (utf-8),
+    binary → BytesList, integral → Int64List, float/double → FloatList,
+    array<of those> → the multi-valued list. Returns shard count."""
+    import pandas as pd
+    from pyspark import TaskContext
+
+    cols = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+    tmp = os.path.join(path, "_temporary")
+    os.makedirs(tmp, exist_ok=True)
+
+    def _coerce(v, dtype: str):
+        if v is None:
+            return []
+        base = dtype[6:-1] if dtype.startswith("array<") else dtype
+        vals = list(v) if dtype.startswith("array<") else [v]
+        if base in ("int", "bigint", "smallint", "tinyint"):
+            return [int(x) for x in vals]
+        if base in ("float", "double"):
+            return [float(x) for x in vals]
+        if base == "string":
+            return [str(x) for x in vals]
+        if base == "binary":
+            return [bytes(x) for x in vals]
+        raise ValueError(f"unsupported TFRecord column type: {dtype}")
+
+    def encode(batches: Iterator) -> Iterator:
+        pid = TaskContext.get().partitionId()
+        buf = bytearray()
+        n = 0
+        for pdf in batches:
+            for rec in pdf.to_dict("records"):
+                ex = encode_example(
+                    {name: _coerce(rec[name], dt) for name, dt in cols}
+                )
+                buf += frame_record(ex)
+                n += 1
+        if not n:
+            return
+        shard = os.path.join(tmp, f"part-{pid:05d}.tfrecord")
+        with open(shard + ".inprogress", "wb") as fh:
+            fh.write(bytes(buf))
+        os.rename(shard + ".inprogress", shard)
+        yield pd.DataFrame({"shard": [shard], "n": [n]})
+
+    manifest = df.mapInPandas(encode, schema="shard string, n long").collect()
+    for row in manifest:
+        final = os.path.join(path, os.path.basename(row["shard"]))
+        os.replace(row["shard"], final)
+    # finalize like a FileBasedSink: orphaned .inprogress files from
+    # failed/retried tasks die with the temp dir (the warc.py advice fix,
+    # applied here from the start)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return len(manifest)
+
+
+def read_tfrecord(spark, path: str):
+    """Distributed TFRecord read: one task per shard via binaryFile, one
+    Arrow-batched pass walking the framing (CRC-verified). Returns
+    ``(shard string, record_index long, example binary)`` — feed to
+    `parse_examples` for typed columns."""
+    paths = sorted(
+        _glob.glob(os.path.join(path, "*.tfrecord"))
+        if os.path.isdir(path)
+        else _glob.glob(path)
+    )
+    if not paths:
+        raise FileNotFoundError(f"no tfrecord files at {path}")
+    files = (
+        spark.read.format("binaryFile")
+        .load(paths if len(paths) > 1 else paths[0])
+        .select("path", "content")
+    )
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            for p, raw in zip(pdf["path"], pdf["content"]):
+                recs = list(iter_records(bytes(raw)))
+                if recs:
+                    yield pd.DataFrame(
+                        {
+                            "shard": [os.path.basename(p)] * len(recs),
+                            "record_index": range(len(recs)),
+                            "example": recs,
+                        }
+                    )
+
+    return files.mapInPandas(
+        decode, schema="shard string, record_index long, example binary"
+    )
+
+
+def parse_examples(df, feature_spec: dict, example_col: str = "example"):
+    """`tf.io.parse_example` analog: decode the Example payload column
+    into typed Spark columns. ``feature_spec`` maps feature name → Spark
+    type string (``bigint``/``double``/``string``/``binary`` for
+    single-valued; ``array<bigint>``/``array<float>``/... for
+    multi-valued). Single-valued specs take the list head (null when the
+    feature is absent/empty)."""
+    names = list(feature_spec)
+
+    def to_schema(dtype: str) -> str:
+        return "double" if dtype == "float" else dtype
+
+    out_schema = ", ".join(
+        f"`{n}` {to_schema(t)}" for n, t in feature_spec.items()
+    )
+
+    def parse(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            cols: dict[str, list] = {n: [] for n in names}
+            for blob in pdf[example_col]:
+                ex = decode_example(bytes(blob))
+                for n in names:
+                    spec = feature_spec[n]
+                    vals = ex.get(n, [])
+                    if spec.startswith("array<"):
+                        cols[n].append(vals)
+                    elif spec in ("string",):
+                        cols[n].append(
+                            vals[0].decode("utf-8") if vals else None
+                        )
+                    else:
+                        cols[n].append(vals[0] if vals else None)
+            yield pd.DataFrame(cols)
+
+    return df.mapInPandas(parse, schema=out_schema)

@@ -1,0 +1,184 @@
+"""TFRecord source/sink + tf.train.Example wire codec (sources/tfrecord.py)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dataflowjavasdk_spark.sources.tfrecord import (
+    crc32c,
+    decode_example,
+    encode_example,
+    frame_record,
+    iter_records,
+    masked_crc32c,
+    parse_examples,
+    read_tfrecord,
+    write_tfrecord,
+)
+
+
+def test_crc32c_rfc3720_vectors():
+    # RFC 3720 §B.4 published test vectors
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(bytes(32)) == 0x8A9136AA
+    assert crc32c(bytes([0xFF] * 32)) == 0x62A8AB43
+    assert crc32c(bytes(range(32))) == 0x46DD794E
+    assert crc32c(b"") == 0
+
+
+def test_crc32c_slice_by_8_matches_bytewise():
+    # force both the 8-byte fast path and the byte tail
+    data = bytes(range(256)) * 3 + b"tail"
+    bytewise = 0xFFFFFFFF
+    for b in data:
+        c = (bytewise ^ b) & 0xFF
+        for _ in range(8):
+            c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+        bytewise = (bytewise >> 8) ^ c
+    assert crc32c(data) == bytewise ^ 0xFFFFFFFF
+
+
+def test_masked_crc_is_tensorflows():
+    crc = crc32c(b"data")
+    expect = (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+    assert masked_crc32c(b"data") == expect
+
+
+def test_example_roundtrip_all_types():
+    feats = {
+        "id": 42,
+        "neg": -7,
+        "big_neg": -(1 << 62),
+        "name": "café",
+        "raw": b"\x00\xff",
+        "vec": [1.5, -2.25, 0.0],
+        "ids": [3, -1, 1 << 40],
+        "empty": [],
+    }
+    out = decode_example(encode_example(feats))
+    assert out["id"] == [42]
+    assert out["neg"] == [-7]
+    assert out["big_neg"] == [-(1 << 62)]
+    assert out["name"] == ["café".encode()]
+    assert out["raw"] == [b"\x00\xff"]
+    assert out["vec"] == [1.5, -2.25, 0.0]
+    assert out["ids"] == [3, -1, 1 << 40]
+    assert out["empty"] == []
+
+
+def test_example_encoding_is_deterministic():
+    a = encode_example({"b": 1, "a": "x"})
+    b = encode_example({"a": "x", "b": 1})
+    assert a == b  # sorted map-entry order → byte-stable shards
+
+
+def test_unpacked_int64_accepted():
+    # proto2 allows unpacked repeated scalars: field 1, wire 0, per value
+    int64_list = b"\x08\x05\x08\x2a"  # values 5, 42
+    feature = b"\x1a" + bytes([len(int64_list)]) + int64_list
+    entry = b"\x0a\x01k" + b"\x12" + bytes([len(feature)]) + feature
+    features = b"\x0a" + bytes([len(entry)]) + entry
+    example = b"\x0a" + bytes([len(features)]) + features
+    assert decode_example(example) == {"k": [5, 42]}
+
+
+def test_framing_rejects_corruption():
+    ex = encode_example({"k": 1})
+    blob = frame_record(ex)
+    assert list(iter_records(blob)) == [ex]
+    assert list(iter_records(blob * 3)) == [ex] * 3
+    with pytest.raises(ValueError, match="partial header"):
+        list(iter_records(blob[:5]))
+    with pytest.raises(ValueError, match="partial payload"):
+        list(iter_records(blob[:-2]))
+    hdr_bad = bytearray(blob)
+    hdr_bad[9] ^= 1
+    with pytest.raises(ValueError, match="header CRC"):
+        list(iter_records(bytes(hdr_bad)))
+    data_bad = bytearray(blob)
+    data_bad[13] ^= 1
+    with pytest.raises(ValueError, match="payload CRC"):
+        list(iter_records(bytes(data_bad)))
+    # length field lies about the payload size → header CRC catches it
+    lie = bytearray(blob)
+    lie[0] ^= 1
+    with pytest.raises(ValueError):
+        list(iter_records(bytes(lie)))
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(st.characters(codec="ascii", min_codepoint=97, max_codepoint=122), min_size=1, max_size=6),
+        st.one_of(
+            st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+            st.binary(max_size=40),
+            st.lists(st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1), max_size=5),
+        ),
+        max_size=5,
+    )
+)
+def test_example_roundtrip_property(feats):
+    out = decode_example(encode_example(feats))
+    for k, v in feats.items():
+        expect = v if isinstance(v, list) else [v]
+        assert out[k] == expect
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.binary(max_size=200), max_size=8))
+def test_framing_roundtrip_property(payloads):
+    blob = b"".join(frame_record(p) for p in payloads)
+    assert list(iter_records(blob)) == payloads
+
+
+def test_spark_write_read_roundtrip(spark, tmp_path):
+    d = str(tmp_path / "tfr")
+    df = spark.createDataFrame(
+        [(1, "alpha", 2.5, [1, 2]), (2, "béta", -0.5, []), (3, None, None, [7])],
+        "id long, name string, score double, tags array<bigint>",
+    )
+    n_shards = write_tfrecord(df.repartition(2), d)
+    assert 1 <= n_shards <= 2
+    assert not (tmp_path / "tfr" / "_temporary").exists()
+    back = parse_examples(
+        read_tfrecord(spark, d),
+        {"id": "bigint", "name": "string", "score": "double", "tags": "array<bigint>"},
+    )
+    rows = {r["id"]: r for r in back.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["name"] == "alpha" and rows[2]["name"] == "béta"
+    assert rows[3]["name"] is None  # null column → absent feature → null
+    assert rows[1]["score"] == 2.5 and rows[2]["score"] == -0.5
+    assert rows[1]["tags"] == [1, 2] and rows[2]["tags"] == [] and rows[3]["tags"] == [7]
+
+
+def test_spark_read_rejects_corrupt_shard(spark, tmp_path):
+    d = str(tmp_path / "tfr2")
+    df = spark.createDataFrame([(1,)], "id long")
+    write_tfrecord(df, d)
+    import glob
+    import os
+
+    shard = glob.glob(os.path.join(d, "*.tfrecord"))[0]
+    raw = bytearray(open(shard, "rb").read())
+    raw[-1] ^= 1
+    open(shard, "wb").write(bytes(raw))
+    with pytest.raises(Exception, match="CRC"):
+        read_tfrecord(spark, d).collect()
+
+
+def test_float_feature_is_float32(spark, tmp_path):
+    # doubles travel as proto float32 — the lossy cast is the format's,
+    # not ours; parse_examples surfaces the float32 value exactly
+    d = str(tmp_path / "tfr3")
+    df = spark.createDataFrame([(1, 0.1)], "id long, x double")
+    write_tfrecord(df, d)
+    row = parse_examples(
+        read_tfrecord(spark, d), {"id": "bigint", "x": "double"}
+    ).collect()[0]
+    assert row["x"] == struct.unpack("<f", struct.pack("<f", 0.1))[0]
