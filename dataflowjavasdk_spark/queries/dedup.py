@@ -1039,3 +1039,118 @@ def cluster_representative_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("best.neg_id")).alias("rep_doc_id"),
         F.col("best.len").cast("int").alias("rep_len"),
     )
+
+
+@query(
+    "prefix_filter_jaccard_pairs",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(list_filter(string_split(text,' '), t -> t <> '')) - 1, 1)),
+               i -> array_to_string(
+                      array_slice(list_filter(string_split(text,' '), t -> t <> ''),
+                                  i, i + 2), ' ')
+             )) AS grams
+      FROM corpus
+    ),
+    exploded AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+    shared AS (SELECT gram FROM exploded GROUP BY gram HAVING count(*) >= 2),
+    kept AS (SELECT e.doc_id, e.gram FROM exploded e JOIN shared USING (gram)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           len(list_filter(sa.grams, g -> list_contains(sb.grams, g)))::DOUBLE
+             / greatest(len(sa.grams) + len(sb.grams)
+                        - len(list_filter(sa.grams, g -> list_contains(sb.grams, g))),
+                        1)::DOUBLE AS jacc
+    FROM cand
+    JOIN sh sa ON sa.doc_id = id_a
+    JOIN sh sb ON sb.doc_id = id_b
+    WHERE len(list_filter(sa.grams, g -> list_contains(sb.grams, g)))::DOUBLE
+            / greatest(len(sa.grams) + len(sb.grams)
+                       - len(list_filter(sa.grams, g -> list_contains(sb.grams, g))),
+                       1)::DOUBLE >= 0.5
+    """,
+)
+def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact-Jaccard similarity join (round 6) — the
+    AllPairs/PPJoin candidate generation (Bayardo et al., WWW'07; public
+    algorithm) as the PROVABLY COMPLETE alternative to the df-capped
+    blocking the rest of the near-dup family uses. Each document's
+    distinct 3-gram shingles are totally ordered by ascending global
+    document frequency (ties by gram); for threshold t a document with n
+    grams exposes only its first ``n - ceil(t*n) + 1`` grams as blocking
+    keys — by pigeonhole, two sets with Jaccard >= t MUST share a prefix
+    gram, so no true pair can be lost. The length filter
+    (t * max(n_a, n_b) <= min(n_a, n_b), a Jaccard necessary condition)
+    prunes candidates before verification; survivors are verified with
+    exact Jaccard over the FULL gram sets.
+
+    The oracle is deliberately FILTER-FREE: DuckDB brute-forces every
+    pair sharing any gram and keeps Jaccard >= 0.5 — if the prefix or
+    length filter ever dropped a qualifying pair, the value hash would
+    diverge. Completeness is checked, not assumed.
+
+    At 100 TB: the exploded prefix relation is ~half the shingle
+    relation, and a high-df (stopword-like) gram sorts LAST within every
+    document, so it almost never lands in a prefix — the hot-key fan-out
+    that forces the df cap elsewhere self-limits here. Candidate
+    generation is one equi-join on prefix grams; ranking is one
+    window over the exploded relation (same shuffle key as the join)."""
+    threshold = 0.5
+    corpus = _corpus(spark, sf_dir)
+    sh = (
+        corpus.select("doc_id", S.shingles("text", 3).alias("grams"))
+        .withColumn("n", F.size("grams"))
+        .localCheckpoint(eager=False)
+    )
+    ex = sh.select("doc_id", "n", F.explode("grams").alias("gram"))
+    gram_df = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    ranked = ex.join(gram_df, "gram").withColumn(
+        "pos",
+        F.row_number().over(W.partitionBy("doc_id").orderBy("df", "gram")),
+    )
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).select("doc_id", "n", "gram")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: Jaccard >= t forces t*max(n) <= min(n)
+            & (
+                F.lit(threshold)
+                * F.greatest(F.col("a.n"), F.col("b.n"))
+                <= F.least(F.col("a.n"), F.col("b.n"))
+            ),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    ga = sh.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("grams").alias("grams_a"),
+        F.col("n").alias("n_a"),
+    )
+    gb = sh.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("grams").alias("grams_b"),
+        F.col("n").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    jacc = inter.cast("double") / F.greatest(
+        F.col("n_a") + F.col("n_b") - inter, F.lit(1)
+    ).cast("double")
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("id_a", "id_b", jacc.alias("jacc"))
+        .filter(F.col("jacc") >= threshold)
+    )

@@ -360,3 +360,53 @@ def test_cluster_representative_is_longest_then_min_id(spark):
         best = grp.sort_values(["len", "doc_id"], ascending=[False, True]).iloc[0]
         assert got[cid] == (len(grp), best["doc_id"], best["len"]), cid
     assert n_multi == len(got)
+
+
+def test_prefix_filter_jaccard_complete_vs_bruteforce(spark):
+    """Prefix+length filtering must lose NO pair with Jaccard >= t —
+    verified against per-pair brute force on a crafted corpus that
+    includes a stopword-like hot gram shared by every doc (the shape
+    that forces the df cap in the blocked family)."""
+    from itertools import combinations
+
+    from dataflowjavasdk_spark.functions import similarity as Sim
+    from dataflowjavasdk_spark.queries import dedup as D
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over the lazy cat",
+        3: "the quick brown fox leaps over the lazy dog",
+        4: "a completely different sentence sharing the word the",
+        5: "the quick brown fox jumps over the lazy dog",  # exact dup of 1
+        6: "another unrelated line with the common token",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    sh = df.select(
+        "doc_id", Sim.shingles("text", 3).alias("grams")
+    ).withColumn("n", F.size("grams"))
+
+    # run the engine's prefix-filter pipeline body on this corpus by
+    # monkeypatching the corpus builder
+    orig = D._corpus
+    D._corpus = lambda _spark, _sf: df
+    try:
+        got = {
+            (r["id_a"], r["id_b"]): r["jacc"]
+            for r in D.prefix_filter_jaccard_pairs(spark, "unused").collect()
+        }
+    finally:
+        D._corpus = orig
+
+    grams = {
+        r["doc_id"]: set(r["grams"]) for r in sh.collect()
+    }
+    expect = {}
+    for a, b in combinations(sorted(grams), 2):
+        inter = len(grams[a] & grams[b])
+        union = max(len(grams[a] | grams[b]), 1)
+        if inter / union >= 0.5:
+            expect[(a, b)] = inter / union
+    assert got == expect
+    assert (1, 5) in got and got[(1, 5)] == 1.0  # the exact dup survived
