@@ -1,0 +1,149 @@
+"""Query batch — round-6 curation operators: data selection (DSIR-style
+hashed-ngram importance) and friends.
+
+Scale design notes live on each query; the shared discipline: feature
+hashing collapses the unbounded gram space to a CONSTANT bucket relation
+(broadcastable at any corpus size), importance scores are integer-exact
+(scaled ratios via integer division — no float logs, so the DuckDB twin
+hashes bit-identically), and selection heads use TakeOrderedAndProject
+(bounded per-task heaps), never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from dataflowjavasdk_spark.functions.text import md5_long, tokens
+from dataflowjavasdk_spark.queries.registry import query
+from dataflowjavasdk_spark.sources.tables import load_table
+
+# DSIR feature space: unigrams + bigrams hashed into a constant number of
+# buckets. 256 keeps the fixture buckets well-populated; production would
+# use 10k (the published setting) — the plan shape is identical because
+# the bucket relation is constant-size either way.
+_N_BUCKETS = 256
+_SCALE = 1_000_000
+_TARGET_SOURCES = ("src0", "src1", "src2")
+
+
+@query(
+    "dsir_importance_select",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             unnest(list_concat(
+               tk,
+               list_transform(range(1, len(tk)),
+                              i -> tk[i] || ' ' || tk[i + 1]))) AS gram
+      FROM toks
+    ),
+    hashed AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(gram), 1, 15))::BIGINT % {_N_BUCKETS} AS b
+      FROM grams
+    ),
+    raw_cnt AS (SELECT b, count(*) AS c_r FROM hashed GROUP BY b),
+    tgt_cnt AS (
+      SELECT b, count(*) AS c_t FROM hashed
+      WHERE source IN {_TARGET_SOURCES!r}
+      GROUP BY b
+    ),
+    bucket_scores AS (
+      SELECT r.b,
+             ({_SCALE} * (COALESCE(t.c_t, 0) + 1)) // (r.c_r + 1) AS s
+      FROM raw_cnt r LEFT JOIN tgt_cnt t USING (b)
+    ),
+    doc_scores AS (
+      SELECT doc_id, source,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(SUM(s) AS BIGINT) AS score
+      FROM hashed JOIN bucket_scores USING (b)
+      GROUP BY doc_id, source
+    ),
+    top AS (
+      SELECT * FROM doc_scores ORDER BY score DESC, doc_id LIMIT 100
+    )
+    SELECT doc_id, source, n_grams, score,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+    FROM top
+    """,
+)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (round 6) — importance resampling with
+    hashed n-gram features (Xie et al. 2023, public method): score every
+    raw document by how target-domain-like its hashed unigram+bigram
+    distribution is, then keep the top slice. The target here is the
+    src0-src2 subcorpus; per-bucket importance is the add-one-smoothed
+    count ratio as a SCALED INTEGER — ``(SCALE*(c_target+1)) div
+    (c_raw+1)`` — instead of the paper's log-probability ratio, a
+    documented deviation that keeps every intermediate integer-exact so
+    the DuckDB twin value-hashes bit-identically (same trade the k-means
+    and PageRank queries make; monotone per bucket, summed over gram
+    occurrences per doc). Selection takes the top-100 by (score,
+    doc_id) and derives the rank AFTER the limit.
+
+    Scale shape: one corpus pass explodes grams and hashes them
+    row-locally; bucket counts are two aggregates onto a CONSTANT
+    {_N_BUCKETS}-row relation; the score join broadcasts that constant
+    relation back (never the corpus); per-doc scores are one aggregate;
+    the head is TakeOrderedAndProject (bounded per-task heap, no global
+    sort). The corpus shuffles once, keyed by 8-byte doc_id."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    tk = tokens("text")
+    uni = tk
+    bi = F.when(
+        F.size(tk) >= 2,
+        F.zip_with(
+            F.slice(tk, 1, F.size(tk) - 1),
+            F.slice(tk, 2, F.size(tk) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashed = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.concat(uni, bi)).alias("gram"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.pmod(md5_long(F.col("gram")), F.lit(_N_BUCKETS)).alias("b"),
+        )
+        # feeds raw counts, target counts, AND the per-doc score join —
+        # pin once (the shingle-relation discipline, dedup.py)
+        .localCheckpoint(eager=False)
+    )
+    raw_cnt = hashed.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
+    tgt_cnt = (
+        hashed.filter(F.col("source").isin(*_TARGET_SOURCES))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    bucket_scores = raw_cnt.join(tgt_cnt, "b", "left").select(
+        "b",
+        F.expr(
+            f"({_SCALE} * (coalesce(c_t, 0) + 1)) div (c_r + 1)"
+        ).alias("s"),
+    )
+    doc_scores = (
+        hashed.join(F.broadcast(bucket_scores), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("s").alias("score"),
+        )
+    )
+    top = doc_scores.orderBy(F.col("score").desc(), "doc_id").limit(100)
+    return top.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.col("score").desc(), "doc_id"))
+    ).select("doc_id", "source", "n_grams", "score", "rk")

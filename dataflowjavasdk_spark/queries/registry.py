@@ -179,6 +179,7 @@ def _load_all() -> None:
         "curation",
         "curation2",
         "curation3",
+        "curation4",
         "analytics",
     ):
         try:

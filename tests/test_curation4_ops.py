@@ -1,0 +1,38 @@
+"""Round-6 curation operators (queries/curation4.py)."""
+
+from __future__ import annotations
+
+from dataflowjavasdk_spark.queries import curation4 as C4
+
+
+def test_dsir_ranks_target_like_docs_first(spark, monkeypatch):
+    """A raw doc written in the target domain's vocabulary must outscore
+    raw docs written in an off-domain vocabulary (score is summed
+    per-gram target/raw count ratio)."""
+    rows = []
+    # target corpus (src0): "alpha beta gamma" vocabulary
+    for i in range(10):
+        rows.append((i, "src0", "alpha beta gamma alpha beta"))
+    # off-domain bulk (src9): "delta epsilon zeta" vocabulary
+    for i in range(10, 40):
+        rows.append((i, "src9", "delta epsilon zeta delta epsilon"))
+    # the probe: an src9 doc that LOOKS like the target domain
+    rows.append((99, "src9", "alpha beta gamma alpha beta"))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    monkeypatch.setattr(
+        C4, "load_table", lambda _spark, _sf, _name: df
+    )
+    out = C4.dsir_importance_select(spark, "unused").collect()
+    by_rank = sorted(out, key=lambda r: r["rk"])
+    # every target-vocab doc (the 10 src0 docs + probe 99) precedes every
+    # off-domain doc
+    target_like = {99, *range(10)}
+    n_target = len(target_like)
+    head_ids = {r["doc_id"] for r in by_rank[:n_target]}
+    assert head_ids == target_like
+    probe = next(r for r in out if r["doc_id"] == 99)
+    worst_off_domain = max(
+        r["score"] for r in out if r["doc_id"] not in target_like
+    )
+    assert probe["score"] > worst_off_domain
