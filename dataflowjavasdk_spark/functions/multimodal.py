@@ -1123,3 +1123,71 @@ def sniff_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         ),
     )
     return df.withColumn("meta", meta)
+
+
+VIDEO_FRAME_LUMA_SCHEMA = "media_id bigint, frame_idx int, mean_luma double"
+
+
+def extract_video_frame_lumas(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Per-frame luma means for MJPEG AVI clips (round 6) — the DECODE
+    half of keyframe/scene-cut detection. Python does only what Python
+    must (walk the container, JPEG-decode each frame, one mean per
+    frame); the TEMPORAL analytics — frame differencing, cut
+    thresholds, run structure — happen downstream in JVM window
+    functions over this (media_id, frame_idx, mean_luma) relation.
+    8+4+8 bytes shuffle per frame; pixel payloads never leave the
+    decode task."""
+    from dataflowjavasdk_spark.functions.video import decode_avi_mjpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, idxs, lumas = [], [], []
+            for media_id, payload in zip(batch["media_id"], batch[payload_col]):
+                frames = decode_avi_mjpeg(bytes(payload))
+                for i, fr in enumerate(frames):
+                    luma = fr if fr.ndim == 2 else fr[..., 0]
+                    ids.append(media_id)
+                    idxs.append(i)
+                    lumas.append(float(luma.mean()))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "mean_luma": lumas}
+            )
+
+    return df.select("media_id", payload_col).mapInPandas(
+        run, schema=VIDEO_FRAME_LUMA_SCHEMA
+    )
+
+
+AUDIO_FRAME_RMS_SCHEMA = "media_id bigint, frame_idx int, rms double"
+
+
+def extract_audio_frame_rms(
+    df: DataFrame, payload_col: str = "payload", frame: int = 160
+) -> DataFrame:
+    """Per-frame RMS rows for WAV clips (round 6) — the long-form twin of
+    extract_audio_frame_energy's per-clip stats. Decode + frame + one
+    reduction per frame in the Arrow batch; silence gating and
+    run-length segmentation happen downstream as JVM gaps-and-islands
+    windows over this relation (the VAD segmentation every speech
+    pipeline runs). Trailing samples short of a full frame are dropped,
+    matching extract_audio_frame_energy."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, idxs, rmss = [], [], []
+            for media_id, payload in zip(batch["media_id"], batch[payload_col]):
+                _rate, _nch, pcm = decode_wav(bytes(payload))
+                mono = pcm.mean(axis=1)
+                n_frames = mono.shape[0] // frame
+                frames = mono[: n_frames * frame].reshape(n_frames, frame)
+                rms = np.sqrt((frames**2).mean(axis=1))
+                ids.extend([media_id] * n_frames)
+                idxs.extend(range(n_frames))
+                rmss.extend(float(x) for x in rms)
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "rms": rmss})
+
+    return df.select("media_id", payload_col).mapInPandas(
+        run, schema=AUDIO_FRAME_RMS_SCHEMA
+    )

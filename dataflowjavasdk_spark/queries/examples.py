@@ -2748,3 +2748,200 @@ def tfrecord_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).cast("long").alias("total_text_chars"),
         F.sum("meta").cast("long").alias("sum_meta"),
     )
+
+
+@query(
+    "video_keyframe_detect",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST((1 + doc_id % 4) * (1 + doc_id % 3) AS BIGINT) AS n_frames,
+           CAST(1 + doc_id % 4 AS BIGINT) AS n_keyframes,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN -1
+                     ELSE 1 + doc_id % 3 END AS INT) AS first_cut
+    FROM documents
+    """,
+)
+def video_keyframe_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe / scene-cut detection (round 6) — the shot-boundary
+    primitive of video curation, split Spark-first: Python decodes MJPEG
+    frames into a (media_id, frame_idx, mean_luma) relation (the only
+    work that NEEDS Python), and the temporal logic — frame differencing
+    via lag(), the cut threshold, per-clip rollup — is pure JVM window
+    arithmetic over 20-byte rows. Each clip is synthesized with
+    1+doc_id%4 scenes of 1+doc_id%3 uniform-luma frames stepping 40 luma
+    units per scene (quantization error « the 8.0 threshold; identical
+    in-scene frames difference to exactly 0), so scene count, frame
+    count, and the first cut index are closed-form in the oracle. A
+    container-walk, JPEG-decode, lag-ordering, or threshold defect
+    shifts an integer. At 100 TB: payloads never shuffle; the windowed
+    relation is 3 scalars per frame, partitioned by clip."""
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+
+    from dataflowjavasdk_spark.functions.multimodal import (
+        extract_video_frame_lumas,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        import numpy as np
+
+        from dataflowjavasdk_spark.functions.jpeg import encode_jpeg
+        from dataflowjavasdk_spark.functions.video import encode_avi_mjpeg
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n_scenes = 1 + doc_id % 4
+                per_scene = 1 + doc_id % 3
+                frames = []
+                for j in range(n_scenes):
+                    luma = np.full((16, 16), 16 + 40 * j, dtype=np.uint8)
+                    frames.extend([encode_jpeg(luma)] * per_scene)
+                payloads.append(encode_avi_mjpeg(frames, 16, 16))
+            yield _pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(
+        synth, schema="media_id long, payload binary"
+    ).localCheckpoint(eager=False)
+    lumas = extract_video_frame_lumas(media)
+    w = W.partitionBy("media_id").orderBy("frame_idx")
+    flagged = lumas.withColumn(
+        "prev", F.lag("mean_luma").over(w)
+    ).withColumn(
+        "is_key",
+        F.col("prev").isNull()
+        | (F.abs(F.col("mean_luma") - F.col("prev")) > 8.0),
+    )
+    return flagged.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.col("is_key").cast("long")).alias("n_keyframes"),
+        F.coalesce(
+            F.min(
+                F.when(
+                    F.col("is_key") & (F.col("frame_idx") > 0),
+                    F.col("frame_idx"),
+                )
+            ),
+            F.lit(-1),
+        ).alias("first_cut"),
+    )
+
+
+@query(
+    "audio_silence_segments",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST((1 + doc_id % 4) * (2 + doc_id % 3) + 1 AS BIGINT) AS n_frames,
+           CAST(1 + doc_id % 4 AS BIGINT) AS n_segments,
+           CAST((1 + doc_id % 4) * (1 + doc_id % 3) AS BIGINT) AS active_frames,
+           CAST(1 + doc_id % 3 AS BIGINT) AS longest_segment,
+           CAST(1 AS INT) AS first_active_frame
+    FROM documents
+    """,
+)
+def audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD-style silence segmentation (round 6) — run-length structure
+    over frame energies, split Spark-first: Python decodes WAV PCM into
+    per-frame RMS rows; activity gating and segmentation are JVM
+    gaps-and-islands (lag + running sum over the clip partition), the
+    same window pattern the sessionization queries use — a speech
+    segment IS a session over frames. Clips are synthesized as
+    1+doc_id%4 bursts of 1+doc_id%3 square-wave frames, each burst
+    preceded by one silent frame, plus one trailing silent frame, so
+    every output column is closed-form. A framing, gating, lag-order, or
+    island-numbering defect shifts an integer. At 100 TB: payloads stay
+    in the decode task; the windowed relation is 3 scalars per frame."""
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+
+    from dataflowjavasdk_spark.functions.multimodal import (
+        extract_audio_frame_rms,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n_bursts = 1 + doc_id % 4
+                burst_len = 1 + doc_id % 3
+                burst = np.zeros(160 * burst_len, dtype="<i2")
+                burst[::2], burst[1::2] = 1000, -1000
+                silent = np.zeros(160, dtype="<i2")
+                sig = np.concatenate(
+                    [np.concatenate([silent, burst]) for _ in range(n_bursts)]
+                    + [silent]
+                )
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wv:
+                    wv.setnchannels(1)
+                    wv.setsampwidth(2)
+                    wv.setframerate(8000)
+                    wv.writeframes(sig.tobytes())
+                payloads.append(buf.getvalue())
+            yield _pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(
+        synth, schema="media_id long, payload binary"
+    ).localCheckpoint(eager=False)
+    rms_rows = extract_audio_frame_rms(media)
+    w = W.partitionBy("media_id").orderBy("frame_idx")
+    flagged = (
+        rms_rows.withColumn("active", F.col("rms") > 1e-9)
+        .withColumn(
+            "boundary",
+            F.col("active")
+            & ~F.coalesce(F.lag("active").over(w), F.lit(False)),
+        )
+        .withColumn(
+            "seg_id",
+            F.sum(F.col("boundary").cast("int")).over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+    )
+    per_clip_frames = flagged.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    segments = (
+        flagged.filter("active")
+        .groupBy("media_id", "seg_id")
+        .agg(
+            F.count(F.lit(1)).alias("seg_len"),
+            F.min("frame_idx").alias("seg_start"),
+        )
+    )
+    per_clip_segs = segments.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("seg_len").alias("active_frames"),
+        F.max("seg_len").alias("longest_segment"),
+        F.min("seg_start").cast("int").alias("first_active_frame"),
+    )
+    return per_clip_frames.join(per_clip_segs, "media_id").select(
+        "media_id",
+        "n_frames",
+        "n_segments",
+        "active_frames",
+        "longest_segment",
+        "first_active_frame",
+    )

@@ -1002,3 +1002,58 @@ def test_mjpeg_features_reject_frameless_avi(spark):
 
     got = M.extract_features_deadletter(df, feats, "n long").collect()[0]
     assert "no video frames" in got["error"] and got["n"] is None
+
+
+def test_video_frame_lumas_per_frame_rows(spark):
+    import numpy as np
+
+    from dataflowjavasdk_spark.functions.jpeg import encode_jpeg
+    from dataflowjavasdk_spark.functions.multimodal import (
+        extract_video_frame_lumas,
+    )
+    from dataflowjavasdk_spark.functions.video import encode_avi_mjpeg
+
+    frames = [
+        encode_jpeg(np.full((16, 16), 20, np.uint8)),
+        encode_jpeg(np.full((16, 16), 20, np.uint8)),
+        encode_jpeg(np.full((16, 16), 120, np.uint8)),
+    ]
+    df = spark.createDataFrame(
+        [(7, encode_avi_mjpeg(frames, 16, 16))], "media_id long, payload binary"
+    )
+    rows = sorted(
+        extract_video_frame_lumas(df).collect(), key=lambda r: r["frame_idx"]
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2]
+    assert rows[0]["mean_luma"] == rows[1]["mean_luma"]  # identical frames
+    assert abs(rows[2]["mean_luma"] - rows[0]["mean_luma"]) > 50
+
+
+def test_audio_frame_rms_rows_and_trailing_drop(spark):
+    import io
+    import wave
+
+    import numpy as np
+
+    from dataflowjavasdk_spark.functions.multimodal import (
+        extract_audio_frame_rms,
+    )
+
+    # 2 full frames (silent, active) + 80 trailing samples (dropped)
+    sig = np.zeros(160 * 2 + 80, dtype="<i2")
+    sig[160:320:2], sig[161:320:2] = 1000, -1000
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        wv.writeframes(sig.tobytes())
+    df = spark.createDataFrame(
+        [(3, buf.getvalue())], "media_id long, payload binary"
+    )
+    rows = sorted(
+        extract_audio_frame_rms(df).collect(), key=lambda r: r["frame_idx"]
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 1]
+    assert rows[0]["rms"] == 0.0
+    assert abs(rows[1]["rms"] - 1000 / 32768) < 1e-12
