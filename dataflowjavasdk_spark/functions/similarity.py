@@ -36,6 +36,21 @@ def shingles(col: str | Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def kgrams_with_dups(toks: Column, n: int = 4) -> Column:
+    """Positional token n-grams over an already-tokenized column,
+    duplicates KEPT (winnowing consumes every occurrence with its
+    position; `shingles` dedups because set similarity wants sets).
+    Expression-only, row-local."""
+    k = F.size(toks) - (n - 1)
+    return F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def minhash_signature(shingles_col: Column, num_hashes: int = 16) -> Column:
     """MinHash signature: sig[j] = min over shingles of h_j(s), with
     h_j(s) = md5_long(j || ':' || s). Pure expressions; cross-engine exact

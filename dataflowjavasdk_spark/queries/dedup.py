@@ -1154,3 +1154,117 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", jacc.alias("jacc"))
         .filter(F.col("jacc") >= threshold)
     )
+
+
+@query(
+    "winnowing_dup_spans",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      FROM corpus
+    ),
+    kg AS (
+      SELECT doc_id, i - 1 AS pos,
+             ('0x' || substr(md5(array_to_string(array_slice(tk, i, i + 3), ' ')),
+                             1, 10))::BIGINT AS h40
+      FROM (SELECT doc_id, tk,
+                   unnest(range(1, greatest(len(tk) - 3, 0) + 1)) AS i
+            FROM toks)
+    ),
+    winmin AS (
+      SELECT doc_id,
+             min(h40 * 1048576 + (1048575 - pos)) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+      FROM kg
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM winmin),
+    multi AS (
+      SELECT fp // 1048576 AS h40
+      FROM fps GROUP BY fp // 1048576
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             count(*) AS n_fp,
+             count(*) FILTER (WHERE (fp // 1048576) IN (SELECT h40 FROM multi))
+               AS n_shared
+      FROM fps GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_fp AS BIGINT) AS n_fp,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           CAST((100 * n_shared) // n_fp AS BIGINT) AS share_pct
+    FROM per_doc WHERE n_shared > 0
+    """,
+)
+def winnowing_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint dedup (round 6) — SUBSTRING-level duplicate
+    detection (Schleimer et al., SIGMOD'03, the MOSS algorithm; public),
+    the missing granularity between doc-level fingerprints and
+    chunk-level CCNet dedup: per document, token 4-grams get 40-bit
+    md5-derived rolling hashes; each window of 4 consecutive hashes
+    selects its minimum (ties to the RIGHTMOST position — encoded
+    arithmetically as ``h40 * 2^20 + (2^20-1-pos)`` so one integer MIN
+    per window implements hash-then-rightmost without struct
+    comparisons, cross-engine exact; positions are bounded < 2^20
+    k-grams per document, documented). The winnowing guarantee: any
+    verbatim shared span of >= w+k-1 = 7 tokens is caught by at least
+    one shared fingerprint. Dense variant: leading partial windows also
+    select (deterministic in both engines). Per doc we report
+    fingerprint counts, how many are shared with ANY other document,
+    and the integer share percentage — the duplicated-span coverage
+    signal substring-level dedup gates on (Lee et al. 2022's
+    motivation, made mergeable).
+
+    Scale shape: hashing is row-local expression work; window mins ride
+    ONE exchange keyed by doc_id; the shared-hash relation is an
+    equi-self-join on the 40-bit key (bounded fan-out per hash like
+    every fingerprint family here). Payload text never shuffles — only
+    8-byte keys."""
+    corpus = _corpus(spark, sf_dir)
+    tk = T.tokens("text")
+    kg = (
+        corpus.select("doc_id", F.posexplode(S.kgrams_with_dups(tk, 4)).alias("pos", "gram"))
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(F.substring(F.md5("gram"), 1, 10), 16, 10)
+            .cast("long")
+            .alias("h40"),
+        )
+    )
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-3, W.currentRow)
+    )
+    selkey = F.col("h40") * F.lit(1048576) + (F.lit(1048575) - F.col("pos"))
+    fps = (
+        kg.select("doc_id", F.min(selkey).over(w).alias("fp"))
+        .distinct()
+        .withColumn("h40", F.expr("fp div 1048576"))
+        # feeds the multi-doc hash relation AND the per-doc rollup
+        .localCheckpoint(eager=False)
+    )
+    multi = (
+        fps.groupBy("h40")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h40")
+    )
+    per_doc = (
+        fps.join(multi.withColumn("is_multi", F.lit(1)), "h40", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.sum(F.coalesce("is_multi", F.lit(0))).alias("n_shared"),
+        )
+        .filter(F.col("n_shared") > 0)
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_fp",
+        "n_shared",
+        F.expr("(100 * n_shared) div n_fp").alias("share_pct"),
+    )

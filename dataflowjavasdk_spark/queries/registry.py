@@ -74,6 +74,11 @@ _PRIORITY: tuple[str, ...] = (
     "chunk_overlap_windows",
     "lm_fluency_filter",
     "gopher_quality_rules",
+    "tfrecord_roundtrip_checksum",
+    "prefix_filter_jaccard_pairs",
+    "dsir_importance_select",
+    "video_keyframe_detect",
+    "audio_silence_segments",
     # (2) round-5-new that missed the r5 sample cut (never sampled);
     # composed/value-bearing pipelines first, per-format decodes after
     "multimodal_curation_pipeline",

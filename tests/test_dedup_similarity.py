@@ -410,3 +410,31 @@ def test_prefix_filter_jaccard_complete_vs_bruteforce(spark):
             expect[(a, b)] = inter / union
     assert got == expect
     assert (1, 5) in got and got[(1, 5)] == 1.0  # the exact dup survived
+
+
+def test_winnowing_guarantee_on_shared_span(spark):
+    """Any verbatim shared span of >= w+k-1 = 7 tokens must produce a
+    shared fingerprint (the winnowing theorem); fully disjoint docs must
+    not appear in the output."""
+    from dataflowjavasdk_spark.queries import dedup as D
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # exactly 7 tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words here {shared} tail one"),
+            (2, f"other leading text {shared} different ending"),
+            (3, "completely unrelated vocabulary nothing matches at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    orig = D._corpus
+    D._corpus = lambda _spark, _sf: df
+    try:
+        rows = {r["doc_id"]: r for r in D.winnowing_dup_spans(spark, "x").collect()}
+    finally:
+        D._corpus = orig
+    assert 1 in rows and 2 in rows, "7-token shared span must be caught"
+    assert 3 not in rows
+    for doc in (1, 2):
+        assert 0 < rows[doc]["n_shared"] <= rows[doc]["n_fp"]
+        assert rows[doc]["share_pct"] == (100 * rows[doc]["n_shared"]) // rows[doc]["n_fp"]
