@@ -79,6 +79,7 @@ _PRIORITY: tuple[str, ...] = (
     "dsir_importance_select",
     "video_keyframe_detect",
     "audio_silence_segments",
+    "winnowing_dup_spans",
     # (2) round-5-new that missed the r5 sample cut (never sampled);
     # composed/value-bearing pipelines first, per-format decodes after
     "multimodal_curation_pipeline",

@@ -203,6 +203,52 @@ def read_stream_warc(
     return files.mapInPandas(decode, schema=WARC_SCHEMA)
 
 
+def read_stream_tfrecord(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
+    """Unbounded TFRecord source — streaming twin of
+    sources/tfrecord.read_tfrecord (round 6): training shards dropped
+    into `path` become micro-batches via the binaryFile streaming source
+    (one whole .tfrecord per row — the shard is the parallelism unit
+    data loaders use too), walked by the same CRC-verified framing code
+    as the batch reader. The continuous-training ingestion shape: a
+    curation job publishes shards, the trainer-side validator streams
+    them as they land."""
+    from dataflowjavasdk_spark.sources.tfrecord import iter_records
+
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", "*.tfrecord")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path).select("path", "content")
+
+    def decode(batches):
+        import os as _os
+
+        import pandas as pd
+
+        for pdf in batches:
+            for p, raw in zip(pdf["path"], pdf["content"]):
+                recs = list(iter_records(bytes(raw)))
+                if recs:
+                    yield pd.DataFrame(
+                        {
+                            "shard": [_os.path.basename(p)] * len(recs),
+                            "record_index": range(len(recs)),
+                            "example": recs,
+                        }
+                    )
+
+    return files.mapInPandas(
+        decode, schema="shard string, record_index long, example binary"
+    )
+
+
 def rate_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     """CountingInput.unbounded().withRate(...) (historical
     sdk/io/CountingInput.java): synthetic unbounded sequence."""

@@ -182,3 +182,49 @@ def test_float_feature_is_float32(spark, tmp_path):
         read_tfrecord(spark, d), {"id": "bigint", "x": "double"}
     ).collect()[0]
     assert row["x"] == struct.unpack("<f", struct.pack("<f", 0.1))[0]
+
+
+def test_read_stream_tfrecord_microbatches_and_batch_equivalence(spark, tmp_path):
+    """Streaming TFRecord drop-dir: shards landed into the dir become
+    micro-batches (exactly-once across rounds against one checkpoint),
+    and streamed records equal the batch read + parse on the same files."""
+    from dataflowjavasdk_spark.streaming import core as SC
+
+    def shard(lo, hi):
+        return spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(lo, hi)], "id long, body string"
+        ).coalesce(1)
+
+    d = str(tmp_path / "tfr_stream")
+    ckpt = str(tmp_path / "ckpt")
+    write_tfrecord(shard(0, 4), d)
+
+    def run_round():
+        got = []
+
+        def sink(batch_df, batch_id):
+            ids = parse_examples(batch_df, {"id": "bigint"})
+            got.extend(r["id"] for r in ids.collect())
+
+        q = (
+            SC.read_stream_tfrecord(spark, d)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return set(got)
+
+    assert run_round() == set(range(4))
+    write_tfrecord(shard(4, 7), str(tmp_path / "tfr_stream2"))
+    import glob
+    import shutil
+
+    # land the new shard (unique name) in the watched dir
+    src = glob.glob(str(tmp_path / "tfr_stream2" / "*.tfrecord"))[0]
+    shutil.move(src, str(tmp_path / "tfr_stream" / "part-00001.tfrecord"))
+    assert run_round() == set(range(4, 7))
+    batch = parse_examples(read_tfrecord(spark, d), {"id": "bigint"})
+    assert {r["id"] for r in batch.collect()} == set(range(7))
