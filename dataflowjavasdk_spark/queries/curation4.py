@@ -147,3 +147,112 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rk", F.row_number().over(W.orderBy(F.col("score").desc(), "doc_id"))
     ).select("doc_id", "source", "n_grams", "score", "rk")
+
+
+from dataflowjavasdk_spark.functions import similarity as S  # noqa: E402
+from dataflowjavasdk_spark.queries.similarity import _sql_cosine  # noqa: E402
+
+_CONTEXT_BUDGET = 64  # tokens; fixture docs run ~15 tokens -> ~4 packed
+
+
+@query(
+    "rag_retrieval_pipeline",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_sql_cosine('q.qv', 'e.embedding')} AS cosine
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    ),
+    top AS (SELECT * FROM ranked WHERE rk <= 20),
+    docs AS (
+      SELECT doc_id, text,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+      FROM documents
+    ),
+    joined AS (
+      SELECT query_id, rk, text, n_tokens
+      FROM top JOIN docs ON docs.doc_id = top.neighbor_id
+    ),
+    cum AS (
+      SELECT *, SUM(n_tokens) OVER (PARTITION BY query_id ORDER BY rk
+                                    ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM joined
+    ),
+    packed AS (SELECT * FROM cum WHERE cum_tokens <= {_CONTEXT_BUDGET})
+    SELECT query_id,
+           CAST(count(*) AS BIGINT) AS n_packed,
+           CAST(max(cum_tokens) AS BIGINT) AS packed_tokens,
+           md5(string_agg(text, chr(10) ORDER BY rk)) AS context_md5
+    FROM packed GROUP BY query_id
+    """,
+)
+def rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed RAG retrieval flagship (round 6) — the TEXT twin of the
+    multimodal curation pipeline: query vectors -> exact cosine
+    retrieval -> rank -> join document text -> greedy context packing
+    under a {_CONTEXT_BUDGET}-token budget -> per-query context
+    fingerprint. The md5 of the packed context (texts concatenated in
+    rank order) makes the oracle END-TO-END: a defect anywhere —
+    similarity math, rank order, doc join, token counting, the packing
+    cutoff, even concatenation order — changes the fingerprint. Exact
+    brute-force retrieval is the oracle-friendly baseline; the IVF / PQ
+    / LSH index queries are the documented scale path for the same
+    retrieve stage.
+
+    Scale shape: the query set broadcasts (never the corpus); scoring is
+    map-side against the streaming embeddings scan; everything after
+    rank lives on the top-20-per-query relation (bounded: 20 x
+    |queries| rows), where window cumsums and the packing filter are
+    free. Document text joins AFTER the top-k cut — only survivors'
+    payloads move."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = emb.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        S.cosine(F.col("qv"), F.col("embedding")).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    top = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 20
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.size(tokens("text")).alias("n_tokens")
+    )
+    joined = top.join(docs, top.neighbor_id == docs.doc_id).select(
+        "query_id", "rk", "text", "n_tokens"
+    )
+    wc = W.partitionBy("query_id").orderBy("rk").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    packed = joined.withColumn(
+        "cum_tokens", F.sum("n_tokens").over(wc)
+    ).filter(F.col("cum_tokens") <= _CONTEXT_BUDGET)
+    return packed.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_packed"),
+        F.max("cum_tokens").alias("packed_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rk", "text"))),
+                    lambda s: s["text"],
+                ),
+                "\n",
+            )
+        ).alias("context_md5"),
+    )

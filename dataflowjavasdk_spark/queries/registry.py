@@ -80,6 +80,7 @@ _PRIORITY: tuple[str, ...] = (
     "video_keyframe_detect",
     "audio_silence_segments",
     "winnowing_dup_spans",
+    "rag_retrieval_pipeline",
     # (2) round-5-new that missed the r5 sample cut (never sampled);
     # composed/value-bearing pipelines first, per-format decodes after
     "multimodal_curation_pipeline",
