@@ -160,6 +160,18 @@ HEADLINE = [
     "chunk_overlap_windows",
     "lm_fluency_filter",
     "gopher_quality_rules",
+    # round-6 second wave: TFRecord egress round trip, provably-complete
+    # prefix-filter similarity join, DSIR hashed-ngram selection, MOSS
+    # winnowing substring dedup, temporal media analytics (scene cuts /
+    # VAD segments over per-frame relations), composed RAG retrieval
+    "tfrecord_roundtrip_checksum",
+    "prefix_filter_jaccard_pairs",
+    "dsir_importance_select",
+    "winnowing_dup_spans",
+    "video_keyframe_detect",
+    "audio_silence_segments",
+    "rag_retrieval_pipeline",
+    "epoch_shuffle_manifest",
 ]
 
 

@@ -256,3 +256,66 @@ def rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("context_md5"),
     )
+
+
+@query(
+    "epoch_shuffle_manifest",
+    oracle="""
+    WITH epochs AS (SELECT unnest(range(0, 2)) AS epoch),
+    keyed AS (
+      SELECT e.epoch, d.doc_id,
+             ('0x' || substr(md5(e.epoch::VARCHAR || ':' || d.doc_id::VARCHAR),
+                             1, 15))::BIGINT AS k
+      FROM documents d CROSS JOIN epochs e
+    ),
+    sharded AS (SELECT epoch, doc_id, k, k % 8 AS shard FROM keyed)
+    SELECT epoch, CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           md5(string_agg(doc_id::VARCHAR, ',' ORDER BY k, doc_id)) AS order_md5
+    FROM sharded GROUP BY epoch, shard
+    """,
+)
+def epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (round 6) — the data-ORDER half of
+    training reproducibility (the shard-SIZE half is
+    training_shard_manifest): per epoch, every document draws an
+    md5(epoch:doc_id) key; the key's low bits pick the shard and the key
+    orders documents within it. Seed-driven, so epoch 0 and epoch 1 are
+    different global permutations, yet any engine/restart reproduces
+    them bit-for-bit — the property trainers need to resume mid-epoch.
+    The manifest row per (epoch, shard) carries the count, an id
+    checksum, and an md5 fingerprint of the exact intra-shard ORDER, so
+    the oracle pins the permutation itself, not just membership.
+
+    Scale shape: keys are row-local expressions; the only exchange is
+    the (epoch, shard) groupBy — 8-byte keys, corpus text untouched.
+    The intra-shard sort rides inside the aggregate (sort_array over
+    collect_list per group — each group is one shard, the unit a loader
+    consumes; shard count scales with corpus so groups stay bounded)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.select(
+        "doc_id", F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch")
+    ).select(
+        "epoch",
+        "doc_id",
+        md5_long(
+            F.concat_ws(":", F.col("epoch"), F.col("doc_id"))
+        ).alias("k"),
+    )
+    sharded = keyed.withColumn("shard", F.pmod("k", F.lit(8)).cast("long"))
+    return sharded.groupBy("epoch", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("k", "doc_id"))
+                    ),
+                    lambda s: s["doc_id"].cast("string"),
+                ),
+                ",",
+            )
+        ).alias("order_md5"),
+    )

@@ -81,6 +81,7 @@ _PRIORITY: tuple[str, ...] = (
     "audio_silence_segments",
     "winnowing_dup_spans",
     "rag_retrieval_pipeline",
+    "epoch_shuffle_manifest",
     # (2) round-5-new that missed the r5 sample cut (never sampled);
     # composed/value-bearing pipelines first, per-format decodes after
     "multimodal_curation_pipeline",
