@@ -766,3 +766,27 @@ def test_tone_detection_invariant_to_amplitude_and_phase(
     )
     [row] = extract_tone_detection(df).collect()
     assert (row["dominant_bin"], row["dominant_freq_hz"]) == (bin_i, f)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 40) - 1),  # h40
+            st.integers(min_value=0, max_value=(1 << 20) - 1),  # pos
+        ),
+        min_size=1,
+        max_size=4,
+        unique_by=lambda t: t[1],
+    )
+)
+def test_winnowing_selkey_encoding_is_rightmost_min(window):
+    """The arithmetic tie rule h*2^20 + (2^20-1-pos): integer MIN over a
+    window must select the minimal hash, ties broken to the RIGHTMOST
+    position (the winnowing rule), for any hash/position mix."""
+    enc = {(h, p): h * 1048576 + (1048575 - p) for h, p in window}
+    sel = min(enc.values())
+    sel_h, sel_p = sel // 1048576, 1048575 - (sel % 1048576)
+    min_h = min(h for h, _ in window)
+    assert sel_h == min_h
+    assert sel_p == max(p for h, p in window if h == min_h)
