@@ -85,6 +85,13 @@ def test_relational_queries_stay_jvm_side(spark):
         "multimodal_curation_pipeline",
         # perceptual image fingerprinting (decode + aHash in mapInPandas)
         "image_ahash_dedup",
+        # round 6: TFRecord round trip (Example codec + CRC framing are
+        # Python by nature, like the Avro OCF codec above)
+        "tfrecord_roundtrip_checksum",
+        # round 6 temporal media analytics: synth + per-frame decode in
+        # mapInPandas; the windowed cut/segment logic itself is pure JVM
+        "video_keyframe_detect",
+        "audio_silence_segments",
     }
     for name in all_queries():
         if name in allowed_python:
@@ -223,6 +230,8 @@ def test_no_cartesian_products_anywhere(spark):
         "token_bigram_lm",              # 1-row vocab-size (V) broadcast
         "referential_integrity_audit",  # 1-row n_parent_dups attach per edge
         "lm_fluency_filter",            # 1-row V + gate-mean broadcasts
+        "rag_retrieval_pipeline",       # query-set broadcast, non-equi (≠),
+                                        # same shape as cosine_topk_bruteforce
     }
     for name in all_queries():
         p = _plan(spark, name)
