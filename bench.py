@@ -172,6 +172,7 @@ HEADLINE = [
     "audio_silence_segments",
     "rag_retrieval_pipeline",
     "epoch_shuffle_manifest",
+    "zorder_clustered_shards",
 ]
 
 

@@ -319,3 +319,65 @@ def epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("order_md5"),
     )
+
+
+def _z_expr(x: str, y: str, bits: int = 10) -> str:
+    """Bit-interleave expression text (shared verbatim by Spark and
+    DuckDB: >>, &, * and + only): z = sum_b x_b*4^b + 2*y_b*4^b."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({x} >> {b}) & 1) * {1 << (2 * b)})")
+        terms.append(f"((({y} >> {b}) & 1) * {1 << (2 * b + 1)})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "zorder_clustered_shards",
+    oracle=f"""
+    WITH pts AS (
+      SELECT doc_id % 1024 AS x, n_chars % 1024 AS y FROM documents
+    ),
+    keyed AS (
+      SELECT x, y, {_z_expr('x', 'y')} // 65536 AS shard FROM pts
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+           CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+    FROM keyed GROUP BY shard
+    """,
+)
+def zorder_clustered_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered layout (round 6) — the multi-dimensional
+    data-skipping primitive lakehouse writers run before a big scan
+    workload: interleave the bits of two scan dimensions (both mod 1024
+    here: a 10+10-bit key space) and shard on ALIGNED z-ranges
+    (z div 2^16 -> 16 shards). The Morton-curve property makes each
+    shard EXACTLY one 256 x 256 tile of the (x, y) plane — per-shard
+    min/max spans are <= 255 on BOTH dimensions simultaneously, which is
+    what lets a reader skip shards from either predicate; 1-D sorting
+    can only bound one. The emitted manifest (count + min/max per dim
+    per shard) IS the skipping index; the tile property is test-pinned
+    and the oracle recomputes the interleave bit-for-bit from the same
+    expression text.
+
+    Scale shape: the z key is pure row-local bit arithmetic (no sort —
+    aligned range sharding replaces the global orderBy a naive zorder
+    write would do); the only exchange is the 16-key groupBy. At 100 TB
+    the same key feeds repartitionByRange + sortWithinPartitions for
+    the physical write; the manifest computation here is the verifiable
+    core."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 1024).alias("x"),
+        (F.col("n_chars") % 1024).alias("y"),
+    )
+    keyed = docs.withColumn(
+        "shard", F.expr(f"{_z_expr('x', 'y')} div 65536")
+    )
+    return keyed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+    )

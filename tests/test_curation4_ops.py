@@ -36,3 +36,23 @@ def test_dsir_ranks_target_like_docs_first(spark, monkeypatch):
         r["score"] for r in out if r["doc_id"] not in target_like
     )
     assert probe["score"] > worst_off_domain
+
+
+def test_zorder_shards_are_tiles(spark):
+    """Aligned z-range shards must be exact 256x256 tiles: per shard,
+    BOTH dimension spans <= 255 and the tile origin is shard-derived."""
+    from dataflowjavasdk_spark.queries.curation4 import zorder_clustered_shards
+    from tests.conftest import SMOKE_SF
+
+    rows = zorder_clustered_shards(spark, SMOKE_SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["shard"] < 16
+        assert r["max_x"] - r["min_x"] <= 255
+        assert r["max_y"] - r["min_y"] <= 255
+        # tile origin: shard bits de-interleave to (x_hi, y_hi) quadrant
+        s = r["shard"]
+        x_hi = ((s >> 0) & 1) | (((s >> 2) & 1) << 1)
+        y_hi = ((s >> 1) & 1) | (((s >> 3) & 1) << 1)
+        assert x_hi * 256 <= r["min_x"] and r["max_x"] < (x_hi + 1) * 256
+        assert y_hi * 256 <= r["min_y"] and r["max_y"] < (y_hi + 1) * 256
