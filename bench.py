@@ -173,6 +173,7 @@ HEADLINE = [
     "rag_retrieval_pipeline",
     "epoch_shuffle_manifest",
     "zorder_clustered_shards",
+    "hard_negative_mining",
 ]
 
 

@@ -446,3 +446,58 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neg_label,
+             {_sql_cosine('q.qv', 'e.embedding')} AS cosine
+      FROM q CROSS JOIN embeddings e
+      WHERE e.label <> q.qlabel
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, neg_label, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, neg_label, cosine, rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (round 6) — the contrastive-training data op:
+    for each query vector, the most cosine-similar corpus vectors whose
+    LABEL differs (similar-looking, semantically wrong — the negatives
+    that actually teach a retrieval model). Same scale shape as
+    cosine_topk_bruteforce: the query set broadcasts with its labels,
+    the corpus streams map-side, the label-mismatch predicate filters
+    before ranking, and per-query top-5 rides a bounded window. The
+    label column is the fixture's weak ground truth; production swaps in
+    the deduped cluster id (near_dup_clusters) so near-dups of the
+    positive can never be mined as negatives — the standard
+    false-negative guard."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = emb.join(
+        F.broadcast(q), F.col("label") != F.col("qlabel")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neg_label"),
+        S.cosine(F.col("qv"), F.col("embedding")).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 5
+    )

@@ -232,6 +232,7 @@ def test_no_cartesian_products_anywhere(spark):
         "lm_fluency_filter",            # 1-row V + gate-mean broadcasts
         "rag_retrieval_pipeline",       # query-set broadcast, non-equi (≠),
                                         # same shape as cosine_topk_bruteforce
+        "hard_negative_mining",         # query-set broadcast, label-≠ filter
     }
     for name in all_queries():
         p = _plan(spark, name)
