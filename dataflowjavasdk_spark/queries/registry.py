@@ -62,13 +62,12 @@ _PRIORITY_ROUND = 6
 
 _PRIORITY: tuple[str, ...] = (
     # Round-6 ordering (VERDICT.md r5 "Next round" #1). The 50-slot
-    # driver sample = the 30 never-sampled queries (27 round-5-new that
-    # missed the r5 cut + 3 round-6-new) followed by 20 of the 50
-    # queries whose freshest driver row is r03 (the oldest
-    # current-fixture evidence), value-bearing pipelines first. Every
-    # registered query then has a green driver row in r03∪r04∪r05∪r06
-    # on current fixtures; the remaining 30 r03-fresh rows rotate in
-    # round 7.
+    # driver sample = the 42 never-sampled queries (27 round-5-new that
+    # missed the r5 cut + 15 round-6-new) followed by the first 8 of
+    # the r03-freshest list (the oldest current-fixture evidence),
+    # value-bearing pipelines first. The r03 entries past slot 50 and
+    # the other r03-fresh rows head round 7's rotation; the full local
+    # gate re-verifies every registered query each session regardless.
     # (1) round-6-new — no driver row exists at all
     "pagerank_converged",
     "chunk_overlap_windows",
