@@ -273,9 +273,11 @@ def main() -> None:
     print(line, flush=True)
 
 
-def short_keys(names: list[str], width: int = 10) -> dict[str, str]:
+def short_keys(names: list[str], width: int = 8) -> dict[str, str]:
     """Deterministic unique <=width-char key per query name (prefix
-    truncation; collisions get a numeric suffix)."""
+    truncation; collisions get a numeric suffix). Width 8 keeps the
+    contract line under 1,800 bytes at 101 headline queries (the
+    driver captures 2,000; rounds 3-4 lost BENCH to overflow)."""
     out: dict[str, str] = {}
     for n in names:
         s = n[:width]
