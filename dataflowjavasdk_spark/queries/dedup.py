@@ -1048,10 +1048,10 @@ def cluster_representative_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh AS (
       SELECT doc_id,
              list_distinct(list_transform(
-               range(1, greatest(len(list_filter(string_split(text,' '), t -> t <> '')) - 1, 1)),
+               range(1, greatest(len(list_filter(string_split(text,' '), t -> t <> '')) - 2, 1)),
                i -> array_to_string(
                       array_slice(list_filter(string_split(text,' '), t -> t <> ''),
-                                  i, i + 2), ' ')
+                                  i, i + 3), ' ')
              )) AS grams
       FROM corpus
     ),
@@ -1103,8 +1103,14 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the exploded relation (same shuffle key as the join)."""
     threshold = 0.5
     corpus = _corpus(spark, sf_dir)
+    # 4-gram shingles (vs the blocked family's 3): the prefix join has no
+    # df cap, so blocking-key rarity IS the fan-out control — one token
+    # longer makes the fixture's small-vocabulary grams ~an order of
+    # magnitude rarer and cuts candidates accordingly (the same
+    # "longer shingles = rarer blocking keys" dial _candidate_pairs_sql
+    # documents). The oracle uses the identical 4-gram definition.
     sh = (
-        corpus.select("doc_id", S.shingles("text", 3).alias("grams"))
+        corpus.select("doc_id", S.shingles("text", 4).alias("grams"))
         .withColumn("n", F.size("grams"))
         .localCheckpoint(eager=False)
     )
