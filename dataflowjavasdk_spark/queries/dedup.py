@@ -442,12 +442,14 @@ _PAGERANK_MAX_ROUNDS = 60
     "pagerank_converged",
     oracle=f"""
     WITH RECURSIVE corpus AS ({_CORPUS_SQL}),{_jaccard_pairs_sql("corpus")},
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM jacc_pairs
       UNION
       SELECT id_b AS src, id_a AS dst FROM jacc_pairs
     ),
-    deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src),
+    deg AS MATERIALIZED (
+      SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src
+    ),
     params AS (
       SELECT count(*) AS n,
              1000000000000000 // count(*) AS r_init,
