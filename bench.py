@@ -174,6 +174,7 @@ HEADLINE = [
     "epoch_shuffle_manifest",
     "zorder_clustered_shards",
     "hard_negative_mining",
+    "right_to_erasure_audit",
 ]
 
 

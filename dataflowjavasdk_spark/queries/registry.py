@@ -83,6 +83,7 @@ _PRIORITY: tuple[str, ...] = (
     "epoch_shuffle_manifest",
     "zorder_clustered_shards",
     "hard_negative_mining",
+    "right_to_erasure_audit",
     # (2) round-5-new that missed the r5 sample cut (never sampled);
     # composed/value-bearing pipelines first, per-format decodes after
     "multimodal_curation_pipeline",

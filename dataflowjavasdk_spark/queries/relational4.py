@@ -445,3 +445,83 @@ def q1_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged
+
+
+@query(
+    "right_to_erasure_audit",
+    oracle="""
+    WITH doomed AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+    del_orders AS (
+      SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM doomed)
+    ),
+    del_lines AS (
+      SELECT l_orderkey, l_linenumber FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders)
+    )
+    SELECT 'customer' AS tbl, CAST(count(*) AS BIGINT) AS n_delete,
+           CAST(COALESCE(SUM(c_custkey), 0) AS BIGINT) AS key_sum
+    FROM doomed
+    UNION ALL
+    SELECT 'orders', CAST(count(*) AS BIGINT),
+           CAST(COALESCE(SUM(o_orderkey), 0) AS BIGINT) FROM del_orders
+    UNION ALL
+    SELECT 'lineitem', CAST(count(*) AS BIGINT),
+           CAST(COALESCE(SUM(l_orderkey * 10 + l_linenumber), 0) AS BIGINT)
+    FROM del_lines
+    """,
+)
+def right_to_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure cascade audit (round 6) — the GDPR deletion
+    planner every user-data warehouse runs BEFORE mutating anything:
+    given a deletion cohort (customers with c_custkey % 97 == 0, the
+    deterministic stand-in for a deletion-request table), resolve the
+    full FK cascade — orders of those customers, line items of those
+    orders — and emit per-table row counts plus key checksums, so the
+    executed deletion can later be verified against the plan row for
+    row. The cascade is resolved with semi-joins (never fetching
+    payload columns of doomed rows) and each fact table is scanned
+    once.
+
+    At 100 TB: the cohort relation is request-sized (broadcast); orders
+    prune by the broadcast semi-join; the lineitem pass semi-joins on
+    the (already small) doomed-order keys — deletion planning costs two
+    broadcast semi-joins, not a shuffle of any fact table. The audit
+    unions three constant-width rows."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    doomed = cust.filter(F.col("c_custkey") % 97 == 0)
+    del_orders = orders.join(
+        F.broadcast(doomed),
+        orders.o_custkey == doomed.c_custkey,
+        "left_semi",
+    ).localCheckpoint(eager=False)  # feeds its own audit row AND the cascade
+    del_lines = lineitem.join(
+        F.broadcast(del_orders.select("o_orderkey")),
+        lineitem.l_orderkey == del_orders.o_orderkey,
+        "left_semi",
+    )
+
+    def audit(df: DataFrame, tbl: str, key: F.Column) -> DataFrame:
+        return df.agg(
+            F.lit(tbl).alias("tbl"),
+            F.count(F.lit(1)).alias("n_delete"),
+            F.coalesce(F.sum(key), F.lit(0)).cast("long").alias("key_sum"),
+        ).select("tbl", "n_delete", "key_sum")
+
+    return (
+        audit(doomed, "customer", F.col("c_custkey"))
+        .unionByName(audit(del_orders, "orders", F.col("o_orderkey")))
+        .unionByName(
+            audit(
+                del_lines,
+                "lineitem",
+                F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+            )
+        )
+    )
