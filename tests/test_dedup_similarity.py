@@ -383,8 +383,9 @@ def test_prefix_filter_jaccard_complete_vs_bruteforce(spark):
     df = spark.createDataFrame(
         [(k, v) for k, v in texts.items()], "doc_id long, text string"
     )
+    # 4-gram shingles — must match prefix_filter_jaccard_pairs's width
     sh = df.select(
-        "doc_id", Sim.shingles("text", 3).alias("grams")
+        "doc_id", Sim.shingles("text", 4).alias("grams")
     ).withColumn("n", F.size("grams"))
 
     # run the engine's prefix-filter pipeline body on this corpus by
