@@ -175,6 +175,7 @@ HEADLINE = [
     "zorder_clustered_shards",
     "hard_negative_mining",
     "right_to_erasure_audit",
+    "trainer_egress_pipeline",
 ]
 
 

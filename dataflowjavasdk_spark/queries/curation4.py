@@ -381,3 +381,93 @@ def zorder_clustered_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("y").alias("min_y"),
         F.max("y").alias("max_y"),
     )
+
+
+@query(
+    "trainer_egress_pipeline",
+    oracle="""
+    WITH gated AS (
+      SELECT doc_id, text FROM documents WHERE n_chars >= 100
+    ),
+    keyed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('0:' || doc_id::VARCHAR), 1, 15))::BIGINT AS k,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+      FROM gated
+    ),
+    sharded AS (SELECT *, k % 4 AS shard FROM keyed),
+    packed AS (
+      SELECT *,
+             (SUM(n_tokens) OVER (PARTITION BY shard ORDER BY k, doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens) // 256
+               AS seq_id
+      FROM sharded
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM packed GROUP BY shard
+    """,
+)
+def trainer_egress_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed trainer-egress flagship (round 6) — the fourth corner of
+    the pipeline triad-plus-one (WARC ingest, multimodal curation, RAG
+    retrieval, and now EGRESS): quality gate -> deterministic epoch-0
+    order (md5 keys) -> 4-way sharding -> greedy 256-token sequence
+    packing in arrival order (the sequence_packing discipline, applied
+    per shard) -> PHYSICAL TFRecord write with the Example codec ->
+    CRC-verified read-back -> per-shard manifest. The oracle states the
+    expected manifest from the relational definition alone, so the
+    value hash proves the packed structure SURVIVED the wire format —
+    order keys, shard routing, pack boundaries, token counts and id
+    checksums all round-trip through framing, varints and utf-8.
+
+    Scale shape: gate and keys are scan-local; the pack window rides
+    ONE shard-keyed exchange; the shard write is one file per
+    partition with payloads never shuffling; read-back parallelism is
+    per shard. The manifest aggregate reuses the shard partitioning."""
+    import tempfile
+
+    from dataflowjavasdk_spark.sources.tfrecord import (
+        parse_examples,
+        read_tfrecord,
+        write_tfrecord,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") >= 100
+    )
+    keyed = docs.select(
+        "doc_id",
+        md5_long(F.concat(F.lit("0:"), F.col("doc_id"))).alias("k"),
+        F.size(tokens("text")).alias("n_tokens"),
+    ).withColumn("shard", F.pmod("k", F.lit(4)).cast("long"))
+    wp = (
+        W.partitionBy("shard")
+        .orderBy("k", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = (
+        keyed.withColumn("cum", F.sum("n_tokens").over(wp))
+        .withColumn("seq_id", F.expr("(cum - n_tokens) div 256"))
+        .select("doc_id", "shard", "seq_id", "n_tokens")
+    )
+    d = tempfile.mkdtemp(prefix="trainer_egress_")
+    write_tfrecord(packed.repartition(4), d)
+    back = parse_examples(
+        read_tfrecord(spark, d),
+        {
+            "doc_id": "bigint",
+            "shard": "bigint",
+            "seq_id": "bigint",
+            "n_tokens": "bigint",
+        },
+    )
+    return back.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("seq_id").alias("n_seqs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )

@@ -84,6 +84,7 @@ _PRIORITY: tuple[str, ...] = (
     "zorder_clustered_shards",
     "hard_negative_mining",
     "right_to_erasure_audit",
+    "trainer_egress_pipeline",
     # (2) round-5-new that missed the r5 sample cut (never sampled);
     # composed/value-bearing pipelines first, per-format decodes after
     "multimodal_curation_pipeline",

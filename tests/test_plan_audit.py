@@ -88,6 +88,7 @@ def test_relational_queries_stay_jvm_side(spark):
         # round 6: TFRecord round trip (Example codec + CRC framing are
         # Python by nature, like the Avro OCF codec above)
         "tfrecord_roundtrip_checksum",
+        "trainer_egress_pipeline",
         # round 6 temporal media analytics: synth + per-frame decode in
         # mapInPandas; the windowed cut/segment logic itself is pure JVM
         "video_keyframe_detect",
