@@ -249,17 +249,23 @@ def _decode_scalar_list(buf: bytes, field_kind: int) -> list:
             if wire != 2:
                 raise ValueError("BytesList values must be length-delimited")
             ln, pos = _read_varint(buf, pos)
+            if pos + ln > len(buf):
+                raise ValueError("truncated BytesList value")
             out.append(bytes(buf[pos : pos + ln]))
             pos += ln
         elif field_kind == 2:  # float
             if wire == 2:  # packed
                 ln, pos = _read_varint(buf, pos)
+                if ln % 4 or pos + ln > len(buf):
+                    raise ValueError("truncated packed FloatList")
                 out.extend(
                     struct.unpack_from("<f", buf, pos + i)[0]
                     for i in range(0, ln, 4)
                 )
                 pos += ln
             elif wire == 5:
+                if pos + 4 > len(buf):
+                    raise ValueError("truncated FloatList value")
                 out.append(struct.unpack_from("<f", buf, pos)[0])
                 pos += 4
             else:
@@ -288,6 +294,8 @@ def _decode_feature(buf: bytes) -> list:
     if wire != 2 or field not in (1, 2, 3):
         raise ValueError("malformed Feature message")
     ln, pos = _read_varint(buf, pos)
+    if pos + ln > len(buf):
+        raise ValueError("truncated Feature message")
     return _decode_scalar_list(buf[pos : pos + ln], field)
 
 
@@ -301,6 +309,8 @@ def decode_example(blob: bytes) -> dict:
         if field != 1 or wire != 2:
             raise ValueError("malformed Example message")
         ln, pos = _read_varint(blob, pos)
+        if pos + ln > len(blob):
+            raise ValueError("truncated Features message")
         fbuf, fpos = blob[pos : pos + ln], 0
         pos += ln
         # Features: repeated map entry (field 1)
@@ -309,6 +319,8 @@ def decode_example(blob: bytes) -> dict:
             if (k >> 3) != 1 or (k & 7) != 2:
                 raise ValueError("malformed Features map")
             eln, fpos = _read_varint(fbuf, fpos)
+            if fpos + eln > len(fbuf):
+                raise ValueError("truncated Features map entry")
             ebuf, epos = fbuf[fpos : fpos + eln], 0
             fpos += eln
             name, vals = None, []
@@ -318,6 +330,8 @@ def decode_example(blob: bytes) -> dict:
                 if ew != 2:
                     raise ValueError("malformed map entry")
                 vln, epos = _read_varint(ebuf, epos)
+                if epos + vln > len(ebuf):
+                    raise ValueError("truncated map entry value")
                 vbuf = ebuf[epos : epos + vln]
                 epos += vln
                 if ef == 1:

@@ -228,3 +228,32 @@ def test_read_stream_tfrecord_microbatches_and_batch_equivalence(spark, tmp_path
     assert run_round() == set(range(4, 7))
     batch = parse_examples(read_tfrecord(spark, d), {"id": "bigint"})
     assert {r["id"] for r in batch.collect()} == set(range(7))
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=120))
+def test_garbage_raises_only_valueerror(blob):
+    """Uniform rejection contract (the module convention shared with the
+    media codecs): arbitrary bytes must either parse or raise ValueError
+    — never IndexError/struct.error/KeyError task-killers."""
+    try:
+        list(iter_records(blob))
+    except ValueError:
+        pass
+    try:
+        decode_example(blob)
+    except ValueError:
+        pass
+
+
+def test_truncated_scalar_lists_raise_valueerror():
+    import pytest as _pytest
+
+    from dataflowjavasdk_spark.sources.tfrecord import _decode_scalar_list
+
+    with _pytest.raises(ValueError, match="truncated FloatList"):
+        _decode_scalar_list(b"\x0d\x01\x02", 2)  # wire-5 float, 2 bytes left
+    with _pytest.raises(ValueError, match="truncated packed FloatList"):
+        _decode_scalar_list(b"\x0a\x08\x00\x00", 2)  # claims 8, has 2
+    with _pytest.raises(ValueError, match="truncated BytesList"):
+        _decode_scalar_list(b"\x0a\x7f\x00", 1)  # claims 127, has 1
