@@ -176,6 +176,7 @@ HEADLINE = [
     "hard_negative_mining",
     "right_to_erasure_audit",
     "trainer_egress_pipeline",
+    "cdc_chunk_dedup",
 ]
 
 

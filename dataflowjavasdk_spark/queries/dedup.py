@@ -1276,3 +1276,144 @@ def winnowing_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shared",
         F.expr("(100 * n_shared) div n_fp").alias("share_pct"),
     )
+
+
+@query(
+    "cdc_chunk_dedup",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      FROM corpus
+    ),
+    pos_tok AS (
+      SELECT doc_id, i AS pos, tk[i] AS tok,
+             CASE WHEN i >= 4 AND
+                  ('0x' || substr(md5(array_to_string(array_slice(tk, i - 3, i), ' ')),
+                                  1, 15))::BIGINT % 16 = 0
+                  THEN 1 ELSE 0 END AS boundary
+      FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM toks)
+    ),
+    chunked AS (
+      SELECT doc_id, pos, tok,
+             COALESCE(SUM(boundary) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+      FROM pos_tok
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+             ('0x' || substr(md5(string_agg(tok, ' ' ORDER BY pos)), 1, 15))::BIGINT
+               AS chunk_fp
+      FROM chunked GROUP BY doc_id, chunk_id
+    ),
+    shared AS (
+      SELECT chunk_fp FROM chunks GROUP BY chunk_fp
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_chunks,
+             count(*) FILTER (WHERE chunk_fp IN (SELECT chunk_fp FROM shared))
+               AS n_shared
+      FROM chunks GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           CAST((100 * n_shared) // n_chunks AS BIGINT) AS shared_pct
+    FROM per_doc WHERE n_shared > 0
+    """,
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (round 6) — the insertion-ROBUST
+    half of chunk-level dedup (chunk_dedup_boilerplate uses fixed token
+    windows, which shift after any insertion; CDC boundaries are decided
+    by CONTENT, the Rabin-Karp/FastCDC principle from storage dedup,
+    public): a chunk boundary falls after token i wherever the md5 hash
+    of the 4-gram ending at i is ≡ 0 mod 16 (expected chunk ≈ 16
+    tokens), so two documents sharing a long run of text produce
+    IDENTICAL chunks regardless of how much text precedes the run.
+    Chunk fingerprints join across documents; the per-doc report (chunk
+    counts, shared counts, integer share pct) is the same shape as the
+    winnowing report — together they cover span-level (winnowing) and
+    block-level (CDC) sub-document duplication.
+
+    Scale shape: boundary decisions and grams are row-local expressions;
+    chunk numbering is one exclusive-prefix window per doc (one doc_id
+    exchange); chunk fingerprints aggregate on (doc, chunk) riding the
+    same partitioning; the shared-fingerprint relation is an 8-byte-key
+    equi-join. Text leaves the scan only as md5 fingerprints."""
+    corpus = _corpus(spark, sf_dir)
+    tk = T.tokens("text")
+    pos_tok = corpus.select(
+        "doc_id", F.posexplode(tk).alias("pos0", "tok"), tk.alias("tk")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        "tok",
+        F.when(
+            (F.col("pos0") + 1 >= 4)
+            & (
+                F.pmod(
+                    T.md5_long(
+                        F.array_join(
+                            F.slice(
+                                F.col("tk"),
+                                F.greatest(F.lit(1), F.col("pos0") - 2),
+                                4,
+                            ),
+                            " ",
+                        )
+                    ),
+                    F.lit(16),
+                )
+                == 0
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("boundary"),
+    )
+    w_excl = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    chunked = pos_tok.withColumn(
+        "chunk_id", F.coalesce(F.sum("boundary").over(w_excl), F.lit(0))
+    )
+    chunks = (
+        chunked.groupBy("doc_id", "chunk_id")
+        .agg(
+            T.md5_long(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_fp")
+        )
+        .localCheckpoint(eager=False)  # feeds shared-fp AND per-doc rollup
+    )
+    shared = (
+        chunks.groupBy("chunk_fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("chunk_fp")
+    )
+    per_doc = (
+        chunks.join(shared.withColumn("hit", F.lit(1)), "chunk_fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_shared"),
+        )
+        .filter(F.col("n_shared") > 0)
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_chunks",
+        "n_shared",
+        F.expr("(100 * n_shared) div n_chunks").alias("shared_pct"),
+    )

@@ -439,3 +439,32 @@ def test_winnowing_guarantee_on_shared_span(spark):
     for doc in (1, 2):
         assert 0 < rows[doc]["n_shared"] <= rows[doc]["n_fp"]
         assert rows[doc]["share_pct"] == (100 * rows[doc]["n_shared"]) // rows[doc]["n_fp"]
+
+
+def test_cdc_chunks_survive_prefix_insertion(spark):
+    """CDC's defining property: inserting a long UNRELATED prefix must
+    not destroy chunk sharing of the common run (fixed windows shift and
+    lose it). Uses a long shared run so several content-defined
+    boundaries fall inside it."""
+    from dataflowjavasdk_spark.queries import dedup as D
+
+    shared_run = " ".join(f"tok{i % 37}x{(i * 7) % 23}" for i in range(300))
+    prefix = " ".join(f"pre{i}q{(i * 5) % 11}" for i in range(83))
+    df = spark.createDataFrame(
+        [
+            (1, shared_run),
+            (2, f"{prefix} {shared_run}"),
+            (3, "wholly unrelated words " + " ".join(f"z{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    orig = D._corpus
+    D._corpus = lambda _spark, _sf: df
+    try:
+        rows = {r["doc_id"]: r for r in D.cdc_chunk_dedup(spark, "x").collect()}
+    finally:
+        D._corpus = orig
+    assert 1 in rows and 2 in rows, "shared run must produce shared chunks"
+    assert 3 not in rows
+    # most of doc 1's chunks are inside the shared run
+    assert rows[1]["n_shared"] >= rows[1]["n_chunks"] // 2
