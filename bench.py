@@ -177,6 +177,7 @@ HEADLINE = [
     "right_to_erasure_audit",
     "trainer_egress_pipeline",
     "cdc_chunk_dedup",
+    "late_interaction_topk",
 ]
 
 
@@ -276,10 +277,10 @@ def main() -> None:
     print(line, flush=True)
 
 
-def short_keys(names: list[str], width: int = 8) -> dict[str, str]:
+def short_keys(names: list[str], width: int = 7) -> dict[str, str]:
     """Deterministic unique <=width-char key per query name (prefix
-    truncation; collisions get a numeric suffix). Width 8 keeps the
-    contract line under 1,800 bytes at 101 headline queries (the
+    truncation; collisions get a numeric suffix). Width 7 keeps the
+    contract line under 1,800 bytes at 105 headline queries (the
     driver captures 2,000; rounds 3-4 lost BENCH to overflow)."""
     out: dict[str, str] = {}
     for n in names:

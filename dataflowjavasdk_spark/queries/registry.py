@@ -86,6 +86,7 @@ _PRIORITY: tuple[str, ...] = (
     "right_to_erasure_audit",
     "trainer_egress_pipeline",
     "cdc_chunk_dedup",
+    "late_interaction_topk",
     # (2) round-5-new that missed the r5 sample cut (never sampled);
     # composed/value-bearing pipelines first, per-format decodes after
     "multimodal_curation_pipeline",

@@ -501,3 +501,87 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= 5
     )
+
+
+def _li_score_sql(q: str, d: str, n_sub: int = 4, sub: int = 16) -> str:
+    """DuckDB text of the late-interaction score: sum over query
+    subvectors of the max cosine against any doc subvector. Expanded
+    literally (n_sub x n_sub cosine fragments) so both engines run the
+    identical fold shapes."""
+
+    def sl(v: str, m: int) -> str:
+        return f"array_slice({v}, {m * sub + 1}, {(m + 1) * sub})"
+
+    per_q = []
+    for mq in range(n_sub):
+        cos = [
+            f"({_sql_cosine(sl(q, mq), sl(d, md))})" for md in range(n_sub)
+        ]
+        per_q.append(f"greatest({', '.join(cos)})")
+    return "(" + " + ".join(per_q) + ")"
+
+
+@query(
+    "late_interaction_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_li_score_sql('q.qv', 'e.embedding')} AS li_score
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, li_score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY li_score DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, li_score, rk FROM ranked WHERE rk <= 5
+    """,
+)
+def late_interaction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (round 6, public method:
+    Khattab & Zaharia 2020) on the fixture's single-vector table: the
+    64-dim embedding is treated as 4 x 16-dim "token" subvectors, and
+    the relevance score is MaxSim — for each query subvector, the best
+    cosine against any document subvector, summed. Captures partial /
+    aspect matches a single whole-vector cosine averages away. The
+    score is a pure JVM expression tree (16 slice-cosines, 4 greatest,
+    one sum — no UDF); the DuckDB twin expands the identical folds, so
+    ranking oracles exactly.
+
+    Scale shape: identical to cosine_topk_bruteforce — query set (with
+    subvector structure) broadcasts, the corpus streams map-side
+    through the scorer, per-query top-5 rides a bounded window. The
+    production variant stores subvectors pre-sliced; the expression
+    shape (and its cost, ~n_sub^2 fused multiply-adds per pair) is the
+    same."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+
+    def sl(col, m):
+        return F.slice(col, m * 16 + 1, 16)
+
+    def li_score(qv, dv):
+        return sum(
+            F.greatest(*[S.cosine(sl(qv, mq), sl(dv, md)) for md in range(4)])
+            for mq in range(4)
+        )
+
+    scored = emb.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        li_score(F.col("qv"), F.col("embedding")).alias("li_score"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("li_score").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 5
+    )

@@ -234,6 +234,7 @@ def test_no_cartesian_products_anywhere(spark):
         "rag_retrieval_pipeline",       # query-set broadcast, non-equi (≠),
                                         # same shape as cosine_topk_bruteforce
         "hard_negative_mining",         # query-set broadcast, label-≠ filter
+        "late_interaction_topk",        # query-set broadcast, non-equi (≠)
     }
     for name in all_queries():
         p = _plan(spark, name)
