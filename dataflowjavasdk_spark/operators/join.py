@@ -60,29 +60,72 @@ def co_group_by_key(
     N keyed collections → per key, a tuple of iterables (CoGbkResult).
 
     Two-input case uses Spark's native cogroup (one co-partitioned shuffle,
-    Arrow batches per side). N>2 falls back to pairwise full-outer joins of
-    collect_list aggregates — correct, but prefer pre-aggregation
-    (see queries/relational.py cogroup_customer_orders) at scale.
+    Arrow batches per side). N>2 is the reference's own plan — union every
+    input with its TupleTag (UnionCoder.java's tagged-union encoding), one
+    shuffle on the key, then split each group back into N per-tag frames
+    (KeyedPCollectionTuple.apply(CoGroupByKey) + per-key CoGbkResult).
+    Inputs absent for a key yield an EMPTY frame, never a missing entry.
+
+    Scale note: both paths shuffle each input exactly once on the key and
+    buffer only one key's rows per input in the Arrow batch — the same
+    footprint as the reference's per-key iterable buffers. Prefer
+    pre-aggregation (see queries/relational.py cogroup_customer_orders)
+    when the per-key fn is itself a reduction.
 
     `fn(key_tuple, {name: pandas_df})` → pandas DataFrame rows to emit.
+    Each per-tag frame carries that input's full columns (keys included)
+    in its original column order, matching the 2-input native path.
     """
     names = list(dfs)
+    key_list = list(keys)
     if len(names) == 2:
         a, b = dfs[names[0]], dfs[names[1]]
 
-        def apply(key: tuple, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        def apply2(key: tuple, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             return fn(key, {names[0]: left, names[1]: right})
 
         return (
-            a.groupBy(*keys)
-            .cogroup(b.groupBy(*keys))
-            .applyInPandas(apply, schema=schema)
+            a.groupBy(*key_list)
+            .cogroup(b.groupBy(*key_list))
+            .applyInPandas(apply2, schema=schema)
         )
-    raise NotImplementedError(
-        "co_group_by_key with a custom fn supports exactly 2 inputs; for "
-        "N-way use co_group_arrays (CoGbkResult-shaped) or pre-aggregate "
-        "each side and join (the scalable plan)."
-    )
+
+    col_orders = [list(dfs[n].columns) for n in names]
+    value_orders = [[c for c in cols if c not in key_list] for cols in col_orders]
+    tagged = []
+    for i, name in enumerate(names):
+        df = dfs[name]
+        payload = (
+            F.struct(*[F.col(c) for c in value_orders[i]])
+            if value_orders[i]
+            else F.lit(0)  # key-only input: tag row presence is the payload
+        )
+        tagged.append(
+            df.select(
+                *key_list,
+                F.lit(i).alias("__cogbk_tag"),
+                payload.alias(f"__cogbk_v{i}"),
+            )
+        )
+    unioned = tagged[0]
+    for t in tagged[1:]:
+        unioned = unioned.unionByName(t, allowMissingColumns=True)
+
+    def apply_n(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        frames: dict[str, pd.DataFrame] = {}
+        for i, name in enumerate(names):
+            mask = pdf["__cogbk_tag"] == i
+            if value_orders[i]:
+                rows = list(pdf.loc[mask, f"__cogbk_v{i}"])
+                vals = pd.DataFrame(rows, columns=value_orders[i])
+            else:
+                vals = pd.DataFrame(index=pd.RangeIndex(int(mask.sum())))
+            for k_idx, k in enumerate(key_list):
+                vals[k] = [key[k_idx]] * len(vals)
+            frames[name] = vals.reindex(columns=col_orders[i])
+        return fn(key, frames)
+
+    return unioned.groupBy(*key_list).applyInPandas(apply_n, schema=schema)
 
 
 def co_group_arrays(dfs: dict[str, DataFrame], keys: Sequence[str]) -> DataFrame:

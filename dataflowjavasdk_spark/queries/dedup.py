@@ -1083,7 +1083,7 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     AllPairs/PPJoin candidate generation (Bayardo et al., WWW'07; public
     algorithm) as the PROVABLY COMPLETE alternative to the df-capped
     blocking the rest of the near-dup family uses. Each document's
-    distinct 3-gram shingles are totally ordered by ascending global
+    distinct 4-gram shingles are totally ordered by ascending global
     document frequency (ties by gram); for threshold t a document with n
     grams exposes only its first ``n - ceil(t*n) + 1`` grams as blocking
     keys — by pigeonhole, two sets with Jaccard >= t MUST share a prefix

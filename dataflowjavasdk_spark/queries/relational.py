@@ -284,6 +284,96 @@ def cogroup_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cogroup_nation_customer_supplier",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_customers,
+                      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                        AS customer_acctbal
+               FROM customer GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers,
+                      CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                        AS supplier_acctbal
+               FROM supplier GROUP BY s_nationkey)
+    SELECT n_nationkey, n_name,
+           COALESCE(c.n_customers, 0) AS n_customers,
+           COALESCE(c.customer_acctbal, 0.0) AS customer_acctbal,
+           COALESCE(s.n_suppliers, 0) AS n_suppliers,
+           COALESCE(s.supplier_acctbal, 0.0) AS supplier_acctbal
+    FROM nation
+    LEFT JOIN c ON n_nationkey = c.nk
+    LEFT JOIN s ON n_nationkey = s.nk
+    """,
+)
+def cogroup_nation_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-input CoGroupByKey with a custom per-key fn (round 7 — closes
+    the last §2.3 partial): KeyedPCollectionTuple.of(n).and(c).and(s)
+    .apply(CoGroupByKey) + a DoFn over the CoGbkResult's three tagged
+    iterables (historical sdk/transforms/join/CoGroupByKey.java,
+    KeyedPCollectionTuple.java). Plan: union-with-tag → ONE shuffle on the
+    key → applyInPandas splits each group into per-tag frames — the
+    reference's own tagged-union strategy (UnionCoder.java), so each input
+    shuffles exactly once and only one key's rows are buffered at a time.
+
+    Per-nation: the nation row's name read FROM the nation iterable (the
+    CoGbkResult access pattern), plus counts and exact-cents acctbal sums
+    over the customer and supplier iterables; absent sides are empty
+    iterables, not nulls. Sums accumulate as Decimal cents so the result
+    is order-independent and matches the oracle's DECIMAL(18,2) sum.
+    """
+    import decimal
+
+    import pandas as pd
+
+    from dataflowjavasdk_spark.operators.join import co_group_by_key
+
+    na = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"), "n_name"
+    )
+    cu = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), "c_acctbal"
+    )
+    su = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), "s_acctbal"
+    )
+
+    def cents_sum(series) -> float:
+        total = decimal.Decimal(0)
+        for v in series:
+            total += decimal.Decimal(repr(float(v))).quantize(
+                decimal.Decimal("0.01"), rounding=decimal.ROUND_HALF_UP
+            )
+        return float(total)
+
+    def per_nation(key: tuple, groups: dict[str, pd.DataFrame]) -> pd.DataFrame:
+        nat = groups["nation"]
+        if not len(nat):  # key only in a fact side: oracle LEFT JOINs from nation
+            return pd.DataFrame(
+                columns=["n_nationkey", "n_name", "n_customers",
+                         "customer_acctbal", "n_suppliers", "supplier_acctbal"]
+            )
+        return pd.DataFrame(
+            [
+                {
+                    "n_nationkey": int(key[0]),
+                    "n_name": nat["n_name"].iloc[0],
+                    "n_customers": len(groups["customer"]),
+                    "customer_acctbal": cents_sum(groups["customer"]["c_acctbal"]),
+                    "n_suppliers": len(groups["supplier"]),
+                    "supplier_acctbal": cents_sum(groups["supplier"]["s_acctbal"]),
+                }
+            ]
+        )
+
+    return co_group_by_key(
+        {"nation": na, "customer": cu, "supplier": su},
+        ["nationkey"],
+        per_nation,
+        "n_nationkey int, n_name string, n_customers bigint, "
+        "customer_acctbal double, n_suppliers bigint, supplier_acctbal double",
+    )
+
+
+@query(
     "topk_per_group",
     oracle="""
     WITH sums AS (

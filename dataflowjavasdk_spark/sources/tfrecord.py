@@ -363,7 +363,12 @@ def write_tfrecord(df, path: str) -> int:
     os.makedirs(tmp, exist_ok=True)
 
     def _coerce(v, dtype: str):
-        if v is None:
+        # Arrow→pandas surfaces nullable-int/float nulls as NaN floats
+        # (and timestamps as NaT) rather than None: treat all of them as
+        # the documented absent-feature null (mirrors sources/avro.py
+        # _to_py's `v is None or v != v`). The scalar-float check keeps
+        # list/ndarray cells (array<...> columns) off the NaN branch.
+        if v is None or (isinstance(v, float) and v != v):
             return []
         base = dtype[6:-1] if dtype.startswith("array<") else dtype
         vals = list(v) if dtype.startswith("array<") else [v]
@@ -378,7 +383,8 @@ def write_tfrecord(df, path: str) -> int:
         raise ValueError(f"unsupported TFRecord column type: {dtype}")
 
     def encode(batches: Iterator) -> Iterator:
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         buf = bytearray()
         n = 0
         for pdf in batches:
@@ -391,9 +397,14 @@ def write_tfrecord(df, path: str) -> int:
         if not n:
             return
         shard = os.path.join(tmp, f"part-{pid:05d}.tfrecord")
-        with open(shard + ".inprogress", "wb") as fh:
+        # attempt-unique temp name: a retried/speculative attempt must not
+        # write the same .inprogress path as the original attempt (risk of
+        # interleaved bytes); the atomic rename to the pid-based name lets
+        # the last successful attempt win.
+        inprogress = f"{shard}.{ctx.taskAttemptId()}.inprogress"
+        with open(inprogress, "wb") as fh:
             fh.write(bytes(buf))
-        os.rename(shard + ".inprogress", shard)
+        os.rename(inprogress, shard)
         yield pd.DataFrame({"shard": [shard], "n": [n]})
 
     manifest = df.mapInPandas(encode, schema="shard string, n long").collect()

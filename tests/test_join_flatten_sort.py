@@ -54,6 +54,66 @@ def test_co_group_by_key_two_inputs(sides):
     assert rows(out) == [("a", 1, 1), ("b", 1, 1), ("c", 1, 0), ("d", 0, 1)]
 
 
+def test_co_group_by_key_three_inputs_custom_fn(spark, sides):
+    """N-way CoGroupByKey with a custom fn (round 7): the CoGbkResult
+    contract — per key, one named frame per input, EMPTY (not missing)
+    where an input lacks the key, original column order, keys included."""
+    left, right = sides
+    p = Pipeline(spark)
+    third = p.create([("a", 1.5), ("e", 5.5)], "k string, tv double")
+
+    def fn(key, groups):
+        assert set(groups) == {"l", "r", "t"}
+        assert list(groups["l"].columns) == ["k", "lv"]
+        assert list(groups["t"].columns) == ["k", "tv"]
+        return pd.DataFrame(
+            [
+                {
+                    "k": key[0],
+                    "n_l": len(groups["l"]),
+                    "n_r": len(groups["r"]),
+                    "sum_t": float(groups["t"]["tv"].sum()),
+                }
+            ]
+        )
+
+    out = join.co_group_by_key(
+        {"l": left.df, "r": right.df, "t": third.df},
+        ["k"],
+        fn,
+        "k string, n_l long, n_r long, sum_t double",
+    )
+    assert rows(out) == [
+        ("a", 1, 1, 1.5),
+        ("b", 1, 1, 0.0),
+        ("c", 1, 0, 0.0),
+        ("d", 0, 1, 0.0),
+        ("e", 0, 0, 5.5),
+    ]
+
+
+def test_co_group_by_key_key_only_input(spark, sides):
+    """An input with no value columns still contributes row presence."""
+    left, right = sides
+    p = Pipeline(spark)
+    marks = p.create([("a",), ("a",), ("c",)], "k string")
+
+    def fn(key, groups):
+        return pd.DataFrame(
+            [{"k": key[0], "n_marks": len(groups["m"]), "n_l": len(groups["l"]),
+              "n_r": len(groups["r"])}]
+        )
+
+    out = join.co_group_by_key(
+        {"l": left.df, "r": right.df, "m": marks.df},
+        ["k"],
+        fn,
+        "k string, n_marks long, n_l long, n_r long",
+    )
+    got = {r["k"]: (r["n_marks"], r["n_l"], r["n_r"]) for r in out.collect()}
+    assert got == {"a": (2, 1, 1), "b": (0, 1, 1), "c": (1, 1, 0), "d": (0, 0, 1)}
+
+
 def test_view_as_singleton_and_map(spark, sides):
     left, right = sides
     total = left.df.agg(F.sum("lv").alias("total"))
