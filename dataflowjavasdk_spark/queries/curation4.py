@@ -17,6 +17,7 @@ from pyspark.sql.window import Window as W
 
 from dataflowjavasdk_spark.functions.text import md5_long, tokens
 from dataflowjavasdk_spark.queries.registry import query
+from dataflowjavasdk_spark.session import scratch_dir
 from dataflowjavasdk_spark.sources.tables import load_table
 
 # DSIR feature space: unigrams + bigrams hashed into a constant number of
@@ -428,7 +429,6 @@ def trainer_egress_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE shard-keyed exchange; the shard write is one file per
     partition with payloads never shuffling; read-back parallelism is
     per shard. The manifest aggregate reuses the shard partitioning."""
-    import tempfile
 
     from dataflowjavasdk_spark.sources.tfrecord import (
         parse_examples,
@@ -454,7 +454,7 @@ def trainer_egress_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("seq_id", F.expr("(cum - n_tokens) div 256"))
         .select("doc_id", "shard", "seq_id", "n_tokens")
     )
-    d = tempfile.mkdtemp(prefix="trainer_egress_")
+    d = scratch_dir("trainer_egress_")
     write_tfrecord(packed.repartition(4), d)
     back = parse_examples(
         read_tfrecord(spark, d),

@@ -16,6 +16,7 @@ from pyspark.sql.window import Window as W
 
 from dataflowjavasdk_spark.functions import similarity as S
 from dataflowjavasdk_spark.queries.registry import query
+from dataflowjavasdk_spark.session import scratch_dir
 from dataflowjavasdk_spark.sources.tables import load_table
 
 _SESSIONIZED = """
@@ -1050,12 +1051,11 @@ def avro_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     and checksummed per source. The oracle computes the same checksums
     from the original parquet, so any encode/decode loss — string
     mangling, count drift, dropped rows — breaks the hash match."""
-    import tempfile
 
     from dataflowjavasdk_spark.sources.avro import read_avro, write_avro
 
     docs = load_table(spark, sf_dir, "documents")
-    d = tempfile.mkdtemp(prefix="avro_rt_")
+    d = scratch_dir("avro_rt_")
     write_avro(docs.repartition(4), d, codec="deflate")
     back = read_avro(spark, d)
     return back.groupBy("source").agg(
@@ -1087,7 +1087,6 @@ def avro_logical_types_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     order year. The oracle computes identical aggregates straight from
     parquet, so a single wrong day, dropped sub-second, or mis-scaled
     decimal anywhere in encode/decode breaks the value-hash."""
-    import tempfile
 
     from dataflowjavasdk_spark.sources.avro import read_avro, write_avro
 
@@ -1097,7 +1096,7 @@ def avro_logical_types_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("order_date"),
         F.col("o_totalprice").cast("decimal(12,2)").alias("total_dec"),
     )
-    d = tempfile.mkdtemp(prefix="avro_lt_")
+    d = scratch_dir("avro_lt_")
     write_avro(orders.repartition(4), d, codec="deflate")
     back = read_avro(spark, d)
     return back.groupBy(F.year("order_date").cast("int").alias("order_year")).agg(
@@ -1136,12 +1135,11 @@ def csv_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksummed per language against the parquet original. Quoting/escape
     round-trip and null-vs-empty discipline are what this actually
     exercises."""
-    import tempfile
 
     from dataflowjavasdk_spark.core import Pipeline
 
     docs = load_table(spark, sf_dir, "documents")
-    d = tempfile.mkdtemp(prefix="csv_rt_")
+    d = scratch_dir("csv_rt_")
     docs.repartition(4).write.mode("overwrite").option("header", True).csv(d)
     back = Pipeline(spark).read_csv(
         d, schema="doc_id long, text string, lang string, source string, n_chars long"
@@ -1154,12 +1152,11 @@ def json_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newline-delimited-JSON round trip (TextIO + JSON-coder ParDo
     analog), schema-on-read so Spark parses only the requested fields.
     Same per-language checksum oracle as the CSV twin."""
-    import tempfile
 
     from dataflowjavasdk_spark.core import Pipeline
 
     docs = load_table(spark, sf_dir, "documents")
-    d = tempfile.mkdtemp(prefix="json_rt_")
+    d = scratch_dir("json_rt_")
     docs.repartition(4).write.mode("overwrite").json(d)
     back = Pipeline(spark).read_json(
         d, schema="doc_id long, text string, lang string, source string, n_chars long"
@@ -1186,14 +1183,13 @@ def xml_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Long keys and exact-decimal money survive the text encoding bit-for-
     bit (the INT_MIN quirk documented in core.read_xml is avoided by
     using long fields, per its own guidance)."""
-    import tempfile
 
     from dataflowjavasdk_spark.core import Pipeline
 
     od = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
     )
-    d = tempfile.mkdtemp(prefix="xml_rt_")
+    d = scratch_dir("xml_rt_")
     od.repartition(4).write.mode("overwrite").format("xml").option(
         "rowTag", "order"
     ).save(d)
@@ -1525,12 +1521,11 @@ def orc_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the parquet original. Exact-decimal sum, min/max timestamps:
     a single dropped microsecond anywhere in the writer/reader breaks
     the value-hash."""
-    import tempfile
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    d = tempfile.mkdtemp(prefix="orc_rt_")
+    d = scratch_dir("orc_rt_")
     ev.repartition(4).write.mode("overwrite").orc(d)
     back = spark.read.orc(d)
     return back.groupBy("event_type").agg(
@@ -1552,12 +1547,11 @@ def gzip_json_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition count (4 here) IS the read parallelism; at 100 TB the
     writer must emit many shards (or use a splittable codec) or the read
     serializes."""
-    import tempfile
 
     from dataflowjavasdk_spark.core import Pipeline
 
     docs = load_table(spark, sf_dir, "documents")
-    d = tempfile.mkdtemp(prefix="gzjson_rt_")
+    d = scratch_dir("gzjson_rt_")
     docs.repartition(4).write.mode("overwrite").option("compression", "gzip").json(d)
     back = Pipeline(spark).read_json(
         d, schema="doc_id long, text string, lang string, source string, n_chars long"
@@ -1576,12 +1570,11 @@ def bzip2_json_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame
     decoupled from writer sharding — asserted with a small
     maxPartitionBytes in tests/test_scale_behaviors.py). At 100 TB
     prefer a splittable codec (bzip2/zstd-seekable) or many shards."""
-    import tempfile
 
     from dataflowjavasdk_spark.core import Pipeline
 
     docs = load_table(spark, sf_dir, "documents")
-    d = tempfile.mkdtemp(prefix="bz2json_rt_")
+    d = scratch_dir("bz2json_rt_")
     docs.coalesce(2).write.mode("overwrite").option("compression", "bzip2").json(d)
     back = Pipeline(spark).read_json(
         d, schema="doc_id long, text string, lang string, source string, n_chars long"
@@ -1611,12 +1604,11 @@ def partitioned_write_prune_checksum(spark: SparkSession, sf_dir: str) -> DataFr
     against the unpartitioned original, so the partition column's
     round-trip through directory names (string values) is value-checked
     too."""
-    import tempfile
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    d = tempfile.mkdtemp(prefix="part_rt_")
+    d = scratch_dir("part_rt_")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(d)
     back = spark.read.parquet(d).filter(
         F.col("event_type").isin("click", "purchase")
@@ -2076,7 +2068,6 @@ def warc_ingest_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     shifts a sum. At 100 TB: WARC is the INGEST format — parse once with
     per-file parallelism, persist columnar, query parquet ever after."""
     import html as _html
-    import tempfile
     from collections.abc import Iterator as _Iterator
 
     import pandas as _pd
@@ -2118,7 +2109,7 @@ def warc_ingest_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="url string, warc_date string, status int, "
         "content_type string, html string",
     )
-    d = tempfile.mkdtemp(prefix="warc_rt_")
+    d = scratch_dir("warc_rt_")
     write_warc(pages, d, with_requests=True)
     back = with_extracted_text(read_warc(spark, d))
     return (
@@ -2714,7 +2705,6 @@ def tfrecord_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     shifts a sum. At 100 TB: TFRecord is the EGRESS format — shards are
     written once, one per partition, payload bytes never shuffle; read
     parallelism is per shard exactly as data loaders consume them."""
-    import tempfile
 
     from dataflowjavasdk_spark.sources.tfrecord import (
         parse_examples,
@@ -2729,7 +2719,7 @@ def tfrecord_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.pmod("n_chars", F.lit(1000)).cast("long").alias("meta"),
     )
-    d = tempfile.mkdtemp(prefix="tfrecord_rt_")
+    d = scratch_dir("tfrecord_rt_")
     write_tfrecord(docs.repartition(4), d)
     back = parse_examples(
         read_tfrecord(spark, d),

@@ -157,6 +157,26 @@ def test_spark_write_read_roundtrip(spark, tmp_path):
     assert rows[1]["tags"] == [1, 2] and rows[2]["tags"] == [] and rows[3]["tags"] == [7]
 
 
+def test_spark_roundtrip_null_long_and_double(spark, tmp_path):
+    """Arrow→pandas surfaces nullable-bigint nulls as NaN floats; _coerce
+    must treat them as the documented absent-feature null (ADVICE r6) —
+    for BOTH integer and floating columns — instead of crashing on
+    int(nan) or silently encoding a present NaN feature."""
+    d = str(tmp_path / "tfr_nulls")
+    df = spark.createDataFrame(
+        [(1, 10, 0.5), (2, None, None), (3, None, 1.5)],
+        "id long, n long, x double",
+    )
+    assert write_tfrecord(df, d) >= 1
+    back = parse_examples(
+        read_tfrecord(spark, d), {"id": "bigint", "n": "bigint", "x": "double"}
+    )
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows[1]["n"] == 10 and rows[1]["x"] == 0.5
+    assert rows[2]["n"] is None and rows[2]["x"] is None  # absent, not NaN
+    assert rows[3]["n"] is None and rows[3]["x"] == 1.5
+
+
 def test_spark_read_rejects_corrupt_shard(spark, tmp_path):
     d = str(tmp_path / "tfr2")
     df = spark.createDataFrame([(1,)], "id long")
