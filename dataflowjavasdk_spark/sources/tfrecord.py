@@ -418,13 +418,47 @@ def write_tfrecord(df, path: str) -> int:
     return len(manifest)
 
 
+def write_stream_tfrecord(stream_df, path: str, checkpoint: str):
+    """TFRecordIO.Write for unbounded input (round 7 — streaming twin of
+    `write_tfrecord`, completing the trainer-egress loop whose read side
+    is streaming/core.read_stream_tfrecord): each micro-batch commits its
+    shards under ``<path>/batch=<id>/`` guarded by a _SUCCESS marker.
+    A replayed batch after restart sees the marker and skips — exactly-
+    once at file granularity, the marker write being the atomic commit
+    point (the same idempotent-foreachBatch pattern as the Avro/WARC
+    streaming sinks, historical sdk/io/TFRecordIO-style Write +
+    FileBasedSink streaming finalize). An uncommitted attempt's directory
+    (died between shard rename and marker) is cleared before the replay
+    rewrites it, so a replay producing fewer partitions can't leave the
+    earlier attempt's higher-numbered shards behind.
+
+    Returns a DataStreamWriter; caller picks the trigger/start.
+    """
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        dest = os.path.join(path, f"batch={batch_id}")
+        marker = os.path.join(dest, "_SUCCESS")
+        if os.path.exists(marker):
+            return  # replay after restart — already committed
+        if os.path.isdir(dest):
+            shutil.rmtree(dest)  # uncommitted attempt — clear and rewrite
+        os.makedirs(dest, exist_ok=True)
+        write_tfrecord(batch_df, dest)
+        with open(marker, "w"):
+            pass
+
+    return stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+
+
 def read_tfrecord(spark, path: str):
     """Distributed TFRecord read: one task per shard via binaryFile, one
     Arrow-batched pass walking the framing (CRC-verified). Returns
     ``(shard string, record_index long, example binary)`` — feed to
     `parse_examples` for typed columns."""
     paths = sorted(
-        _glob.glob(os.path.join(path, "*.tfrecord"))
+        _glob.glob(os.path.join(path, "**", "*.tfrecord"), recursive=True)
         if os.path.isdir(path)
         else _glob.glob(path)
     )

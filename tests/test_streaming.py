@@ -827,6 +827,59 @@ def test_avro_stream_source_to_avro_stream_sink_exactly_once(
     ]
 
 
+def test_tfrecord_stream_sink_exactly_once_across_restarts(
+    spark, harness, tmp_path_factory
+):
+    """Streaming twin of the trainer-egress write side (round 7): drop-dir
+    source → windowed agg → exactly-once TFRecord streaming sink, across
+    restarts. Each availableNow round restarts the query from the
+    checkpoint; the third round replays with no new data and must add
+    nothing (the batch=<id>/_SUCCESS marker is the atomic commit point).
+    Read-back goes through the CRC-verified batch reader + parse_examples,
+    so the committed bytes — not just the file census — are asserted."""
+    from dataflowjavasdk_spark.sources.tfrecord import (
+        parse_examples,
+        read_tfrecord,
+        write_stream_tfrecord,
+    )
+
+    out_dir = str(tmp_path_factory.mktemp("tfr_eos")) + "/out"
+
+    def build(stream):
+        return windowed_count(stream).select(
+            F.col("ws").cast("string").alias("ws"), "key", "n"
+        )
+
+    def run_sink_round():
+        q = (
+            write_stream_tfrecord(
+                build(harness._source()), out_dir, harness.checkpoint
+            )
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    harness.feed(
+        _batch(spark, _rows(spark, (1, 10, "a", 1), (2, 20, "a", 1), (3, 70, "a", 1)))
+    )
+    run_sink_round()
+    harness.feed(_batch(spark, _rows(spark, (4, 500, "a", 1))))
+    run_sink_round()
+    run_sink_round()  # replay with nothing new — idempotent
+
+    back = parse_examples(
+        read_tfrecord(spark, out_dir),
+        {"ws": "string", "key": "string", "n": "bigint"},
+    )
+    got = sorted((r["ws"], r["key"], r["n"]) for r in back.collect())
+    assert got == [
+        ("2024-01-01 00:00:00", "a", 2),
+        ("2024-01-01 00:01:00", "a", 1),
+    ]
+
+
 def test_streaming_calendar_windows_update_mode(spark, harness):
     """CalendarWindows is a pure assignment expression, so the SAME
     WindowFn drives unbounded input: tz-offset day windows as the
