@@ -58,88 +58,87 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # whose 50-slot sample it optimizes). test_entry_contract uses it to know
 # whether the no-wasted-slot invariant is still checkable or the ordering
 # is due for its per-round rotation.
-_PRIORITY_ROUND = 6
+_PRIORITY_ROUND = 7
+
+# Queries whose code or oracle materially changed in _PRIORITY_ROUND's
+# round: they re-enter the 50-slot sample even though their previous
+# driver row is green (that row describes the OLD code/oracle).
+# test_entry_contract exempts exactly these from the no-wasted-slot
+# invariant; prune the set at each rotation.
+_CHANGED_THIS_ROUND: frozenset[str] = frozenset(
+    {
+        # rewritten as the five-variant unified recall ladder (new
+        # schema + oracle), VERDICT r6 next-round #7
+        "ann_recall_report",
+        # write_tfrecord: NaN/NaT null coercion, attempt-unique shard
+        # temps, recursive read glob (ADVICE r6 + streaming sink)
+        "tfrecord_roundtrip_checksum",
+        "trainer_egress_pipeline",
+    }
+)
 
 _PRIORITY: tuple[str, ...] = (
-    # Round-6 ordering (VERDICT.md r5 "Next round" #1). The 50-slot
-    # driver sample = the 42 never-sampled queries (27 round-5-new that
-    # missed the r5 cut + 15 round-6-new) followed by the first 8 of
-    # the r03-freshest list (the oldest current-fixture evidence),
-    # value-bearing pipelines first. The r03 entries past slot 50 and
-    # the other r03-fresh rows head round 7's rotation; the full local
-    # gate re-verifies every registered query each session regardless.
-    # (1) round-6-new — no driver row exists at all
-    "pagerank_converged",
-    "chunk_overlap_windows",
-    "lm_fluency_filter",
-    "gopher_quality_rules",
-    "tfrecord_roundtrip_checksum",
-    "prefix_filter_jaccard_pairs",
-    "dsir_importance_select",
-    "video_keyframe_detect",
-    "audio_silence_segments",
-    "winnowing_dup_spans",
-    "rag_retrieval_pipeline",
-    "epoch_shuffle_manifest",
-    "zorder_clustered_shards",
-    "hard_negative_mining",
-    "right_to_erasure_audit",
-    "trainer_egress_pipeline",
-    "cdc_chunk_dedup",
-    "late_interaction_topk",
-    # (2) round-5-new that missed the r5 sample cut (never sampled);
-    # composed/value-bearing pipelines first, per-format decodes after
-    "multimodal_curation_pipeline",
-    "pagerank_near_dup",
-    "referential_integrity_audit",
-    "token_bigram_lm",
-    "salted_join_hot_keys",
-    "scd2_customer_history",
-    "q1_incremental_refresh",
-    "json_deadletter_split",
-    "cluster_representative_dedup",
-    "image_ahash_dedup",
-    "pq_adc_topk",
-    "ivfpq_adc_topk",
+    # Round-7 ordering (VERDICT.md r6 "Next round" #2). The 50-slot
+    # driver sample = 2 new/changed round-7 queries + the 3 materially
+    # changed sink queries (_CHANGED_THIS_ROUND) + ALL 45 queries whose
+    # freshest driver row is r03 (judge-computed from CORRECTNESS_r03-06)
+    # — after r07 no registered query's evidence is older than r04.
+    # (1) new this round — no driver row exists
+    "cogroup_nation_customer_supplier",
+    # (2) materially changed this round — previous green row is stale
     "ann_recall_report",
-    "bpe_train_merges",
-    "bpe_encoded_token_freq",
-    "training_shard_manifest",
-    "ingest_drift_report",
-    "event_cooccurrence_pairs",
-    "ewma_user_values",
-    "mad_outliers_per_type",
-    "media_sniff_prune",
-    "mjpeg_frame_sample",
-    "gif_frame_features",
-    "image_resize_features",
-    "audio_frame_energy",
-    "audio_tone_detect",
-    "warc_ingest_checksum",
-    # (3) freshest driver row is r03 — 20 of 50, value-bearing first;
-    # the 30 left (mostly format-roundtrip checksums) head round 7's
-    # rotation, and the full local gate re-verifies them every session
-    "q2_min_cost_supplier",
-    "q3_join_agg",
-    "q5_region_revenue",
-    "q11_important_stock",
-    "q17_small_quantity_revenue",
-    "q20_dominant_promo_suppliers",
-    "q21_waiting_suppliers",
+    "tfrecord_roundtrip_checksum",
+    "trainer_egress_pipeline",
+    # (3) changed only by the scratch-dir refactor, oldest such row (r5)
+    "avro_roundtrip_checksum",
+    # (4) the 45 r03-freshest — value-bearing pipelines first, then
+    # analytics, then format round-trip checksums
     "tfidf",
     "training_data_pipeline",
+    "leakage_safe_split",
+    "sequence_packing",
+    "temperature_mix_sqrt",
+    "incremental_dedup",
     "minhash_signatures",
     "near_dup_pairs_jaccard",
     "near_dup_clusters",
     "near_dup_graph_triangles",
     "edit_distance_near_dups",
-    "incremental_dedup",
-    "leakage_safe_split",
-    "sequence_packing",
+    "chunk_dedup_boilerplate",
+    "bloom_ngram_decontamination",
+    "domain_blocklist_filter",
+    "bpe_merge_candidates",
+    "pii_detection_stats",
+    "pii_redaction",
+    "repetition_ratio_quality",
+    "unigram_rarity_quality",
+    "quantile_bucketed_docs",
+    "countmin_term_frequencies",
+    "weighted_sample_per_source",
+    "q20_dominant_promo_suppliers",
+    "q21_waiting_suppliers",
+    "grouping_sets_revenue",
+    "approx_quantiles_per_key",
+    "grouped_batches_stats",
+    "bucketed_join_revenue",
+    "leaderboard_team_windows",
+    "calendar_day_events_tz",
+    "value_histogram_per_type",
+    "zscore_outliers_per_type",
     "session_funnel_click_purchase",
     "weekly_retention_cohorts",
+    "unpivot_daily_type_counts",
     "event_transition_matrix",
-    # (4) everything else follows in registration order — the full local
+    "user_inactivity_gaps",
+    "table_profile_orders",
+    "avro_logical_types_roundtrip",
+    "csv_roundtrip_checksum",
+    "json_roundtrip_checksum",
+    "xml_roundtrip_checksum",
+    "orc_roundtrip_checksum",
+    "gzip_json_roundtrip_checksum",
+    "partitioned_write_prune_checksum",
+    # (5) everything else follows in registration order — the full local
     # gate (tools/check_correctness.py, all queries, every session)
     # re-verifies all of them meanwhile. test_entry_contract derives the
     # group accounting instead of this comment repeating counts that can

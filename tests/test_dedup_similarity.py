@@ -154,6 +154,28 @@ def test_near_dup_clusters_cover_corpus(spark):
         assert by_doc[a] <= min(a, b)
 
 
+def test_recall_ladder_dominance_ordering(spark):
+    """The unified recall ladder (ann_recall_report, round 7) measures
+    all five index variants against one brute-force ground truth. The
+    candidate-superset dominances are theorems, so assert them PER QUERY
+    over the report's own output: a second LSH table only widens the
+    candidate set (lsh_multitable >= lsh), and probing two IVF cells only
+    widens it (ivf_multiprobe >= ivf). IVFPQ has no such theorem (ADC is
+    an approximation of the metric itself) — it is reported, not
+    ordered."""
+    rows = get("ann_recall_report").fn(spark, SMOKE_SF).collect()
+    recall = {(r.variant, r.query_id): r.recall_pct for r in rows}
+    queries = {r.query_id for r in rows}
+    variants = {r.variant for r in rows}
+    assert variants == {"lsh", "lsh_multitable", "ivf", "ivf_multiprobe", "ivfpq"}
+    assert len(queries) == 5 and len(rows) == 25
+    for qid in queries:
+        assert recall[("lsh_multitable", qid)] >= recall[("lsh", qid)]
+        assert recall[("ivf_multiprobe", qid)] >= recall[("ivf", qid)]
+    for r in rows:  # recall is n_hits out of exactly 5 ground-truth rows
+        assert r.n_exact == 5 and r.recall_pct == r.n_hits * 20
+
+
 def test_multitable_lsh_recall_at_least_single_table(spark):
     """OR-amplification property: two hash tables can only widen the
     candidate set, so top-5 recall vs brute force is >= the single table's."""

@@ -77,6 +77,22 @@ def test_fixed_queries_stay_single_pass(spark, name):
     )
 
 
+def test_prefix_filter_pin_discipline(spark):
+    """prefix_filter_jaccard_pairs (the costliest r6 relational query)
+    pins its shingle relation with a lazy localCheckpoint, so base
+    parquet Relations never appear in its optimized plan and the generic
+    probe above reads 0 — freeze the pin's own invariant instead: the
+    checkpointed shingle RDD is referenced exactly 6 times (exploded
+    gram relation ×2 via the df join, prefix self-join ×2, full-gram
+    verify sides ×2). More references means someone un-pinned a branch
+    and reintroduced recompute; a parquet Relation appearing means the
+    documents scan itself escaped the pin (VERDICT r6 next-round #6)."""
+    df = get("prefix_filter_jaccard_pairs").fn(spark, SMOKE_SF)
+    t = df._jdf.queryExecution().optimizedPlan().toString()
+    assert len(re.findall(r"LogicalRDD", t)) == 6
+    assert not re.findall(r"Relation \[\w+?#", t)
+
+
 def test_multiplicity_probe_is_not_vacuous(spark):
     """Positive control: the plan-string regex must actually match base
     relations, else every cap above passes vacuously (a Spark upgrade
