@@ -175,6 +175,35 @@ def spark_queries(spark):
             ).alias("tfidf"),
         )
 
+    def tfidf_ws():
+        # Plain user's TF-IDF over the whitespace tokenizer — the plain
+        # twin of the engine's `tfidf` query (added round 7 to adjudicate
+        # the r6 driver-bench outlier with an interleaved same-session
+        # number): driver-side count() for N, no pinning (the tokenized
+        # relation recomputes for both branches), no broadcast decisions.
+        from pyspark.sql.window import Window as W
+
+        tok = docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+        )
+        tf = (
+            tok.filter(F.col("term") != "")
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("n_term"))
+            .withColumn("n_doc", F.sum("n_term").over(W.partitionBy("doc_id")))
+        )
+        dfr = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+        n_docs = docs.count()
+        return tf.join(dfr, "term").select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("n_term").cast("double") / F.col("n_doc"))
+                * F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1)),
+                9,
+            ).alias("tfidf"),
+        )
+
     return {
         "q1_pricing_summary": q1,
         "q3_join_agg": q3,
@@ -186,6 +215,7 @@ def spark_queries(spark):
         "topk_per_group": topk_per_group,
         "quantile_rollup": quantile_rollup,
         "tfidf_regex": tfidf_regex,
+        "tfidf_ws": tfidf_ws,
     }
 
 
@@ -258,6 +288,20 @@ DUCK_SQL = {
                round((tf.n_term::DOUBLE / tf.n_doc)
                      * ln((n.n_docs + 1)::DOUBLE / (df.df + 1)), 9)
         FROM tf JOIN df USING (term) CROSS JOIN n""",
+    "tfidf_ws": """
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        tf AS (
+          SELECT doc_id, term, count(*) AS n_term,
+                 sum(count(*)) OVER (PARTITION BY doc_id) AS n_doc
+          FROM tok WHERE term <> '' GROUP BY doc_id, term),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT tf.doc_id, tf.term,
+               round((tf.n_term::DOUBLE / tf.n_doc)
+                     * ln((n.n_docs + 1)::DOUBLE / (df.df + 1)), 9)
+        FROM tf JOIN df USING (term) CROSS JOIN n""",
     "quantile_rollup": """
         SELECT coalesce(event_type, 'ALL') AS scope,
                quantile_cont(value, [0.25, 0.5, 0.75, 0.9]) AS qs
@@ -280,6 +324,7 @@ ENGINE_TWIN = {
     "topk_per_group": "topk_per_group",
     "quantile_rollup": "kll_quantiles_rollup",
     "tfidf_regex": "tfidf_regex",
+    "tfidf_ws": "tfidf",
 }
 
 
