@@ -178,6 +178,10 @@ HEADLINE = [
     "trainer_egress_pipeline",
     "cdc_chunk_dedup",
     "late_interaction_topk",
+    # round 7
+    "cogroup_nation_customer_supplier",
+    "containment_near_dup_pairs",
+    "semdedup_prune",
 ]
 
 

@@ -288,6 +288,84 @@ def near_dup_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs_capped(sh)
 
 
+@query(
+    "containment_near_dup_pairs",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),{_candidate_pairs_sql("corpus")},
+    pairs AS (
+      SELECT id_a, id_b,
+             len(list_filter(sa.grams, g -> list_contains(sb.grams, g)))
+               AS n_inter,
+             len(sa.grams) AS n_a, len(sb.grams) AS n_b
+      FROM cand
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+    )
+    SELECT CASE WHEN n_a <= n_b THEN id_a ELSE id_b END AS id_contained,
+           CASE WHEN n_a <= n_b THEN id_b ELSE id_a END AS id_container,
+           CAST(least(n_a, n_b) AS BIGINT) AS n_contained,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           round(n_inter::DOUBLE / greatest(least(n_a, n_b), 1), 9)
+             AS containment
+    FROM pairs
+    WHERE n_inter::DOUBLE / greatest(least(n_a, n_b), 1) >= 0.8
+    """,
+)
+def containment_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-based near-SUPERSET dedup (round 7): directed
+    containment C(A→B) = |A∩B| / |A| (Broder, "On the resemblance and
+    containment of documents", SEQUENCES '97 — public method) over the
+    df-capped shingle blocking the Jaccard family uses. Containment
+    catches the dup class symmetric Jaccard MISSES: a short document
+    wholly embedded in a much longer one (quote expansion, boilerplate
+    wrapping, the _corpus truncation variant) has |A∩B| ≈ |A| but
+    Jaccard ≈ |A|/|B| → 0 as the container grows. Emits the smaller
+    side as id_contained with exact intersection counts; only blocking
+    is capped, values are exact (integer counts + one deterministic
+    division, rounded for display).
+
+    At 100 TB: identical blocking cost to near_dup_pairs_jaccard (same
+    capped gram equi-join, same pinned shingle relation); verification
+    reads only candidate pairs' gram sets. The directed output feeds a
+    keep-the-container policy: dropping id_contained rows never loses
+    text the container does not carry."""
+    corpus = _corpus(spark, sf_dir)
+    sh = corpus.select(
+        "doc_id", S.shingles("text", 3).alias("grams")
+    ).withColumn("n", F.size("grams"))
+    sh, cand = _blocked_candidates(sh)
+    ga = sh.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("grams").alias("grams_a"),
+        F.col("n").alias("n_a"),
+    )
+    gb = sh.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("grams").alias("grams_b"),
+        F.col("n").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    n_small = F.least("n_a", "n_b")
+    cont = inter.cast("double") / F.greatest(n_small, F.lit(1)).cast("double")
+    small_is_a = F.col("n_a") <= F.col("n_b")
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            F.when(small_is_a, F.col("id_a")).otherwise(F.col("id_b"))
+            .alias("id_contained"),
+            F.when(small_is_a, F.col("id_b")).otherwise(F.col("id_a"))
+            .alias("id_container"),
+            n_small.cast("bigint").alias("n_contained"),
+            inter.cast("bigint").alias("n_inter"),
+            F.round(cont, 9).alias("containment"),
+            cont.alias("__cont_raw"),
+        )
+        .filter(F.col("__cont_raw") >= 0.8)
+        .drop("__cont_raw")
+    )
+
+
 def _pagerank_stage_sql(i: int) -> str:
     """One unrolled scaled-integer PageRank round over `edges`/`deg`:
     contribution = floor(rank/outdeg) summed exactly, damping in integer

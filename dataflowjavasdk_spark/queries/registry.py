@@ -85,12 +85,11 @@ _PRIORITY: tuple[str, ...] = (
     # — after r07 no registered query's evidence is older than r04.
     # (1) new this round — no driver row exists
     "cogroup_nation_customer_supplier",
+    "containment_near_dup_pairs",
+    "semdedup_prune",
     # (2) materially changed this round — previous green row is stale
     "ann_recall_report",
     "tfrecord_roundtrip_checksum",
-    "trainer_egress_pipeline",
-    # (3) changed only by the scratch-dir refactor, oldest such row (r5)
-    "avro_roundtrip_checksum",
     # (4) the 45 r03-freshest — value-bearing pipelines first, then
     # analytics, then format round-trip checksums
     "tfidf",

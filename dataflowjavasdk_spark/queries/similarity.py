@@ -639,6 +639,10 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivfpq", pq_top),
     ]
     exact_g = exact_top.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    # Pin the 5-row query-id spine: each of the five variant reports
+    # left-joins it three times, and unpinned Catalyst re-derives the
+    # (pruned, but counted) embeddings scan 15x (scan-discipline rule).
+    qids = q.select("query_id").localCheckpoint(eager=False)
     out = None
     for name, top in ladder:
         top = top.localCheckpoint(eager=False)
@@ -649,7 +653,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_hits"))
         )
         rep = (
-            q.select("query_id")
+            qids
             .join(exact_g, "query_id", "left")
             .join(ann_g, "query_id", "left")
             .join(hits, "query_id", "left")
@@ -664,6 +668,102 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = rep if out is None else out.unionByName(rep)
     return out
+
+
+@query(
+    "semdedup_prune",
+    oracle=f"""
+    WITH centroids AS (SELECT vec_id AS cell, embedding AS cv
+                       FROM embeddings WHERE vec_id < 8),
+    ranked AS (
+      SELECT e.vec_id, e.embedding, c.cell,
+             {_sql_cosine('e.embedding', 'c.cv')} AS ccos,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_sql_cosine('e.embedding', 'c.cv')} DESC,
+                                         c.cell) AS crk
+      FROM embeddings e CROSS JOIN centroids c
+    ),
+    members AS MATERIALIZED (
+      SELECT vec_id, embedding, cell, ccos FROM ranked WHERE crk = 1
+    )
+    SELECT m.vec_id, m.cell,
+           round(m.ccos, 9) AS centroid_cosine,
+           NOT EXISTS (
+             SELECT 1 FROM members h
+             WHERE h.cell = m.cell AND h.vec_id <> m.vec_id
+               AND {_sql_cosine('m.embedding', 'h.embedding')} >= 0.35
+               AND (h.ccos < m.ccos
+                    OR (h.ccos = m.ccos AND h.vec_id < m.vec_id))
+           ) AS kept
+    FROM members m
+    """,
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic pruning (round 7; Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication",
+    arXiv:2303.09540 — public method): cluster the corpus in embedding
+    space, then WITHIN each cluster drop every vector that has a
+    near-duplicate (cosine >= τ) of higher keep-priority, where priority
+    keeps the member FARTHEST from its centroid (lowest centroid cosine;
+    ties to the lower vec_id) — the paper's diversity-maximizing choice.
+    The pairwise dominance test needs no connected components: a member
+    is dropped iff some same-cluster near-dup precedes it in priority
+    order, which every engine can state as one EXISTS / semi-join.
+    τ=0.35 sits in the random fixture's observed tail (real corpora use
+    τ≈0.95+, same plan). Assignment is the IVF convention (8 fixed
+    centroids — production runs the registered Lloyd refinement first).
+
+    At 100 TB: the clustering is what makes SemDeDup tractable — the
+    near-dup join is EQUI on the cell id, so candidates are
+    cluster-scoped, never corpus-wide all-pairs; k grows with the corpus
+    to bound cluster size. One broadcast of the constant centroid
+    relation, one shuffle on cell for the dominance semi-join; every
+    cosine is the bit-identical JVM fold, so the threshold and priority
+    comparisons can never disagree cross-engine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cv")
+    )
+    cw = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cell"))
+    members = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "cell",
+            S.cosine(F.col("embedding"), F.col("cv")).alias("ccos"),
+        )
+        .withColumn("crk", F.row_number().over(cw))
+        .filter(F.col("crk") == 1)
+        .drop("crk")
+        .localCheckpoint(eager=False)
+    )
+    m, h = members.alias("m"), members.alias("h")
+    dominated = (
+        m.join(
+            h,
+            (F.col("m.cell") == F.col("h.cell"))
+            & (F.col("m.vec_id") != F.col("h.vec_id"))
+            & (S.cosine(F.col("m.embedding"), F.col("h.embedding")) >= 0.35)
+            & (
+                (F.col("h.ccos") < F.col("m.ccos"))
+                | (
+                    (F.col("h.ccos") == F.col("m.ccos"))
+                    & (F.col("h.vec_id") < F.col("m.vec_id"))
+                )
+            ),
+            "left_semi",
+        )
+        .select(F.col("vec_id").alias("d_vec_id"), F.lit(True).alias("dropped"))
+    )
+    return members.join(
+        dominated, members.vec_id == dominated.d_vec_id, "left"
+    ).select(
+        "vec_id",
+        "cell",
+        F.round("ccos", 9).alias("centroid_cosine"),
+        F.coalesce(~F.col("dropped"), F.lit(True)).alias("kept"),
+    )
 
 
 @query(

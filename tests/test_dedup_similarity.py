@@ -154,6 +154,24 @@ def test_near_dup_clusters_cover_corpus(spark):
         assert by_doc[a] <= min(a, b)
 
 
+def test_containment_catches_truncation_jaccard_misses(spark):
+    """containment_near_dup_pairs (round 7): the _corpus truncation
+    variant (+2,000,000 ids, last 5 tokens dropped) must surface as
+    id_contained against its base doc with containment >= 0.8 — and the
+    directed orientation must always point the smaller gram set at
+    id_contained (n_inter <= n_contained by construction)."""
+    rows = get("containment_near_dup_pairs").fn(spark, SMOKE_SF).collect()
+    assert rows, "no containment pairs on the dup-injected corpus"
+    pairs = {(r.id_contained, r.id_container) for r in rows}
+    trunc_hits = [
+        (a, b) for a, b in pairs if a >= 2_000_000 and b == a - 2_000_000
+    ]
+    assert trunc_hits, "truncation variants not detected as contained"
+    for r in rows:
+        assert r.n_inter <= r.n_contained
+        assert r.containment >= 0.8
+
+
 def test_recall_ladder_dominance_ordering(spark):
     """The unified recall ladder (ann_recall_report, round 7) measures
     all five index variants against one brute-force ground truth. The
