@@ -182,6 +182,7 @@ HEADLINE = [
     "cogroup_nation_customer_supplier",
     "containment_near_dup_pairs",
     "semdedup_prune",
+    "exact_dup_spans",
 ]
 
 

@@ -289,6 +289,109 @@ def near_dup_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "exact_dup_spans",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      FROM corpus
+    ),
+    kg AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(array_slice(tk, i, i + 7), ' ') AS gram
+      FROM (SELECT doc_id, tk,
+                   unnest(range(1, greatest(len(tk) - 7, 0) + 1)) AS i
+            FROM toks)
+    ),
+    hot AS (
+      SELECT gram FROM kg GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 2
+         AND count(DISTINCT doc_id) <= {SHINGLE_DF_CAP}
+    ),
+    kept AS MATERIALIZED (
+      SELECT kg.doc_id, kg.pos, kg.gram FROM kg JOIN hot USING (gram)
+    ),
+    hits AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.pos AS pos_a, a.pos - b.pos AS diag
+      FROM kept a JOIN kept b
+        ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT id_a, id_b, diag, pos_a,
+             pos_a - row_number() OVER (PARTITION BY id_a, id_b, diag
+                                        ORDER BY pos_a) AS grp
+      FROM hits
+    )
+    SELECT id_a, id_b,
+           CAST(min(pos_a) AS BIGINT) AS start_a,
+           CAST(min(pos_a) - diag AS BIGINT) AS start_b,
+           CAST(max(pos_a) - min(pos_a) + 8 AS BIGINT) AS n_tokens,
+           count(*) AS n_windows
+    FROM runs GROUP BY id_a, id_b, diag, grp
+    """,
+)
+def exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT maximal duplicate-span detection (round 7) — the relational
+    ExactSubstr analog (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL'22 — public method; their suffix array
+    finds >=50-token verbatim dups, here the window width w=8 IS the
+    minimum match length): every maximal verbatim token span shared by a
+    document pair, with coordinates. Positional 8-token windows equi-join
+    on the gram STRING (exact by construction, no hash-collision verify
+    step), matched positions fall on a diagonal (pos_a − pos_b constant),
+    and consecutive diagonal hits merge into maximal spans via
+    gaps-and-islands (pos − row_number) — all integers, cross-engine
+    exact. Complements winnowing_dup_spans: winnowing SAMPLES fingerprints
+    for a per-doc coverage signal; this emits the exact (start_a, start_b,
+    n_tokens) spans a substring-level dedup would actually cut.
+
+    At 100 TB: the window relation is corpus-sized but carries (doc_id,
+    pos, 8-gram) — payload text never shuffles whole; the doc-frequency
+    cap bounds the self-join fan-out per gram exactly like the shingle
+    families (a gram in >CAP docs is boilerplate, handled by the chunk
+    family instead); islands ride ONE exchange keyed by (pair, diagonal).
+    The suffix-array construction the paper uses is sequential — this
+    windowed equi-join form is its distributed equivalent at w
+    granularity."""
+    corpus = _corpus(spark, sf_dir)
+    tk = T.tokens("text")
+    kg = corpus.select(
+        "doc_id", F.posexplode(S.kgrams_with_dups(tk, 8)).alias("pos", "gram")
+    )
+    hot = (
+        kg.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= SHINGLE_DF_CAP))
+        .select("gram")
+    )
+    kept = kg.join(hot, "gram").localCheckpoint(eager=False)
+    a = kept.select(
+        F.col("doc_id").alias("id_a"), F.col("pos").alias("pos_a"), "gram"
+    )
+    b = kept.select(
+        F.col("doc_id").alias("id_b"), F.col("pos").alias("pos_b"), "gram"
+    )
+    hits = (
+        a.join(b, ["gram"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", "pos_a", (F.col("pos_a") - F.col("pos_b")).alias("diag")
+        )
+    )
+    rw = W.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    runs = hits.withColumn(
+        "grp", F.col("pos_a") - F.row_number().over(rw)
+    )
+    return runs.groupBy("id_a", "id_b", "diag", "grp").agg(
+        F.min("pos_a").cast("bigint").alias("start_a"),
+        (F.min("pos_a") - F.col("diag")).cast("bigint").alias("start_b"),
+        (F.max("pos_a") - F.min("pos_a") + 8).cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).select("id_a", "id_b", "start_a", "start_b", "n_tokens", "n_windows")
+
+
+@query(
     "containment_near_dup_pairs",
     oracle=f"""
     WITH corpus AS ({_CORPUS_SQL}),{_candidate_pairs_sql("corpus")},

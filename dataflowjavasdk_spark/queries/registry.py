@@ -87,9 +87,9 @@ _PRIORITY: tuple[str, ...] = (
     "cogroup_nation_customer_supplier",
     "containment_near_dup_pairs",
     "semdedup_prune",
+    "exact_dup_spans",
     # (2) materially changed this round — previous green row is stale
     "ann_recall_report",
-    "tfrecord_roundtrip_checksum",
     # (4) the 45 r03-freshest — value-bearing pipelines first, then
     # analytics, then format round-trip checksums
     "tfidf",
@@ -137,7 +137,13 @@ _PRIORITY: tuple[str, ...] = (
     "orc_roundtrip_checksum",
     "gzip_json_roundtrip_checksum",
     "partitioned_write_prune_checksum",
-    # (5) everything else follows in registration order — the full local
+    # (5) slot 51+: changed-sink re-entries the 50-slot budget displaced
+    # (still ahead of registration order; the full local gate and the
+    # judge's registry re-run cover them every session)
+    "tfrecord_roundtrip_checksum",
+    "trainer_egress_pipeline",
+    "avro_roundtrip_checksum",
+    # (6) everything else follows in registration order — the full local
     # gate (tools/check_correctness.py, all queries, every session)
     # re-verifies all of them meanwhile. test_entry_contract derives the
     # group accounting instead of this comment repeating counts that can

@@ -172,6 +172,25 @@ def test_containment_catches_truncation_jaccard_misses(spark):
         assert r.containment >= 0.8
 
 
+def test_exact_dup_spans_finds_full_copy_runs(spark):
+    """exact_dup_spans (round 7): the _corpus exact-copy variants
+    (+1,000,000 ids, identical text) must surface as a diagonal-0 span
+    covering the whole document (start 0/0, n_windows = token_count − 7),
+    and every span's window count must equal its token length − 7
+    (maximal runs have no internal gaps on their diagonal)."""
+    rows = get("exact_dup_spans").fn(spark, SMOKE_SF).collect()
+    assert rows
+    full_copies = [
+        r
+        for r in rows
+        if r.id_b == r.id_a + 1_000_000 and r.start_a == 0 and r.start_b == 0
+    ]
+    assert full_copies, "exact-copy variants not detected as full-doc spans"
+    for r in rows:
+        assert r.n_windows == r.n_tokens - 7  # contiguous diagonal run
+        assert r.n_tokens >= 8
+
+
 def test_recall_ladder_dominance_ordering(spark):
     """The unified recall ladder (ann_recall_report, round 7) measures
     all five index variants against one brute-force ground truth. The
