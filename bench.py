@@ -183,6 +183,8 @@ HEADLINE = [
     "containment_near_dup_pairs",
     "semdedup_prune",
     "exact_dup_spans",
+    "quality_gate_agreement",
+    "ann_recall_report",
 ]
 
 

@@ -18,6 +18,7 @@ from pyspark.sql.window import Window as W
 
 from dataflowjavasdk_spark.functions.text import tokens
 from dataflowjavasdk_spark.queries.registry import query
+from dataflowjavasdk_spark.queries.text import _GSW
 from dataflowjavasdk_spark.sources.tables import load_table
 
 
@@ -803,6 +804,32 @@ def lm_fluency_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     decides); V and the gate mean attach as 1-row broadcasts. No
     Python, no cartesian, two corpus-sized exchanges (the score join +
     the doc regroup)."""
+    scored = _fluency_scored(spark, sf_dir)
+    gate = scored.agg(
+        F.expr("sum(fluency) DIV count(1)").alias("mean_fluency")
+    )
+    return (
+        scored.crossJoin(F.broadcast(gate))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("fluency") >= F.col("mean_fluency"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_kept"),
+            F.sum("fluency").cast("long").alias("sum_fluency"),
+            F.min("fluency").cast("long").alias("min_fluency"),
+            F.max("fluency").cast("long").alias("max_fluency"),
+        )
+    )
+
+
+def _fluency_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document scaled bigram fluency (doc_id, lang, fluency) — the
+    lm_fluency_filter scoring pipeline exposed so the agreement report
+    can consume the same verdicts (pinned: feeds the gate mean AND any
+    downstream report)."""
     docs = load_table(spark, sf_dir, "documents")
     tk = F.regexp_extract_all(
         F.col("text"), F.lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), 0
@@ -837,21 +864,151 @@ def lm_fluency_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("sum(bscore) DIV count(1)").alias("fluency"))
         .localCheckpoint(eager=False)  # feeds the gate AND the report
     )
+    return scored
+
+
+@query(
+    "quality_gate_agreement",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]') AS tk
+      FROM documents
+    ),
+    db AS (
+      SELECT doc_id, lang, tk[i] AS lhs, tk[i + 1] AS rhs
+      FROM (SELECT doc_id, lang, tk, unnest(range(1, len(tk))) AS i
+            FROM toks WHERE len(tk) >= 2)
+    ),
+    counted AS (
+      SELECT lhs, rhs, count(*) AS c_ab FROM db GROUP BY lhs, rhs
+    ),
+    lm AS (
+      SELECT lhs, rhs, c_ab, SUM(c_ab) OVER (PARTITION BY lhs) AS c_a
+      FROM counted
+    ),
+    vv AS (SELECT count(DISTINCT rhs) AS v FROM counted),
+    scored AS MATERIALIZED (
+      SELECT d.doc_id, d.lang,
+             SUM(({_FLUENCY_SCALE} * (m.c_ab + 1))
+                 // (m.c_a + (SELECT v FROM vv))) // count(*) AS fluency
+      FROM db d JOIN lm m ON m.lhs = d.lhs AND m.rhs = d.rhs
+      GROUP BY d.doc_id, d.lang
+    ),
+    gate AS (SELECT SUM(fluency) // count(*) AS mean_fluency FROM scored),
+    gfeat AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    gm AS (
+      SELECT doc_id,
+             len(toks) AS n,
+             length(array_to_string(toks, '')) AS sum_len,
+             len(list_filter(toks, t -> contains(t, '#')
+                                        OR contains(t, '...'))) AS n_sym,
+             len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+               AS n_alpha,
+             len(list_filter(list_distinct(toks), t -> t IN ({_GSW})))
+               AS n_sw
+      FROM gfeat
+    ),
+    gv AS (
+      SELECT doc_id,
+             CASE WHEN (CASE WHEN n < 50 OR n > 100000 THEN 1 ELSE 0 END)
+                     + (CASE WHEN sum_len < 3 * n OR sum_len > 10 * n
+                             THEN 1 ELSE 0 END)
+                     + (CASE WHEN 10 * n_sym > n THEN 1 ELSE 0 END)
+                     + (CASE WHEN 5 * n_alpha < 4 * n THEN 1 ELSE 0 END)
+                     + (CASE WHEN n_sw < 2 THEN 1 ELSE 0 END) = 0
+                  THEN 1 ELSE 0 END AS gopher_pass
+      FROM gm
+    ),
+    verdicts AS (
+      SELECT s.lang,
+             CASE WHEN s.fluency >= (SELECT mean_fluency FROM gate)
+                  THEN 1 ELSE 0 END AS lm_pass,
+             g.gopher_pass
+      FROM scored s JOIN gv g USING (doc_id)
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(SUM(lm_pass * gopher_pass) AS BIGINT) AS n_both_pass,
+           CAST(SUM(lm_pass * (1 - gopher_pass)) AS BIGINT) AS n_lm_only,
+           CAST(SUM((1 - lm_pass) * gopher_pass) AS BIGINT) AS n_gopher_only,
+           CAST(SUM((1 - lm_pass) * (1 - gopher_pass)) AS BIGINT)
+             AS n_both_fail,
+           CAST((100 * SUM(CASE WHEN lm_pass = gopher_pass THEN 1 ELSE 0 END))
+                  // count(*) AS BIGINT) AS agreement_pct
+    FROM verdicts GROUP BY lang
+    """,
+)
+def quality_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate AGREEMENT report (round 7) — the calibration question
+    every multi-filter curation pipeline must answer before composing
+    gates: do the model-based filter (CCNet-style LM fluency,
+    lm_fluency_filter) and the rule-based filter (Gopher rules,
+    gopher_quality_rules) agree, and on which language slices? Per-doc
+    verdicts from BOTH gates join on doc_id into a per-language confusion
+    matrix (both-pass / lm-only / gopher-only / both-fail) plus an
+    integer agreement percentage. Disagreement cells are the review
+    queue: lm-only = fluent boilerplate the rules catch; gopher-only =
+    rule-passing gibberish the LM catches. Docs the LM cannot score
+    (< 2 tokens) are excluded from the matrix, matching the fluency
+    filter's own domain.
+
+    Scale shape: reuses _fluency_scored's pinned per-doc relation (one
+    corpus pass + vocab-bounded model join); the Gopher flags are pure
+    row-local expressions on a second pruned scan; the verdict join is
+    doc_id equi — one exchange. No Python, no cartesian."""
+    from dataflowjavasdk_spark.queries.text import gopher_violation_flags
+
+    scored = _fluency_scored(spark, sf_dir)
     gate = scored.agg(
         F.expr("sum(fluency) DIV count(1)").alias("mean_fluency")
     )
-    return (
-        scored.crossJoin(F.broadcast(gate))
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(
-                F.when(F.col("fluency") >= F.col("mean_fluency"), 1).otherwise(0)
-            )
-            .cast("long")
-            .alias("n_kept"),
-            F.sum("fluency").cast("long").alias("sum_fluency"),
-            F.min("fluency").cast("long").alias("min_fluency"),
-            F.max("fluency").cast("long").alias("max_fluency"),
+    docs = load_table(spark, sf_dir, "documents")
+    flags = gopher_violation_flags(docs.select("doc_id", "text"))
+    gopher = flags.select(
+        "doc_id",
+        F.when(
+            F.col("v_wordcount")
+            + F.col("v_wordlen")
+            + F.col("v_symbol")
+            + F.col("v_alpha")
+            + F.col("v_stopword")
+            == 0,
+            1,
         )
+        .otherwise(0)
+        .alias("gopher_pass"),
+    )
+    verdicts = (
+        scored.crossJoin(F.broadcast(gate))
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("fluency") >= F.col("mean_fluency"), 1)
+            .otherwise(0)
+            .alias("lm_pass"),
+        )
+        .join(gopher, "doc_id")
+    )
+    return verdicts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("lm_pass") * F.col("gopher_pass"))
+        .cast("bigint")
+        .alias("n_both_pass"),
+        F.sum(F.col("lm_pass") * (1 - F.col("gopher_pass")))
+        .cast("bigint")
+        .alias("n_lm_only"),
+        F.sum((1 - F.col("lm_pass")) * F.col("gopher_pass"))
+        .cast("bigint")
+        .alias("n_gopher_only"),
+        F.sum((1 - F.col("lm_pass")) * (1 - F.col("gopher_pass")))
+        .cast("bigint")
+        .alias("n_both_fail"),
+        F.expr(
+            "CAST((100 * sum(CASE WHEN lm_pass = gopher_pass THEN 1 ELSE 0 END))"
+            " DIV count(1) AS BIGINT)"
+        ).alias("agreement_pct"),
     )

@@ -79,18 +79,20 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset(
 
 _PRIORITY: tuple[str, ...] = (
     # Round-7 ordering (VERDICT.md r6 "Next round" #2). The 50-slot
-    # driver sample = 2 new/changed round-7 queries + the 3 materially
-    # changed sink queries (_CHANGED_THIS_ROUND) + ALL 45 queries whose
+    # driver sample = the 5 new round-7 queries + ALL 45 queries whose
     # freshest driver row is r03 (judge-computed from CORRECTNESS_r03-06)
     # — after r07 no registered query's evidence is older than r04.
+    # Slots 51+ hold the round-7 changed re-entries (_CHANGED_THIS_ROUND
+    # plus the scratch-dir-refactor sinks): their re-verification comes
+    # from the full local gate + the judge's full-registry re-run, which
+    # cover every registered query each session regardless.
     # (1) new this round — no driver row exists
     "cogroup_nation_customer_supplier",
     "containment_near_dup_pairs",
     "semdedup_prune",
     "exact_dup_spans",
-    # (2) materially changed this round — previous green row is stale
-    "ann_recall_report",
-    # (4) the 45 r03-freshest — value-bearing pipelines first, then
+    "quality_gate_agreement",
+    # (2) the 45 r03-freshest — value-bearing pipelines first, then
     # analytics, then format round-trip checksums
     "tfidf",
     "training_data_pipeline",
@@ -137,13 +139,14 @@ _PRIORITY: tuple[str, ...] = (
     "orc_roundtrip_checksum",
     "gzip_json_roundtrip_checksum",
     "partitioned_write_prune_checksum",
-    # (5) slot 51+: changed-sink re-entries the 50-slot budget displaced
+    # (3) slot 51+: changed re-entries the 50-slot budget displaced
+    "ann_recall_report",
     # (still ahead of registration order; the full local gate and the
     # judge's registry re-run cover them every session)
     "tfrecord_roundtrip_checksum",
     "trainer_egress_pipeline",
     "avro_roundtrip_checksum",
-    # (6) everything else follows in registration order — the full local
+    # (4) everything else follows in registration order — the full local
     # gate (tools/check_correctness.py, all queries, every session)
     # re-verifies all of them meanwhile. test_entry_contract derives the
     # group accounting instead of this comment repeating counts that can
