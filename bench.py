@@ -178,9 +178,10 @@ HEADLINE = [
     "trainer_egress_pipeline",
     "cdc_chunk_dedup",
     "late_interaction_topk",
-    # round 7
+    # round 7 (containment_near_dup_pairs stays out like the other
+    # candidate-join verifies — near_dup_pairs_jaccard precedent above;
+    # it remains oracled and driver-sampled)
     "cogroup_nation_customer_supplier",
-    "containment_near_dup_pairs",
     "semdedup_prune",
     "exact_dup_spans",
     "quality_gate_agreement",

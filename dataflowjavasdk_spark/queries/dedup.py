@@ -394,7 +394,7 @@ def exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "containment_near_dup_pairs",
     oracle=f"""
-    WITH corpus AS ({_CORPUS_SQL}),{_candidate_pairs_sql("corpus")},
+    WITH corpus AS ({_CORPUS_SQL}),{_candidate_pairs_sql("corpus", 4)},
     pairs AS (
       SELECT id_a, id_b,
              len(list_filter(sa.grams, g -> list_contains(sb.grams, g)))
@@ -403,6 +403,7 @@ def exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cand
       JOIN sh sa ON sa.doc_id = id_a
       JOIN sh sb ON sb.doc_id = id_b
+      WHERE least(len(sa.grams), len(sb.grams)) >= 10
     )
     SELECT CASE WHEN n_a <= n_b THEN id_a ELSE id_b END AS id_contained,
            CASE WHEN n_a <= n_b THEN id_b ELSE id_a END AS id_container,
@@ -433,8 +434,14 @@ def containment_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-the-container policy: dropping id_contained rows never loses
     text the container does not carry."""
     corpus = _corpus(spark, sf_dir)
+    # 4-gram shingles + a 10-gram floor on the contained side: on the
+    # fixture's tiny-vocabulary word soup, 3-gram containment is loose
+    # enough that chance containments blow the candidate set up ~28x
+    # (1.47M vs 51k pairs at sf0.1, measured) — the same rarity dial
+    # prefix_filter_jaccard_pairs documents. Containment of a <10-gram
+    # set is statistically meaningless anyway.
     sh = corpus.select(
-        "doc_id", S.shingles("text", 3).alias("grams")
+        "doc_id", S.shingles("text", 4).alias("grams")
     ).withColumn("n", F.size("grams"))
     sh, cand = _blocked_candidates(sh)
     ga = sh.select(
@@ -454,6 +461,7 @@ def containment_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(ga, "id_a")
         .join(gb, "id_b")
+        .filter(n_small >= 10)
         .select(
             F.when(small_is_a, F.col("id_a")).otherwise(F.col("id_b"))
             .alias("id_contained"),
