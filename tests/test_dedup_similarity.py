@@ -172,6 +172,23 @@ def test_containment_catches_truncation_jaccard_misses(spark):
         assert r.containment >= 0.8
 
 
+def test_semdedup_top_priority_member_always_kept(spark):
+    """semdedup_prune's dominance rule: a member is dropped only by a
+    same-cluster near-dup of HIGHER keep-priority (farther from the
+    centroid, ties to lower vec_id) — so each cluster's single
+    highest-priority member can never be dominated and must be kept,
+    and every cluster keeps at least one member."""
+    rows = get("semdedup_prune").fn(spark, SMOKE_SF).collect()
+    by_cell: dict = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    assert by_cell
+    for cell, members in by_cell.items():
+        top = min(members, key=lambda r: (r.centroid_cosine, r.vec_id))
+        assert top.kept, f"cluster {cell}: highest-priority member dropped"
+        assert any(r.kept for r in members)
+
+
 def test_exact_dup_spans_finds_full_copy_runs(spark):
     """exact_dup_spans (round 7): the _corpus exact-copy variants
     (+1,000,000 ids, identical text) must surface as a diagonal-0 span

@@ -114,6 +114,35 @@ def test_co_group_by_key_key_only_input(spark, sides):
     assert got == {"a": (2, 1, 1), "b": (0, 1, 1), "c": (1, 1, 0), "d": (0, 0, 1)}
 
 
+def test_co_group_by_key_nway_agrees_with_arrays(spark, sides):
+    """The two N-way CoGBK surfaces must state the same CoGbkResult: for
+    every key, the custom-fn path's per-tag frame sizes equal the arrays
+    path's per-tag array lengths (same inputs, same keys, including keys
+    absent from some inputs)."""
+    left, right = sides
+    p = Pipeline(spark)
+    third = p.create([("a", 1.5), ("a", 2.5), ("e", 5.5)], "k string, tv double")
+    dfs = {"l": left.df, "r": right.df, "t": third.df}
+
+    def fn(key, groups):
+        return pd.DataFrame(
+            [{"k": key[0], "n_l": len(groups["l"]), "n_r": len(groups["r"]),
+              "n_t": len(groups["t"])}]
+        )
+
+    via_fn = {
+        r["k"]: (r["n_l"], r["n_r"], r["n_t"])
+        for r in join.co_group_by_key(
+            dfs, ["k"], fn, "k string, n_l long, n_r long, n_t long"
+        ).collect()
+    }
+    via_arrays = {
+        r["k"]: (len(r["l"]), len(r["r"]), len(r["t"]))
+        for r in join.co_group_arrays(dfs, ["k"]).collect()
+    }
+    assert via_fn == via_arrays
+
+
 def test_view_as_singleton_and_map(spark, sides):
     left, right = sides
     total = left.df.agg(F.sum("lv").alias("total"))
