@@ -446,6 +446,68 @@ def _click_buy_join(how):
     return build
 
 
+THREE = "key string, ts timestamp, v double"
+
+
+def test_streaming_three_way_windowed_cogroup(spark):
+    """N-way CoGroupByKey over UNBOUNDED inputs (round 7 — the streaming
+    face of the batch union-tag plan operators/join.py uses): three
+    sources tagged and unioned, per-(window,key) per-tag counts close
+    exactly once when the watermark — the MIN across all three sources,
+    the reference's slowest-input rule — passes the window end. A key
+    absent from a source shows count 0 (the empty-iterable contract,
+    stated relationally), and a replay round emits nothing."""
+    h = SC.MultiStreamHarness(spark, {"a": THREE, "b": THREE, "c": THREE})
+    try:
+        names = ["a", "b", "c"]
+
+        def build(sources):
+            tagged = [
+                SC.with_watermark(sources[n], "ts", "0 seconds").select(
+                    "key", "ts", F.lit(i).alias("tag")
+                )
+                for i, n in enumerate(names)
+            ]
+            u = tagged[0].unionByName(tagged[1]).unionByName(tagged[2])
+            return (
+                u.groupBy(F.window("ts", "60 seconds").alias("w"), "key")
+                .agg(
+                    *[
+                        F.sum(F.when(F.col("tag") == i, 1).otherwise(0))
+                        .cast("long")
+                        .alias(f"n_{n}")
+                        for i, n in enumerate(names)
+                    ]
+                )
+                .select(F.col("w.start").alias("ws"), "key", "n_a", "n_b", "n_c")
+            )
+
+        h.feed("a", spark.createDataFrame(
+            [("k1", _ts(10), 1.0), ("k1", _ts(20), 1.0)], THREE))
+        h.feed("b", spark.createDataFrame([("k1", _ts(30), 1.0)], THREE))
+        h.feed("c", spark.createDataFrame([("k2", _ts(40), 1.0)], THREE))
+        out1 = h.run_round(build, output_mode="append")
+        # min watermark across sources is 20s < 60s: [0,60) stays open
+        assert out1 == []
+
+        # advance ALL THREE sources past the window end — only then does
+        # the min watermark pass 60s and close [0,60)
+        for n in names:
+            h.feed(n, spark.createDataFrame([("kx", _ts(120), 1.0)], THREE))
+        out2 = h.run_round(build, output_mode="append")
+        got = {(str(r["ws"]), r["key"]): (r["n_a"], r["n_b"], r["n_c"])
+               for r in out2}
+        assert got == {
+            ("2024-01-01 00:00:00", "k1"): (2, 1, 0),
+            ("2024-01-01 00:00:00", "k2"): (0, 0, 1),
+        }
+
+        out3 = h.run_round(build, output_mode="append")  # replay: nothing new
+        assert out3 == []
+    finally:
+        h.close()
+
+
 def test_stream_stream_inner_join_emits_matches_in_range(spark, two_streams):
     """CoGroupByKey over two unbounded inputs: only the purchase within
     [click_ts, click_ts + 10 min] joins; inner matches emit eagerly."""
