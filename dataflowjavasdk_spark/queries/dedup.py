@@ -359,6 +359,15 @@ def exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     kg = corpus.select(
         "doc_id", F.posexplode(S.kgrams_with_dups(tk, 8)).alias("pos", "gram")
     )
+    return _dup_spans(kg, window=8)
+
+
+def _dup_spans(kg: DataFrame, window: int) -> DataFrame:
+    """Maximal-span merge over a positional window-gram relation
+    (doc_id, pos, gram): df-capped gram equi-join → diagonal runs →
+    gaps-and-islands. Factored out of exact_dup_spans so the cap's
+    fan-out bound is directly testable on crafted corpora (the
+    _blocked_candidates twin for the positional family)."""
     hot = (
         kg.groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -386,7 +395,7 @@ def exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runs.groupBy("id_a", "id_b", "diag", "grp").agg(
         F.min("pos_a").cast("bigint").alias("start_a"),
         (F.min("pos_a") - F.col("diag")).cast("bigint").alias("start_b"),
-        (F.max("pos_a") - F.min("pos_a") + 8).cast("bigint").alias("n_tokens"),
+        (F.max("pos_a") - F.min("pos_a") + window).cast("bigint").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_windows"),
     ).select("id_a", "id_b", "start_a", "start_b", "n_tokens", "n_windows")
 

@@ -341,6 +341,49 @@ def test_jaccard_df_cap_bounds_candidates(spark):
         D.SHINGLE_DF_CAP = cap
 
 
+def test_dup_spans_df_cap_bounds_fanout(spark):
+    """exact_dup_spans' df cap (via _dup_spans): a boilerplate window
+    gram appearing in more docs than the cap must be excluded from the
+    positional equi-join — without it the hits relation grows
+    quadratically in that gram's document frequency — while spans built
+    from rare grams still surface with exact coordinates."""
+    import dataflowjavasdk_spark.queries.dedup as D
+    from dataflowjavasdk_spark.functions import similarity as S
+    from dataflowjavasdk_spark.functions.text import tokens as _tokens
+
+    cap = D.SHINGLE_DF_CAP
+    try:
+        D.SHINGLE_DF_CAP = 3
+        boiler = "w1 w2 w3 w4"  # 4-token boilerplate in every doc
+        rare = "r1 r2 r3 r4 r5"
+        docs = [(0, f"{boiler} {rare}"), (1, f"{boiler} {rare}")]
+        docs += [(i, f"{boiler} u{i}a u{i}b u{i}c u{i}d u{i}e") for i in range(2, 8)]
+        kg = (
+            spark.createDataFrame(docs, "doc_id long, text string")
+            .select(
+                "doc_id",
+                F.posexplode(
+                    S.kgrams_with_dups(_tokens("text"), 4)
+                ).alias("pos", "gram"),
+            )
+        )
+        rows = D._dup_spans(kg, window=4).collect()
+        # The boilerplate 4-gram has df=8 > cap=3 → no pair may be built
+        # from it alone: docs 2..7 produce NO spans at all.
+        pairs = {(r.id_a, r.id_b) for r in rows}
+        assert pairs == {(0, 1)}
+        # Docs 0/1 are identical 9-token docs: their rare-gram windows
+        # (positions 1..5 survive the cap) merge into one span; the
+        # boilerplate-only window at position 0 is capped out, so the
+        # span starts at position 1 — the cap trades span completeness
+        # on boilerplate for bounded fan-out, exactly as documented.
+        (r,) = rows
+        assert (r.start_a, r.start_b) == (1, 1)
+        assert r.n_windows == 5 and r.n_tokens == 8
+    finally:
+        D.SHINGLE_DF_CAP = cap
+
+
 def test_connected_components_long_path_converges(spark):
     """A path graph with diameter > the old 15-round cap must resolve to a
     single component (min-label needs one round per hop), exercising the
