@@ -184,6 +184,7 @@ HEADLINE = [
     "cogroup_nation_customer_supplier",
     "semdedup_prune",
     "exact_dup_spans",
+    "dup_span_removal",
     "quality_gate_agreement",
     "ann_recall_report",
 ]

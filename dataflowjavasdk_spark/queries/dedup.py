@@ -288,10 +288,10 @@ def near_dup_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs_capped(sh)
 
 
-@query(
-    "exact_dup_spans",
-    oracle=f"""
-    WITH corpus AS ({_CORPUS_SQL}),
+# Shared CTE chain: corpus → positional 8-token window grams → df-capped
+# equi-join → diagonal runs → maximal spans (one row per run). Used by
+# the exact_dup_spans oracle AND the dup_span_removal oracle.
+_DUP_SPANS_SQL = f"""corpus AS ({_CORPUS_SQL}),
     toks AS (
       SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
       FROM corpus
@@ -322,13 +322,22 @@ def near_dup_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
              pos_a - row_number() OVER (PARTITION BY id_a, id_b, diag
                                         ORDER BY pos_a) AS grp
       FROM hits
-    )
-    SELECT id_a, id_b,
-           CAST(min(pos_a) AS BIGINT) AS start_a,
-           CAST(min(pos_a) - diag AS BIGINT) AS start_b,
-           CAST(max(pos_a) - min(pos_a) + 8 AS BIGINT) AS n_tokens,
-           count(*) AS n_windows
-    FROM runs GROUP BY id_a, id_b, diag, grp
+    ),
+    spans AS MATERIALIZED (
+      SELECT id_a, id_b,
+             CAST(min(pos_a) AS BIGINT) AS start_a,
+             CAST(min(pos_a) - diag AS BIGINT) AS start_b,
+             CAST(max(pos_a) - min(pos_a) + 8 AS BIGINT) AS n_tokens,
+             count(*) AS n_windows
+      FROM runs GROUP BY id_a, id_b, diag, grp
+    )"""
+
+
+@query(
+    "exact_dup_spans",
+    oracle=f"""
+    WITH {_DUP_SPANS_SQL}
+    SELECT id_a, id_b, start_a, start_b, n_tokens, n_windows FROM spans
     """,
 )
 def exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -398,6 +407,114 @@ def _dup_spans(kg: DataFrame, window: int) -> DataFrame:
         (F.max("pos_a") - F.min("pos_a") + window).cast("bigint").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_windows"),
     ).select("id_a", "id_b", "start_a", "start_b", "n_tokens", "n_windows")
+
+
+@query(
+    "dup_span_removal",
+    oracle=f"""
+    WITH {_DUP_SPANS_SQL},
+    covered AS (
+      SELECT DISTINCT id_b AS doc_id, start_b + u AS pos
+      FROM spans, unnest(range(0, n_tokens)) AS t(u)
+    ),
+    ptoks AS (
+      SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+      FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM toks)
+    ),
+    docs_with AS (SELECT DISTINCT doc_id FROM covered),
+    before AS (
+      SELECT p.doc_id, count(*) AS n_before
+      FROM ptoks p JOIN docs_with USING (doc_id) GROUP BY p.doc_id
+    ),
+    kept_toks AS (
+      SELECT p.doc_id, p.pos, p.tok
+      FROM ptoks p
+      JOIN docs_with USING (doc_id)
+      LEFT JOIN covered c ON c.doc_id = p.doc_id AND c.pos = p.pos
+      WHERE c.pos IS NULL
+    ),
+    cleaned AS (
+      SELECT doc_id, count(*) AS n_after,
+             ('0x' || substr(md5(string_agg(tok, ' ' ORDER BY pos)), 1, 15))
+               ::BIGINT AS cleaned_hash
+      FROM kept_toks GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           b.n_before,
+           b.n_before - coalesce(a.n_after, 0) AS n_removed,
+           coalesce(a.n_after, 0) AS n_after,
+           coalesce(a.cleaned_hash,
+                    ('0x' || substr(md5(''), 1, 15))::BIGINT) AS cleaned_hash
+    FROM docs_with w
+    JOIN before b USING (doc_id)
+    LEFT JOIN cleaned a USING (doc_id)
+    """,
+)
+def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the substring dedup (round 7) — the transformation
+    exact_dup_spans only detects (Lee et al. ACL'22: cut verbatim dup
+    spans, keep one occurrence): for every maximal shared span, the
+    occurrence in the HIGHER doc_id is removed (deterministic
+    keep-lowest-id policy, the near-dup family's convention); a doc's
+    covered token positions are the UNION over all its spans (overlaps
+    collapse via distinct), the survivors re-assemble in position order,
+    and the report carries before/removed/after token counts plus the
+    60-bit hash of the cleaned text — so the oracle proves the actual
+    edited strings match, not just the counts. Fully-covered docs
+    (exact whole-doc copies) come out with n_after = 0 and the hash of
+    the empty string.
+
+    At 100 TB: covered positions are bounded by duplicate volume (not
+    corpus size); the anti-join against them and the ordered re-assembly
+    ride doc_id-keyed exchanges of docs that HAVE removals only
+    (left-semi pre-filter) — pristine documents never shuffle."""
+    corpus = _corpus(spark, sf_dir)
+    spans = exact_dup_spans(spark, sf_dir)
+    covered = spans.select(
+        F.col("id_b").alias("doc_id"),
+        F.explode(
+            F.sequence(
+                F.col("start_b"), F.col("start_b") + F.col("n_tokens") - 1
+            )
+        ).alias("pos"),
+    ).distinct().localCheckpoint(eager=False)  # feeds semi, anti, docs_with
+    docs_with = covered.select("doc_id").distinct()
+    ptoks = corpus.select(
+        "doc_id", F.posexplode(T.tokens("text")).alias("pos", "tok")
+    ).withColumn("pos", F.col("pos").cast("long"))
+    ptoks_w = ptoks.join(docs_with, "doc_id", "left_semi").localCheckpoint(
+        eager=False  # feeds the before-count AND the anti-join
+    )
+    before = ptoks_w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_before"))
+    kept = ptoks_w.join(covered, ["doc_id", "pos"], "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_after"),
+        T.md5_long(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.tok,
+                ),
+                " ",
+            )
+        ).alias("cleaned_hash"),
+    )
+    import hashlib
+
+    empty_hash = int(hashlib.md5(b"").hexdigest()[:15], 16)
+    return (
+        docs_with.join(before, "doc_id")
+        .join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_before",
+            (F.col("n_before") - F.coalesce("n_after", F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+            F.coalesce("cleaned_hash", F.lit(empty_hash)).alias("cleaned_hash"),
+        )
+    )
 
 
 @query(

@@ -139,7 +139,10 @@ _PRIORITY: tuple[str, ...] = (
     "orc_roundtrip_checksum",
     "gzip_json_roundtrip_checksum",
     "partitioned_write_prune_checksum",
-    # (3) slot 51+: changed re-entries the 50-slot budget displaced
+    # (3) slot 51+: the 6th new query and changed re-entries the 50-slot
+    # budget displaced (the 45-r03 refresh takes precedence per the r6
+    # verdict's done-criterion; the full gate covers these every session)
+    "dup_span_removal",
     "ann_recall_report",
     # (still ahead of registration order; the full local gate and the
     # judge's registry re-run cover them every session)

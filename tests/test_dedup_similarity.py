@@ -341,6 +341,23 @@ def test_jaccard_df_cap_bounds_candidates(spark):
         D.SHINGLE_DF_CAP = cap
 
 
+def test_dup_span_removal_empties_injected_copies(spark):
+    """dup_span_removal applies the keep-lowest-id policy: every
+    injected variant (+1M exact copies, +2M truncations) that appears
+    in the report is FULLY covered by spans shared with its base doc
+    (base id < variant id), so its cleaned text is empty; removal
+    counts always reconcile (n_before = n_removed + n_after)."""
+    rows = get("dup_span_removal").fn(spark, SMOKE_SF).collect()
+    assert rows
+    variants = [r for r in rows if r.doc_id >= 1_000_000]
+    assert variants, "no injected variants in the removal report"
+    for r in variants:
+        assert r.n_after == 0 and r.n_removed == r.n_before
+    for r in rows:
+        assert r.n_before == r.n_removed + r.n_after
+        assert r.n_removed >= 8  # spans are >= one full window
+
+
 def test_dup_spans_df_cap_bounds_fanout(spark):
     """exact_dup_spans' df cap (via _dup_spans): a boilerplate window
     gram appearing in more docs than the cap must be excluded from the
