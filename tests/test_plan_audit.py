@@ -231,6 +231,9 @@ def test_no_cartesian_products_anywhere(spark):
         "token_bigram_lm",              # 1-row vocab-size (V) broadcast
         "referential_integrity_audit",  # 1-row n_parent_dups attach per edge
         "lm_fluency_filter",            # 1-row V + gate-mean broadcasts
+        "quality_gate_agreement",       # same 1-row gate-mean broadcast
+                                        # (the V broadcast sits inside the
+                                        # pinned _fluency_scored relation)
         "rag_retrieval_pipeline",       # query-set broadcast, non-equi (≠),
                                         # same shape as cosine_topk_bruteforce
         "hard_negative_mining",         # query-set broadcast, label-≠ filter
