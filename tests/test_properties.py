@@ -790,3 +790,66 @@ def test_winnowing_selkey_encoding_is_rightmost_min(window):
     min_h = min(h for h, _ in window)
     assert sel_h == min_h
     assert sel_p == max(p for h, p in window if h == min_h)
+
+
+_kv_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=5), st.integers(0, 100)),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(rows_a=_kv_rows, rows_b=_kv_rows, rows_c=_kv_rows)
+@_settings
+def test_nway_cogroup_matches_pandas_reference(spark, rows_a, rows_b, rows_c):
+    """N-way CoGroupByKey law (CoGroupByKeyTest analog, round 7): for any
+    three keyed inputs, the per-key tagged frames the custom-fn path
+    hands the user have exactly the per-key row counts and value sums a
+    plain pandas groupby computes — including keys present in only some
+    inputs (empty frames, never missing entries)."""
+    import pandas as pd
+
+    from dataflowjavasdk_spark.operators.join import co_group_by_key
+
+    inputs = {"a": rows_a, "b": rows_b, "c": rows_c}
+    dfs = {
+        name: spark.createDataFrame(rows or [(None, None)], "k int, v int").filter(
+            F.col("k").isNotNull()
+        )
+        for name, rows in inputs.items()
+    }
+
+    def fn(key, groups):
+        return pd.DataFrame(
+            [
+                {
+                    "k": int(key[0]),
+                    **{
+                        f"n_{n}": len(groups[n]) for n in ("a", "b", "c")
+                    },
+                    **{
+                        f"s_{n}": int(groups[n]["v"].sum()) if len(groups[n]) else 0
+                        for n in ("a", "b", "c")
+                    },
+                }
+            ]
+        )
+
+    got = {
+        r["k"]: tuple(r[c] for c in ("n_a", "n_b", "n_c", "s_a", "s_b", "s_c"))
+        for r in co_group_by_key(
+            dfs,
+            ["k"],
+            fn,
+            "k int, n_a long, n_b long, n_c long, s_a long, s_b long, s_c long",
+        ).collect()
+    }
+    keys = {k for rows in inputs.values() for k, _ in rows}
+    assert set(got) == keys
+    for k in keys:
+        expect = tuple(
+            len([v for kk, v in inputs[n] if kk == k]) for n in ("a", "b", "c")
+        ) + tuple(
+            sum(v for kk, v in inputs[n] if kk == k) for n in ("a", "b", "c")
+        )
+        assert got[k] == expect, f"key {k}: {got[k]} != {expect}"
