@@ -47,17 +47,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 # Emission order for the driver contract. The driver's correctness run
 # checks a bounded prefix of ``queries()`` (50 entries per round), so the
-# dict is ordered per VERDICT.md round-2 "Next round" #3 — no query may go
-# two rounds unchecked: (1) queries whose code or oracle changed this round
-# (must be re-verified by the driver), (2) new queries added this round,
-# (3) the 39 queries whose only driver row is CORRECTNESS_r01 (stale by a
-# round — windowing/combine code changed under them in round 2), then (4)
-# the r02-green tail. Names not listed follow in registration order;
-# listed-but-unregistered names are ignored (guarded by a registry test).
-# The round this _PRIORITY ordering was authored FOR (the driver round
-# whose 50-slot sample it optimizes). test_entry_contract uses it to know
-# whether the no-wasted-slot invariant is still checkable or the ordering
-# is due for its per-round rotation.
+# dict is ordered per the standing rotation policy (VERDICT round-2
+# "Next round" #3, re-derived each round): no query may go two rounds
+# unchecked — the sample prefers (1) queries new this round (no driver
+# row exists), (2) queries whose code/oracle materially changed
+# (_CHANGED_THIS_ROUND), then (3) the queries with the OLDEST driver
+# evidence on current fixtures. Names not listed follow in registration
+# order; listed-but-unregistered names are ignored (guarded by a
+# registry test). _PRIORITY_ROUND is the driver round whose 50-slot
+# sample this ordering optimizes; test_entry_contract uses it to know
+# whether the no-wasted-slot invariant is still checkable or the
+# ordering is due for its per-round rotation.
 _PRIORITY_ROUND = 7
 
 # Queries whose code or oracle materially changed in _PRIORITY_ROUND's
