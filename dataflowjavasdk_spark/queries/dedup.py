@@ -603,6 +603,123 @@ def containment_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "containment_sketch_calibration",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),{_candidate_pairs_sql("corpus", 4)},
+    sigs AS MATERIALIZED (
+      SELECT doc_id, len(grams) AS n, grams,
+             list_transform(range(0, 16), j ->
+               list_reduce(
+                 list_prepend(1152921504606846976::BIGINT,
+                   list_transform(grams, s ->
+                     ('0x' || substr(md5(j::VARCHAR || ':' || s), 1, 15))
+                       ::BIGINT)),
+                 (a, b) -> least(a, b))) AS sig
+      FROM sh
+    ),
+    pairs AS (
+      SELECT len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i]))
+               AS n_agree,
+             len(list_filter(sa.grams, g -> list_contains(sb.grams, g)))
+               AS n_inter,
+             sa.n AS n_a, sb.n AS n_b
+      FROM cand
+      JOIN sigs sa ON sa.doc_id = id_a
+      JOIN sigs sb ON sb.doc_id = id_b
+      WHERE least(sa.n, sb.n) >= 10
+    ),
+    scored AS (
+      SELECT n_agree,
+             n_inter::DOUBLE / least(n_a, n_b) AS exact_c,
+             ((n_agree / 16.0) * (n_a + n_b))
+               / ((1 + n_agree / 16.0) * least(n_a, n_b)) AS est_c
+      FROM pairs
+    )
+    SELECT CAST(n_agree AS BIGINT) AS n_agree,
+           count(*) AS n_pairs,
+           CAST(SUM(CAST(round(exact_c, 9) AS DECIMAL(28,9))) AS DOUBLE)
+             AS sum_exact_containment,
+           CAST(SUM(CAST(round(est_c, 9) AS DECIMAL(28,9))) AS DOUBLE)
+             AS sum_est_containment
+    FROM scored GROUP BY n_agree
+    """,
+)
+def containment_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy CALIBRATION for the containment family (round 7) —
+    the dedup-side twin of ann_recall_report's measured-recall stance:
+    containment is estimable from a MinHash signature alone via
+    C_est = J_est·(|A|+|B|) / ((1+J_est)·min(|A|,|B|)) (solve Broder's
+    J = I/(a+b−I) for I, divide by min — the sketch-union trick public
+    since Broder '97), so at 100 TB the 0.8-containment gate can run on
+    16-slot signatures WITHOUT materializing gram sets per pair. This
+    query measures how well: every df-capped candidate pair is bucketed
+    by its signature agreement count (0..16) and the per-bucket sums of
+    exact vs estimated containment land side by side — the calibration
+    curve an operator consults before trusting the sketch gate. Sums
+    accumulate as DECIMAL(28,9) over 9-dp-rounded terms, so the
+    aggregate is order-independent and value-hash exact; the estimator
+    and the exact verify share one candidate generation and one pinned
+    shingle relation.
+
+    At 100 TB: signatures are 16 longs per doc (the minhash_signatures
+    projection); agreement counting touches no gram sets; only this
+    EVAL's exact column does — in production the exact verify runs on a
+    sampled stratum exactly like this query's shape."""
+    corpus = _corpus(spark, sf_dir)
+    sh = corpus.select(
+        "doc_id", S.shingles("text", 4).alias("grams")
+    ).withColumn("n", F.size("grams"))
+    sh, cand = _blocked_candidates(sh)
+    sigs = sh.select(
+        "doc_id",
+        "n",
+        "grams",
+        S.minhash_signature(F.col("grams"), num_hashes=16).alias("sig"),
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("n").alias("n_a"),
+        F.col("grams").alias("grams_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("n").alias("n_b"),
+        F.col("grams").alias("grams_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    joined = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.least("n_a", "n_b") >= 10)
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z
+        )
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    mn = F.least("n_a", "n_b")
+    exact_c = inter.cast("double") / mn
+    est_j = agree / F.lit(16.0)
+    est_c = (est_j * (F.col("n_a") + F.col("n_b"))) / ((F.lit(1) + est_j) * mn)
+    scored = joined.select(
+        agree.cast("bigint").alias("n_agree"),
+        exact_c.alias("exact_c"),
+        est_c.alias("est_c"),
+    )
+    return scored.groupBy("n_agree").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.round("exact_c", 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("sum_exact_containment"),
+        F.sum(F.round("est_c", 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("sum_est_containment"),
+    )
+
+
 def _pagerank_stage_sql(i: int) -> str:
     """One unrolled scaled-integer PageRank round over `edges`/`deg`:
     contribution = floor(rank/outdeg) summed exactly, damping in integer

