@@ -471,3 +471,127 @@ def trainer_egress_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("doc_id").alias("sum_doc_id"),
     )
+
+
+_BUDGET_TOKENS = 5_000
+
+
+@query(
+    "epoch_token_budget",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS n_tok,
+             ('0x' || substr(md5('budget:' || doc_id::VARCHAR), 1, 15))
+               ::BIGINT AS draw
+      FROM documents
+    ),
+    totals AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+             CAST(floor(sqrt(SUM(n_tok))) AS BIGINT) AS weight
+      FROM tok GROUP BY source
+    ),
+    sw AS (SELECT SUM(weight) AS sum_w FROM totals),
+    alloc AS (
+      SELECT t.source, t.n_docs, t.total_tokens, t.weight,
+             CAST(({_BUDGET_TOKENS} * t.weight) // (SELECT sum_w FROM sw)
+                  AS BIGINT) AS alloc_tokens
+      FROM totals t
+    ),
+    ordered AS (
+      SELECT tok.doc_id, tok.source, tok.n_tok,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY source
+                                       ORDER BY draw, doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM tok
+    )
+    SELECT a.source, a.n_docs, a.total_tokens, a.weight, a.alloc_tokens,
+           CAST(SUM(CASE WHEN o.cum_before < a.alloc_tokens
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_taken,
+           CAST(SUM(CASE WHEN o.cum_before < a.alloc_tokens
+                         THEN o.n_tok ELSE 0 END) AS BIGINT) AS tokens_taken
+    FROM ordered o JOIN alloc a USING (source)
+    GROUP BY a.source, a.n_docs, a.total_tokens, a.weight, a.alloc_tokens
+    """,
+)
+def epoch_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget epoch PLANNING (round 7) — the question a training
+    run answers before reading any data: given a fixed token budget,
+    how many tokens does each source contribute and which documents are
+    in? Per-source token totals get integer-sqrt temperature weights
+    (alpha=0.5 in token space — IEEE sqrt is correctly rounded, floor
+    makes it the exact isqrt, and every downstream step is INTEGER
+    arithmetic: alloc = budget*w DIV sum_w, so the plan value-hash
+    oracles with no float summation anywhere); documents draw in a
+    deterministic md5 order (the same replayable-shuffle idiom as
+    epoch_shuffle_manifest) and a source takes documents while its
+    cumulative tokens-before stays under its allocation — the classic
+    greedy cut where the boundary document may overshoot (a real loader
+    truncates it; the report counts whole documents).
+
+    Differs from temperature_mix_sqrt (per-DOC keep-rates toward the
+    smallest source) in being TOKEN-denominated against an absolute
+    budget — the two reports together are the mixing recipe's audit.
+
+    At 100 TB: one corpus scan computes token counts + draw keys; the
+    per-source cumulative is ONE exchange keyed by source (the window);
+    totals/weights are |sources| rows pinned, the weight-sum a 1-row
+    broadcast. The taken-set decision is per-row against broadcast
+    allocations — nothing corpus-sized shuffles twice."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).alias("n_tok"),
+        md5_long(
+            F.concat(F.lit("budget:"), F.col("doc_id").cast("string"))
+        ).alias("draw"),
+    ).localCheckpoint(eager=False)  # feeds totals AND the ordered window
+    totals = (
+        tok.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.floor(F.sqrt(F.sum("n_tok").cast("double")))
+            .cast("long")
+            .alias("weight"),
+        )
+        .localCheckpoint(eager=False)  # feeds sum_w AND the join back
+    )
+    sum_w = totals.agg(F.sum("weight").alias("sum_w"))
+    alloc = totals.crossJoin(F.broadcast(sum_w)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "weight",
+        F.expr(f"({_BUDGET_TOKENS} * weight) DIV sum_w").alias("alloc_tokens"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("draw", "doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ordered = tok.select(
+        "source",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("cum_before"),
+    )
+    taken = F.when(F.col("cum_before") < F.col("alloc_tokens"), 1).otherwise(0)
+    return (
+        ordered.join(F.broadcast(alloc), "source")
+        .groupBy("source", "n_docs", "total_tokens", "weight", "alloc_tokens")
+        .agg(
+            F.sum(taken).cast("bigint").alias("n_taken"),
+            F.sum(
+                F.when(
+                    F.col("cum_before") < F.col("alloc_tokens"), F.col("n_tok")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("tokens_taken"),
+        )
+    )

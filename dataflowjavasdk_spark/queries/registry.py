@@ -144,6 +144,7 @@ _PRIORITY: tuple[str, ...] = (
     # verdict's done-criterion; the full gate covers these every session)
     "dup_span_removal",
     "containment_sketch_calibration",
+    "epoch_token_budget",
     "ann_recall_report",
     # (still ahead of registration order; the full local gate and the
     # judge's registry re-run cover them every session)

@@ -231,6 +231,7 @@ def test_no_cartesian_products_anywhere(spark):
         "token_bigram_lm",              # 1-row vocab-size (V) broadcast
         "referential_integrity_audit",  # 1-row n_parent_dups attach per edge
         "lm_fluency_filter",            # 1-row V + gate-mean broadcasts
+        "epoch_token_budget",           # 1-row weight-sum broadcast
         "quality_gate_agreement",       # same 1-row gate-mean broadcast
                                         # (the V broadcast sits inside the
                                         # pinned _fluency_scored relation)
