@@ -720,6 +720,86 @@ def containment_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "source_contamination_matrix",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),{_jaccard_pairs_sql("corpus")},
+    src AS (
+      SELECT doc_id, source FROM documents
+      UNION ALL SELECT doc_id + 1000000, source FROM documents
+                WHERE doc_id % 20 = 0
+      UNION ALL SELECT doc_id + 2000000, source FROM documents
+                WHERE doc_id % 10 = 0
+    ),
+    labeled AS (
+      SELECT least(sa.source, sb.source) AS source_a,
+             greatest(sa.source, sb.source) AS source_b
+      FROM jacc_pairs p
+      JOIN src sa ON sa.doc_id = p.id_a
+      JOIN src sb ON sb.doc_id = p.id_b
+    )
+    SELECT source_a, source_b, count(*) AS n_pairs
+    FROM labeled GROUP BY source_a, source_b
+    """,
+)
+def source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination MATRIX (round 7) — the governance
+    question behind every near-dup pass: which sources duplicate WHICH
+    (mirror sites, syndication, scraper overlap decide crawl priorities
+    and licensing exposure)? Every exact-Jaccard near-dup pair (the
+    registered near_dup_pairs_jaccard blocking + verify, composed
+    unchanged) is labeled with both docs' sources, orientation
+    normalized (least/greatest) so the matrix is upper-triangular, and
+    counted per source pair. The injected corpus variants inherit their
+    base doc's source, so the diagonal (within-source duplication)
+    dominates on the fixture — exactly the mirror-site signature the
+    report exists to expose.
+
+    At 100 TB: the (doc_id, source) relation is a narrow second scan
+    joined onto the pair relation (pairs are bounded by the df-capped
+    blocking); the matrix itself is |sources|² rows at most. One extra
+    equi-join per pair side over the already-audited near-dup plan."""
+    corpus_src = _corpus_sources(spark, sf_dir)
+    corpus = _corpus(spark, sf_dir)
+    sh = corpus.select(
+        "doc_id", S.shingles("text", 3).alias("grams")
+    ).withColumn("n", F.size("grams"))
+    pairs = _jaccard_pairs_capped(sh).select("id_a", "id_b")
+    sa = corpus_src.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")
+    )
+    sb = corpus_src.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def _corpus_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source) for the dup-injected corpus: variants inherit
+    their base document's source (same id-offset rules as _corpus)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    exact = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "source"
+    )
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "source"
+    )
+    # pinned: both pair sides consume it — unpinned, the 3 pruned scans
+    # re-derive per side (6 scans; scan-discipline rule)
+    return docs.unionByName(exact).unionByName(near).localCheckpoint(
+        eager=False
+    )
+
+
 def _pagerank_stage_sql(i: int) -> str:
     """One unrolled scaled-integer PageRank round over `edges`/`deg`:
     contribution = floor(rank/outdeg) summed exactly, damping in integer

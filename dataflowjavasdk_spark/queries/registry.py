@@ -145,6 +145,7 @@ _PRIORITY: tuple[str, ...] = (
     "dup_span_removal",
     "containment_sketch_calibration",
     "epoch_token_budget",
+    "source_contamination_matrix",
     "ann_recall_report",
     # (still ahead of registration order; the full local gate and the
     # judge's registry re-run cover them every session)
