@@ -58,7 +58,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # sample this ordering optimizes; test_entry_contract uses it to know
 # whether the no-wasted-slot invariant is still checkable or the
 # ordering is due for its per-round rotation.
-_PRIORITY_ROUND = 7
+_PRIORITY_ROUND = 8
 
 # Queries whose code or oracle materially changed in _PRIORITY_ROUND's
 # round: they re-enter the 50-slot sample even though their previous
@@ -67,92 +67,94 @@ _PRIORITY_ROUND = 7
 # invariant; prune the set at each rotation.
 _CHANGED_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # rewritten as the five-variant unified recall ladder (new
-        # schema + oracle), VERDICT r6 next-round #7
-        "ann_recall_report",
-        # write_tfrecord: NaN/NaT null coercion, attempt-unique shard
-        # temps, recursive read glob (ADVICE r6 + streaming sink)
-        "tfrecord_roundtrip_checksum",
-        "trainer_egress_pipeline",
+        # cents_sum vectorized to integer-cents Series arithmetic
+        # (VERDICT r7 next-round #4); r07 row describes the old fold
+        "cogroup_nation_customer_supplier",
+        # avro/tfrecord readers now exclude _temporary/ and uncommitted
+        # batch=N dirs (ADVICE r7 #1); r07 row predates the fix
+        "avro_logical_types_roundtrip",
     }
 )
 
 _PRIORITY: tuple[str, ...] = (
-    # Round-7 ordering (VERDICT.md r6 "Next round" #2). The 50-slot
-    # driver sample = the 5 new round-7 queries + ALL 45 queries whose
-    # freshest driver row is r03 (judge-computed from CORRECTNESS_r03-06)
-    # — after r07 no registered query's evidence is older than r04.
-    # Slots 51+ hold the round-7 changed re-entries (_CHANGED_THIS_ROUND
-    # plus the scratch-dir-refactor sinks): their re-verification comes
-    # from the full local gate + the judge's full-registry re-run, which
-    # cover every registered query each session regardless.
-    # (1) new this round — no driver row exists
-    "cogroup_nation_customer_supplier",
-    "containment_near_dup_pairs",
-    "semdedup_prune",
-    "exact_dup_spans",
-    "quality_gate_agreement",
-    # (2) the 45 r03-freshest — value-bearing pipelines first, then
-    # analytics, then format round-trip checksums
-    "tfidf",
-    "training_data_pipeline",
-    "leakage_safe_split",
-    "sequence_packing",
-    "temperature_mix_sqrt",
-    "incremental_dedup",
-    "minhash_signatures",
-    "near_dup_pairs_jaccard",
-    "near_dup_clusters",
-    "near_dup_graph_triangles",
-    "edit_distance_near_dups",
-    "chunk_dedup_boilerplate",
-    "bloom_ngram_decontamination",
-    "domain_blocklist_filter",
-    "bpe_merge_candidates",
-    "pii_detection_stats",
-    "pii_redaction",
-    "repetition_ratio_quality",
-    "unigram_rarity_quality",
-    "quantile_bucketed_docs",
-    "countmin_term_frequencies",
-    "weighted_sample_per_source",
-    "q20_dominant_promo_suppliers",
-    "q21_waiting_suppliers",
-    "grouping_sets_revenue",
-    "approx_quantiles_per_key",
-    "grouped_batches_stats",
-    "bucketed_join_revenue",
-    "leaderboard_team_windows",
-    "calendar_day_events_tz",
-    "value_histogram_per_type",
-    "zscore_outliers_per_type",
-    "session_funnel_click_purchase",
-    "weekly_retention_cohorts",
-    "unpivot_daily_type_counts",
-    "event_transition_matrix",
-    "user_inactivity_gaps",
-    "table_profile_orders",
-    "avro_logical_types_roundtrip",
-    "csv_roundtrip_checksum",
-    "json_roundtrip_checksum",
-    "xml_roundtrip_checksum",
-    "orc_roundtrip_checksum",
-    "gzip_json_roundtrip_checksum",
-    "partitioned_write_prune_checksum",
-    # (3) slot 51+: the 6th new query and changed re-entries the 50-slot
-    # budget displaced (the 45-r03 refresh takes precedence per the r6
-    # verdict's done-criterion; the full gate covers these every session)
+    # Round-8 ordering (VERDICT.md r7 "Next round" #1). The 50-slot
+    # driver sample = the 4 never-driver-sampled round-7-late queries,
+    # then queries NEW in round 8, then round-8 changed re-entries
+    # (_CHANGED_THIS_ROUND + read-path-fixed format sinks whose evidence
+    # is r05/r06), then the oldest-evidence queries (the r04-freshest
+    # cohort — after r07 no registered query's evidence is older than
+    # r04). Names displaced past slot 50 are re-verified by the full
+    # local gate + the judge's registry re-run every session regardless.
+    # (1) registered last round but never driver-sampled (VERDICT r7 #1)
     "dup_span_removal",
     "containment_sketch_calibration",
     "epoch_token_budget",
     "source_contamination_matrix",
-    "ann_recall_report",
-    # (still ahead of registration order; the full local gate and the
-    # judge's registry re-run cover them every session)
+    # (2) new in round 8 — no driver row exists (uncommented as each is
+    # registered; test_priority_names_registered enforces existence)
+    # (3) round-8 changed re-entries: _CHANGED_THIS_ROUND (r07 rows
+    # describing pre-change code) + the format sinks whose read path
+    # gained the crash-leftover exclusions (r05/r06 evidence)
+    "cogroup_nation_customer_supplier",
+    "avro_logical_types_roundtrip",
     "tfrecord_roundtrip_checksum",
     "trainer_egress_pipeline",
     "avro_roundtrip_checksum",
-    # (4) everything else follows in registration order — the full local
+    # (4) the r04-freshest cohort, value-bearing pipelines first; the
+    # tail past slot 50 slips to round 9 by design
+    "kmeans_ivf_refined",
+    "embedding_decontamination",
+    "autocomplete_prefix_topk",
+    "hot_key_salted_agg",
+    "secondary_sort_per_user",
+    "side_input_global_mean",
+    "cogroup_customer_orders",
+    "deterministic_sample_per_key",
+    "deterministic_sample_global",
+    "argmax_event_per_type",
+    "first_events_per_user",
+    "grouped_stats_nation",
+    "count_per_key_events",
+    "count_per_element_priority",
+    "distinct_event_users",
+    "set_ops_users",
+    "flatten_union_counts",
+    "partition_split_counts",
+    "top_global_orders",
+    "exact_percentiles_quantity",
+    "cube_returnflag_status",
+    "pivot_daily_type_counts",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_revenue",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q18_large_orders",
+    # --- slot-50 boundary falls in this region; order below still
+    # matters for round 9's "oldest evidence" computation ---
+    "q19_bracket_revenue",
+    "q22_idle_rich_customers",
+    "calendar_week_events",
+    "calendar_month_events_tz",
+    "calendar_year_orders",
+    "tumbling_emit_time_earliest",
+    "wordcount_regex",
+    "kll_quantiles_rollup",
+    "vocab_coverage_curve",
+    "source_repetition_mix",
+    "curation_filter_funnel",
+    "duplicate_passage_stats",
+    "key_skew_profile",
+    "audio_wav_features",
+    "bmp_image_features",
+    "png_image_features",
+    "media_meta_sniff",
+    "bzip2_json_roundtrip_checksum",
+    # (5) everything else follows in registration order — the full local
     # gate (tools/check_correctness.py, all queries, every session)
     # re-verifies all of them meanwhile. test_entry_contract derives the
     # group accounting instead of this comment repeating counts that can
