@@ -463,15 +463,11 @@ def read_avro(spark, path: str):
     `path` (dir or glob). One task per file via binaryFile; the schema
     comes from the first file's header (driver reads the header bytes
     only)."""
-    import glob as _glob
-
     from pyspark.sql import functions as F
 
-    paths = sorted(
-        _glob.glob(os.path.join(path, "**", "*.avro"), recursive=True)
-        if os.path.isdir(path)
-        else _glob.glob(path)
-    )
+    from ._shards import committed_shards
+
+    paths = committed_shards(path, "avro")
     if not paths:
         raise FileNotFoundError(f"no avro files at {path}")
     with open(paths[0], "rb") as fh:
@@ -650,13 +646,9 @@ def read_avro_split(spark, path: str, split_bytes: int = 128 << 20):
     across the cluster instead of becoming one straggler task. Dynamic
     re-splitting (splitAtFraction) remains the documented gap; AQE
     balances at stage boundaries."""
-    import glob as _glob
+    from ._shards import committed_shards
 
-    paths = sorted(
-        _glob.glob(os.path.join(path, "**", "*.avro"), recursive=True)
-        if os.path.isdir(path)
-        else _glob.glob(path)
-    )
+    paths = committed_shards(path, "avro")
     if not paths:
         raise FileNotFoundError(f"no avro files at {path}")
 

@@ -457,11 +457,9 @@ def read_tfrecord(spark, path: str):
     Arrow-batched pass walking the framing (CRC-verified). Returns
     ``(shard string, record_index long, example binary)`` — feed to
     `parse_examples` for typed columns."""
-    paths = sorted(
-        _glob.glob(os.path.join(path, "**", "*.tfrecord"), recursive=True)
-        if os.path.isdir(path)
-        else _glob.glob(path)
-    )
+    from ._shards import committed_shards
+
+    paths = committed_shards(path, "tfrecord")
     if not paths:
         raise FileNotFoundError(f"no tfrecord files at {path}")
     files = (

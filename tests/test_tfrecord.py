@@ -192,6 +192,63 @@ def test_spark_read_rejects_corrupt_shard(spark, tmp_path):
         read_tfrecord(spark, d).collect()
 
 
+def test_read_excludes_crash_leftovers(spark, tmp_path):
+    """ADVICE r7: a read after a crashed write must not see shards under
+    _temporary/ (batch sink died after partial per-task renames) or in a
+    batch=N/ directory missing its _SUCCESS marker (streaming micro-batch
+    died mid-write; it will be replayed). Only committed data may appear."""
+    import os
+    import shutil
+
+    d = str(tmp_path / "root")
+    committed = spark.createDataFrame([(1,), (2,)], "id long")
+    os.makedirs(os.path.join(d, "batch=0"))
+    write_tfrecord(committed, os.path.join(d, "batch=0"))
+    open(os.path.join(d, "batch=0", "_SUCCESS"), "w").close()
+
+    # crash leftover 1: uncommitted micro-batch (no _SUCCESS)
+    os.makedirs(os.path.join(d, "batch=1"))
+    write_tfrecord(spark.createDataFrame([(99,)], "id long"), os.path.join(d, "batch=1"))
+
+    # crash leftover 2: stale _temporary with an already-renamed shard
+    tmpdir = os.path.join(d, "_temporary")
+    os.makedirs(os.path.join(d, "scratch"))
+    write_tfrecord(spark.createDataFrame([(77,)], "id long"), os.path.join(d, "scratch"))
+    os.makedirs(tmpdir)
+    for f in os.listdir(os.path.join(d, "scratch")):
+        shutil.move(os.path.join(d, "scratch", f), tmpdir)
+    shutil.rmtree(os.path.join(d, "scratch"))
+
+    ids = sorted(
+        r["id"]
+        for r in parse_examples(read_tfrecord(spark, d), {"id": "bigint"}).collect()
+    )
+    assert ids == [1, 2]
+
+
+def test_committed_shards_unit(tmp_path):
+    """Pure-python discovery contract shared by the avro reader too."""
+    import os
+
+    from dataflowjavasdk_spark.sources._shards import committed_shards
+
+    def touch(*parts):
+        p = tmp_path.joinpath(*parts)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(b"")
+        return str(p)
+
+    good_top = touch("a.avro")
+    good_batch = touch("batch=0", "b.avro")
+    touch("batch=0", "_SUCCESS")
+    touch("batch=1", "c.avro")  # no _SUCCESS → excluded
+    touch("_temporary", "d.avro")  # temp component → excluded
+    touch("batch=0", "_temporary", "e.avro")  # temp inside committed batch
+    assert committed_shards(str(tmp_path), "avro") == sorted([good_top, good_batch])
+    # glob form (non-directory path) still excludes nothing it shouldn't
+    assert committed_shards(str(tmp_path / "*.avro"), "avro") == [good_top]
+
+
 def test_float_feature_is_float32(spark, tmp_path):
     # doubles travel as proto float32 — the lossy cast is the format's,
     # not ours; parse_examples surfaces the float32 value exactly
