@@ -55,6 +55,7 @@ def co_group_by_key(
     keys: Sequence[str],
     fn: Callable[[tuple, dict[str, pd.DataFrame]], pd.DataFrame],
     schema,
+    max_group_rows: int | None = None,
 ) -> DataFrame:
     """CoGroupByKey (historical sdk/transforms/join/CoGroupByKey.java):
     N keyed collections → per key, a tuple of iterables (CoGbkResult).
@@ -75,13 +76,31 @@ def co_group_by_key(
     `fn(key_tuple, {name: pandas_df})` → pandas DataFrame rows to emit.
     Each per-tag frame carries that input's full columns (keys included)
     in its original column order, matching the 2-input native path.
+
+    Hot-key guard (VERDICT r7 #3): unlike the reference's shuffle-backed
+    lazy iterables, applyInPandas MATERIALIZES each key's full frame —
+    a skewed key at 100× scale is an executor OOM, silent until it
+    isn't. Pass ``max_group_rows`` to fail fast with a descriptive
+    error instead; for unbounded keys use ``co_group_by_key_stream``,
+    which keeps per-key memory at one Arrow batch.
     """
     names = list(dfs)
     key_list = list(keys)
+
+    def _guard(n_rows: int, key: tuple) -> None:
+        if max_group_rows is not None and n_rows > max_group_rows:
+            raise ValueError(
+                f"co_group_by_key: key {key!r} has {n_rows} rows "
+                f"(> max_group_rows={max_group_rows}); applyInPandas "
+                "materializes the whole group per key — use "
+                "co_group_by_key_stream for hot keys"
+            )
+
     if len(names) == 2:
         a, b = dfs[names[0]], dfs[names[1]]
 
         def apply2(key: tuple, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            _guard(len(left) + len(right), key)
             return fn(key, {names[0]: left, names[1]: right})
 
         return (
@@ -112,6 +131,7 @@ def co_group_by_key(
         unioned = unioned.unionByName(t, allowMissingColumns=True)
 
     def apply_n(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        _guard(len(pdf), key)
         frames: dict[str, pd.DataFrame] = {}
         for i, name in enumerate(names):
             mask = pdf["__cogbk_tag"] == i
@@ -126,6 +146,126 @@ def co_group_by_key(
         return fn(key, frames)
 
     return unioned.groupBy(*key_list).applyInPandas(apply_n, schema=schema)
+
+
+def co_group_by_key_stream(
+    dfs: dict[str, DataFrame],
+    keys: Sequence[str],
+    fn: Callable[[tuple, dict], pd.DataFrame | None],
+    schema,
+) -> DataFrame:
+    """Spill-safe custom-fn CoGroupByKey for HOT KEYS (VERDICT r7 #3).
+
+    Same contract as ``co_group_by_key`` except the LAST input arrives
+    as an ITERATOR of pandas chunks (one Arrow batch's worth of that
+    key's rows each) instead of one materialized frame; earlier inputs
+    arrive materialized. This mirrors the reference's own CoGbkResult,
+    which buffers every tag except one in memory and streams the last
+    tag straight off the shuffle (historical sdk/transforms/join/
+    CoGbkResult.java: the "unread tail" of the final iterable is never
+    held) — so put the unbounded side last and a skewed key costs one
+    batch of memory, not one executor.
+
+    fn(key_tuple, groups) where groups[name] is a pd.DataFrame for all
+    but the last input and an Iterator[pd.DataFrame] for the last; the
+    iterator is single-pass and must be consumed within the call
+    (itertools.groupby discipline). Unconsumed chunks are drained.
+
+    Plan: tagged union (flat null-padded columns — Arrow validity
+    bitmaps make absent tags near-free) → repartition(keys) →
+    sortWithinPartitions(keys, tag) → ONE mapInPandas pass walking the
+    sorted stream. Exactly one shuffle per input, same as the
+    applyInPandas path; the partition sort is Spark's
+    UnsafeExternalSorter, which spills to disk — nothing key-sized is
+    ever resident.
+    """
+    names = list(dfs)
+    key_list = list(keys)
+    last = len(names) - 1
+    col_orders = [list(dfs[n].columns) for n in names]
+    value_orders = [[c for c in cols if c not in key_list] for cols in col_orders]
+
+    tagged = []
+    for i, name in enumerate(names):
+        df = dfs[name]
+        tagged.append(
+            df.select(
+                *key_list,
+                F.lit(i).alias("__cogbk_tag"),
+                *[F.col(c).alias(f"__v{i}_{c}") for c in value_orders[i]],
+            )
+        )
+    unioned = tagged[0]
+    for t in tagged[1:]:
+        unioned = unioned.unionByName(t, allowMissingColumns=True)
+    shuffled = unioned.repartition(*[F.col(k) for k in key_list]).sortWithinPartitions(
+        *key_list, "__cogbk_tag"
+    )
+
+    def _runs(batches):
+        """Split sorted Arrow batches into (key_tuple, tag, slice) runs."""
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.reset_index(drop=True)
+            marks = pdf["__cogbk_tag"].ne(pdf["__cogbk_tag"].shift())
+            for k in key_list:
+                marks |= pdf[k].ne(pdf[k].shift())
+            bounds = list(pdf.index[marks]) + [len(pdf)]
+            for s, e in zip(bounds, bounds[1:]):
+                chunk = pdf.iloc[s:e]
+                key = tuple(chunk[k].iloc[0] for k in key_list)
+                yield key, int(chunk["__cogbk_tag"].iloc[0]), chunk
+
+    def _frame(i: int, chunks: list[pd.DataFrame], key: tuple) -> pd.DataFrame:
+        if chunks:
+            out = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            out = out[[f"__v{i}_{c}" for c in value_orders[i]]].rename(
+                columns={f"__v{i}_{c}": c for c in value_orders[i]}
+            )
+            out = out.reset_index(drop=True)
+        else:
+            out = pd.DataFrame(columns=value_orders[i])
+        for k_idx, k in enumerate(key_list):
+            out[k] = [key[k_idx]] * len(out)
+        return out.reindex(columns=col_orders[i])
+
+    def part(batches):
+        runs = _runs(batches)
+        pending = next(runs, None)
+        while pending is not None:
+            key = pending[0]
+            buffered: list[list[pd.DataFrame]] = [[] for _ in names]
+            while (
+                pending is not None and pending[0] == key and pending[1] < last
+            ):
+                buffered[pending[1]].append(pending[2])
+                pending = next(runs, None)
+
+            state = {"pending": pending}
+
+            def last_chunks(key=key, state=state):
+                while (
+                    state["pending"] is not None
+                    and state["pending"][0] == key
+                    and state["pending"][1] == last
+                ):
+                    yield _frame(last, [state["pending"][2]], key)
+                    state["pending"] = next(runs, None)
+
+            groups: dict = {
+                names[i]: _frame(i, buffered[i], key) for i in range(last)
+            }
+            groups[names[last]] = last_chunks()
+            out = fn(key, groups)
+            # drain whatever the fn left unread before moving on
+            for _ in groups[names[last]]:
+                pass
+            pending = state["pending"]
+            if out is not None and len(out):
+                yield out
+
+    return shuffled.mapInPandas(part, schema=schema)
 
 
 def co_group_arrays(dfs: dict[str, DataFrame], keys: Sequence[str]) -> DataFrame:

@@ -92,6 +92,7 @@ _PRIORITY: tuple[str, ...] = (
     "source_contamination_matrix",
     # (2) new in round 8 — no driver row exists (uncommented as each is
     # registered; test_priority_names_registered enforces existence)
+    "cogbk_sorted_stream",
     # (3) round-8 changed re-entries: _CHANGED_THIS_ROUND (r07 rows
     # describing pre-change code) + the format sinks whose read path
     # gained the crash-leftover exclusions (r05/r06 evidence)

@@ -306,3 +306,138 @@ def test_salted_join_rejects_outer_modes(spark):
     for how in ("right", "full", "full_outer", "rightouter"):
         with _pytest.raises(ValueError, match="salted_join"):
             join.salted_join(df, df, on=["k"], how=how)
+
+
+def test_cogbk_stream_matches_materialized(spark):
+    """co_group_by_key_stream must produce the same per-key results as
+    the materializing path: buffered small sides + streamed last side."""
+    na = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C")], "k int, name string"
+    )
+    cu = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 7.5)], "k int, bal double"
+    )
+    ev = spark.createDataFrame(
+        [(1, i * 1.0) for i in range(50)] + [(3, 2.0)], "k int, v double"
+    )
+
+    def fn(key, groups):
+        nat, cus = groups["nation"], groups["cust"]
+        total = n = 0.0
+        for chunk in groups["events"]:
+            total += float(chunk["v"].sum())
+            n += len(chunk)
+        if not len(nat):
+            return None
+        return pd.DataFrame(
+            [
+                {
+                    "k": int(key[0]),
+                    "name": nat["name"].iloc[0],
+                    "n_cust": len(cus),
+                    "bal": float(cus["bal"].sum()),
+                    "n_ev": int(n),
+                    "v_sum": total,
+                }
+            ]
+        )
+
+    out = join.co_group_by_key_stream(
+        {"nation": na, "cust": cu, "events": ev},
+        ["k"],
+        fn,
+        "k int, name string, n_cust long, bal double, n_ev long, v_sum double",
+    )
+    rows = {r["k"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n_cust"] == 2 and rows[1]["bal"] == 15.0
+    assert rows[1]["n_ev"] == 50 and rows[1]["v_sum"] == sum(range(50)) * 1.0
+    assert rows[2]["n_cust"] == 1 and rows[2]["n_ev"] == 0
+    assert rows[3]["n_cust"] == 0 and rows[3]["n_ev"] == 1 and rows[3]["v_sum"] == 2.0
+
+
+def test_cogbk_stream_hot_key_is_chunked(spark):
+    """The spill-safety claim (VERDICT r7 #3): a hot key's streamed side
+    must arrive as MANY bounded chunks (<= the Arrow batch size), never
+    one materialized frame — the fn itself reports what it observed."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
+    try:
+        dim = spark.createDataFrame([(7, "hot")], "k int, name string")
+        # one skewed key: 20x the batch size
+        big = spark.range(10_000).select(
+            F.lit(7).alias("k"), F.col("id").cast("double").alias("v")
+        )
+
+        def fn(key, groups):
+            n_chunks = max_rows = total = 0
+            for chunk in groups["big"]:
+                n_chunks += 1
+                max_rows = max(max_rows, len(chunk))
+                total += int(chunk["v"].sum())
+            return pd.DataFrame(
+                [
+                    {
+                        "k": int(key[0]),
+                        "n_chunks": n_chunks,
+                        "max_rows": max_rows,
+                        "total": total,
+                    }
+                ]
+            )
+
+        out = join.co_group_by_key_stream(
+            {"dim": dim, "big": big},
+            ["k"],
+            fn,
+            "k int, n_chunks long, max_rows long, total long",
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["total"] == sum(range(10_000))
+        assert r["max_rows"] <= 500, "a chunk exceeded the Arrow batch bound"
+        assert r["n_chunks"] >= 20, "hot key was not streamed in chunks"
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_cogbk_stream_drains_unconsumed(spark):
+    """A fn that never touches the streamed side must not corrupt the
+    next key's groups (the runner drains the unread tail)."""
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k int, name string")
+    big = spark.createDataFrame(
+        [(1, 1.0)] * 30 + [(2, 5.0)] * 3, "k int, v double"
+    )
+
+    def fn(key, groups):
+        return pd.DataFrame(
+            [{"k": int(key[0]), "name": groups["dim"]["name"].iloc[0]}]
+        )
+
+    out = join.co_group_by_key_stream(
+        {"dim": dim, "big": big}, ["k"], fn, "k int, name string"
+    ).collect()
+    assert sorted((r["k"], r["name"]) for r in out) == [(1, "a"), (2, "b")]
+
+
+def test_cogbk_max_group_rows_guard(spark):
+    """The materializing path's hot-key guard fails fast with a pointer
+    to the streaming variant instead of OOMing silently at scale."""
+    a = spark.createDataFrame([(1, 1)] * 100, "k int, v int")
+    b = spark.createDataFrame([(1, 2)], "k int, w int")
+
+    def fn(key, groups):
+        return pd.DataFrame([{"k": int(key[0])}])
+
+    df = join.co_group_by_key(
+        {"a": a, "b": b}, ["k"], fn, "k int", max_group_rows=10
+    )
+    with pytest.raises(Exception, match="co_group_by_key_stream"):
+        df.collect()
+    # and the N-way (union-tag) path enforces the same bound
+    c = spark.createDataFrame([(1, 3)], "k int, x int")
+    df3 = join.co_group_by_key(
+        {"a": a, "b": b, "c": c}, ["k"], fn, "k int", max_group_rows=10
+    )
+    with pytest.raises(Exception, match="co_group_by_key_stream"):
+        df3.collect()
