@@ -730,7 +730,7 @@ def json_deadletter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE r.rk <= 5
     """,
 )
-def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivfpq_adc_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     """IVFPQ (round 5) — the FAISS-style composition that completes the
     similarity-search ladder (brute-force → LSH → IVF → IVF+multiprobe →
     k-means-refined → PQ → IVFPQ): a coarse quantizer assigns every
@@ -856,7 +856,7 @@ def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rw = W.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id")
     )
-    top = adc.withColumn("rk", F.row_number().over(rw)).filter(F.col("rk") <= 5)
+    top = adc.withColumn("rk", F.row_number().over(rw)).filter(F.col("rk") <= k)
     qv = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
     nv = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")

@@ -93,6 +93,8 @@ _PRIORITY: tuple[str, ...] = (
     # (2) new in round 8 — no driver row exists (uncommented as each is
     # registered; test_priority_names_registered enforces existence)
     "cogbk_sorted_stream",
+    "exact_dup_spans_50",
+    "ann_recall_report_k20",
     # (3) round-8 changed re-entries: _CHANGED_THIS_ROUND (r07 rows
     # describing pre-change code) + the format sinks whose read path
     # gained the crash-leftover exclusions (r05/r06 evidence)

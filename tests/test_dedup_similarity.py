@@ -230,6 +230,26 @@ def test_recall_ladder_dominance_ordering(spark):
         assert r.n_exact == 5 and r.recall_pct == r.n_hits * 20
 
 
+def test_recall_ladder_second_operating_point(spark):
+    """ann_recall_report_k20 (round 8): same ladder at recall@20. The
+    candidate-superset dominances hold at EVERY k (they are set
+    inclusions, not tuning accidents), and the integer-recall encoding
+    switches to n_hits * 5."""
+    rows = get("ann_recall_report_k20").fn(spark, SMOKE_SF).collect()
+    recall = {(r.variant, r.query_id): r.recall_pct for r in rows}
+    queries = {r.query_id for r in rows}
+    assert len(queries) == 5 and len(rows) == 25
+    for qid in queries:
+        assert recall[("lsh_multitable", qid)] >= recall[("lsh", qid)]
+        assert recall[("ivf_multiprobe", qid)] >= recall[("ivf", qid)]
+    for r in rows:
+        assert r.recall_pct == r.n_hits * 5
+        assert r.n_ann <= 20  # top-k bound respected
+        # n_ann < 20 is candidate starvation, the signal this second
+        # point exists to surface — it must never exceed ground truth
+        assert r.n_hits <= min(r.n_ann, r.n_exact)
+
+
 def test_multitable_lsh_recall_at_least_single_table(spark):
     """OR-amplification property: two hash tables can only widen the
     candidate set, so top-5 recall vs brute force is >= the single table's."""
