@@ -138,6 +138,87 @@ def test_late_data_beyond_watermark_dropped(spark, harness):
     ] == [], "late row re-opened a closed window"
 
 
+def test_golden_deviation_no_refiring_beyond_horizon(spark, harness):
+    """GOLDEN PIN of documented deviation #1 (SURVEY §2.8 late-firings
+    row; VERDICT r7 #7): Beam with allowedLateness(120s) +
+    withLateFirings would REFIRE window [0,60) for a row 90s late;
+    Spark's watermark horizon is the single lateness bound, so a row
+    within it refines (update mode) and a row beyond it is silently
+    dropped — there is no post-horizon refiring, by design. This test
+    FEEDS both sides of the boundary and asserts the engine's actual
+    behavior, so the deviation is executable documentation."""
+
+    def counted(stream):
+        return (
+            SC.with_watermark(stream, "ts", "30 seconds")
+            .groupBy(F.window("ts", "60 seconds").alias("w"), "key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "key", "n")
+        )
+
+    w0 = "2024-01-01 00:00:00"
+    # round 1: window [0,60) gets one row; watermark -> 80-30 = 50,
+    # still BEFORE the window end, so [0,60) remains open.
+    harness.feed(_batch(spark, _rows(spark, (1, 10, "a", 1), (2, 80, "a", 1))))
+    out1 = harness.run_round(counted, output_mode="update")
+    assert {(str(r["ws"]), r["n"]) for r in out1 if str(r["ws"]) == w0} == {(w0, 1)}
+
+    # round 2: a late-in-Beam-terms row INSIDE the horizon (window end
+    # 60 > watermark 50): the engine REFINES — update emits n=2. This
+    # is the half of Beam's late-firing semantics Spark does honor.
+    harness.feed(_batch(spark, _rows(spark, (3, 20, "a", 1))))
+    out2 = harness.run_round(counted, output_mode="update")
+    assert {(str(r["ws"]), r["n"]) for r in out2 if str(r["ws"]) == w0} == {(w0, 2)}
+
+    # round 3: advance the watermark decisively past end+horizon
+    # (300-30 = 270 >> 60) ...
+    harness.feed(_batch(spark, _rows(spark, (4, 300, "b", 1))))
+    harness.run_round(counted, output_mode="update")
+    # ... round 4: the SAME kind of late row is now beyond the horizon:
+    # dropped, no refinement, no late pane. Beam with
+    # allowedLateness(300s) would refire here — the pinned deviation.
+    harness.feed(_batch(spark, _rows(spark, (5, 25, "a", 1))))
+    out4 = harness.run_round(counted, output_mode="update")
+    assert [r for r in out4 if str(r["ws"]) == w0] == [], (
+        "post-horizon late row produced a pane — deviation pin broken"
+    )
+
+
+def test_golden_deviation_user_declared_watermark_outlier(spark, harness):
+    """GOLDEN PIN of documented deviation #2 (SURVEY §2.8 watermarks
+    row; VERDICT r7 #7): Spark's watermark is USER-DECLARED —
+    max(event_ts) − delay — while the reference computes it from source
+    progress (MillWheel-style). Divergent scenario: ONE clock-skewed
+    future event drags the watermark far ahead, and well-ordered rows
+    that a source-computed watermark would still admit get dropped.
+    Feeds the skewed event, asserts the honest row is dropped — the
+    engine's documented behavior, now executable."""
+
+    def counted(stream):
+        return (
+            SC.with_watermark(stream, "ts", "30 seconds")
+            .groupBy(F.window("ts", "60 seconds").alias("w"), "key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "key", "n")
+        )
+
+    # One honest row + one clock-skewed outlier 10000s in the future:
+    # watermark jumps to 10000-30 = 9970.
+    harness.feed(
+        _batch(spark, _rows(spark, (1, 10, "a", 1), (2, 10_000, "skew", 1)))
+    )
+    harness.run_round(counted, output_mode="update")
+
+    # An in-order row at ts=70 (window [60,120)) — honest wall-clock
+    # progress, admitted by any source-computed watermark — is beyond
+    # Spark's declared horizon (70 < 9970) and silently dropped.
+    harness.feed(_batch(spark, _rows(spark, (3, 70, "a", 1))))
+    out = harness.run_round(counted, output_mode="update")
+    assert [r for r in out if str(r["ws"]) == "2024-01-01 00:01:00"] == [], (
+        "outlier-advanced watermark should have dropped the honest row"
+    )
+
+
 def test_per_window_destination_partitions(spark, harness, tmp_path):
     """BigQueryIO streaming's per-window destination tables (SURVEY §2.6):
     foreachBatch + partitionBy(window_start) — each event-time window lands
