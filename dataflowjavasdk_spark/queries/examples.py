@@ -2585,6 +2585,91 @@ def multimodal_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_egress_pipeline",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, n_chars, doc_id % 6 AS kind FROM documents
+    ),
+    feat AS (
+      SELECT doc_id AS media_id,
+             CASE kind WHEN 0 THEN 'image/png'
+                       WHEN 3 THEN 'image/jpeg'
+                       WHEN 1 THEN 'image/bmp'
+                       WHEN 4 THEN 'image/bmp'
+                       ELSE 'audio/wav' END AS media_type,
+             CASE WHEN kind IN (0, 3)
+                    THEN (1 + n_chars % 9) * (1 + doc_id % 7)
+                  WHEN kind IN (1, 4)
+                    THEN (1 + n_chars % 16) * (1 + doc_id % 12)
+                  WHEN kind = 2 THEN 8
+                  ELSE 0 END AS units,
+             CASE WHEN kind = 2 THEN 8000 + 100 * (doc_id % 5)
+                  WHEN kind = 5 THEN 44100
+                  ELSE NULL END AS rate
+      FROM base
+    ),
+    kept AS (
+      SELECT media_id, media_type, units FROM feat
+      WHERE CASE WHEN media_type LIKE 'image/%' THEN units >= 8
+                 ELSE units > 0 AND rate >= 8100 END
+    )
+    SELECT media_type,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(SUM(units) AS BIGINT) AS total_units,
+           CAST(SUM(media_id) AS BIGINT) AS sum_media_id
+    FROM kept GROUP BY media_type
+    """,
+)
+def media_egress_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BATCH twin of the streaming curation capstone (round 8 —
+    VERDICT r7 #6; streaming/core.streaming_curation_capstone, whose
+    restart/exactly-once pane test lives in tests/test_streaming.py):
+    mixed-media corpus → JVM header sniff → route/decode/quality-gate
+    (the shared curate_media_features core) → kept media only →
+    PHYSICAL TFRecord egress (Example codec, CRC-verified) → read-back
+    → per-type manifest. The oracle states the manifest in closed form
+    from the synthesis, so the value hash proves curated media metadata
+    SURVIVED the wire format — the media sibling of
+    trainer_egress_pipeline's document proof, and byte-for-byte the
+    same code path the streaming capstone commits per micro-batch.
+
+    Scale shape: blobs never shuffle (sniff/route/decode are scan-local;
+    only 4-column feature rows reach the gate), the kept set writes one
+    shard per partition, and read-back parallelism is per shard."""
+    from dataflowjavasdk_spark.functions.multimodal import (
+        curate_media_features,
+        sniff_media_meta,
+    )
+    from dataflowjavasdk_spark.session import scratch_dir
+    from dataflowjavasdk_spark.sources.tfrecord import (
+        parse_examples,
+        read_tfrecord,
+        write_tfrecord,
+    )
+
+    media = _mixed_media_corpus(spark, sf_dir)
+    sniffed = sniff_media_meta(media).select(
+        "media_id", "payload", F.col("meta.media_type").alias("media_type")
+    )
+    records = (
+        curate_media_features(sniffed)
+        .filter(F.col("kept"))
+        .select("media_id", "media_type", F.col("units").cast("long").alias("units"))
+    )
+    d = scratch_dir("media_egress_")
+    write_tfrecord(records.repartition(4), d)
+    back = parse_examples(
+        read_tfrecord(spark, d),
+        {"media_id": "bigint", "media_type": "string", "units": "bigint"},
+    )
+    return back.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("units").cast("long").alias("total_units"),
+        F.sum("media_id").cast("long").alias("sum_media_id"),
+    )
+
+
+@query(
     "image_ahash_dedup",
     oracle="""
     WITH params AS (

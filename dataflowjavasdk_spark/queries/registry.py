@@ -95,6 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     "cogbk_sorted_stream",
     "exact_dup_spans_50",
     "ann_recall_report_k20",
+    "media_egress_pipeline",
     # (3) round-8 changed re-entries: _CHANGED_THIS_ROUND (r07 rows
     # describing pre-change code) + the format sinks whose read path
     # gained the crash-leftover exclusions (r05/r06 evidence)

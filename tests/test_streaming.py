@@ -1183,3 +1183,124 @@ def test_media_stream_curation_pane_sequence(spark, tmp_path):
     final = dict(out1)
     final.update(out2)
     assert batch == final
+
+
+def test_streaming_curation_capstone_end_to_end(spark, tmp_path):
+    """VERDICT r7 #6 — the streaming curation capstone as ONE pipeline:
+    drop-dir media → sniff → decode/gate → kept-only → TFRecord egress
+    with batch=N/_SUCCESS commits. Asserts (1) restart/replay is
+    exactly-once at the shard level (re-running with nothing new adds
+    nothing; re-running after new files adds exactly those), (2) the
+    read-back equals the BATCH run of the identical curation core over
+    the same payloads — the unified-model contract, through the wire
+    format."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dataflowjavasdk_spark.functions.jpeg import encode_jpeg
+    from dataflowjavasdk_spark.functions.multimodal import (
+        curate_media_features,
+        encode_bmp,
+        encode_png,
+        sniff_media_meta,
+    )
+    from dataflowjavasdk_spark.sources.tfrecord import (
+        parse_examples,
+        read_tfrecord,
+    )
+    from dataflowjavasdk_spark.streaming import core as SC
+
+    def wav_bytes(rate, n):
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(b"\x01\x00" * n)
+        return buf.getvalue()
+
+    payloads = {
+        1: encode_png(np.zeros((4, 4), dtype=np.uint8)),      # kept
+        2: encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8)),   # gated out
+        3: encode_jpeg(np.full((8, 8), 60, dtype=np.uint8)),  # kept
+        4: wav_bytes(8000, 5),                                # gated out
+        5: wav_bytes(44100, 7),                               # kept
+    }
+    d = tmp_path / "drop"
+    d.mkdir()
+    out_dir = str(tmp_path / "shards")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(ids):
+        for i in ids:
+            (d / f"media-{i:04d}.bin").write_bytes(payloads[i])
+
+    def run_round():
+        q = (
+            SC.streaming_curation_capstone(spark, str(d), out_dir, ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def read_back():
+        back = parse_examples(
+            read_tfrecord(spark, out_dir),
+            {
+                "media_id": "bigint",
+                "media_type": "string",
+                "units": "bigint",
+                "mean_pix": "double",
+                "rate": "bigint",
+            },
+        )
+        return sorted(
+            (r["media_id"], r["media_type"], r["units"], r["rate"])
+            for r in back.collect()
+        )
+
+    land([1, 2, 4])
+    run_round()
+    got1 = read_back()
+    assert [(m, t) for m, t, _, _ in got1] == [(1, "image/png")]
+
+    # restart with nothing new: replay must add NOTHING (exactly-once)
+    run_round()
+    assert read_back() == got1
+
+    # more media lands; a new round commits exactly the new keepers
+    land([3, 5])
+    run_round()
+    got2 = read_back()
+    assert [(m, t) for m, t, _, _ in got2] == [
+        (1, "image/png"),
+        (3, "image/jpeg"),
+        (5, "audio/wav"),
+    ]
+
+    # batch/stream agreement: the identical curation core over the same
+    # payload bytes, bounded — must equal the wire-format read-back.
+    batch_media = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in payloads.items()],
+        "media_id long, payload binary",
+    )
+    sniffed = sniff_media_meta(batch_media).select(
+        "media_id", "payload", F.col("meta.media_type").alias("media_type")
+    )
+    batch_rows = sorted(
+        (
+            r["media_id"],
+            r["media_type"],
+            r["units"],
+            r["rate"],
+        )
+        for r in curate_media_features(sniffed)
+        .filter(F.col("kept"))
+        .select("media_id", "media_type", "units", "rate")
+        .collect()
+    )
+    assert batch_rows == got2
