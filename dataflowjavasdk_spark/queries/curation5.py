@@ -1,0 +1,287 @@
+"""Query batch — round-8 curation operators: stream-order novelty
+profiling, fractional contamination scoring, and the dedup→mixture
+interaction report.
+
+Shared discipline (SCALE.md): gram-keyed exchanges only (never
+all-pairs), benchmark-sized relations broadcast, every emitted number
+integer-exact or a round(x, 9) of an identical operation tree so the
+DuckDB twin hashes bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataflowjavasdk_spark.functions import similarity as S
+from dataflowjavasdk_spark.functions.text import tokens
+from dataflowjavasdk_spark.queries.curation4 import _isqrt_sql
+from dataflowjavasdk_spark.queries.registry import query
+from dataflowjavasdk_spark.sources.tables import load_table
+
+# Distinct 8-gram sets per document — the decontamination family's gram
+# recipe (curation.py ngram_decontamination), shared by the two gram
+# queries below.
+_GRAMS_SQL = """toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               range(1, greatest(len(tk) - 6, 1)),
+               i -> array_to_string(array_slice(tk, i, i + 7), ' ')
+             )) AS grams
+      FROM toks WHERE len(tk) >= 8
+    ),
+    g AS (SELECT doc_id, source, unnest(grams) AS gram FROM sh)"""
+
+
+def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, gram) over distinct per-doc 8-grams, docs with
+    >= 8 tokens — the Spark twin of _GRAMS_SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    return (
+        docs.filter(F.size(tk) >= 8)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.array_distinct(S.kgrams_with_dups(tk, 8))).alias("gram"),
+        )
+    )
+
+
+@query(
+    "ngram_novelty_profile",
+    oracle=f"""
+    WITH {_GRAMS_SQL},
+    first AS (SELECT gram, min(doc_id) AS fd FROM g GROUP BY gram)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST((100 * SUM(CASE WHEN fd = doc_id THEN 1 ELSE 0 END))
+                  // count(*) AS BIGINT) AS novelty_pct
+    FROM g JOIN first USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def ngram_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-order n-gram NOVELTY per document (round 8) — the
+    curation diagnostic behind "how much of this shard is new text?"
+    (Lee et al. ACL'22 report the dual, duplicate fraction): a doc's
+    distinct 8-grams are NOVEL iff this doc is the first (min doc_id —
+    ingestion order) to contain them; the profile emits per-doc gram
+    count, novel count, and the integer novelty percentage. Low-novelty
+    docs are the crawl's echo chamber — candidates for the dedup
+    families; the profile is the cheap scan that decides whether to run
+    them.
+
+    At 100 TB: gram first-occurrence is ONE gram-keyed exchange
+    (partial min map-side); attribution joins back on the SAME gram
+    key (co-partitioned, no second shuffle of the big side under AQE);
+    the per-doc rollup rides a doc_id exchange of counting rows only.
+    No df cap needed — min() is insensitive to hot grams (contrast the
+    pair-join families, which must cap)."""
+    g = _doc_grams(spark, sf_dir).localCheckpoint(eager=False)  # feeds both
+    first = g.groupBy("gram").agg(F.min("doc_id").alias("fd"))
+    novel = F.when(F.col("doc_id") == F.col("fd"), 1).otherwise(0)
+    return (
+        g.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("(100 * n_novel) DIV n_grams").alias("novelty_pct"),
+        )
+    )
+
+
+@query(
+    "contamination_overlap_fraction",
+    oracle=f"""
+    WITH {_GRAMS_SQL},
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+    shared AS (
+      SELECT g.doc_id, count(*) AS n_shared
+      FROM g JOIN bench USING (gram)
+      WHERE g.doc_id % 20 <> 0
+      GROUP BY g.doc_id
+    ),
+    corpus AS (
+      SELECT doc_id, len(grams) AS n_grams FROM sh WHERE doc_id % 20 <> 0
+    )
+    SELECT c.doc_id,
+           CAST(c.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+           CAST((100 * COALESCE(s.n_shared, 0)) // c.n_grams AS BIGINT)
+             AS overlap_pct,
+           (100 * COALESCE(s.n_shared, 0)) // c.n_grams >= 20 AS is_dirty
+    FROM corpus c LEFT JOIN shared s USING (doc_id)
+    """,
+)
+def contamination_overlap_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRACTIONAL benchmark-overlap decontamination (round 8) — the
+    GPT-3 appendix-C operating point the binary families
+    (ngram_decontamination: any shared gram; bloom: membership) don't
+    express: per corpus document, the PERCENTAGE of its distinct
+    8-grams found in the benchmark set (docs with doc_id % 20 = 0, the
+    family's held-out convention), with the dirty verdict at >= 20%
+    overlap. Unlike ngram_decontamination this emits EVERY corpus doc
+    — the zero-overlap rows are the clean majority a reviewer audits
+    against — and the integer percentage makes the whole report
+    value-hash exact.
+
+    At 100 TB: the benchmark gram set is benchmark-sized (constant) —
+    broadcast; the corpus gram stream joins against it map-side, so the
+    only exchange is the per-doc count rollup. The 20% threshold is a
+    Column literal — sweeping it is free."""
+    g = _doc_grams(spark, sf_dir).localCheckpoint(eager=False)
+    bench = g.filter(F.col("doc_id") % 20 == 0).select("gram").distinct()
+    corpus = (
+        g.filter(F.col("doc_id") % 20 != 0)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+    )
+    shared = (
+        g.filter(F.col("doc_id") % 20 != 0)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        corpus.join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+            F.expr("(100 * coalesce(n_shared, 0)) DIV n_grams").alias(
+                "overlap_pct"
+            ),
+            (
+                F.expr("(100 * coalesce(n_shared, 0)) DIV n_grams") >= 20
+            ).alias("is_dirty"),
+        )
+    )
+
+
+_MIX_BUDGET = 5_000
+
+
+@query(
+    "post_dedup_mix_shift",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text, source
+      FROM documents WHERE doc_id % 20 = 0
+    ),
+    tok AS (
+      SELECT doc_id, source, md5(text) AS fp,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok
+      FROM corpus
+    ),
+    kept AS (
+      SELECT doc_id, source, n_tok FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+        FROM tok) WHERE rk = 1
+    ),
+    b AS (SELECT source, count(*) AS n_docs_before,
+                 CAST(SUM(n_tok) AS BIGINT) AS tokens_before
+          FROM tok GROUP BY source),
+    a AS (SELECT source, count(*) AS n_docs_after,
+                 CAST(SUM(n_tok) AS BIGINT) AS tokens_after
+          FROM kept GROUP BY source),
+    w AS (SELECT b.source, n_docs_before, tokens_before,
+                 n_docs_after, tokens_after,
+                 {_isqrt_sql("tokens_before", "//")} AS w_before,
+                 {_isqrt_sql("tokens_after", "//")} AS w_after
+          FROM b JOIN a ON a.source = b.source),
+    sw AS (SELECT SUM(w_before) AS swb, SUM(w_after) AS swa FROM w)
+    SELECT source, n_docs_before, n_docs_after, tokens_before, tokens_after,
+           CAST(({_MIX_BUDGET} * w_before) // (SELECT swb FROM sw) AS BIGINT)
+             AS alloc_before,
+           CAST(({_MIX_BUDGET} * w_after) // (SELECT swa FROM sw) AS BIGINT)
+             AS alloc_after,
+           CAST(({_MIX_BUDGET} * w_after) // (SELECT swa FROM sw)
+              - ({_MIX_BUDGET} * w_before) // (SELECT swb FROM sw) AS BIGINT)
+             AS alloc_shift
+    FROM w
+    """,
+)
+def post_dedup_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEDUP → MIXTURE interaction report (round 8): exact dedup
+    changes per-source token totals, which changes the sqrt-temperature
+    mixing weights, which changes every source's token allocation — a
+    real pipeline runs the mix AFTER dedup or trains on stale weights.
+    Over the duplicated-corpus fixture (the dedup family's %20 clone
+    convention; clones keep their source): fingerprint dedup keeps the
+    min-doc_id copy (a text duplicated ACROSS sources credits the
+    earliest source — exactly the cross-source mass transfer the report
+    exists to expose), then both allocations compute with the exact
+    int64 isqrt (curation4._isqrt_sql) and integer division against the
+    same {_MIX_BUDGET}-token budget, so alloc_shift is integer-exact
+    per source.
+
+    At 100 TB: dedup is ONE fingerprint-keyed exchange of 16-byte keys
+    (row_number, keep-first); the before/after rollups are source-keyed
+    partial aggregates; the weight sums are 1-row broadcasts — the
+    report costs one corpus scan plus bounded exchanges."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text", "source").unionByName(
+        docs.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text", "source"
+        )
+    )
+    tok = corpus.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("fp"),
+        F.size(tokens("text")).alias("n_tok"),
+    ).localCheckpoint(eager=False)  # feeds the before rollup AND dedup
+    from pyspark.sql.window import Window as W
+
+    rw = W.partitionBy("fp").orderBy("doc_id")
+    kept = (
+        tok.withColumn("rk", F.row_number().over(rw))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "source", "n_tok")
+    )
+    before = tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_before"),
+        F.sum("n_tok").cast("long").alias("tokens_before"),
+    )
+    after = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_after"),
+        F.sum("n_tok").cast("long").alias("tokens_after"),
+    )
+    w = (
+        before.join(after, "source")
+        .withColumn("w_before", F.expr(_isqrt_sql("tokens_before", "DIV")))
+        .withColumn("w_after", F.expr(_isqrt_sql("tokens_after", "DIV")))
+        .localCheckpoint(eager=False)  # feeds the weight sums AND the report
+    )
+    sw = w.agg(
+        F.sum("w_before").alias("swb"), F.sum("w_after").alias("swa")
+    )
+    return w.crossJoin(F.broadcast(sw)).select(
+        "source",
+        "n_docs_before",
+        "n_docs_after",
+        "tokens_before",
+        "tokens_after",
+        F.expr(f"({_MIX_BUDGET} * w_before) DIV swb").alias("alloc_before"),
+        F.expr(f"({_MIX_BUDGET} * w_after) DIV swa").alias("alloc_after"),
+        F.expr(
+            f"({_MIX_BUDGET} * w_after) DIV swa"
+            f" - ({_MIX_BUDGET} * w_before) DIV swb"
+        ).alias("alloc_shift"),
+    )

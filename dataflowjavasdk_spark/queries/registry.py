@@ -96,6 +96,9 @@ _PRIORITY: tuple[str, ...] = (
     "exact_dup_spans_50",
     "ann_recall_report_k20",
     "media_egress_pipeline",
+    "ngram_novelty_profile",
+    "contamination_overlap_fraction",
+    "post_dedup_mix_shift",
     # (3) round-8 changed re-entries: _CHANGED_THIS_ROUND (r07 rows
     # describing pre-change code) + the format sinks whose read path
     # gained the crash-leftover exclusions (r05/r06 evidence)
@@ -212,6 +215,7 @@ def _load_all() -> None:
         "curation2",
         "curation3",
         "curation4",
+        "curation5",
         "analytics",
     ):
         try:
