@@ -93,6 +93,11 @@ def test_relational_queries_stay_jvm_side(spark):
         # mapInPandas; the windowed cut/segment logic itself is pure JVM
         "video_keyframe_detect",
         "audio_silence_segments",
+        # round 8: the custom-fn CoGBK contract ships per-key iterables
+        # to Python by definition (sorted-stream runner, mapInPandas);
+        # media egress = decode + Example codec, like the flagships above
+        "cogbk_sorted_stream",
+        "media_egress_pipeline",
     }
     for name in all_queries():
         if name in allowed_python:
@@ -232,6 +237,8 @@ def test_no_cartesian_products_anywhere(spark):
         "referential_integrity_audit",  # 1-row n_parent_dups attach per edge
         "lm_fluency_filter",            # 1-row V + gate-mean broadcasts
         "epoch_token_budget",           # 1-row weight-sum broadcast
+        "post_dedup_mix_shift",         # same 1-row weight-sum broadcast,
+                                        # before/after pair
         "quality_gate_agreement",       # same 1-row gate-mean broadcast
                                         # (the V broadcast sits inside the
                                         # pinned _fluency_scored relation)
