@@ -169,6 +169,10 @@ def co_group_by_key_stream(
     but the last input and an Iterator[pd.DataFrame] for the last; the
     iterator is single-pass and must be consumed within the call
     (itertools.groupby discipline). Unconsumed chunks are drained.
+    Keys must be non-null: run boundaries compare key VALUES, and
+    NaN != NaN would split a null key's group (use the materializing
+    co_group_by_key, whose groupBy treats nulls as one group, if null
+    keys are meaningful).
 
     Plan: tagged union (flat null-padded columns — Arrow validity
     bitmaps make absent tags near-free) → repartition(keys) →

