@@ -285,3 +285,104 @@ def post_dedup_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" - ({_MIX_BUDGET} * w_before) DIV swb"
         ).alias("alloc_shift"),
     )
+
+
+@query(
+    "embedding_dispersion_by_label",
+    oracle="""
+    WITH ex AS (
+      SELECT label, vec_id, i AS idx, embedding[i]::DOUBLE AS val
+      FROM (SELECT *, unnest(range(1, len(embedding) + 1)) AS i
+            FROM embeddings)
+    ),
+    comp AS (
+      SELECT label, idx,
+             SUM(CAST(round(val, 9) AS DECIMAL(28,9))) AS s,
+             count(*) AS n
+      FROM ex GROUP BY label, idx
+    ),
+    cent AS (
+      SELECT label, list(CAST(s AS DOUBLE) / n ORDER BY idx) AS cv
+      FROM comp GROUP BY label
+    ),
+    scored AS (
+      SELECT e.label, e.vec_id,
+             round((list_reduce(list_prepend(0.0::DOUBLE,
+                      list_transform(list_zip(e.embedding, c.cv),
+                                     p -> p[1]::DOUBLE * p[2]::DOUBLE)),
+                      (x, y) -> x + y))
+                   / sqrt((list_reduce(list_prepend(0.0::DOUBLE,
+                        list_transform(list_zip(e.embedding, e.embedding),
+                                       p -> p[1]::DOUBLE * p[2]::DOUBLE)),
+                        (x, y) -> x + y))
+                      * (list_reduce(list_prepend(0.0::DOUBLE,
+                        list_transform(list_zip(c.cv, c.cv),
+                                       p -> p[1]::DOUBLE * p[2]::DOUBLE)),
+                        (x, y) -> x + y))), 9) AS cos9
+      FROM embeddings e JOIN cent c USING (label)
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(cos9 AS DECIMAL(28,9))) AS DOUBLE) / count(*)
+                AS DOUBLE) AS mean_centroid_cosine
+    FROM scored GROUP BY label
+    """,
+)
+def embedding_dispersion_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group embedding DISPERSION (round 8) — the diversity twin of
+    the dedup families: a group whose members sit tight around their
+    centroid (mean member→centroid cosine near 1) is semantically
+    redundant — SemDeDup will prune it hard; a dispersed group carries
+    diverse signal. The report is the cheap scan that predicts pruning
+    yield before running it (Abbas et al. 2023 motivate pruning by
+    exactly this within-cluster similarity structure).
+
+    Exactness discipline: centroid components are DECIMAL(28,9) sums of
+    round(val, 9) doubles divided once (order-independent both
+    engines); member→centroid cosine is the bit-identical left fold
+    against the SAME centroid doubles; the per-group mean re-applies
+    the round→DECIMAL→divide recipe — the whole report value-hash
+    oracles with no float summation anywhere.
+
+    At 100 TB: the component sums ride ONE (label, idx) exchange of
+    decimal partials (map-side combined, dim×|labels| rows out);
+    centroids are a |labels|-row broadcast; scoring is map-side; the
+    final rollup exchanges |labels| partials. Nothing pairwise, nothing
+    corpus-sized shuffles."""
+    from dataflowjavasdk_spark.functions import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("idx0", "val")
+    ).select("label", (F.col("idx0") + 1).alias("idx"), "val")
+    comp = ex.groupBy("label", "idx").agg(
+        F.sum(
+            F.round(F.col("val").cast("double"), 9).cast("decimal(28,9)")
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cent = (
+        comp.select(
+            "label", "idx", (F.col("s").cast("double") / F.col("n")).alias("c")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "c"))),
+                lambda st: st.c,
+            ).alias("cv")
+        )
+    )
+    scored = emb.join(F.broadcast(cent), "label").select(
+        "label",
+        F.round(SIM.cosine(F.col("embedding"), F.col("cv")), 9).alias("cos9"),
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("cos9").cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("double")
+        .alias("mean_centroid_cosine"),
+    )

@@ -99,6 +99,7 @@ _PRIORITY: tuple[str, ...] = (
     "ngram_novelty_profile",
     "contamination_overlap_fraction",
     "post_dedup_mix_shift",
+    "embedding_dispersion_by_label",
     # (3) round-8 changed re-entries: _CHANGED_THIS_ROUND (r07 rows
     # describing pre-change code) + the format sinks whose read path
     # gained the crash-leftover exclusions (r05/r06 evidence)
