@@ -1304,3 +1304,104 @@ def test_streaming_curation_capstone_end_to_end(spark, tmp_path):
         .collect()
     )
     assert batch_rows == got2
+
+
+def test_streaming_ivf_index_maintenance(spark, tmp_path):
+    """Streaming ANN index maintenance (round 8): vectors landing in a
+    drop-dir are assigned to the BROADCAST centroid codebook
+    (stream-static join — the IVF build step running unbounded) and the
+    per-cell population refines in update mode across micro-batches.
+    This is how a production vector index absorbs a crawl: centroids
+    are periodically retrained offline (kmeans_ivf_refined), membership
+    is maintained ONLINE. Final per-cell counts must equal the batch
+    assignment over the same vectors — unified-model agreement."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dataflowjavasdk_spark.functions import similarity as S
+    from dataflowjavasdk_spark.streaming import core as SC
+
+    rng = np.random.default_rng(11)
+    cents = [[float(x) for x in v] for v in rng.normal(size=(4, 8))]
+    vec_schema = "vec_id long, vec array<float>"
+    all_vecs = [
+        (i, [float(x) for x in rng.normal(size=8)]) for i in range(40)
+    ]
+    d = tmp_path / "vecs"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(rows, name):
+        import glob
+        import shutil
+
+        tmp = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(rows, vec_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = glob.glob(tmp + "/part-*.parquet")[0]
+        shutil.move(part, str(d / (name + ".parquet")))
+        shutil.rmtree(tmp)
+
+    def assign(df):
+        # Assignment is a pure map-side expression (the codebook is a
+        # constant literal — the broadcast-index shape): argmax over an
+        # array of (cosine, -cell) structs, deterministic tiebreak to
+        # the lowest cell. No shuffle before the single stateful
+        # aggregation — the only streaming-legal AND the only
+        # 100TB-sane plan (row_number windows are neither).
+        cand = F.array(
+            *[
+                F.struct(
+                    S.cosine(
+                        F.col("vec"), F.array(*[F.lit(x) for x in cents[i]])
+                    ).alias("c"),
+                    F.lit(-i).alias("negcell"),
+                )
+                for i in range(4)
+            ]
+        )
+        best = F.array_max(cand)
+        return (
+            df.select((-best.getField("negcell")).alias("cell"))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    panes: dict = {}
+
+    def run_round():
+        def sink(batch_df, _bid):
+            for r in batch_df.collect():
+                panes[r["cell"]] = r["n"]
+
+        q = (
+            assign(
+                spark.readStream.schema(vec_schema).option(
+                    "maxFilesPerTrigger", 1
+                ).parquet(str(d))
+            )
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    land(all_vecs[:15], "p1")
+    run_round()
+    first_total = sum(panes.values())
+    assert first_total == 15
+
+    land(all_vecs[15:], "p2")
+    run_round()  # state held across restart: counts REFINE, not reset
+    assert sum(panes.values()) == 40
+
+    batch = {
+        r["cell"]: r["n"]
+        for r in assign(
+            spark.createDataFrame(all_vecs, vec_schema)
+        ).collect()
+    }
+    assert panes == batch, "streaming index counts diverge from batch"
