@@ -853,3 +853,64 @@ def test_nway_cogroup_matches_pandas_reference(spark, rows_a, rows_b, rows_c):
             sum(v for kk, v in inputs[n] if kk == k) for n in ("a", "b", "c")
         )
         assert got[k] == expect, f"key {k}: {got[k]} != {expect}"
+
+
+@given(rows_a=_kv_rows, rows_b=_kv_rows, rows_c=_kv_rows)
+@_settings
+def test_cogbk_stream_matches_materializing_path(spark, rows_a, rows_b, rows_c):
+    """Spill-safe CoGBK law (round 8): for any three keyed inputs, the
+    sorted-iterator runner (small tags materialized, last tag streamed
+    in chunks) computes exactly what the materializing path computes —
+    counts and sums per key, empty-but-present small frames, zero-chunk
+    streams for absent last-tag keys. Output keys are the keys present
+    in ANY input (mapInPandas has no group-spine, so the fn emits per
+    observed key; the materializing twin is filtered to the same)."""
+    import pandas as pd
+
+    from dataflowjavasdk_spark.operators.join import (
+        co_group_by_key,
+        co_group_by_key_stream,
+    )
+
+    inputs = {"a": rows_a, "b": rows_b, "c": rows_c}
+    dfs = {
+        name: spark.createDataFrame(rows or [(None, None)], "k int, v int").filter(
+            F.col("k").isNotNull()
+        )
+        for name, rows in inputs.items()
+    }
+
+    def fn(key, groups):
+        n_c = s_c = 0
+        for chunk in groups["c"]:
+            n_c += len(chunk)
+            s_c += int(chunk["v"].sum()) if len(chunk) else 0
+        return pd.DataFrame(
+            [
+                {
+                    "k": int(key[0]),
+                    "n_a": len(groups["a"]),
+                    "s_a": int(groups["a"]["v"].sum()) if len(groups["a"]) else 0,
+                    "n_b": len(groups["b"]),
+                    "s_b": int(groups["b"]["v"].sum()) if len(groups["b"]) else 0,
+                    "n_c": n_c,
+                    "s_c": s_c,
+                }
+            ]
+        )
+
+    def fn_mat(key, groups):
+        # same reduction, materialized frames for every tag
+        return fn(key, {**groups, "c": iter([groups["c"]])})
+
+    schema = "k int, n_a long, s_a long, n_b long, s_b long, n_c long, s_c long"
+    cols = ("n_a", "s_a", "n_b", "s_b", "n_c", "s_c")
+    got_stream = {
+        r["k"]: tuple(r[c] for c in cols)
+        for r in co_group_by_key_stream(dfs, ["k"], fn, schema).collect()
+    }
+    got_mat = {
+        r["k"]: tuple(r[c] for c in cols)
+        for r in co_group_by_key(dfs, ["k"], fn_mat, schema).collect()
+    }
+    assert got_stream == got_mat
