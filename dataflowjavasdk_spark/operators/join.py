@@ -115,7 +115,13 @@ def co_group_by_key(
     # bitmaps make absent tags near-free on the wire, and splitting a
     # group back into per-tag frames is a vectorized column selection
     # (the struct form cost a per-row dict materialization — measured
-    # 2x+ of the whole query at sf0.1, round 8).
+    # 2x+ of the whole query at sf0.1, round 8). The split runs through
+    # applyInARROW, not applyInPandas: the null padding other tags
+    # introduce would force a whole-group int64→float64 pandas
+    # conversion (silently corrupting values above 2^53 — the 64-bit
+    # hash ids this engine lives on); filtering each tag's rows
+    # Arrow-side first keeps its own columns null-free, so to_pandas
+    # yields exact int64 per tag.
     tagged = []
     for i, name in enumerate(names):
         df = dfs[name]
@@ -129,22 +135,45 @@ def co_group_by_key(
     unioned = tagged[0]
     for t in tagged[1:]:
         unioned = unioned.unionByName(t, allowMissingColumns=True)
+    out_arrow_schema = _arrow_schema_of(unioned.sparkSession, schema)
 
-    def apply_n(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        _guard(len(pdf), key)
+    import pyarrow as pa
+
+    def apply_n(key: tuple, table: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key = tuple(k.as_py() if hasattr(k, "as_py") else k for k in key)
+        _guard(table.num_rows, key)
+        tags = table.column("__cogbk_tag")
         frames: dict[str, pd.DataFrame] = {}
         for i, name in enumerate(names):
-            mask = pdf["__cogbk_tag"].to_numpy() == i
-            vals = pdf.loc[mask, [f"__v{i}_{c}" for c in value_orders[i]]].rename(
-                columns={f"__v{i}_{c}": c for c in value_orders[i]}
+            sub = table.filter(pc.equal(tags, i))
+            vals = (
+                sub.select([f"__v{i}_{c}" for c in value_orders[i]])
+                .rename_columns(value_orders[i])
+                .to_pandas()
             )
-            vals = vals.reset_index(drop=True)
             for k_idx, k in enumerate(key_list):
                 vals[k] = [key[k_idx]] * len(vals)
             frames[name] = vals.reindex(columns=col_orders[i])
-        return fn(key, frames)
+        out = fn(key, frames)
+        if out is None or not len(out):
+            return out_arrow_schema.empty_table()
+        return pa.Table.from_pandas(
+            out, schema=out_arrow_schema, preserve_index=False
+        )
 
-    return unioned.groupBy(*key_list).applyInPandas(apply_n, schema=schema)
+    return unioned.groupBy(*key_list).applyInArrow(apply_n, schema=schema)
+
+
+def _arrow_schema_of(spark, schema):
+    """Arrow schema for a Spark DDL string / StructType (driver-side —
+    needs the active session's parser)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType, _parse_datatype_string
+
+    st = schema if isinstance(schema, StructType) else _parse_datatype_string(schema)
+    return to_arrow_schema(st)
 
 
 def co_group_by_key_stream(
@@ -176,12 +205,17 @@ def co_group_by_key_stream(
 
     Plan: tagged union (flat null-padded columns — Arrow validity
     bitmaps make absent tags near-free) → repartition(keys) →
-    sortWithinPartitions(keys, tag) → ONE mapInPandas pass walking the
+    sortWithinPartitions(keys, tag) → ONE mapInArrow pass walking the
     sorted stream. Exactly one shuffle per input, same as the
     applyInPandas path; the partition sort is Spark's
     UnsafeExternalSorter, which spills to disk — nothing key-sized is
-    ever resident.
+    ever resident. Arrow (not pandas) is the walk substrate for the
+    same reason as the N-way split: per-tag slices convert to pandas
+    AFTER the other tags' null padding is gone, so int64 columns stay
+    exact int64.
     """
+    import pyarrow as pa
+
     names = list(dfs)
     key_list = list(keys)
     last = len(names) - 1
@@ -204,29 +238,33 @@ def co_group_by_key_stream(
     shuffled = unioned.repartition(*[F.col(k) for k in key_list]).sortWithinPartitions(
         *key_list, "__cogbk_tag"
     )
+    out_arrow_schema = _arrow_schema_of(unioned.sparkSession, schema)
 
     def _runs(batches):
-        """Split sorted Arrow batches into (key_tuple, tag, slice) runs."""
-        for pdf in batches:
-            if not len(pdf):
+        """Split sorted Arrow batches into (key_tuple, tag, rb-slice)
+        runs. Boundary detection runs on the key+tag columns only —
+        they are null-free by construction, so the pandas conversion
+        used for the vectorized shift-compare is exact."""
+        for rb in batches:
+            if not rb.num_rows:
                 continue
-            pdf = pdf.reset_index(drop=True)
-            marks = pdf["__cogbk_tag"].ne(pdf["__cogbk_tag"].shift())
+            kt = rb.select(key_list + ["__cogbk_tag"]).to_pandas()
+            marks = kt["__cogbk_tag"].ne(kt["__cogbk_tag"].shift())
             for k in key_list:
-                marks |= pdf[k].ne(pdf[k].shift())
-            bounds = list(pdf.index[marks]) + [len(pdf)]
+                marks |= kt[k].ne(kt[k].shift())
+            bounds = list(kt.index[marks]) + [len(kt)]
             for s, e in zip(bounds, bounds[1:]):
-                chunk = pdf.iloc[s:e]
-                key = tuple(chunk[k].iloc[0] for k in key_list)
-                yield key, int(chunk["__cogbk_tag"].iloc[0]), chunk
+                key = tuple(kt[k].iloc[s] for k in key_list)
+                yield key, int(kt["__cogbk_tag"].iloc[s]), rb.slice(s, e - s)
 
-    def _frame(i: int, chunks: list[pd.DataFrame], key: tuple) -> pd.DataFrame:
+    def _frame(i: int, chunks: list, key: tuple) -> pd.DataFrame:
+        cols = [f"__v{i}_{c}" for c in value_orders[i]]
         if chunks:
-            out = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-            out = out[[f"__v{i}_{c}" for c in value_orders[i]]].rename(
-                columns={f"__v{i}_{c}": c for c in value_orders[i]}
+            out = (
+                pa.Table.from_batches([ch.select(cols) for ch in chunks])
+                .rename_columns(value_orders[i])
+                .to_pandas()
             )
-            out = out.reset_index(drop=True)
         else:
             out = pd.DataFrame(columns=value_orders[i])
         for k_idx, k in enumerate(key_list):
@@ -238,7 +276,7 @@ def co_group_by_key_stream(
         pending = next(runs, None)
         while pending is not None:
             key = pending[0]
-            buffered: list[list[pd.DataFrame]] = [[] for _ in names]
+            buffered: list[list] = [[] for _ in names]
             while (
                 pending is not None and pending[0] == key and pending[1] < last
             ):
@@ -261,14 +299,27 @@ def co_group_by_key_stream(
             }
             groups[names[last]] = last_chunks()
             out = fn(key, groups)
-            # drain whatever the fn left unread before moving on
-            for _ in groups[names[last]]:
-                pass
+            # Drain what the fn left unread by advancing the cursor
+            # directly — no _frame construction for data nobody reads.
+            # The generator is suspended and never resumed, so the
+            # external advance is safe; a chunk yielded but not yet
+            # advanced past is still at state["pending"] and gets
+            # skipped here too.
+            while (
+                state["pending"] is not None
+                and state["pending"][0] == key
+                and state["pending"][1] == last
+            ):
+                state["pending"] = next(runs, None)
             pending = state["pending"]
             if out is not None and len(out):
-                yield out
+                yield pa.RecordBatch.from_pandas(
+                    out.reset_index(drop=True),
+                    schema=out_arrow_schema,
+                    preserve_index=False,
+                )
 
-    return shuffled.mapInPandas(part, schema=schema)
+    return shuffled.mapInArrow(part, schema=schema)
 
 
 def co_group_arrays(dfs: dict[str, DataFrame], keys: Sequence[str]) -> DataFrame:

@@ -27,6 +27,23 @@ from dataflowjavasdk_spark.queries.registry import query
 from dataflowjavasdk_spark.sources.tables import load_table
 
 
+def _cents(series) -> int:
+    """Exact integer-cents sum of a float64 pandas Series holding
+    2-DECIMAL currency data (TPC-H acctbal/totalprice): scale to cents,
+    round half-away-from-zero, sum as int64. Order-independent, and for
+    2-decimal inputs identical to a per-row Decimal(repr(v)).quantize(
+    0.01, ROUND_HALF_UP) fold — NOT for 3+-decimal data, where the
+    repr-based Decimal path and float scaling can disagree on exact
+    .5-cent ties (1.005 * 100 is 100.4999…, a hair below the tie).
+    Shared by both custom-fn CoGBK queries below."""
+    import numpy as np
+
+    scaled = series.to_numpy(dtype="float64") * 100.0
+    return int(
+        (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype("int64").sum()
+    )
+
+
 @query(
     "q1_pricing_summary",
     oracle=f"""
@@ -327,7 +344,6 @@ def cogroup_nation_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFr
     pre-aggregation (cogroup_customer_orders, ~20 ms): this query
     deliberately exercises the custom-fn boundary itself.
     """
-    import numpy as np
     import pandas as pd
 
     from dataflowjavasdk_spark.operators.join import co_group_by_key
@@ -343,13 +359,9 @@ def cogroup_nation_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
     def cents_sum(series) -> float:
-        # Vectorized exact-cents fold (VERDICT r7 #4): scale to cents,
-        # round half-away-from-zero (what decimal.ROUND_HALF_UP does),
-        # sum as int64, divide once — order-independent, same values the
-        # per-row Decimal quantize produced, no Python-level loop.
-        scaled = series.to_numpy(dtype="float64") * 100.0
-        cents = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype("int64")
-        return float(int(cents.sum())) / 100.0
+        # Vectorized exact-cents fold (VERDICT r7 #4) — shared _cents,
+        # see its 2-decimal contract.
+        return _cents(series) / 100.0
 
     def per_nation(key: tuple, groups: dict[str, pd.DataFrame]) -> pd.DataFrame:
         nat = groups["nation"]
@@ -419,7 +431,6 @@ def cogbk_sorted_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sortWithinPartitions(key, tag) (UnsafeExternalSorter: spills) →
     single mapInPandas pass. Exactly one shuffle per input, same
     exchange count as the materializing twin."""
-    import numpy as np
     import pandas as pd
 
     from dataflowjavasdk_spark.operators.join import co_group_by_key_stream
@@ -434,11 +445,7 @@ def cogbk_sorted_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("nationkey"), "c_acctbal"
     )
 
-    def chunk_cents(series) -> int:
-        scaled = series.to_numpy(dtype="float64") * 100.0
-        return int(
-            (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype("int64").sum()
-        )
+    chunk_cents = _cents  # shared exact-cents fold (2-decimal contract)
 
     def per_nation(key: tuple, groups: dict) -> pd.DataFrame:
         nat, sup = groups["nation"], groups["supplier"]

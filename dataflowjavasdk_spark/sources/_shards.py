@@ -32,6 +32,15 @@ def committed_shards(path: str, ext: str) -> list[str]:
     ``_temporary`` component are excluded; shards under a
     ``batch=<id>`` directory are included only when that directory (or
     an ancestor ``batch=`` directory) holds a ``_SUCCESS`` marker.
+
+    Hive-partition disambiguation: a dataset written with
+    ``partitionBy("batch")`` also produces ``batch=<v>/`` directories,
+    but with a single ROOT-level ``_SUCCESS`` (Spark's
+    FileOutputCommitter) and none per partition. A ``batch=`` level
+    whose PARENT directory carries ``_SUCCESS`` is therefore treated
+    as a committed Hive partition, not a streaming micro-batch — the
+    streaming sinks never write a root marker, so the exactly-once
+    exclusion still holds for them.
     """
     raw = (
         _glob.glob(os.path.join(path, "**", f"*.{ext}"), recursive=True)
@@ -46,11 +55,15 @@ def committed_shards(path: str, ext: str) -> list[str]:
         committed = True
         # Walk ancestor directories; every batch=<id> level must carry
         # its _SUCCESS marker (markers are written once, after the
-        # micro-batch's shards are fully in place).
+        # micro-batch's shards are fully in place) — unless its parent
+        # carries the root marker of a Hive-partitioned batch write.
         for i, comp in enumerate(parts[:-1]):
             if comp.startswith("batch="):
                 marker = os.sep.join(parts[: i + 1] + ["_SUCCESS"])
-                if not os.path.exists(marker):
+                parent_marker = os.sep.join(parts[:i] + ["_SUCCESS"])
+                if not os.path.exists(marker) and not os.path.exists(
+                    parent_marker
+                ):
                     committed = False
                     break
         if committed:

@@ -653,6 +653,27 @@ def test_min_span_tokens_filters_on_merged_length(spark):
         return max((r["n_tokens"] for r in rows), default=0)
 
     assert max_span(50) == 50
-    assert max_span(49) == 49  # detected as a maximal 49-token span...
-    # ...but the >= 50 operating point drops it while keeping the 50
-    assert 50 >= 50 and not (49 >= 50)
+    assert max_span(49) == 49  # detected as a maximal 49-token span
+
+
+def test_exact_dup_spans_50_drops_49_token_span(spark, monkeypatch):
+    """The >= 50 operating point itself (not just the merge): with the
+    corpus swapped for a crafted pair sharing exactly N tokens, the
+    registered exact_dup_spans_50 query must emit the 50-token span and
+    drop the 49-token one (exact_dup_spans keeps both)."""
+    from dataflowjavasdk_spark.queries import dedup as D
+
+    def crafted(n_shared):
+        shared = " ".join(f"w{i}" for i in range(n_shared))
+        a = shared + " " + " ".join(f"a{i}" for i in range(10))
+        b = " ".join(f"b{i}" for i in range(10)) + " " + shared
+        return spark.createDataFrame(
+            [(1, a), (2, b)], "doc_id long, text string"
+        )
+
+    for n_shared, expect_rows in ((50, 1), (49, 0)):
+        monkeypatch.setattr(D, "_corpus", lambda s, d, _c=crafted(n_shared): _c)
+        rows_50 = D.exact_dup_spans_50(spark, "ignored").collect()
+        assert len(rows_50) == expect_rows, f"n_shared={n_shared}"
+        rows_all = D.exact_dup_spans(spark, "ignored").collect()
+        assert len(rows_all) == 1 and rows_all[0]["n_tokens"] == n_shared

@@ -441,3 +441,39 @@ def test_cogbk_max_group_rows_guard(spark):
     )
     with pytest.raises(Exception, match="co_group_by_key_stream"):
         df3.collect()
+
+
+def test_cogbk_preserves_int64_beyond_2_53(spark):
+    """The tagged-union paths must hand fn EXACT int64 values even when
+    other tags' null padding shares the wire (round-8 regression: a
+    pandas-side split saw nulls in the union and degraded bigint
+    columns to float64, corrupting 64-bit hash ids above 2^53; the
+    Arrow-side split filters per tag BEFORE converting, keeping its own
+    columns null-free and int64)."""
+    big = 2**53 + 1
+    a = spark.createDataFrame([(1, big)], "k int, v long")
+    b = spark.createDataFrame([(1, 7)], "k int, w long")
+    c = spark.createDataFrame([(1, 8)], "k int, x long")
+
+    def fn(key, groups):
+        s = groups["a"]["v"]
+        assert str(s.dtype) == "int64", f"degraded dtype {s.dtype}"
+        return pd.DataFrame([{"k": int(key[0]), "v": int(s.iloc[0])}])
+
+    got = join.co_group_by_key(
+        {"a": a, "b": b, "c": c}, ["k"], fn, "k int, v long"
+    ).collect()
+    assert got[0]["v"] == big
+
+    def fn_stream(key, groups):
+        s = groups["a"]["v"]
+        assert str(s.dtype) == "int64", f"degraded dtype {s.dtype}"
+        total = 0
+        for chunk in groups["c"]:
+            total += int(chunk["x"].sum())
+        return pd.DataFrame([{"k": int(key[0]), "v": int(s.iloc[0]), "t": total}])
+
+    got2 = join.co_group_by_key_stream(
+        {"a": a, "b": b, "c": c}, ["k"], fn_stream, "k int, v long, t long"
+    ).collect()
+    assert got2[0]["v"] == big and got2[0]["t"] == 8

@@ -167,21 +167,30 @@ def test_scratch_sweep_removes_dead_pid_roots(tmp_path, monkeypatch):
     fires, pid names never reused) — scratch root creation must sweep
     siblings whose pid is gone, and only those."""
     import os
+    import subprocess
 
     from dataflowjavasdk_spark import session as S
 
-    dead = "/tmp/spark_graft_scratch_999998"
+    # A pid guaranteed recently dead: spawn a trivial child and reap it
+    # (hard-coding a "dead" number is flaky — kernel.pid_max can exceed
+    # any constant and the number may be live on a busy host).
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    dead = f"/tmp/spark_graft_scratch_{proc.pid}"
     alive = f"/tmp/spark_graft_scratch_{os.getpid()}"
     notpid = "/tmp/spark_graft_scratch_xyz"
     os.makedirs(os.path.join(dead, "shard"), exist_ok=True)
+    alive_preexisting = os.path.exists(alive)
+    os.makedirs(alive, exist_ok=True)
     os.makedirs(notpid, exist_ok=True)
     try:
         S._sweep_dead_scratch_roots()
         assert not os.path.exists(dead)
         assert os.path.exists(notpid)  # malformed suffix: untouched
-        assert os.path.exists(alive) or True  # own root never swept
+        assert os.path.exists(alive)  # own (live) root never swept
     finally:
-        for p in (dead, notpid):
-            import shutil
+        import shutil
 
+        cleanup = [dead, notpid] + ([] if alive_preexisting else [alive])
+        for p in cleanup:
             shutil.rmtree(p, ignore_errors=True)

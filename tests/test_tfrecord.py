@@ -247,6 +247,12 @@ def test_committed_shards_unit(tmp_path):
     assert committed_shards(str(tmp_path), "avro") == sorted([good_top, good_batch])
     # glob form (non-directory path) still excludes nothing it shouldn't
     assert committed_shards(str(tmp_path / "*.avro"), "avro") == [good_top]
+    # Hive-partition disambiguation: partitionBy("batch") writes one
+    # ROOT _SUCCESS and no per-partition markers — those shards are
+    # committed data, not crash leftovers
+    hive = touch("hive", "batch=7", "f.avro")
+    touch("hive", "_SUCCESS")
+    assert committed_shards(str(tmp_path / "hive"), "avro") == [hive]
 
 
 def test_float_feature_is_float32(spark, tmp_path):
