@@ -108,6 +108,9 @@ _PRIORITY: tuple[str, ...] = (
     "tfrecord_roundtrip_checksum",
     "trainer_egress_pipeline",
     "avro_roundtrip_checksum",
+    # k-parametrized this round (shared impl with the new k20 twin);
+    # its r06 row describes the pre-parametrization code
+    "ann_recall_report",
     # (4) the r04-freshest cohort, value-bearing pipelines first; the
     # tail past slot 50 slips to round 9 by design
     "kmeans_ivf_refined",
