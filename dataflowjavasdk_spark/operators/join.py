@@ -242,17 +242,24 @@ def co_group_by_key_stream(
 
     def _runs(batches):
         """Split sorted Arrow batches into (key_tuple, tag, rb-slice)
-        runs. Boundary detection runs on the key+tag columns only —
-        they are null-free by construction, so the pandas conversion
-        used for the vectorized shift-compare is exact."""
+        runs. Boundary detection compares ADJACENT POSITIONS of the raw
+        key/tag numpy arrays (a[1:] != a[:-1]) — never pandas shift(),
+        whose NaN insertion upcasts int64 keys to float64 and silently
+        MERGES adjacent 64-bit keys that collide as doubles (>2^53,
+        exactly the hash-id domain this engine keys on)."""
+        import numpy as np
+
         for rb in batches:
-            if not rb.num_rows:
+            n = rb.num_rows
+            if not n:
                 continue
             kt = rb.select(key_list + ["__cogbk_tag"]).to_pandas()
-            marks = kt["__cogbk_tag"].ne(kt["__cogbk_tag"].shift())
-            for k in key_list:
-                marks |= kt[k].ne(kt[k].shift())
-            bounds = list(kt.index[marks]) + [len(kt)]
+            marks = np.zeros(n, dtype=bool)
+            marks[0] = True
+            for col in key_list + ["__cogbk_tag"]:
+                a = kt[col].to_numpy()  # null-free → exact int64/object
+                marks[1:] |= a[1:] != a[:-1]
+            bounds = np.flatnonzero(marks).tolist() + [n]
             for s, e in zip(bounds, bounds[1:]):
                 key = tuple(kt[k].iloc[s] for k in key_list)
                 yield key, int(kt["__cogbk_tag"].iloc[s]), rb.slice(s, e - s)
@@ -314,9 +321,7 @@ def co_group_by_key_stream(
             pending = state["pending"]
             if out is not None and len(out):
                 yield pa.RecordBatch.from_pandas(
-                    out.reset_index(drop=True),
-                    schema=out_arrow_schema,
-                    preserve_index=False,
+                    out, schema=out_arrow_schema, preserve_index=False
                 )
 
     return shuffled.mapInArrow(part, schema=schema)

@@ -74,6 +74,17 @@ def audit(df: DataFrame) -> PlanAudit:
         ),
         python_evals=sum(
             names.count(n)
-            for n in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas")
+            for n in (
+                "BatchEvalPython",
+                "ArrowEvalPython",
+                "MapInPandas",
+                # Arrow-native and grouped Python stages (review-caught
+                # blind spot: the mapInArrow/applyInArrow CoGBK rewrite
+                # made its Python invisible to this counter)
+                "MapInArrow",
+                "FlatMapGroupsInArrow",
+                "FlatMapGroupsInPandas",
+                "FlatMapCoGroupsInPandas",
+            )
         ),
     )

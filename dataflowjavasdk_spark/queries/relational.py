@@ -327,7 +327,8 @@ def cogroup_nation_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFr
     .apply(CoGroupByKey) + a DoFn over the CoGbkResult's three tagged
     iterables (historical sdk/transforms/join/CoGroupByKey.java,
     KeyedPCollectionTuple.java). Plan: union-with-tag → ONE shuffle on the
-    key → applyInPandas splits each group into per-tag frames — the
+    key → applyInArrow splits each group into per-tag frames (per-tag
+    Arrow filter BEFORE pandas conversion keeps int64 exact) — the
     reference's own tagged-union strategy (UnionCoder.java), so each input
     shuffles exactly once and only one key's rows are buffered at a time.
 
@@ -429,7 +430,9 @@ def cogbk_sorted_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: tagged flat union → ONE repartition on the key →
     sortWithinPartitions(key, tag) (UnsafeExternalSorter: spills) →
-    single mapInPandas pass. Exactly one shuffle per input, same
+    single mapInArrow pass (per-tag slices convert to pandas after the
+    other tags' null padding is gone — int64 stays exact). Exactly one
+    shuffle per input, same
     exchange count as the materializing twin."""
     import pandas as pd
 

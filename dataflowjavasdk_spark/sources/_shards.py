@@ -36,16 +36,19 @@ def committed_shards(path: str, ext: str) -> list[str]:
     Hive-partition disambiguation: a dataset written with
     ``partitionBy("batch")`` also produces ``batch=<v>/`` directories,
     but with a single ROOT-level ``_SUCCESS`` (Spark's
-    FileOutputCommitter) and none per partition. A ``batch=`` level
-    whose PARENT directory carries ``_SUCCESS`` is therefore treated
-    as a committed Hive partition, not a streaming micro-batch — the
-    streaming sinks never write a root marker, so the exactly-once
-    exclusion still holds for them.
+    FileOutputCommitter) and none per partition. The streaming sinks
+    therefore CLAIM their destination with a ``_STREAM_SINK`` sentinel
+    (written via :func:`claim_stream_sink_root` before any batch
+    content — crash-ordering-safe): a ``batch=`` level under a claimed
+    parent always requires its own marker, regardless of any root
+    ``_SUCCESS`` a bootstrap batch write may have left; a ``batch=``
+    level under an UNclaimed parent carrying root ``_SUCCESS`` is a
+    committed Hive partition and is included.
     """
     raw = (
-        _glob.glob(os.path.join(path, "**", f"*.{ext}"), recursive=True)
+        _glob.glob(os.path.join(os.path.abspath(path), "**", f"*.{ext}"), recursive=True)
         if os.path.isdir(path)
-        else _glob.glob(path)
+        else [os.path.abspath(p) for p in _glob.glob(path)]
     )
     out = []
     for p in raw:
@@ -56,16 +59,34 @@ def committed_shards(path: str, ext: str) -> list[str]:
         # Walk ancestor directories; every batch=<id> level must carry
         # its _SUCCESS marker (markers are written once, after the
         # micro-batch's shards are fully in place) — unless its parent
-        # carries the root marker of a Hive-partitioned batch write.
+        # is an unclaimed Hive-partitioned batch write (root _SUCCESS,
+        # no _STREAM_SINK sentinel).
         for i, comp in enumerate(parts[:-1]):
             if comp.startswith("batch="):
                 marker = os.sep.join(parts[: i + 1] + ["_SUCCESS"])
-                parent_marker = os.sep.join(parts[:i] + ["_SUCCESS"])
-                if not os.path.exists(marker) and not os.path.exists(
-                    parent_marker
-                ):
+                if os.path.exists(marker):
+                    continue
+                parent = os.sep.join(parts[:i]) or os.sep
+                hive_exempt = os.path.exists(
+                    os.path.join(parent, "_SUCCESS")
+                ) and not os.path.exists(os.path.join(parent, "_STREAM_SINK"))
+                if not hive_exempt:
                     committed = False
                     break
         if committed:
             out.append(p)
     return sorted(out)
+
+
+def claim_stream_sink_root(path: str) -> None:
+    """Mark ``path`` as a streaming-sink destination (idempotent).
+
+    Called by the streaming file sinks BEFORE any micro-batch content
+    is written, so even a first-batch crash leaves the claim in place
+    and ``committed_shards`` stays strict about per-batch markers —
+    including destinations bootstrapped by a native batch write whose
+    root ``_SUCCESS`` would otherwise look like a Hive layout.
+    """
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_STREAM_SINK"), "a"):
+        pass

@@ -555,6 +555,9 @@ def write_stream_avro(stream_df, path: str, checkpoint: str, codec: str = "null"
     """
 
     def write_batch(batch_df, batch_id: int) -> None:
+        from ._shards import claim_stream_sink_root
+
+        claim_stream_sink_root(path)  # BEFORE content — crash-order-safe
         dest = os.path.join(path, f"batch={batch_id}")
         marker = os.path.join(dest, "_SUCCESS")
         if os.path.exists(marker):

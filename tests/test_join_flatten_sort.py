@@ -477,3 +477,32 @@ def test_cogbk_preserves_int64_beyond_2_53(spark):
         {"a": a, "b": b, "c": c}, ["k"], fn_stream, "k int, v long, t long"
     ).collect()
     assert got2[0]["v"] == big and got2[0]["t"] == 8
+
+
+def test_cogbk_stream_distinguishes_adjacent_int64_keys(spark):
+    """Round-8 regression (review-caught): run-boundary detection via
+    pandas shift() upcast int64 keys to float64, silently MERGING
+    adjacent sorted keys that collide as doubles (2^53 and 2^53+1).
+    Position-wise comparison of the raw int64 arrays must keep them
+    distinct groups."""
+    k0, k1 = 2**53, 2**53 + 1
+    a = spark.createDataFrame([(k0, 1), (k1, 2)], "k long, v long")
+    b = spark.createDataFrame(
+        [(k0, 10), (k1, 20)], "k long, w long"
+    )
+
+    def fn(key, groups):
+        s = 0
+        for chunk in groups["b"]:
+            s += int(chunk["w"].sum())
+        return pd.DataFrame(
+            [{"k": int(key[0]), "n_a": len(groups["a"]), "s_b": s}]
+        )
+
+    rows = {
+        r["k"]: (r["n_a"], r["s_b"])
+        for r in join.co_group_by_key_stream(
+            {"a": a, "b": b}, ["k"], fn, "k long, n_a long, s_b long"
+        ).collect()
+    }
+    assert rows == {k0: (1, 10), k1: (1, 20)}, rows

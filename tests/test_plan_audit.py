@@ -94,8 +94,10 @@ def test_relational_queries_stay_jvm_side(spark):
         "video_keyframe_detect",
         "audio_silence_segments",
         # round 8: the custom-fn CoGBK contract ships per-key iterables
-        # to Python by definition (sorted-stream runner, mapInPandas);
-        # media egress = decode + Example codec, like the flagships above
+        # to Python by definition (applyInArrow group split / mapInArrow
+        # sorted-stream runner — counted since the audit learned the
+        # Arrow node names); media egress = decode + Example codec
+        "cogroup_nation_customer_supplier",
         "cogbk_sorted_stream",
         "media_egress_pipeline",
     }

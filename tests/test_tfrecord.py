@@ -253,6 +253,17 @@ def test_committed_shards_unit(tmp_path):
     hive = touch("hive", "batch=7", "f.avro")
     touch("hive", "_SUCCESS")
     assert committed_shards(str(tmp_path / "hive"), "avro") == [hive]
+    # ...but a root CLAIMED by a streaming sink stays strict even when
+    # a bootstrap batch write left a root _SUCCESS: an uncommitted
+    # micro-batch must not become readable (review-caught hole)
+    from dataflowjavasdk_spark.sources._shards import claim_stream_sink_root
+
+    touch("mixed", "_SUCCESS")  # bootstrap batch write's root marker
+    claim_stream_sink_root(str(tmp_path / "mixed"))
+    touch("mixed", "batch=0", "g.avro")  # died before its marker
+    committed_mixed = touch("mixed", "batch=1", "h.avro")
+    touch("mixed", "batch=1", "_SUCCESS")
+    assert committed_shards(str(tmp_path / "mixed"), "avro") == [committed_mixed]
 
 
 def test_float_feature_is_float32(spark, tmp_path):
