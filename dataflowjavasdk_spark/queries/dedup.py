@@ -756,6 +756,114 @@ def containment_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "minhash_jaccard_calibration",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),{_candidate_pairs_sql("corpus", 4)},
+    sigs AS MATERIALIZED (
+      SELECT doc_id, len(grams) AS n, grams,
+             list_transform(range(0, 16), j ->
+               list_reduce(
+                 list_prepend(1152921504606846976::BIGINT,
+                   list_transform(grams, s ->
+                     ('0x' || substr(md5(j::VARCHAR || ':' || s), 1, 15))
+                       ::BIGINT)),
+                 (a, b) -> least(a, b))) AS sig
+      FROM sh
+    ),
+    pairs AS (
+      SELECT len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i]))
+               AS n_agree,
+             len(list_filter(sa.grams, g -> list_contains(sb.grams, g)))
+               AS n_inter,
+             sa.n AS n_a, sb.n AS n_b
+      FROM cand
+      JOIN sigs sa ON sa.doc_id = id_a
+      JOIN sigs sb ON sb.doc_id = id_b
+      WHERE least(sa.n, sb.n) >= 10
+    ),
+    scored AS (
+      SELECT n_agree,
+             n_inter::DOUBLE / (n_a + n_b - n_inter) AS exact_j
+      FROM pairs
+    )
+    SELECT CAST(n_agree AS BIGINT) AS n_agree,
+           count(*) AS n_pairs,
+           CAST(SUM(CAST(round(exact_j, 9) AS DECIMAL(28,9))) AS DOUBLE)
+             AS sum_exact_jaccard,
+           CAST(count(*) * (n_agree / 16.0) AS DOUBLE) AS sum_est_jaccard
+    FROM scored GROUP BY n_agree
+    """,
+)
+def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash→JACCARD calibration (round 8) — the symmetric twin of
+    containment_sketch_calibration, measuring the estimator everything
+    in the LSH family is built on: per df-capped candidate pair, bucket
+    by signature agreement (0..16, J_est = k/16 — exactly-representable
+    dyadic, so sum_est = n_pairs·k/16 is bit-exact in both engines)
+    against the exact n-gram Jaccard. The per-bucket curve is what sets
+    the banding threshold: an operator picks the agreement count whose
+    measured exact-Jaccard mass clears the dedup bar, instead of
+    trusting the E[agree]/16 theory on their corpus's shingle
+    distribution. Shares one candidate generation and one pinned
+    shingle relation with the containment twin; exact sums use the
+    round(·,9)→DECIMAL(28,9) discipline.
+
+    At 100 TB: signature agreement touches 16 longs per doc; only the
+    calibration's exact column reads gram sets, on the df-capped
+    candidate stratum — the production shape is this query on a sample,
+    then the sketch-only gate corpus-wide."""
+    corpus = _corpus(spark, sf_dir)
+    sh = corpus.select(
+        "doc_id", S.shingles("text", 4).alias("grams")
+    ).withColumn("n", F.size("grams"))
+    sh, cand = _blocked_candidates(sh)
+    sigs = sh.select(
+        "doc_id",
+        "n",
+        "grams",
+        S.minhash_signature(F.col("grams"), num_hashes=16).alias("sig"),
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("n").alias("n_a"),
+        F.col("grams").alias("grams_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("n").alias("n_b"),
+        F.col("grams").alias("grams_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    joined = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.least("n_a", "n_b") >= 10)
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z
+        )
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    exact_j = inter.cast("double") / (
+        F.col("n_a") + F.col("n_b") - inter
+    ).cast("double")
+    scored = joined.select(
+        agree.cast("bigint").alias("n_agree"), exact_j.alias("exact_j")
+    )
+    return scored.groupBy("n_agree").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.round("exact_j", 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("sum_exact_jaccard"),
+        (F.count(F.lit(1)) * (F.col("n_agree") / F.lit(16.0)))
+        .cast("double")
+        .alias("sum_est_jaccard"),
+    )
+
+
+@query(
     "source_contamination_matrix",
     oracle=f"""
     WITH corpus AS ({_CORPUS_SQL}),{_jaccard_pairs_sql("corpus")},

@@ -100,6 +100,7 @@ _PRIORITY: tuple[str, ...] = (
     "contamination_overlap_fraction",
     "post_dedup_mix_shift",
     "embedding_dispersion_by_label",
+    "minhash_jaccard_calibration",
     # (3) round-8 changed re-entries: _CHANGED_THIS_ROUND (r07 rows
     # describing pre-change code) + the format sinks whose read path
     # gained the crash-leftover exclusions (r05/r06 evidence)
