@@ -677,3 +677,20 @@ def test_exact_dup_spans_50_drops_49_token_span(spark, monkeypatch):
         assert len(rows_50) == expect_rows, f"n_shared={n_shared}"
         rows_all = D.exact_dup_spans(spark, "ignored").collect()
         assert len(rows_all) == 1 and rows_all[0]["n_tokens"] == n_shared
+
+
+def test_minhash_jaccard_calibration_invariants(spark):
+    """The calibration report's encodings must be exact: the estimator
+    column is literally n_pairs * k/16 (dyadic, bit-exact), the exact
+    column is a mean of true Jaccards so it stays within [0, n_pairs],
+    and full-agreement pairs (k=16) can only exist for truly similar
+    docs (bucket mean exact Jaccard > 0)."""
+    rows = get("minhash_jaccard_calibration").fn(spark, SMOKE_SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_agree"] <= 16
+        assert r["sum_est_jaccard"] == r["n_pairs"] * (r["n_agree"] / 16.0)
+        assert 0.0 <= r["sum_exact_jaccard"] <= r["n_pairs"] + 1e-9
+    full = [r for r in rows if r["n_agree"] == 16]
+    for r in full:
+        assert r["sum_exact_jaccard"] > 0
