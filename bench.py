@@ -100,7 +100,8 @@ HEADLINE = [
     "leaderboard_team_windows",
     "kmeans_ivf_refined",
     "repetition_ratio_quality",
-    "pii_detection_stats",
+    # pii_detection_stats retired round 8 (swap policy class 2: same-plan
+    # regex-scan twin of pii_redaction); registry row + sampling remain
     "quantile_bucketed_docs",
     # round-3b additions: the last TPC-H shapes (correlated min,
     # EXISTS/NOT EXISTS decorrelation) and the two new curation ops
@@ -199,6 +200,13 @@ HEADLINE = [
     # same plan shape as their listed twins (operating-point variants).
     "cogbk_sorted_stream",
     "media_egress_pipeline",
+    # round-8 batch 2: BM25 joins as the lexical-retrieval family's first
+    # representative (slot opened by the pii_detection_stats retirement).
+    # normalized_exact_dedup / char_entropy_quality /
+    # embedding_compression_recall stay off-headline: same-plan twins or
+    # operating-point variants of listed queries (dedup_exact,
+    # repetition_ratio_quality, ann_recall_report precedents).
+    "bm25_retrieval_topk",
 ]
 
 

@@ -95,6 +95,45 @@ def quality_score(col: str | Column) -> Column:
     )
 
 
+def char_entropy(col: str | Column) -> Column:
+    """Shannon entropy (bits per character) of the document's character
+    distribution — the classic gibberish/low-diversity gate (binary blobs
+    read high, `aaaa…` repetition reads near 0, natural English sits
+    around 4.0–4.5). Pure Column expression: per-row cost is
+    O(distinct_chars × length) with ZERO shuffle — the gate runs at scan
+    speed on 100 TB because it never leaves the projection.
+
+    Cross-engine exactness: the per-char terms are summed over the SORTED
+    distinct-char list (array_sort ≡ DuckDB list_sort, binary collation on
+    the ASCII fixture), so both engines fold in the same order; ln is the
+    one libm call whose last ulp may differ per engine, so query emitters
+    round the result to 9 dp (the tfidf discipline)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.greatest(F.length(c), F.lit(1))
+    chars = F.transform(F.sequence(F.lit(1), n), lambda i: c.substr(i, F.lit(1)))
+    ln_ = n.cast("double")
+
+    def term(acc: Column, ch: Column) -> Column:
+        cnt = F.size(F.filter(chars, lambda x: x == ch)).cast("double")
+        return acc + (cnt / ln_) * F.log(ln_ / cnt)
+
+    return F.aggregate(
+        F.array_sort(F.array_distinct(chars)), F.lit(0.0), term
+    ) / F.log(F.lit(2.0))
+
+
+def normalize_for_dedup(col: str | Column) -> Column:
+    """C4/CCNet-style dedup normalization: lowercase, strip every
+    non-[a-z0-9 ] character, collapse space runs, trim. Two documents that
+    differ only in casing, punctuation, or spacing normalize to the same
+    string — the operating point production exact-dedup actually hashes
+    (raw-text hashing misses trivially re-punctuated mirrors). DuckDB twin
+    is the identical regexp_replace chain with the 'g' flag."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(F.lower(c), "[^a-z0-9 ]", "")
+    return F.trim(F.regexp_replace(stripped, " +", " "))
+
+
 def md5_long(col: Column) -> Column:
     """First 60 bits of md5 as a non-negative bigint. Cross-engine exact:
     DuckDB twin is ('0x' || substr(md5(x),1,15))::BIGINT (verified

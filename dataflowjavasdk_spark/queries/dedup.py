@@ -2072,3 +2072,61 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shared",
         F.expr("(100 * n_shared) div n_chunks").alias("shared_pct"),
     )
+
+
+@query(
+    "normalized_exact_dedup",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    widened AS (
+      SELECT doc_id, text FROM corpus
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id, upper(text) || ' !!' AS text
+      FROM documents WHERE doc_id % 10 = 5
+    ),
+    keyed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(trim(regexp_replace(
+                regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                ' +', ' ', 'g'))), 1, 15))::BIGINT AS fp
+      FROM widened
+    )
+    SELECT fp, min(doc_id) AS canonical_id, max(doc_id) AS max_id,
+           count(*) AS group_size
+    FROM keyed GROUP BY fp HAVING count(*) > 1
+    """,
+)
+def normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over C4-normalized text (round 8): lowercase, strip
+    punctuation, collapse whitespace, THEN fingerprint — the operating
+    point production exact-dedup actually hashes, because web mirrors of
+    the same page differ in casing/punctuation/whitespace while raw-text
+    hashing (dedup_exact) sees them as distinct. The fixture corpus is
+    already lowercase alnum, so the query widens it with a
+    re-punctuated-mirror branch (doc_id % 10 == 5 → +3,000,000,
+    upper(text) || ' !!'): every injected mirror MUST land in its
+    original's group here and MUST NOT in dedup_exact — that containment
+    delta is asserted in tests/test_dedup_similarity.py.
+
+    Scale shape identical to dedup_exact: normalization is a row-local
+    regexp chain inside the projection (functions/text.py::
+    normalize_for_dedup), grouping is on the 60-bit fingerprint — 8-byte
+    shuffle keys regardless of document size, min/max/count constant
+    state, ONE exchange."""
+    corpus = _corpus(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mirrors = docs.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit(" !!")).alias("text"),
+    )
+    widened = corpus.unionByName(mirrors)
+    return (
+        widened.select("doc_id", T.md5_long(T.normalize_for_dedup("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.max("doc_id").alias("max_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .filter(F.col("group_size") > 1)
+    )

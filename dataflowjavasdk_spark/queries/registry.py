@@ -101,6 +101,10 @@ _PRIORITY: tuple[str, ...] = (
     "post_dedup_mix_shift",
     "embedding_dispersion_by_label",
     "minhash_jaccard_calibration",
+    "normalized_exact_dedup",
+    "char_entropy_quality",
+    "bm25_retrieval_topk",
+    "embedding_compression_recall",
     # (3) round-8 changed re-entries: _CHANGED_THIS_ROUND (r07 rows
     # describing pre-change code) + the format sinks whose read path
     # gained the crash-leftover exclusions (r05/r06 evidence)
@@ -221,6 +225,7 @@ def _load_all() -> None:
         "curation3",
         "curation4",
         "curation5",
+        "retrieval",
         "analytics",
     ):
         try:

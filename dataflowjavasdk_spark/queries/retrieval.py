@@ -1,0 +1,365 @@
+"""Query batch — round-8 retrieval operators: BM25 lexical ranking and
+the embedding-compression recall ladder (dimension truncation + int8
+scalar quantization).
+
+Shared discipline (SCALE.md): candidate generation is an equi-join on a
+blocking key (the query TERM for BM25) or a broadcast of the
+request-sized query set (the audited cosine_topk_bruteforce shape) —
+never corpus×corpus; every emitted number is integer-exact or a
+round(x, 9) / floor(x · 1e6) of an identical IEEE operation tree so the
+DuckDB twin hashes bit-identically. Floating-point SUMS over variable
+fold order are eliminated structurally: BM25 accumulates
+floor(contrib · 1e6) int64 micro-units, which commute exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from dataflowjavasdk_spark.functions import text as T
+from dataflowjavasdk_spark.queries.registry import query
+from dataflowjavasdk_spark.sources.tables import load_table
+
+# BM25 constants (the Robertson/Sparck-Jones defaults production uses).
+_K1 = 1.2
+_B = 0.75
+_BM25_K = 10  # top-k per query
+_QUERY_TERMS = 4  # first-N tokens of each query doc form its term set
+
+
+@query(
+    "bm25_retrieval_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf,
+             sum(count(*)) OVER (PARTITION BY doc_id) AS dl
+      FROM tok GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    stats AS (
+      SELECT (SELECT count(*) FROM documents) AS n_docs,
+             (SELECT count(*) FROM tok)::DOUBLE
+               / (SELECT count(*) FROM documents) AS avgdl
+    ),
+    q AS (
+      SELECT doc_id AS query_id,
+             unnest(list_distinct(
+               array_slice(list_filter(string_split(text, ' '), t -> t <> ''),
+                           1, {_QUERY_TERMS}))) AS term
+      FROM documents WHERE doc_id < 3
+    ),
+    contrib AS (
+      SELECT q.query_id, tf.doc_id,
+             floor(
+               round(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)), 9)
+               * (tf.tf::DOUBLE * ({_K1} + 1.0))
+               / (tf.tf::DOUBLE
+                  + {_K1} * (1.0 - {_B} + {_B} * tf.dl::DOUBLE / stats.avgdl))
+               * 1000000.0)::BIGINT AS micro
+      FROM tf
+      JOIN q ON q.term = tf.term AND tf.doc_id <> q.query_id
+      JOIN df ON df.term = tf.term
+      CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT query_id, doc_id, CAST(sum(micro) AS BIGINT) AS score_micro
+      FROM contrib GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, score_micro, rk FROM (
+      SELECT query_id, doc_id, score_micro,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_micro DESC, doc_id) AS rk
+      FROM scored)
+    WHERE rk <= {_BM25_K}
+    """,
+)
+def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (round 8) — the classic sparse ranker that
+    complements the dense ANN ladder (production RAG runs BOTH and fuses;
+    rag_retrieval_pipeline is the dense twin). Okapi BM25 with k1=1.2,
+    b=0.75: score(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)),
+    idf = ln(1 + (N-df+0.5)/(df+0.5)), queries = the distinct first-4-token
+    sets of doc_id < 3 (self-matches excluded).
+
+    Cross-engine exactness: a float sum over a variable number of matched
+    terms is fold-order-dependent, so each term contribution is floored to
+    int64 MICRO-units (floor(contrib · 1e6)) and the per-(query,doc) score
+    is an exact integer sum — commutative, hash-identical, and ties in the
+    top-k break on the integer score then doc_id. idf is rounded to 9 dp
+    first (ln ulp discipline, tfidf precedent); everything after is IEEE
+    ×,÷,+ on deterministic inputs.
+
+    Scale shape: the tokenized relation is pinned (tf, df, and the
+    total-token stat all consume it — the tfidf lesson); candidate
+    generation is an EQUI-join of tf against the broadcast query-term set
+    (only postings of query terms move, the inverted-index access pattern),
+    never corpus×queries; N and avgdl are 1-row broadcast aggregates
+    computed in-plan. Production would additionally floor idf at a minimum
+    to drop stopword query terms — the fixture's tiny vocabulary makes
+    every term hot, which this plan survives by construction (per-term
+    postings stream through the equi-join)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens("text")).alias("term")
+    ).localCheckpoint(eager=False)
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("dl", F.sum("tf").over(W.partitionBy("doc_id")))
+    )
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    total = tok.agg(F.count(F.lit(1)).alias("total_toks"))
+    stats = n.join(total).select(
+        "n_docs",
+        (F.col("total_toks").cast("double") / F.col("n_docs")).alias("avgdl"),
+    )
+    qterms = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(
+            F.array_distinct(F.slice(T.tokens("text"), 1, _QUERY_TERMS))
+        ).alias("term"),
+    )
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ),
+        9,
+    )
+    tf_part = (F.col("tf").cast("double") * (_K1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + _K1 * (1.0 - _B + _B * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    contrib = (
+        tf.join(F.broadcast(qterms), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(df, "term")
+        .join(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor(idf * tf_part * 1_000_000.0).cast("long").alias("micro"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("micro").alias("score_micro")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score_micro").desc(), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BM25_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-compression recall ladder
+
+_SQL_DOT = """
+  list_reduce(
+    list_prepend(0.0::DOUBLE,
+      list_transform(list_zip({a}, {b}),
+                     p -> p[1]::DOUBLE * p[2]::DOUBLE)),
+    (x, y) -> x + y)
+"""
+
+_SQL_IDOT = """
+  list_reduce(
+    list_prepend(0::BIGINT,
+      list_transform(list_zip({a}, {b}), p -> p[1] * p[2])),
+    (x, y) -> x + y)
+"""
+
+
+def _sql_cos(a: str, b: str) -> str:
+    dot = _SQL_DOT.format(a=a, b=b)
+    na = _SQL_DOT.format(a=a, b=a)
+    nb = _SQL_DOT.format(a=b, b=b)
+    return f"({dot}) / sqrt(({na}) * ({nb}))"
+
+
+def _sql_icos(a: str, b: str) -> str:
+    dot = _SQL_IDOT.format(a=a, b=b)
+    na = _SQL_IDOT.format(a=a, b=a)
+    nb = _SQL_IDOT.format(a=b, b=b)
+    return f"({dot})::DOUBLE / sqrt((({na}) * ({nb}))::DOUBLE)"
+
+
+_SQL_Q8 = """list_transform({v}, x -> floor(x::DOUBLE * 127.0 / greatest(
+      list_reduce(list_prepend(0.0::DOUBLE,
+        list_transform({v}, y -> abs(y::DOUBLE))),
+        (a, c) -> greatest(a, c)), 1e-30))::BIGINT)"""
+
+
+def _sql_comp_top(score: str, src: str) -> str:
+    return f"""(
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {score} DESC, e.vec_id) AS rk
+        FROM qs q CROSS JOIN {src} e WHERE e.vec_id <> q.query_id)
+      WHERE rk <= 10)"""
+
+
+_COMPRESSION_RECALL_ORACLE = f"""
+    WITH b AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             embedding[1:32] AS v32,
+             embedding[1:16] AS v16,
+             {_SQL_Q8.format(v='embedding')} AS q8
+      FROM embeddings
+    ),
+    qs AS MATERIALIZED (
+      SELECT vec_id AS query_id, embedding AS qv, v32 AS qv32, v16 AS qv16,
+             q8 AS qq8
+      FROM b WHERE vec_id >= 10 AND vec_id < 15
+    ),
+    full_top AS MATERIALIZED {_sql_comp_top(_sql_cos('q.qv', 'e.embedding'), 'b')},
+    d32_top AS MATERIALIZED {_sql_comp_top(_sql_cos('q.qv32', 'e.v32'), 'b')},
+    d16_top AS MATERIALIZED {_sql_comp_top(_sql_cos('q.qv16', 'e.v16'), 'b')},
+    i8_top AS MATERIALIZED {_sql_comp_top(_sql_icos('q.qq8', 'e.q8'), 'b')},
+    vu AS (
+      SELECT 'full_fp32' AS variant, query_id, neighbor_id FROM full_top
+      UNION ALL SELECT 'dim32', query_id, neighbor_id FROM d32_top
+      UNION ALL SELECT 'dim16', query_id, neighbor_id FROM d16_top
+      UNION ALL SELECT 'int8', query_id, neighbor_id FROM i8_top
+    )
+    SELECT v.variant, v.query_id,
+           10::BIGINT AS n_exact,
+           CAST(count(x.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(x.neighbor_id) * 10 AS BIGINT) AS recall_pct,
+           CAST(CASE v.variant WHEN 'full_fp32' THEN 256 WHEN 'dim32' THEN 128
+                               WHEN 'dim16' THEN 64 ELSE 68 END
+                AS BIGINT) AS bytes_per_vec
+    FROM vu v LEFT JOIN full_top x
+      ON x.query_id = v.query_id AND x.neighbor_id = v.neighbor_id
+    GROUP BY v.variant, v.query_id
+"""
+
+
+@query("embedding_compression_recall", oracle=_COMPRESSION_RECALL_ORACLE)
+def embedding_compression_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-COMPRESSION recall ladder (round 8) — the memory/bandwidth
+    twin of ann_recall_report's index ladder. The index ladder varies HOW
+    candidates are found; this ladder varies WHAT is stored: full fp32
+    (256 B/vec), Matryoshka-style dimension truncation to 32 and 16 dims
+    (128/64 B), and per-vector absmax int8 scalar quantization (64 B + a
+    4 B scale). recall@10 of each representation's brute-force top-10
+    against the full-precision ground truth, per query (vec_id in
+    [10,15), the recall-ladder query set) — the measured table that
+    decides whether a 100 TB vector store can run at a quarter of the
+    scan bandwidth. The full_fp32 row is the ladder's built-in
+    self-check: it IS the ground truth, so its recall_pct must be 100
+    (asserted in tests/test_dedup_similarity.py, with the bytes-ordering
+    invariant: n_exact == 10 on every row, recall integers in [0,100]).
+
+    Cross-engine exactness: int8 codes are floor(x·127/absmax) — floor is
+    exact, so codes match bit-for-bit; quantized cosine is an int64 dot
+    (exact, commutative) over sqrt of an int64 norm product (≤ 64·127⁴
+    « 2⁶³, no overflow) — one IEEE divide; float-variant cosines are the
+    shared sequential left-fold (functions/similarity.py::cosine ≡ DuckDB
+    list_reduce). recall_pct = n_hits·10 stays integer-exact.
+
+    Scale shape: each representation's scoring pass is the audited
+    cosine_topk_bruteforce shape — request-sized query set broadcast
+    (never the corpus), non-equi ≠ guard, corpus streamed once per
+    variant; each variant's 50-row top-10 relation is pinned before the
+    report join so the scoring pipelines run once (scan-discipline rule).
+    Quantization itself is a row-local projection — at 100 TB it runs at
+    scan speed and the int8 store is what the ANN ladder's IVF cells
+    would hold."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def q8(v):
+        amax = F.greatest(
+            F.aggregate(
+                F.transform(v, lambda x: F.abs(x.cast("double"))),
+                F.lit(0.0),
+                lambda a, c: F.greatest(a, c),
+            ),
+            F.lit(1e-30),
+        )
+        return F.transform(
+            v, lambda x: F.floor(x.cast("double") * 127.0 / amax).cast("long")
+        )
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    reps = emb.select(
+        "vec_id",
+        "embedding",
+        F.slice("embedding", 1, 32).alias("v32"),
+        F.slice("embedding", 1, 16).alias("v16"),
+        q8(F.col("embedding")).alias("q8"),
+    ).localCheckpoint(eager=False)
+    in_q = (F.col("vec_id") >= 10) & (F.col("vec_id") < 15)
+    qs = reps.filter(in_q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("v32").alias("qv32"),
+        F.col("v16").alias("qv16"),
+        F.col("q8").alias("qq8"),
+    )
+
+    def topk(score_col) -> DataFrame:
+        scored = reps.join(
+            F.broadcast(qs), F.col("vec_id") != F.col("query_id")
+        ).select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), score_col.alias("s")
+        )
+        w = W.partitionBy("query_id").orderBy(F.col("s").desc(), "neighbor_id")
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 10)
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=False)
+        )
+
+    from dataflowjavasdk_spark.functions import similarity as S
+
+    full_top = topk(S.cosine(F.col("qv"), F.col("embedding")))
+    d32_top = topk(S.cosine(F.col("qv32"), F.col("v32")))
+    d16_top = topk(S.cosine(F.col("qv16"), F.col("v16")))
+    i8_top = topk(
+        idot(F.col("qq8"), F.col("q8")).cast("double")
+        / F.sqrt(
+            (idot(F.col("qq8"), F.col("qq8")) * idot(F.col("q8"), F.col("q8")))
+            .cast("double")
+        )
+    )
+    bytes_map = {"full_fp32": 256, "dim32": 128, "dim16": 64, "int8": 68}
+    vu = None
+    for name, t in (
+        ("full_fp32", full_top),
+        ("dim32", d32_top),
+        ("dim16", d16_top),
+        ("int8", i8_top),
+    ):
+        tagged = t.select(F.lit(name).alias("variant"), "query_id", "neighbor_id")
+        vu = tagged if vu is None else vu.unionByName(tagged)
+    hit = full_top.withColumn("hit", F.lit(1))
+    joined = vu.join(hit, ["query_id", "neighbor_id"], "left")
+    bytes_col = F.coalesce(
+        *[
+            F.when(F.col("variant") == n, F.lit(v)) for n, v in bytes_map.items()
+        ]
+    )
+    return joined.groupBy("variant", "query_id").agg(
+        F.lit(10).cast("long").alias("n_exact"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+        (F.sum(F.coalesce(F.col("hit"), F.lit(0))) * 10)
+        .cast("long")
+        .alias("recall_pct"),
+        F.max(bytes_col).cast("long").alias("bytes_per_vec"),
+    )

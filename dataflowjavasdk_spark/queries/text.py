@@ -604,3 +604,84 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v_stopword").cast("long").alias("v_stopword"),
         F.sum(F.when(total_v == 0, 1).otherwise(0)).cast("long").alias("n_pass"),
     )
+
+
+@query(
+    "char_entropy_quality",
+    oracle="""
+    WITH widened AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 4000000 AS doc_id, source,
+             trim(repeat(
+               list_filter(string_split(text, ' '), t -> t <> '')[1] || ' ',
+               50)) AS text
+      FROM documents WHERE doc_id % 25 = 0
+    ),
+    chars AS (
+      SELECT doc_id, source,
+             greatest(length(text), 1) AS n,
+             list_transform(range(1, greatest(length(text), 1) + 1),
+                            i -> substr(text, i, 1)) AS cs
+      FROM widened
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             CAST(n AS BIGINT) AS n_chars,
+             CAST(len(list_distinct(cs)) AS BIGINT) AS n_distinct,
+             round(list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(list_sort(list_distinct(cs)), c ->
+                 (len(list_filter(cs, x -> x = c))::DOUBLE / n)
+                 * ln(n::DOUBLE / len(list_filter(cs, x -> x = c))))),
+               (a, b) -> a + b) / ln(2.0::DOUBLE), 9) AS entropy
+      FROM chars
+    )
+    SELECT doc_id, source, n_chars, n_distinct, entropy,
+           entropy < 3.0 AS low_entropy
+    FROM scored
+    """,
+)
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality gate (round 8) — the gibberish /
+    degenerate-repetition detector that complements the token-level
+    Gopher rules: a doc of one token repeated 50 times sails through
+    word-count and word-length bounds but collapses to < 3 bits/char
+    here. Because the fixture corpus is uniformly healthy English, the
+    query widens it with a repetition branch (doc_id % 25 == 0 →
+    +4,000,000, first token repeated 50×) so the gate's firing behavior
+    is part of the oracled output, not dead code — the same
+    make-the-operating-point-visible discipline as dedup's _corpus
+    dup-injection branches.
+
+    Scale shape: functions/text.py::char_entropy is a pure Column
+    expression (O(distinct_chars × length) per row, row-local), so the
+    whole gate is ONE corpus scan with ZERO shuffles — strictly map-side
+    at 100 TB. The entropy fold runs over the SORTED distinct-char list
+    in both engines (identical fold order) and rounds to 9 dp (ln ulp
+    discipline, tfidf precedent); the < 3.0 flag compares the ROUNDED
+    value so the boolean matches bit-for-bit too."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tok1 = F.element_at(T.tokens("text"), 1)
+    rep = (
+        docs.filter(F.col("doc_id") % 25 == 0)
+        .select(
+            (F.col("doc_id") + 4_000_000).alias("doc_id"),
+            "source",
+            F.array_join(F.array_repeat(tok1, 50), " ").alias("text"),
+        )
+    )
+    widened = docs.unionByName(rep)
+    ent = F.round(T.char_entropy("text"), 9)
+    return widened.select(
+        "doc_id",
+        "source",
+        F.greatest(F.length("text"), F.lit(1)).cast("long").alias("n_chars"),
+        F.size(F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1))),
+                lambda i: F.col("text").substr(i, F.lit(1)),
+            )
+        )).cast("long").alias("n_distinct"),
+        ent.alias("entropy"),
+        (ent < 3.0).alias("low_entropy"),
+    )

@@ -248,6 +248,9 @@ def test_no_cartesian_products_anywhere(spark):
                                         # same shape as cosine_topk_bruteforce
         "hard_negative_mining",         # query-set broadcast, label-≠ filter
         "late_interaction_topk",        # query-set broadcast, non-equi (≠)
+        "bm25_retrieval_topk",          # 1-row N/avgdl stats broadcast
+        "embedding_compression_recall",  # query-set broadcast, non-equi (≠),
+                                         # the cosine_topk_bruteforce shape
     }
     for name in all_queries():
         p = _plan(spark, name)

@@ -1,0 +1,104 @@
+"""Round-8 batch-2 semantics tests: BM25 ranking invariants, the
+embedding-compression recall ladder's self-check, C4-normalized exact
+dedup's containment of raw-text dedup, and the char-entropy gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataflowjavasdk_spark.functions import text as T
+from dataflowjavasdk_spark.queries.registry import get
+from tests.conftest import SMOKE_SF
+
+
+def test_char_entropy_crafted_values(spark):
+    df = spark.createDataFrame(
+        [("aaaa",), ("ab",), ("abab",), ("aabb",)], "s string"
+    )
+    got = [
+        r["e"]
+        for r in df.select(F.round(T.char_entropy("s"), 9).alias("e"))
+        .orderBy("s")
+        .collect()
+    ]
+    # orderBy: aaaa, aabb, ab, abab → 0 bits, 1 bit, 1 bit, 1 bit
+    assert got == [0.0, 1.0, 1.0, 1.0]
+
+
+def test_char_entropy_gate_separates_injected_repetition(spark):
+    rows = get("char_entropy_quality").fn(spark, SMOKE_SF).collect()
+    natural = [r for r in rows if r["doc_id"] < 4_000_000]
+    injected = [r for r in rows if r["doc_id"] >= 4_000_000]
+    assert natural and injected
+    # healthy fixture English never trips the gate
+    assert all(not r["low_entropy"] for r in natural)
+    # repeated-single-token docs sit strictly below every natural doc
+    assert max(r["entropy"] for r in injected) < min(
+        r["entropy"] for r in natural
+    )
+    # and the 3.0 production threshold actually fires on the injection
+    assert any(r["low_entropy"] for r in injected)
+
+
+def test_normalized_dedup_contains_raw_dedup_and_catches_mirrors(spark):
+    exact = {
+        r["canonical_id"]: r["group_size"]
+        for r in get("dedup_exact").fn(spark, SMOKE_SF).collect()
+    }
+    norm = {
+        r["canonical_id"]: r
+        for r in get("normalized_exact_dedup").fn(spark, SMOKE_SF).collect()
+    }
+    # normalization only MERGES groups: every raw-text dup group survives
+    # with the same canonical (mirror ids are +3M > all corpus ids, so the
+    # min is unchanged) and at-least-equal size
+    for canonical, size in exact.items():
+        assert canonical in norm, f"raw dup group {canonical} lost"
+        assert norm[canonical]["group_size"] >= size
+    # every injected re-punctuated mirror (doc_id%10==5 → +3,000,000)
+    # lands in a group — raw-text dedup cannot see any of them
+    docs = spark.read.parquet(f"{SMOKE_SF}/documents.parquet")
+    n_mirrors = docs.filter(F.col("doc_id") % 10 == 5).count()
+    caught = sum(1 for r in norm.values() if r["max_id"] >= 3_000_000)
+    assert caught == n_mirrors
+
+
+def test_bm25_ranking_invariants(spark):
+    rows = get("bm25_retrieval_topk").fn(spark, SMOKE_SF).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) == 10  # 50-doc smoke corpus has ≥ 10 candidates
+        # idf > 0 and tf-part > 0 → every matched doc scores positive
+        assert all(r["score_micro"] > 0 for r in rs)
+        # scores non-increasing in rank; ties broken by doc_id ascending
+        for a, b in zip(rs, rs[1:]):
+            assert a["score_micro"] > b["score_micro"] or (
+                a["score_micro"] == b["score_micro"] and a["doc_id"] < b["doc_id"]
+            )
+        assert all(r["doc_id"] != qid for r in rs)
+
+
+def test_compression_recall_self_check_and_bounds(spark):
+    rows = get("embedding_compression_recall").fn(spark, SMOKE_SF).collect()
+    assert len(rows) == 4 * 5  # 4 representations × 5 queries
+    for r in rows:
+        assert r["n_exact"] == 10
+        assert 0 <= r["n_hits"] <= 10
+        assert r["recall_pct"] == r["n_hits"] * 10
+    full = [r for r in rows if r["variant"] == "full_fp32"]
+    assert len(full) == 5
+    # the full-precision representation IS the ground truth
+    assert all(r["recall_pct"] == 100 for r in full)
+    bytes_by_variant = {r["variant"]: r["bytes_per_vec"] for r in rows}
+    assert bytes_by_variant == {
+        "full_fp32": 256,
+        "dim32": 128,
+        "dim16": 64,
+        "int8": 68,
+    }
