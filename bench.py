@@ -200,13 +200,15 @@ HEADLINE = [
     # same plan shape as their listed twins (operating-point variants).
     "cogbk_sorted_stream",
     "media_egress_pipeline",
-    # round-8 batch 2: BM25 joins as the lexical-retrieval family's first
-    # representative (slot opened by the pii_detection_stats retirement).
-    # normalized_exact_dedup / char_entropy_quality /
-    # embedding_compression_recall stay off-headline: same-plan twins or
-    # operating-point variants of listed queries (dedup_exact,
-    # repetition_ratio_quality, ann_recall_report precedents).
-    "bm25_retrieval_topk",
+    # round-8 batch 2: hybrid RRF fusion represents the new retrieval
+    # family (slot opened by the pii_detection_stats retirement) — its
+    # lexical leg IS the full bm25_retrieval_topk plan, so BM25 is
+    # exercised by this headline in whole. normalized_exact_dedup /
+    # char_entropy_quality / embedding_compression_recall stay
+    # off-headline: same-plan twins or operating-point variants of listed
+    # queries (dedup_exact, repetition_ratio_quality, ann_recall_report
+    # precedents).
+    "hybrid_rrf_fusion",
 ]
 
 

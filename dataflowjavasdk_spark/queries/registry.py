@@ -105,6 +105,7 @@ _PRIORITY: tuple[str, ...] = (
     "char_entropy_quality",
     "bm25_retrieval_topk",
     "embedding_compression_recall",
+    "hybrid_rrf_fusion",
     # (3) round-8 changed re-entries: _CHANGED_THIS_ROUND (r07 rows
     # describing pre-change code) + the format sinks whose read path
     # gained the crash-leftover exclusions (r05/r06 evidence)

@@ -29,10 +29,9 @@ _BM25_K = 10  # top-k per query
 _QUERY_TERMS = 4  # first-N tokens of each query doc form its term set
 
 
-@query(
-    "bm25_retrieval_topk",
-    oracle=f"""
-    WITH tok AS (
+# The BM25 CTE chain, shared by bm25_retrieval_topk and the RRF fusion
+# oracle (identical text in both places — the cross-engine contract).
+_BM25_CTES = f"""tok AS (
       SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
       FROM documents
     ),
@@ -70,13 +69,22 @@ _QUERY_TERMS = 4  # first-N tokens of each query doc form its term set
     scored AS (
       SELECT query_id, doc_id, CAST(sum(micro) AS BIGINT) AS score_micro
       FROM contrib GROUP BY query_id, doc_id
-    )
-    SELECT query_id, doc_id, score_micro, rk FROM (
-      SELECT query_id, doc_id, score_micro,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY score_micro DESC, doc_id) AS rk
-      FROM scored)
-    WHERE rk <= {_BM25_K}
+    ),
+    bm25_top AS (
+      SELECT query_id, doc_id, score_micro, rk FROM (
+        SELECT query_id, doc_id, score_micro,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score_micro DESC, doc_id) AS rk
+        FROM scored)
+      WHERE rk <= {_BM25_K}
+    )"""
+
+
+@query(
+    "bm25_retrieval_topk",
+    oracle=f"""
+    WITH {_BM25_CTES}
+    SELECT query_id, doc_id, score_micro, rk FROM bm25_top
     """,
 )
 def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,6 +112,12 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     to drop stopword query terms — the fixture's tiny vocabulary makes
     every term hot, which this plan survives by construction (per-term
     postings stream through the equi-join)."""
+    return _bm25_ranked(spark, sf_dir)
+
+
+def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, score_micro, rk≤10) — shared by the registered
+    BM25 query and hybrid_rrf_fusion's lexical leg."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tok = docs.select(
         "doc_id", F.explode(T.tokens("text")).alias("term")
@@ -362,4 +376,120 @@ def embedding_compression_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recall_pct"),
         F.max(bytes_col).cast("long").alias("bytes_per_vec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the lexical and dense legs
+
+_RRF_C = 60  # the standard RRF damping constant (Cormack et al.)
+_RRF_PTS = "floor(1000000000.0 / ({c} + rk))::BIGINT".format(c=_RRF_C)
+
+_DENSE_CTES = f"""dq AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < 3
+    ),
+    dense_top AS (
+      SELECT query_id, doc_id, rk FROM (
+        SELECT dq.query_id, e.vec_id AS doc_id,
+               row_number() OVER (PARTITION BY dq.query_id
+                                  ORDER BY {_sql_cos('dq.qv', 'e.embedding')} DESC,
+                                           e.vec_id) AS rk
+        FROM dq CROSS JOIN embeddings e WHERE e.vec_id <> dq.query_id)
+      WHERE rk <= {_BM25_K}
+    )"""
+
+
+@query(
+    "hybrid_rrf_fusion",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    {_DENSE_CTES},
+    u AS (
+      SELECT query_id, doc_id, {_RRF_PTS} AS pts,
+             1 AS is_lex, 0 AS is_dense
+      FROM bm25_top
+      UNION ALL
+      SELECT query_id, doc_id, {_RRF_PTS} AS pts,
+             0 AS is_lex, 1 AS is_dense
+      FROM dense_top
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             CAST(sum(pts) AS BIGINT) AS rrf_nano,
+             CAST(max(is_lex) AS BIGINT) AS in_lexical,
+             CAST(max(is_dense) AS BIGINT) AS in_dense
+      FROM u GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rrf_nano, in_lexical, in_dense, rk FROM (
+      SELECT query_id, doc_id, rrf_nano, in_lexical, in_dense,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf_nano DESC, doc_id) AS rk
+      FROM fused)
+    WHERE rk <= {_BM25_K}
+    """,
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (round 8) — the
+    production RAG composition the two retrieval legs exist FOR: BM25's
+    lexical top-10 (the _bm25_ranked chain, shared code AND shared oracle
+    CTE text) fused with dense cosine top-10 over the same query ids
+    (vec_id < 3 ≡ doc_id < 3 — the fixture keys embeddings by doc id).
+    RRF score = Σ_legs 1/(60 + rank), the rank-only fusion that needs NO
+    score calibration between incommensurable scorers — which is exactly
+    why production uses it.
+
+    Cross-engine exactness: each leg's contribution is
+    floor(1e9/(60+rank)) — an exact int64 from an exact int rank — so the
+    fused score is an integer SUM (commutative, fold-order-free), the
+    same structural trick as BM25's micro-units; ties break on doc_id.
+    in_lexical/in_dense flags make the fusion auditable: a doc surfaced
+    by one leg only is visible, which is the operational signal for
+    re-weighting legs.
+
+    Scale shape: strictly the union of the two legs' audited shapes
+    (postings equi-join + broadcast query set), then ONE bounded exchange
+    over the ≤ 2·k·|queries| fused rows — fusion itself is free at any
+    corpus size because it only ever touches the legs' top-k relations."""
+    lex = _bm25_ranked(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dq = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    from dataflowjavasdk_spark.functions import similarity as S
+
+    scored = emb.join(
+        F.broadcast(dq), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        S.cosine(F.col("qv"), F.col("embedding")).alias("s"),
+    )
+    wd = W.partitionBy("query_id").orderBy(F.col("s").desc(), "doc_id")
+    dense = (
+        scored.withColumn("rk", F.row_number().over(wd))
+        .filter(F.col("rk") <= _BM25_K)
+        .select("query_id", "doc_id", "rk")
+    )
+    pts = F.floor(F.lit(1_000_000_000.0) / (F.lit(_RRF_C) + F.col("rk"))).cast(
+        "long"
+    )
+    u = lex.select(
+        "query_id", "doc_id", pts.alias("pts"),
+        F.lit(1).alias("is_lex"), F.lit(0).alias("is_dense"),
+    ).unionByName(
+        dense.select(
+            "query_id", "doc_id", pts.alias("pts"),
+            F.lit(0).alias("is_lex"), F.lit(1).alias("is_dense"),
+        )
+    )
+    fused = u.groupBy("query_id", "doc_id").agg(
+        F.sum("pts").cast("long").alias("rrf_nano"),
+        F.max("is_lex").cast("long").alias("in_lexical"),
+        F.max("is_dense").cast("long").alias("in_dense"),
+    )
+    wf = W.partitionBy("query_id").orderBy(F.col("rrf_nano").desc(), "doc_id")
+    return (
+        fused.withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") <= _BM25_K)
     )

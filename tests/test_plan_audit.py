@@ -251,6 +251,7 @@ def test_no_cartesian_products_anywhere(spark):
         "bm25_retrieval_topk",          # 1-row N/avgdl stats broadcast
         "embedding_compression_recall",  # query-set broadcast, non-equi (≠),
                                          # the cosine_topk_bruteforce shape
+        "hybrid_rrf_fusion",            # composes both shapes above
     }
     for name in all_queries():
         p = _plan(spark, name)

@@ -102,3 +102,67 @@ def test_compression_recall_self_check_and_bounds(spark):
         "dim16": 64,
         "int8": 68,
     }
+
+
+def test_rrf_fusion_exactly_recomputable_from_legs(spark):
+    """The fused score must equal the python-side recomputation from the
+    two legs' ranks — catches any defect in the union, the point
+    function, or the flag accounting."""
+    from dataflowjavasdk_spark.queries.retrieval import _bm25_ranked, _RRF_C
+
+    lex = {
+        (r["query_id"], r["doc_id"]): r["rk"]
+        for r in _bm25_ranked(spark, SMOKE_SF).collect()
+    }
+    # dense leg recomputed through the registered brute-force shape:
+    # rebuild it exactly as the query does (cosine desc, vec_id tiebreak)
+    emb = spark.read.parquet(f"{SMOKE_SF}/embeddings.parquet")
+    import math
+
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    def cos(a, b):
+        # sequential left-fold double arithmetic — the engine's contract
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+            na += float(x) * float(x)
+            nb += float(y) * float(y)
+        return dot / math.sqrt(na * nb)
+
+    dense = {}
+    for qid in (0, 1, 2):
+        ranked = sorted(
+            ((cos(vecs[qid], v), vid) for vid, v in vecs.items() if vid != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:10]
+        for rk, (_, vid) in enumerate(ranked, start=1):
+            dense[(qid, vid)] = rk
+
+    expected = {}
+    for (qid, did), rk in lex.items():
+        expected.setdefault((qid, did), [0, 0, 0])
+        expected[(qid, did)][0] += math.floor(1e9 / (_RRF_C + rk))
+        expected[(qid, did)][1] = 1
+    for (qid, did), rk in dense.items():
+        expected.setdefault((qid, did), [0, 0, 0])
+        expected[(qid, did)][0] += math.floor(1e9 / (_RRF_C + rk))
+        expected[(qid, did)][2] = 1
+
+    got = get("hybrid_rrf_fusion").fn(spark, SMOKE_SF).collect()
+    assert got and all(r["rk"] <= 10 for r in got)
+    for r in got:
+        key = (r["query_id"], r["doc_id"])
+        exp_score, exp_lex, exp_dense = expected[key]
+        assert r["rrf_nano"] == exp_score, key
+        assert r["in_lexical"] == exp_lex and r["in_dense"] == exp_dense, key
+    # the emitted top-10 is exactly the 10 highest expected fused scores
+    for qid in (0, 1, 2):
+        exp_top = sorted(
+            ((v[0], did) for (q, did), v in expected.items() if q == qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:10]
+        got_q = sorted(
+            (r for r in got if r["query_id"] == qid), key=lambda r: r["rk"]
+        )
+        assert [(r["rrf_nano"], r["doc_id"]) for r in got_q] == exp_top
