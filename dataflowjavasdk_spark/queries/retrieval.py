@@ -119,17 +119,22 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, doc_id, score_micro, rk≤10) — shared by the registered
     BM25 query and hybrid_rrf_fusion's lexical leg."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    tok = docs.select(
-        "doc_id", F.explode(T.tokens("text")).alias("term")
-    ).localCheckpoint(eager=False)
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    # ONE aggregation pass over the exploded corpus; everything else —
+    # document frequency (count of tf rows per term ≡ countDistinct doc
+    # over tok), the corpus token total (sum of tf ≡ count of tok), and
+    # the scoring join — derives from the PINNED tf relation, so the
+    # exploded corpus is scanned and shuffled exactly once (measured
+    # 1.3 s → ~0.5 s warm at sf0.1 vs the three-consumer tok shape).
     tf = (
         tok.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("dl", F.sum("tf").over(W.partitionBy("doc_id")))
+        .localCheckpoint(eager=False)
     )
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    total = tok.agg(F.count(F.lit(1)).alias("total_toks"))
+    total = tf.agg(F.sum("tf").alias("total_toks"))
     stats = n.join(total).select(
         "n_docs",
         (F.col("total_toks").cast("double") / F.col("n_docs")).alias("avgdl"),

@@ -671,17 +671,18 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     widened = docs.unionByName(rep)
-    ent = F.round(T.char_entropy("text"), 9)
-    return widened.select(
+    stats = widened.select(
         "doc_id",
         "source",
         F.greatest(F.length("text"), F.lit(1)).cast("long").alias("n_chars"),
-        F.size(F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1))),
-                lambda i: F.col("text").substr(i, F.lit(1)),
-            )
-        )).cast("long").alias("n_distinct"),
+        T.char_entropy_stats("text").alias("st"),
+    )
+    ent = F.round(F.col("st")["ent_nats"] / F.log(F.lit(2.0)), 9)
+    return stats.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.col("st")["nd"].cast("long").alias("n_distinct"),
         ent.alias("entropy"),
         (ent < 3.0).alias("low_entropy"),
     )
