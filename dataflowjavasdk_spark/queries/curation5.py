@@ -386,3 +386,95 @@ def embedding_dispersion_by_label(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("double")
         .alias("mean_centroid_cosine"),
     )
+
+
+_SOURCE_CAP = 15  # max docs kept per source (bites at sf0.01: ~25/source)
+
+
+@query(
+    "source_quality_cap",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks,
+             length(text)::DOUBLE AS n_chars
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source, len(toks) AS n_tokens,
+             0.4 * least(greatest(len(toks), 1)::DOUBLE / 200.0, 1.0)
+             + 0.3 * (CASE WHEN n_chars / greatest(len(toks), 1)
+                                BETWEEN 3.0 AND 10.0
+                           THEN 1.0 ELSE 0.5 END)
+             + 0.3 * (len(list_distinct(toks))::DOUBLE
+                      / greatest(len(toks), 1)) AS quality
+      FROM feat
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_tokens,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id) AS rk
+      FROM scored
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rk <= {_SOURCE_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rk > {_SOURCE_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN rk <= {_SOURCE_CAP} THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS kept_tokens,
+           CAST(sum(CASE WHEN rk > {_SOURCE_CAP} THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS dropped_tokens
+    FROM ranked GROUP BY source
+    """,
+)
+def source_quality_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-ranked cap (round 8) — the per-DOMAIN cap every
+    web-scale pipeline applies against SEO farms and over-crawled hosts:
+    keep at most _SOURCE_CAP (15) documents per source, chosen by quality
+    score (functions/text.py::quality_score) with doc_id as the deterministic
+    tiebreak, and account the kept/dropped token mass per source. This is
+    the RANKED counterpart of the probabilistic samplers
+    (stratified_source_mix samples proportionally;
+    weighted_sample_per_source hashes) — a cap selects the BEST N, not a
+    random N, which is what production does when the per-domain excess is
+    adversarial rather than redundant.
+
+    Cross-engine exactness: the quality score is fixed IEEE arithmetic
+    over exact integer features (the language_id_quality contract), so
+    ranks match bit-for-bit and every emitted number is an integer.
+
+    Scale shape: ONE exchange on the source key; row_number + the
+    capped/uncapped conditional sums all ride that single partitioning
+    (the window and the rollup share it), and nothing corpus-sized moves
+    twice. A skewed mega-domain streams through one partition's sorter
+    (UnsafeExternalSorter spills; at 100 TB the salting escape hatch in
+    salted_join_hot_keys applies if one domain dominates a task)."""
+    from pyspark.sql.window import Window as W
+
+    from dataflowjavasdk_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).alias("n_tokens"),
+        T.quality_score("text").alias("quality"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(F.col("quality").desc(), "doc_id")
+    )
+    ranked = scored.withColumn("rk", rk)
+    kept = F.col("rk") <= _SOURCE_CAP
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(~kept, 1).otherwise(0)).cast("long").alias("n_dropped"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+        F.sum(F.when(~kept, F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("dropped_tokens"),
+    )

@@ -106,6 +106,8 @@ _PRIORITY: tuple[str, ...] = (
     "bm25_retrieval_topk",
     "embedding_compression_recall",
     "hybrid_rrf_fusion",
+    "retrieval_label_precision",
+    "source_quality_cap",
     # (3) round-8 changed re-entries: _CHANGED_THIS_ROUND (r07 rows
     # describing pre-change code) + the format sinks whose read path
     # gained the crash-leftover exclusions (r05/r06 evidence)

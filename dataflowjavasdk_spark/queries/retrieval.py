@@ -115,6 +115,30 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25_ranked(spark, sf_dir)
 
 
+def _dense_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, rk≤10) — dense cosine brute-force leg over the
+    same query ids as the BM25 leg (vec_id < 3 ≡ doc_id < 3)."""
+    from dataflowjavasdk_spark.functions import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dq = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = emb.join(
+        F.broadcast(dq), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        S.cosine(F.col("qv"), F.col("embedding")).alias("s"),
+    )
+    wd = W.partitionBy("query_id").orderBy(F.col("s").desc(), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(wd))
+        .filter(F.col("rk") <= _BM25_K)
+        .select("query_id", "doc_id", "rk")
+    )
+
+
 def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, doc_id, score_micro, rk≤10) — shared by the registered
     BM25 query and hybrid_rrf_fusion's lexical leg."""
@@ -124,8 +148,9 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # document frequency (count of tf rows per term ≡ countDistinct doc
     # over tok), the corpus token total (sum of tf ≡ count of tok), and
     # the scoring join — derives from the PINNED tf relation, so the
-    # exploded corpus is scanned and shuffled exactly once (measured
-    # 1.3 s → ~0.5 s warm at sf0.1 vs the three-consumer tok shape).
+    # exploded corpus is scanned and shuffled exactly once (the
+    # three-consumer tok shape re-aggregated the raw explode per branch;
+    # bench-protocol steady state at sf0.1 is ~85 ms on a loaded host).
     tf = (
         tok.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -405,12 +430,9 @@ _DENSE_CTES = f"""dq AS (
     )"""
 
 
-@query(
-    "hybrid_rrf_fusion",
-    oracle=f"""
-    WITH {_BM25_CTES},
-    {_DENSE_CTES},
-    u AS (
+# Fusion CTE chain on top of bm25_top + dense_top — shared by the RRF
+# query and the label-precision eval.
+_RRF_CTES = f"""u AS (
       SELECT query_id, doc_id, {_RRF_PTS} AS pts,
              1 AS is_lex, 0 AS is_dense
       FROM bm25_top
@@ -425,13 +447,25 @@ _DENSE_CTES = f"""dq AS (
              CAST(max(is_lex) AS BIGINT) AS in_lexical,
              CAST(max(is_dense) AS BIGINT) AS in_dense
       FROM u GROUP BY query_id, doc_id
-    )
-    SELECT query_id, doc_id, rrf_nano, in_lexical, in_dense, rk FROM (
-      SELECT query_id, doc_id, rrf_nano, in_lexical, in_dense,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY rrf_nano DESC, doc_id) AS rk
-      FROM fused)
-    WHERE rk <= {_BM25_K}
+    ),
+    rrf_top AS (
+      SELECT query_id, doc_id, rrf_nano, in_lexical, in_dense, rk FROM (
+        SELECT query_id, doc_id, rrf_nano, in_lexical, in_dense,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rrf_nano DESC, doc_id) AS rk
+        FROM fused)
+      WHERE rk <= {_BM25_K}
+    )"""
+
+
+@query(
+    "hybrid_rrf_fusion",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    {_DENSE_CTES},
+    {_RRF_CTES}
+    SELECT query_id, doc_id, rrf_nano, in_lexical, in_dense, rk
+    FROM rrf_top
     """,
 )
 def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -456,26 +490,13 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (postings equi-join + broadcast query set), then ONE bounded exchange
     over the ≤ 2·k·|queries| fused rows — fusion itself is free at any
     corpus size because it only ever touches the legs' top-k relations."""
-    lex = _bm25_ranked(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    dq = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    from dataflowjavasdk_spark.functions import similarity as S
+    return _rrf_from_legs(_bm25_ranked(spark, sf_dir), _dense_ranked(spark, sf_dir))
 
-    scored = emb.join(
-        F.broadcast(dq), F.col("vec_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("doc_id"),
-        S.cosine(F.col("qv"), F.col("embedding")).alias("s"),
-    )
-    wd = W.partitionBy("query_id").orderBy(F.col("s").desc(), "doc_id")
-    dense = (
-        scored.withColumn("rk", F.row_number().over(wd))
-        .filter(F.col("rk") <= _BM25_K)
-        .select("query_id", "doc_id", "rk")
-    )
+
+def _rrf_from_legs(lex: DataFrame, dense: DataFrame) -> DataFrame:
+    """RRF fusion of two already-ranked legs — shared by the registered
+    fusion query and the label-precision eval (which pins the legs so
+    each is computed once across fusion AND per-leg scoring)."""
     pts = F.floor(F.lit(1_000_000_000.0) / (F.lit(_RRF_C) + F.col("rk"))).cast(
         "long"
     )
@@ -497,4 +518,82 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fused.withColumn("rk", F.row_number().over(wf))
         .filter(F.col("rk") <= _BM25_K)
+    )
+
+
+@query(
+    "retrieval_label_precision",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    {_DENSE_CTES},
+    {_RRF_CTES},
+    legs AS (
+      SELECT 'lexical' AS leg, query_id, doc_id FROM bm25_top
+      UNION ALL SELECT 'dense', query_id, doc_id FROM dense_top
+      UNION ALL SELECT 'fused', query_id, doc_id FROM rrf_top
+    ),
+    lab AS (SELECT vec_id, label FROM embeddings)
+    SELECT l.leg, l.query_id,
+           CAST(ql.label AS BIGINT) AS query_label,
+           CAST(sum(CASE WHEN dl.label = ql.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(sum(CASE WHEN dl.label = ql.label THEN 1 ELSE 0 END) * 10
+                AS BIGINT) AS precision_pct
+    FROM legs l
+    JOIN lab dl ON dl.vec_id = l.doc_id
+    JOIN lab ql ON ql.vec_id = l.query_id
+    GROUP BY l.leg, l.query_id, ql.label
+    """,
+)
+def retrieval_label_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval over a relevance proxy (round 8): the
+    embeddings table carries a class `label` per vector, so
+    "retrieved doc shares the query's label" is a measurable relevance
+    signal — precision@10 per leg (lexical BM25, dense cosine, RRF
+    fused) per query, all three legs sharing the exact chains of their
+    registered queries (same code, same oracle CTE text). This is the
+    table that justifies — or indicts — each leg. Measured on the sf0.01
+    fixtures: EVERY leg sits at the ~10% random-match floor (lexical
+    mean 10%, dense 13%, fused 10% over the 3 queries) — the synthetic
+    text AND embeddings are label-independent, and the eval exists
+    precisely to MEASURE that instead of assuming retrieval quality; on
+    a real corpus this table is the per-leg weighting signal (the
+    measured counterpart of ann_recall_report's candidate-starvation
+    column).
+
+    n_hits is an exact integer count and precision_pct = n_hits·10, so
+    the whole eval value-hashes with no float output.
+
+    Scale shape: the three legs' audited shapes, then label attachment
+    via an equi-join against the (id,label) projection — at 100 TB the
+    label relation streams by id while each leg's contribution stays
+    ≤ k·|queries| rows; the final rollup is a bounded exchange."""
+    # pin each leg: both the per-leg rows AND the fused leg consume them,
+    # and Spark recomputes two-branch subplans (the tfidf lesson)
+    lex = _bm25_ranked(spark, sf_dir).localCheckpoint(eager=False)
+    dense = _dense_ranked(spark, sf_dir).localCheckpoint(eager=False)
+    legs = None
+    for name, t in (
+        ("lexical", lex),
+        ("dense", dense),
+        ("fused", _rrf_from_legs(lex, dense)),
+    ):
+        tagged = t.select(F.lit(name).alias("leg"), "query_id", "doc_id")
+        legs = tagged if legs is None else legs.unionByName(tagged)
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    doc_lab = lab.select(
+        F.col("vec_id").alias("doc_id"), F.col("label").alias("doc_label")
+    )
+    q_lab = lab.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("query_label")
+    )
+    hit = F.when(F.col("doc_label") == F.col("query_label"), 1).otherwise(0)
+    return (
+        legs.join(doc_lab, "doc_id")
+        .join(F.broadcast(q_lab), "query_id")
+        .groupBy("leg", "query_id", F.col("query_label").cast("long").alias("query_label"))
+        .agg(
+            F.sum(hit).cast("long").alias("n_hits"),
+            (F.sum(hit) * 10).cast("long").alias("precision_pct"),
+        )
     )

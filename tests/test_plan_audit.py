@@ -252,6 +252,7 @@ def test_no_cartesian_products_anywhere(spark):
         "embedding_compression_recall",  # query-set broadcast, non-equi (≠),
                                          # the cosine_topk_bruteforce shape
         "hybrid_rrf_fusion",            # composes both shapes above
+        "retrieval_label_precision",    # composes all three retrieval legs
     }
     for name in all_queries():
         p = _plan(spark, name)

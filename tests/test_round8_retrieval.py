@@ -166,3 +166,29 @@ def test_rrf_fusion_exactly_recomputable_from_legs(spark):
             (r for r in got if r["query_id"] == qid), key=lambda r: r["rk"]
         )
         assert [(r["rrf_nano"], r["doc_id"]) for r in got_q] == exp_top
+
+
+def test_label_precision_grid_and_bounds(spark):
+    rows = get("retrieval_label_precision").fn(spark, SMOKE_SF).collect()
+    grid = {(r["leg"], r["query_id"]) for r in rows}
+    assert grid == {
+        (leg, q) for leg in ("lexical", "dense", "fused") for q in (0, 1, 2)
+    }
+    for r in rows:
+        assert 0 <= r["n_hits"] <= 10
+        assert r["precision_pct"] == r["n_hits"] * 10
+
+
+def test_source_quality_cap_accounting(spark):
+    rows = get("source_quality_cap").fn(spark, SMOKE_SF).collect()
+    docs = spark.read.parquet(f"{SMOKE_SF}/documents.parquet")
+    n_sources = docs.select("source").distinct().count()
+    assert len(rows) == n_sources
+    for r in rows:
+        assert r["n_kept"] + r["n_dropped"] == r["n_docs"]
+        assert r["n_kept"] <= 15
+        # dropped implies the cap was binding
+        assert r["n_dropped"] == max(0, r["n_docs"] - 15)
+        assert r["kept_tokens"] >= 0 and r["dropped_tokens"] >= 0
+        if r["n_dropped"] == 0:
+            assert r["dropped_tokens"] == 0

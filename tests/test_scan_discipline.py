@@ -45,6 +45,12 @@ _ALLOW = {
     # the first ADC join. Optimizer-added, pruned, and beneficial —
     # not a lost pin.
     "pq_adc_topk": 5,
+    # 3 retrieval legs share TWO lazily-pinned rankings (lex, dense);
+    # the static optimized plan duplicates each pinned subtree's lineage
+    # (2 embeddings scans in the dense ranking × 2 textual references)
+    # + the (id,label) projections ×2 = 6, but execution materializes
+    # each checkpoint ONCE — the duplicates are plan text, not scans.
+    "retrieval_label_precision": 6,
 }
 # Queries that were the round-3 recompute bugs: their fact relation must
 # now appear at most this many times (they were 22/18/11/6/6 before).
