@@ -128,10 +128,11 @@ def char_entropy_stats(col: str | Column) -> Column:
         return (r / ln_) * F.log(ln_ / r)
 
     # accumulator: (prev char, current run length, entropy in nats,
-    # distinct count). NUL sentinel never occurs in text, so the first
-    # element always opens a run.
+    # distinct count). run == 0 marks the pre-first-element state, so the
+    # first element ALWAYS opens a run — no sentinel char value is
+    # assumed (a real leading \\x00 would have collided with one).
     init = F.struct(
-        F.lit("\x00").alias("prev"),
+        F.lit("").alias("prev"),
         F.lit(0).cast("long").alias("run"),
         F.lit(0.0).alias("ent"),
         F.lit(0).cast("long").alias("nd"),
@@ -152,7 +153,9 @@ def char_entropy_stats(col: str | Column) -> Column:
             .alias("ent"),
             (acc["nd"] + 1).alias("nd"),
         )
-        return F.when(ch == acc["prev"], extend).otherwise(open_run)
+        return F.when(
+            (acc["run"] > 0) & (ch == acc["prev"]), extend
+        ).otherwise(open_run)
 
     def finish(acc: Column) -> Column:
         return F.struct(

@@ -2106,7 +2106,7 @@ def normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-punctuated-mirror branch (doc_id % 10 == 5 → +3,000,000,
     upper(text) || ' !!'): every injected mirror MUST land in its
     original's group here and MUST NOT in dedup_exact — that containment
-    delta is asserted in tests/test_dedup_similarity.py.
+    delta is asserted in tests/test_round8_retrieval.py.
 
     Scale shape identical to dedup_exact: normalization is a row-local
     regexp chain inside the projection (functions/text.py::

@@ -205,13 +205,10 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Embedding-compression recall ladder
 
-_SQL_DOT = """
-  list_reduce(
-    list_prepend(0.0::DOUBLE,
-      list_transform(list_zip({a}, {b}),
-                     p -> p[1]::DOUBLE * p[2]::DOUBLE)),
-    (x, y) -> x + y)
-"""
+# The float dot/cosine SQL comes from queries/similarity.py (one source
+# of truth for the sequential-left-fold contract); only the INT64 dot —
+# unique to the quantized representation — is defined here.
+from dataflowjavasdk_spark.queries.similarity import _sql_cosine as _sql_cos
 
 _SQL_IDOT = """
   list_reduce(
@@ -219,13 +216,6 @@ _SQL_IDOT = """
       list_transform(list_zip({a}, {b}), p -> p[1] * p[2])),
     (x, y) -> x + y)
 """
-
-
-def _sql_cos(a: str, b: str) -> str:
-    dot = _SQL_DOT.format(a=a, b=b)
-    na = _SQL_DOT.format(a=a, b=a)
-    nb = _SQL_DOT.format(a=b, b=b)
-    return f"({dot}) / sqrt(({na}) * ({nb}))"
 
 
 def _sql_icos(a: str, b: str) -> str:
@@ -300,7 +290,7 @@ def embedding_compression_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     decides whether a 100 TB vector store can run at a quarter of the
     scan bandwidth. The full_fp32 row is the ladder's built-in
     self-check: it IS the ground truth, so its recall_pct must be 100
-    (asserted in tests/test_dedup_similarity.py, with the bytes-ordering
+    (asserted in tests/test_round8_retrieval.py, with the bytes-ordering
     invariant: n_exact == 10 on every row, recall integers in [0,100]).
 
     Cross-engine exactness: int8 codes are floor(x·127/absmax) — floor is
@@ -320,19 +310,6 @@ def embedding_compression_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     would hold."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    def q8(v):
-        amax = F.greatest(
-            F.aggregate(
-                F.transform(v, lambda x: F.abs(x.cast("double"))),
-                F.lit(0.0),
-                lambda a, c: F.greatest(a, c),
-            ),
-            F.lit(1e-30),
-        )
-        return F.transform(
-            v, lambda x: F.floor(x.cast("double") * 127.0 / amax).cast("long")
-        )
-
     def idot(a, b):
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: x * y),
@@ -340,12 +317,34 @@ def embedding_compression_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         )
 
+    # absmax is projected as its OWN column first: embedding it inside
+    # the quantizer lambda would re-evaluate the d-op fold once per
+    # element (O(d²)/row — the re-evaluated-lambda trap char_entropy's
+    # rewrite documents). A named lambda variable via
+    # aggregate's finish hop keeps it one evaluation even if projection
+    # collapse inlines the column.
+    amax = F.greatest(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))),
+            F.lit(0.0),
+            lambda a, c: F.greatest(a, c),
+        ),
+        F.lit(1e-30),
+    )
+    codes = F.aggregate(
+        F.array(amax),  # 1-element array: bind amax ONCE as a lambda arg
+        F.lit(None).cast("array<long>"),
+        lambda _acc, m: F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 127.0 / m).cast("long"),
+        ),
+    )
     reps = emb.select(
         "vec_id",
         "embedding",
         F.slice("embedding", 1, 32).alias("v32"),
         F.slice("embedding", 1, 16).alias("v16"),
-        q8(F.col("embedding")).alias("q8"),
+        codes.alias("q8"),
     ).localCheckpoint(eager=False)
     in_q = (F.col("vec_id") >= 10) & (F.col("vec_id") < 15)
     qs = reps.filter(in_q).select(

@@ -653,13 +653,14 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     make-the-operating-point-visible discipline as dedup's _corpus
     dup-injection branches.
 
-    Scale shape: functions/text.py::char_entropy is a pure Column
-    expression (O(distinct_chars × length) per row, row-local), so the
-    whole gate is ONE corpus scan with ZERO shuffles — strictly map-side
-    at 100 TB. The entropy fold runs over the SORTED distinct-char list
-    in both engines (identical fold order) and rounds to 9 dp (ln ulp
-    discipline, tfidf precedent); the < 3.0 flag compares the ROUNDED
-    value so the boolean matches bit-for-bit too."""
+    Scale shape: functions/text.py::char_entropy_stats is a pure Column
+    expression — ONE sorted run-length fold per row (O(L log L),
+    row-local), so the whole gate is ONE corpus scan with ZERO shuffles —
+    strictly map-side at 100 TB. Entropy contributions are added in
+    ascending-char order in both engines (the oracle folds over
+    list_sort(list_distinct(cs)) — same terms, same order) and round to
+    9 dp (ln ulp discipline, tfidf precedent); the < 3.0 flag compares
+    the ROUNDED value so the boolean matches bit-for-bit too."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     tok1 = F.element_at(T.tokens("text"), 1)
     rep = (

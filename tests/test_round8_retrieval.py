@@ -192,3 +192,22 @@ def test_source_quality_cap_accounting(spark):
         assert r["kept_tokens"] >= 0 and r["dropped_tokens"] >= 0
         if r["n_dropped"] == 0:
             assert r["dropped_tokens"] == 0
+
+
+def test_char_entropy_handles_leading_nul(spark):
+    """The run-length fold must not treat any real character as the
+    pre-first-element state (a NUL sentinel once did)."""
+    import math
+
+    df = spark.createDataFrame([("\x00\x00a",), ("\x00",)], "s string")
+    rows = (
+        df.select("s", T.char_entropy_stats("s").alias("st"))
+        .collect()
+    )
+    by_s = {r["s"]: r["st"] for r in rows}
+    assert by_s["\x00"]["nd"] == 1
+    assert by_s["\x00"]["ent_nats"] == 0.0
+    st = by_s["\x00\x00a"]
+    assert st["nd"] == 2
+    expected = (2 / 3) * math.log(3 / 2) + (1 / 3) * math.log(3)
+    assert abs(st["ent_nats"] - expected) < 1e-12
