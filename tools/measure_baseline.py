@@ -204,6 +204,69 @@ def spark_queries(spark):
             ).alias("tfidf"),
         )
 
+    def bm25_plain():
+        # Plain user's BM25 (round-8 twin of bm25_retrieval_topk): the
+        # obvious code — driver-side count() for N and avgdl (two extra
+        # full passes), no pinning (tok recomputes for tf and df), df via
+        # countDistinct on the raw explode, same floor-to-micro scoring.
+        from pyspark.sql.window import Window as W
+
+        tok = docs.select(
+            "doc_id", F.explode(F.split("text", r"\s+")).alias("term")
+        ).filter(F.col("term") != "")
+        tf = (
+            tok.groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn("dl", F.sum("tf").over(W.partitionBy("doc_id")))
+        )
+        dfr = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+        n_docs = docs.count()
+        avgdl = tok.count() / n_docs
+        qterms = docs.filter(F.col("doc_id") < 3).select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.array_distinct(
+                    F.slice(
+                        F.filter(
+                            F.split("text", r"\s+"), lambda t: t != F.lit("")
+                        ),
+                        1,
+                        4,
+                    )
+                )
+            ).alias("term"),
+        )
+        idf = F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+            9,
+        )
+        tf_part = (F.col("tf").cast("double") * 2.2) / (
+            F.col("tf").cast("double")
+            + 1.2 * (0.25 + 0.75 * F.col("dl").cast("double") / F.lit(avgdl))
+        )
+        contrib = (
+            tf.join(qterms, "term")
+            .filter(F.col("doc_id") != F.col("query_id"))
+            .join(dfr, "term")
+            .select(
+                "query_id",
+                "doc_id",
+                F.floor(idf * tf_part * 1_000_000.0).cast("long").alias("micro"),
+            )
+        )
+        scored = contrib.groupBy("query_id", "doc_id").agg(
+            F.sum("micro").alias("score_micro")
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("score_micro").desc(), "doc_id"
+        )
+        return scored.withColumn("rk", F.row_number().over(w)).filter(
+            F.col("rk") <= 10
+        )
+
     return {
         "q1_pricing_summary": q1,
         "q3_join_agg": q3,
@@ -216,6 +279,7 @@ def spark_queries(spark):
         "quantile_rollup": quantile_rollup,
         "tfidf_regex": tfidf_regex,
         "tfidf_ws": tfidf_ws,
+        "bm25_plain": bm25_plain,
     }
 
 
@@ -306,6 +370,45 @@ DUCK_SQL = {
         SELECT coalesce(event_type, 'ALL') AS scope,
                quantile_cont(value, [0.25, 0.5, 0.75, 0.9]) AS qs
         FROM events GROUP BY ROLLUP(event_type)""",
+    "bm25_plain": """
+        WITH tok AS (
+          SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                            t -> t <> '')) AS term
+          FROM documents),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf,
+                 sum(count(*)) OVER (PARTITION BY doc_id) AS dl
+          FROM tok GROUP BY doc_id, term),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+        stats AS (
+          SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents) AS avgdl),
+        q AS (
+          SELECT doc_id AS query_id,
+                 unnest(list_distinct(
+                   array_slice(list_filter(string_split(text, ' '),
+                                           t -> t <> ''), 1, 4))) AS term
+          FROM documents WHERE doc_id < 3),
+        contrib AS (
+          SELECT q.query_id, tf.doc_id,
+                 floor(round(ln(1.0 + (stats.n_docs - df.df + 0.5)
+                                      / (df.df + 0.5)), 9)
+                       * (tf.tf::DOUBLE * 2.2)
+                       / (tf.tf::DOUBLE
+                          + 1.2 * (0.25 + 0.75 * tf.dl::DOUBLE / stats.avgdl))
+                       * 1000000.0)::BIGINT AS micro
+          FROM tf JOIN q ON q.term = tf.term AND tf.doc_id <> q.query_id
+          JOIN df ON df.term = tf.term CROSS JOIN stats),
+        scored AS (
+          SELECT query_id, doc_id, CAST(sum(micro) AS BIGINT) AS score_micro
+          FROM contrib GROUP BY query_id, doc_id)
+        SELECT query_id, doc_id, score_micro, rk FROM (
+          SELECT query_id, doc_id, score_micro,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score_micro DESC, doc_id) AS rk
+          FROM scored)
+        WHERE rk <= 10""",
 }
 
 
@@ -325,6 +428,7 @@ ENGINE_TWIN = {
     "quantile_rollup": "kll_quantiles_rollup",
     "tfidf_regex": "tfidf_regex",
     "tfidf_ws": "tfidf",
+    "bm25_plain": "bm25_retrieval_topk",
 }
 
 
