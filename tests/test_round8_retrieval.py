@@ -211,3 +211,21 @@ def test_char_entropy_handles_leading_nul(spark):
     assert st["nd"] == 2
     expected = (2 / 3) * math.log(3 / 2) + (1 / 3) * math.log(3)
     assert abs(st["ent_nats"] - expected) < 1e-12
+
+
+def test_bm25_plain_baseline_twin_is_row_identical(spark, monkeypatch):
+    """BASELINE.md's BM25 comparable is only meaningful if the plain
+    formulation computes the SAME relation as the engine query — pin
+    that equivalence (it was hand-verified before the first protocol
+    run; this keeps it true as either side evolves)."""
+    import importlib
+    import sys
+
+    monkeypatch.setattr(sys, "argv", ["measure_baseline", SMOKE_SF])
+    import tools.measure_baseline as mb
+
+    mb = importlib.reload(mb)  # re-reads SF_DIR from the patched argv
+    plain = mb.spark_queries(spark)["bm25_plain"]().collect()
+    engine = get("bm25_retrieval_topk").fn(spark, SMOKE_SF).collect()
+    key = lambda r: (r["query_id"], r["doc_id"], r["score_micro"], r["rk"])
+    assert sorted(map(key, plain)) == sorted(map(key, engine))
