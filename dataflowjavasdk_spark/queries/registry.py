@@ -108,6 +108,7 @@ _PRIORITY: tuple[str, ...] = (
     "hybrid_rrf_fusion",
     "retrieval_label_precision",
     "source_quality_cap",
+    "embedding_dim_energy",
     # (3) round-8 changed re-entries: _CHANGED_THIS_ROUND (r07 rows
     # describing pre-change code) + the format sinks whose read path
     # gained the crash-leftover exclusions (r05/r06 evidence)

@@ -229,3 +229,17 @@ def test_bm25_plain_baseline_twin_is_row_identical(spark, monkeypatch):
     engine = get("bm25_retrieval_topk").fn(spark, SMOKE_SF).collect()
     key = lambda r: (r["query_id"], r["doc_id"], r["score_micro"], r["rk"])
     assert sorted(map(key, plain)) == sorted(map(key, engine))
+
+
+def test_dim_energy_monotone_and_complete(spark):
+    rows = sorted(
+        get("embedding_dim_energy").fn(spark, SMOKE_SF).collect(),
+        key=lambda r: r["idx"],
+    )
+    assert [r["idx"] for r in rows] == list(range(1, 65))
+    assert all(r["variance"] > 0 for r in rows)
+    # cumulative energy is strictly increasing and ends at exactly 100%
+    cums = [r["cum_energy_bp"] for r in rows]
+    assert cums == sorted(cums) and cums[-1] == 10000
+    nanos = [r["cum_var_nano"] for r in rows]
+    assert all(b > a for a, b in zip(nanos, nanos[1:]))
