@@ -40,6 +40,36 @@ def test_doc_has_expected_coverage():
     assert len(names) >= 8, names
 
 
+def test_coverage_header_matches_registry():
+    """COVERAGE.md's headline query count must equal len(all_queries()).
+
+    Round-8 verdict: the header said "195 registered queries" while the
+    registry held 221 — prose drifted 26 queries behind. Pin it: the
+    first "N registered queries" sentence in the doc is asserted against
+    the live registry, so any future addition without a doc bump fails
+    loudly here."""
+    from dataflowjavasdk_spark.queries import all_queries
+
+    n = len(all_queries())
+    doc = os.path.join(os.path.dirname(_DOC), "COVERAGE.md")
+    with open(doc) as fh:
+        text = fh.read()
+    m = re.search(r"(\d+) registered queries", text)
+    assert m, "COVERAGE.md lost its 'N registered queries' headline"
+    assert int(m.group(1)) == n, (
+        f"COVERAGE.md header says {m.group(1)} registered queries; "
+        f"registry holds {n} — update the doc header"
+    )
+    # the definitive closing tally ("Registry: **N queries, all oracled**")
+    # must agree too; mid-round narrative history lines ("Registry now
+    # 220...") are intentionally exempt — they record a moment in time.
+    tallies = {
+        int(x)
+        for x in re.findall(r"^Registry: \*\*(\d+) queries", text, flags=re.M)
+    }
+    assert tallies <= {n}, f"stale closing tally {tallies} vs registry {n}"
+
+
 @pytest.mark.parametrize(("name", "code"), _LABELED, ids=[n for n, _ in _LABELED])
 def test_migration_snippet_runs(spark, name, code):
     exec(compile(code, f"MIGRATION.md::{name}", "exec"), {"spark": spark, "sf": SMOKE_SF})

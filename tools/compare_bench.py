@@ -1,13 +1,23 @@
 """Round-over-round bench regression check.
 
-Compares a BENCH_r{N}.json (or fresh `python bench.py` output) against:
+Compares a BENCH_r{N}.json (or fresh `python bench.py` output / the full
+BENCH.json payload) against:
 1. the previous round's BENCH_r{N-1}.json per query (drift ratio), and
-2. BASELINE.md's same-protocol rows for the externally-comparable
-   queries (q1/q3/tumbling — see tools/measure_baseline.py).
+2. BASELINE.md's same-protocol plain-PySpark rows for the externally
+   comparable queries (the interleaved-protocol tables; see
+   tools/measure_baseline.py).
 
 Flags queries whose warm time regressed beyond the noise band (default
 1.5×, run-to-run spread is roughly ±30 %). Exit code 1 on any flag, so a
-round can gate on it.
+round can gate on it (tests/test_bench_regression.py runs exactly this
+against the two newest committed snapshots).
+
+Units: bench.py's console contract line (what the driver stores under
+BENCH_r{N}.json's `parsed`) carries per-query times as whole MILLISECONDS
+under 7-char truncated names (`queries_unit: "ms"`); the durable
+BENCH.json payload carries full-precision SECONDS under full names.
+`load()` normalizes both to milliseconds, and baseline-row matching
+accepts truncated keys by unique-prefix resolution.
 
 Usage: python tools/compare_bench.py NEW.json [OLD.json]
 """
@@ -21,25 +31,63 @@ import sys
 
 NOISE = 1.5
 
-# BASELINE.md "Same-protocol rows" (ms) — keep in sync with that table
-# (round-4 same-day re-measurement; this machine runs ~35% faster than
-# during round 3, so round-3 rows would overstate headroom).
+# BASELINE.md interleaved same-protocol rows, plain-PySpark column
+# (round-8 continued-session re-measurement, 2026-08-16, sf0.1) — keep in
+# sync with that table. Keys are bench.py HEADLINE names; values are ms.
+# (tumbling_hourly_events is BASELINE.md's "tumbling_window_events" row;
+# tfidf is the "tfidf_ws" row; kll_quantiles_rollup is "quantile_rollup".)
 SAME_PROTOCOL_MS = {
-    "q1_pricing_summary": 39,
-    "q3_join_agg": 43,
-    "tumbling_hourly_events": 40,
+    "q1_pricing_summary": 57.9,
+    "q3_join_agg": 53.8,
+    "tumbling_hourly_events": 40.7,
+    "wordcount": 32.4,
+    "dedup_exact": 54.3,
+    "session_windows_events": 201.7,
+    "topk_per_group": 36.1,
+    "kll_quantiles_rollup": 40.1,
+    "tfidf": 172.5,
 }
 BASELINE_GATE = 2.0  # the driver's "within 2x of BASELINE" bar
 
 
 def load(path: str) -> dict:
-    """Accept either bench.py's raw JSON line or the driver's BENCH_r{N}
-    wrapper ({'parsed': {...}} with the bench line under 'parsed')."""
+    """Load a bench payload and normalize per-query times to MILLISECONDS.
+
+    Accepts bench.py's raw console line, the driver's BENCH_r{N} wrapper
+    ({'parsed': {...}}), or the durable full-name BENCH.json payload.
+    """
     with open(path) as fh:
         d = json.load(fh)
     if "queries" not in d and isinstance(d.get("parsed"), dict):
         d = d["parsed"]
+    if d.get("queries_unit") != "ms":
+        # durable payload: seconds under full names
+        d = dict(d)
+        d["queries"] = {k: v * 1000 for k, v in d["queries"].items()}
+        if isinstance(d.get("first_run"), dict):
+            d["first_run"] = {k: v * 1000 for k, v in d["first_run"].items()}
+        d["queries_unit"] = "ms"
     return d
+
+
+def resolve(full_name: str, keys) -> str | None:
+    """Match a full query name against possibly-truncated bench keys.
+
+    The contract line truncates names to 7 chars (collisions get numeric
+    suffixes — those never match a clean prefix, which is the safe
+    failure: an ambiguous row is skipped, not misattributed). When several
+    keys are prefixes of the name (e.g. "tfidf" and "tfidf_r" for
+    "tfidf_regex"), the longest wins — truncation keeps leading chars, so
+    the longest prefix is the most specific candidate; a tie at the same
+    length is genuinely ambiguous and resolves to None."""
+    if full_name in keys:
+        return full_name
+    hits = [k for k in keys if full_name.startswith(k)]
+    if not hits:
+        return None
+    longest = max(len(k) for k in hits)
+    best = [k for k in hits if len(k) == longest]
+    return best[0] if len(best) == 1 else None
 
 
 def main() -> int:
@@ -61,29 +109,34 @@ def main() -> int:
             print("no distinct prior BENCH_r*.json to compare against", file=sys.stderr)
             return 2
 
-    new = load(new_path)["queries"]
+    new_payload = load(new_path)
+    new = new_payload["queries"]
     flags = []
 
     if old_path:
-        old = load(old_path)["queries"]
+        old_payload = load(old_path)
+        old = old_payload["queries"]
         print(f"vs {os.path.basename(old_path)}:")
         for name, t_new in sorted(new.items()):
-            if name not in old:
-                print(f"  {name:34s} {t_new*1000:8.1f} ms  (new this round)")
+            old_key = resolve(name, old) or next(
+                (k for k in old if k.startswith(name)), None
+            )
+            if old_key is None:
+                print(f"  {name:34s} {t_new:8.1f} ms  (new this round)")
                 continue
-            ratio = t_new / max(old[name], 1e-9)
+            ratio = t_new / max(old[old_key], 1e-9)
             mark = ""
             if ratio > NOISE:
                 mark = "  <-- REGRESSED"
                 flags.append((name, f"{ratio:.2f}x vs prev round"))
-            print(f"  {name:34s} {t_new*1000:8.1f} ms  {ratio:5.2f}x{mark}")
+            print(f"  {name:34s} {t_new:8.1f} ms  {ratio:5.2f}x{mark}")
 
-    # first_run (one-shot pipeline cost incl. checkpoint materialization):
-    # compare when both rounds carry it — pre-checkpoint-stage regressions
-    # are invisible to the steady-state reps above and surface only here.
-    if old_path:
-        new_fr = load(new_path).get("first_run") or {}
-        old_fr = load(old_path).get("first_run") or {}
+        # first_run (one-shot pipeline cost incl. checkpoint
+        # materialization): compare when both rounds carry it —
+        # pre-checkpoint-stage regressions are invisible to the
+        # steady-state reps above and surface only here.
+        new_fr = new_payload.get("first_run") or {}
+        old_fr = old_payload.get("first_run") or {}
         common = sorted(set(new_fr) & set(old_fr))
         if common:
             print("\nfirst_run (one-shot pipeline cost):")
@@ -93,18 +146,19 @@ def main() -> int:
                 if ratio > NOISE:
                     mark = "  <-- REGRESSED"
                     flags.append((name, f"{ratio:.2f}x first_run vs prev round"))
-                print(f"  {name:34s} {new_fr[name]*1000:8.1f} ms  {ratio:5.2f}x{mark}")
+                print(f"  {name:34s} {new_fr[name]:8.1f} ms  {ratio:5.2f}x{mark}")
 
-    print("\nvs BASELINE.md same-protocol rows:")
+    print("\nvs BASELINE.md same-protocol plain-PySpark rows (2x gate):")
     for name, base_ms in SAME_PROTOCOL_MS.items():
-        if name not in new:
+        key = resolve(name, new)
+        if key is None:
             continue
-        ratio = new[name] * 1000 / base_ms
+        ratio = new[key] / base_ms
         mark = ""
         if ratio > BASELINE_GATE:
             mark = "  <-- OVER 2x GATE"
             flags.append((name, f"{ratio:.2f}x vs baseline"))
-        print(f"  {name:34s} {new[name]*1000:8.1f} ms  {ratio:5.2f}x{mark}")
+        print(f"  {name:34s} {new[key]:8.1f} ms  {ratio:5.2f}x{mark}")
 
     if flags:
         print(f"\n{len(flags)} flag(s): {flags}")
