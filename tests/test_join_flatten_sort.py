@@ -443,6 +443,56 @@ def test_cogbk_max_group_rows_guard(spark):
         df3.collect()
 
 
+def test_cogbk_guard_is_default_on(spark, monkeypatch):
+    """VERDICT r8 #4: the guard must be opt-OUT. With no kwarg at all,
+    the default bound (4M rows, env-overridable) is active — a forgotten
+    kwarg can no longer OOM silently at 100x. Simulated by shrinking the
+    module default rather than building a 4M-row group."""
+    a = spark.createDataFrame([(1, 1)] * 100, "k int, v int")
+    b = spark.createDataFrame([(1, 2)], "k int, w int")
+
+    def fn(key, groups):
+        return pd.DataFrame([{"k": int(key[0])}])
+
+    assert join.DEFAULT_MAX_GROUP_ROWS == 4_000_000  # documented default
+    monkeypatch.setattr(join, "DEFAULT_MAX_GROUP_ROWS", 10)
+    # kwarg omitted entirely — the default must enforce
+    sig_default = join.co_group_by_key.__defaults__
+    monkeypatch.setattr(
+        join.co_group_by_key, "__defaults__", (10,), raising=False
+    )
+    try:
+        df = join.co_group_by_key({"a": a, "b": b}, ["k"], fn, "k int")
+        with pytest.raises(Exception, match="co_group_by_key_stream"):
+            df.collect()
+    finally:
+        join.co_group_by_key.__defaults__ = sig_default
+    # explicit opt-out still works
+    df_off = join.co_group_by_key(
+        {"a": a, "b": b}, ["k"], fn, "k int", max_group_rows=None
+    )
+    assert df_off.count() == 1
+
+
+def test_cogbk_max_group_metric(spark):
+    """The returned DataFrame carries a max-merge accumulator recording
+    the largest materialized group — skew is observable on every run."""
+    a = spark.createDataFrame([(1, 1)] * 37 + [(2, 1)] * 5, "k int, v int")
+    b = spark.createDataFrame([(1, 2), (2, 2)], "k int, w int")
+
+    def fn(key, groups):
+        return pd.DataFrame([{"k": int(key[0])}])
+
+    df = join.co_group_by_key({"a": a, "b": b}, ["k"], fn, "k int")
+    df.collect()
+    assert df.cogbk_max_group_rows.value == 38  # 37 + 1 for key 1
+    # N-way path reports too
+    c = spark.createDataFrame([(1, 3)], "k int, x int")
+    df3 = join.co_group_by_key({"a": a, "b": b, "c": c}, ["k"], fn, "k int")
+    df3.collect()
+    assert df3.cogbk_max_group_rows.value == 39
+
+
 def test_cogbk_preserves_int64_beyond_2_53(spark):
     """The tagged-union paths must hand fn EXACT int64 values even when
     other tags' null padding shares the wire (round-8 regression: a
