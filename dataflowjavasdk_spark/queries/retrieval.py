@@ -265,9 +265,9 @@ _COMPRESSION_RECALL_ORACLE = f"""
       UNION ALL SELECT 'int8', query_id, neighbor_id FROM i8_top
     )
     SELECT v.variant, v.query_id,
-           10::BIGINT AS n_exact,
+           CAST(count(*) AS BIGINT) AS n_exact,
            CAST(count(x.neighbor_id) AS BIGINT) AS n_hits,
-           CAST(count(x.neighbor_id) * 10 AS BIGINT) AS recall_pct,
+           CAST((count(x.neighbor_id) * 100) // count(*) AS BIGINT) AS recall_pct,
            CAST(CASE v.variant WHEN 'full_fp32' THEN 256 WHEN 'dim32' THEN 128
                                WHEN 'dim16' THEN 64 ELSE 68 END
                 AS BIGINT) AS bytes_per_vec
@@ -291,14 +291,16 @@ def embedding_compression_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan bandwidth. The full_fp32 row is the ladder's built-in
     self-check: it IS the ground truth, so its recall_pct must be 100
     (asserted in tests/test_round8_retrieval.py, with the bytes-ordering
-    invariant: n_exact == 10 on every row, recall integers in [0,100]).
+    invariant: n_exact — the MEASURED retrieved count, structurally 10
+    on any corpus of ≥ 11 vectors — equals 10 on every fixture row,
+    recall integers in [0,100]).
 
     Cross-engine exactness: int8 codes are floor(x·127/absmax) — floor is
     exact, so codes match bit-for-bit; quantized cosine is an int64 dot
     (exact, commutative) over sqrt of an int64 norm product (≤ 64·127⁴
     « 2⁶³, no overflow) — one IEEE divide; float-variant cosines are the
     shared sequential left-fold (functions/similarity.py::cosine ≡ DuckDB
-    list_reduce). recall_pct = n_hits·10 stays integer-exact.
+    list_reduce). recall_pct = (n_hits·100) // n_exact stays integer-exact.
 
     Scale shape: each representation's scoring pass is the audited
     cosine_topk_bruteforce shape — request-sized query set broadcast
@@ -398,12 +400,18 @@ def embedding_compression_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("variant") == n, F.lit(v)) for n, v in bytes_map.items()
         ]
     )
+    # n_exact is the MEASURED retrieved count, not a hardcoded 10
+    # (ADVICE r8): structurally it equals 10 whenever the corpus holds
+    # ≥ 11 vectors (row_number ≤ 10 over corpus-minus-self), and the
+    # test pins that at fixture scale — but the denominator column now
+    # reports what actually happened, so a tiny corpus can't silently
+    # inflate recall.
+    n_ret = F.count(F.lit(1))
+    n_hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
     return joined.groupBy("variant", "query_id").agg(
-        F.lit(10).cast("long").alias("n_exact"),
-        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
-        (F.sum(F.coalesce(F.col("hit"), F.lit(0))) * 10)
-        .cast("long")
-        .alias("recall_pct"),
+        n_ret.cast("long").alias("n_exact"),
+        n_hits.cast("long").alias("n_hits"),
+        F.floor(n_hits * 100 / n_ret).cast("long").alias("recall_pct"),
         F.max(bytes_col).cast("long").alias("bytes_per_vec"),
     )
 
@@ -534,10 +542,11 @@ def _rrf_from_legs(lex: DataFrame, dense: DataFrame) -> DataFrame:
     lab AS (SELECT vec_id, label FROM embeddings)
     SELECT l.leg, l.query_id,
            CAST(ql.label AS BIGINT) AS query_label,
+           CAST(count(*) AS BIGINT) AS n_retrieved,
            CAST(sum(CASE WHEN dl.label = ql.label THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_hits,
-           CAST(sum(CASE WHEN dl.label = ql.label THEN 1 ELSE 0 END) * 10
-                AS BIGINT) AS precision_pct
+           CAST((sum(CASE WHEN dl.label = ql.label THEN 1 ELSE 0 END) * 100)
+                // count(*) AS BIGINT) AS precision_pct
     FROM legs l
     JOIN lab dl ON dl.vec_id = l.doc_id
     JOIN lab ql ON ql.vec_id = l.query_id
@@ -560,7 +569,8 @@ def retrieval_label_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured counterpart of ann_recall_report's candidate-starvation
     column).
 
-    n_hits is an exact integer count and precision_pct = n_hits·10, so
+    n_hits and n_retrieved are exact integer counts and precision_pct =
+    (n_hits·100) // n_retrieved (floor division in both engines), so
     the whole eval value-hashes with no float output.
 
     Scale shape: the three legs' audited shapes, then label attachment
@@ -587,12 +597,18 @@ def retrieval_label_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("label").alias("query_label")
     )
     hit = F.when(F.col("doc_label") == F.col("query_label"), 1).otherwise(0)
+    # precision denominator is the MEASURED per-(leg,query) retrieved
+    # count, not a hardcoded 10 (ADVICE r8): the BM25 leg can return
+    # fewer than k candidates when few documents share any query term,
+    # and a hardcoded k would silently inflate the implied denominator.
+    n_ret = F.count(F.lit(1))
     return (
         legs.join(doc_lab, "doc_id")
         .join(F.broadcast(q_lab), "query_id")
         .groupBy("leg", "query_id", F.col("query_label").cast("long").alias("query_label"))
         .agg(
+            n_ret.cast("long").alias("n_retrieved"),
             F.sum(hit).cast("long").alias("n_hits"),
-            (F.sum(hit) * 10).cast("long").alias("precision_pct"),
+            F.floor(F.sum(hit) * 100 / n_ret).cast("long").alias("precision_pct"),
         )
     )

@@ -616,7 +616,9 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
              trim(repeat(
                list_filter(string_split(text, ' '), t -> t <> '')[1] || ' ',
                50)) AS text
-      FROM documents WHERE doc_id % 25 = 0
+      FROM documents
+      WHERE doc_id % 25 = 0
+        AND len(list_filter(string_split(text, ' '), t -> t <> '')) > 0
     ),
     chars AS (
       SELECT doc_id, source,
@@ -663,8 +665,13 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ROUNDED value so the boolean matches bit-for-bit too."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     tok1 = F.element_at(T.tokens("text"), 1)
+    # Empty/whitespace-only docs are excluded from the injected branch on
+    # BOTH sides (ADVICE r8): without the filter, Spark's
+    # array_join(array_repeat(NULL,50)) yields '' while DuckDB's
+    # trim(repeat(NULL||' ',50)) yields NULL — a latent cross-engine
+    # divergence a regenerated fixture with a blank doc would expose.
     rep = (
-        docs.filter(F.col("doc_id") % 25 == 0)
+        docs.filter((F.col("doc_id") % 25 == 0) & (F.size(T.tokens("text")) > 0))
         .select(
             (F.col("doc_id") + 4_000_000).alias("doc_id"),
             "source",

@@ -88,9 +88,11 @@ def test_compression_recall_self_check_and_bounds(spark):
     rows = get("embedding_compression_recall").fn(spark, SMOKE_SF).collect()
     assert len(rows) == 4 * 5  # 4 representations × 5 queries
     for r in rows:
+        # n_exact is now MEASURED (ADVICE r8); structurally 10 whenever
+        # the corpus holds >= 11 vectors, which every fixture does
         assert r["n_exact"] == 10
-        assert 0 <= r["n_hits"] <= 10
-        assert r["recall_pct"] == r["n_hits"] * 10
+        assert 0 <= r["n_hits"] <= r["n_exact"]
+        assert r["recall_pct"] == (r["n_hits"] * 100) // r["n_exact"]
     full = [r for r in rows if r["variant"] == "full_fp32"]
     assert len(full) == 5
     # the full-precision representation IS the ground truth
@@ -175,8 +177,12 @@ def test_label_precision_grid_and_bounds(spark):
         (leg, q) for leg in ("lexical", "dense", "fused") for q in (0, 1, 2)
     }
     for r in rows:
-        assert 0 <= r["n_hits"] <= 10
-        assert r["precision_pct"] == r["n_hits"] * 10
+        # denominator is measured per (leg, query) — the BM25 leg may
+        # retrieve < k on term-starved corpora (ADVICE r8); at fixture
+        # scale every leg fills its k=10
+        assert r["n_retrieved"] == 10
+        assert 0 <= r["n_hits"] <= r["n_retrieved"]
+        assert r["precision_pct"] == (r["n_hits"] * 100) // r["n_retrieved"]
 
 
 def test_source_quality_cap_accounting(spark):
