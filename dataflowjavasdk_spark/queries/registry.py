@@ -48,17 +48,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Emission order for the driver contract. The driver's correctness run
 # checks a bounded prefix of ``queries()`` (50 entries per round), so the
 # dict is ordered per the standing rotation policy (VERDICT round-2
-# "Next round" #3, re-derived each round): no query may go two rounds
-# unchecked — the sample prefers (1) queries new this round (no driver
-# row exists), (2) queries whose code/oracle materially changed
-# (_CHANGED_THIS_ROUND), then (3) the queries with the OLDEST driver
-# evidence on current fixtures. Names not listed follow in registration
-# order; listed-but-unregistered names are ignored (guarded by a
-# registry test). _PRIORITY_ROUND is the driver round whose 50-slot
-# sample this ordering optimizes; test_entry_contract uses it to know
-# whether the no-wasted-slot invariant is still checkable or the
-# ordering is due for its per-round rotation.
-_PRIORITY_ROUND = 8
+# "Next round" #3): the sample prefers (1) queries new this round (no
+# driver row exists in any committed CORRECTNESS_r*.json), (2) queries
+# whose code/oracle materially changed (_CHANGED_THIS_ROUND — their
+# green rows describe the OLD code), then (3) queries by OLDEST driver
+# evidence. Since round 9 the order is GENERATED from the committed
+# CORRECTNESS_r*.json union (VERDICT r8 #3 + stretch #9): rotation is
+# automatic when a new round's file lands; the only hand-maintained
+# input is _CHANGED_THIS_ROUND, pruned at each rotation.
+# _PRIORITY_ROUND is the driver round whose 50-slot sample the CURRENT
+# _CHANGED_THIS_ROUND set describes; test_entry_contract uses it to know
+# whether the no-wasted-slot invariant is still checkable or the changed
+# set is due for its per-round pruning.
+_PRIORITY_ROUND = 9
 
 # Queries whose code or oracle materially changed in _PRIORITY_ROUND's
 # round: they re-enter the 50-slot sample even though their previous
@@ -67,127 +69,80 @@ _PRIORITY_ROUND = 8
 # invariant; prune the set at each rotation.
 _CHANGED_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # cents_sum vectorized to integer-cents Series arithmetic
-        # (VERDICT r7 next-round #4); r07 row describes the old fold
+        # measured retrieval denominators (ADVICE r8): n_retrieved /
+        # n_exact are now COUNT(*) and pct uses floor-division — output
+        # schema and values changed in both engines
+        "retrieval_label_precision",
+        "embedding_compression_recall",
+        # blank-doc guard on the injected-repetition branch, both
+        # engines (ADVICE r8) — same rows on current fixtures, but the
+        # oracle text changed
+        "char_entropy_quality",
+        # default-on CoGBK hot-key guard + max-group accumulator
+        # (VERDICT r8 #4): co_group_by_key's execution path changed
         "cogroup_nation_customer_supplier",
-        # avro/tfrecord readers now exclude _temporary/ and uncommitted
-        # batch=N dirs (ADVICE r7 #1); r07 row predates the fix
-        "avro_logical_types_roundtrip",
+        "cogroup_customer_orders",
     }
 )
 
-_PRIORITY: tuple[str, ...] = (
-    # Round-8 ordering (VERDICT.md r7 "Next round" #1). The 50-slot
-    # driver sample = the 4 never-driver-sampled round-7-late queries,
-    # then queries NEW in round 8, then round-8 changed re-entries
-    # (_CHANGED_THIS_ROUND + read-path-fixed format sinks whose evidence
-    # is r05/r06), then the oldest-evidence queries (the r04-freshest
-    # cohort — after r07 no registered query's evidence is older than
-    # r04). Names displaced past slot 50 are re-verified by the full
-    # local gate + the judge's registry re-run every session regardless.
-    # (1) registered last round but never driver-sampled (VERDICT r7 #1)
-    "dup_span_removal",
-    "containment_sketch_calibration",
-    "epoch_token_budget",
-    "source_contamination_matrix",
-    # (2) new in round 8 — no driver row exists (uncommented as each is
-    # registered; test_priority_names_registered enforces existence)
-    "cogbk_sorted_stream",
-    "exact_dup_spans_50",
-    "ann_recall_report_k20",
-    "media_egress_pipeline",
-    "ngram_novelty_profile",
-    "contamination_overlap_fraction",
-    "post_dedup_mix_shift",
-    "embedding_dispersion_by_label",
-    "minhash_jaccard_calibration",
-    "normalized_exact_dedup",
-    "char_entropy_quality",
-    "bm25_retrieval_topk",
-    "embedding_compression_recall",
-    "hybrid_rrf_fusion",
-    "retrieval_label_precision",
-    "source_quality_cap",
-    "embedding_dim_energy",
-    # (3) round-8 changed re-entries: _CHANGED_THIS_ROUND (r07 rows
-    # describing pre-change code) + the format sinks whose read path
-    # gained the crash-leftover exclusions (r05/r06 evidence)
-    "cogroup_nation_customer_supplier",
-    "avro_logical_types_roundtrip",
-    "tfrecord_roundtrip_checksum",
-    "trainer_egress_pipeline",
-    "avro_roundtrip_checksum",
-    # k-parametrized this round (shared impl with the new k20 twin);
-    # its r06 row describes the pre-parametrization code
-    "ann_recall_report",
-    # (4) the r04-freshest cohort, value-bearing pipelines first; the
-    # tail past slot 50 slips to round 9 by design
-    "kmeans_ivf_refined",
-    "embedding_decontamination",
-    "autocomplete_prefix_topk",
-    "hot_key_salted_agg",
-    "secondary_sort_per_user",
-    "side_input_global_mean",
-    "cogroup_customer_orders",
-    "deterministic_sample_per_key",
-    "deterministic_sample_global",
-    "argmax_event_per_type",
-    "first_events_per_user",
-    "grouped_stats_nation",
-    "count_per_key_events",
-    "count_per_element_priority",
-    "distinct_event_users",
-    "set_ops_users",
-    "flatten_union_counts",
-    "partition_split_counts",
-    "top_global_orders",
-    "exact_percentiles_quantity",
-    "cube_returnflag_status",
-    "pivot_daily_type_counts",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_revenue",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q18_large_orders",
-    # --- slot-50 boundary falls in this region; order below still
-    # matters for round 9's "oldest evidence" computation ---
-    "q19_bracket_revenue",
-    "q22_idle_rich_customers",
-    "calendar_week_events",
-    "calendar_month_events_tz",
-    "calendar_year_orders",
-    "tumbling_emit_time_earliest",
-    "wordcount_regex",
-    "kll_quantiles_rollup",
-    "vocab_coverage_curve",
-    "source_repetition_mix",
-    "curation_filter_funnel",
-    "duplicate_passage_stats",
-    "key_skew_profile",
-    "audio_wav_features",
-    "bmp_image_features",
-    "png_image_features",
-    "media_meta_sniff",
-    "bzip2_json_roundtrip_checksum",
-    # (5) everything else follows in registration order — the full local
-    # gate (tools/check_correctness.py, all queries, every session)
-    # re-verifies all of them meanwhile. test_entry_contract derives the
-    # group accounting instead of this comment repeating counts that can
-    # drift (r3 ADVICE).
-)
+def _driver_evidence_rounds() -> dict[str, int]:
+    """Latest driver round holding a row for each query, from the
+    committed CORRECTNESS_r*.json union at the repo root. A row of ANY
+    verdict counts as evidence of being SAMPLED (the no-wasted-slot
+    test separately requires fully-green rows); a query absent from
+    every file has never been driver-sampled and leads the order."""
+    import glob
+    import json
+    import os
+    import re as _re
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"_r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        rnd = int(m.group(1))
+        for name in rows:
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+_EVIDENCE_CACHE: dict[str, int] | None = None
 
 
 def _ordered() -> list[RegisteredQuery]:
+    """Registry in driver-emission order, GENERATED from the evidence
+    union (VERDICT r8 #3 + stretch #9; cached per process): (1)
+    never-sampled queries in registration order, (2) _CHANGED_THIS_ROUND
+    re-entries, (3) everything else by ascending latest-evidence round
+    then registration order — the 50-slot prefix always spends every
+    slot on new, changed, or stalest-evidence queries, with no
+    hand-shuffled name list to rot."""
+    global _EVIDENCE_CACHE
     _load_all()
-    prioritized = [_REGISTRY[n] for n in _PRIORITY if n in _REGISTRY]
-    named = set(_PRIORITY)
-    tail = [rq for name, rq in _REGISTRY.items() if name not in named]
-    return prioritized + tail
+    if _EVIDENCE_CACHE is None:
+        _EVIDENCE_CACHE = _driver_evidence_rounds()
+    latest = _EVIDENCE_CACHE
+    reg_pos = {n: i for i, n in enumerate(_REGISTRY)}
+
+    def sort_key(name: str) -> tuple[int, int, int]:
+        if name not in latest:
+            group = 0  # new this round: no driver row exists
+        elif name in _CHANGED_THIS_ROUND:
+            group = 1  # green row describes pre-change code/oracle
+        else:
+            group = 2
+        return (group, latest.get(name, 0), reg_pos[name])
+
+    return [_REGISTRY[n] for n in sorted(_REGISTRY, key=sort_key)]
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -32,16 +32,31 @@ def test_oracles_reference_known_queries():
     assert not unknown, f"oracle_sql keys without queries(): {unknown}"
 
 
-def test_priority_list_names_are_registered_and_unique():
-    """Every _PRIORITY name must exist in the registry (a typo would
-    silently drop the query from the driver's 50-slot sample prefix) and
-    appear exactly once (a duplicate would waste a sample slot)."""
+def test_generated_order_is_new_changed_then_stalest():
+    """The driver-emission order is GENERATED (round 9): never-sampled
+    queries first, then _CHANGED_THIS_ROUND re-entries, then ascending
+    latest-evidence round — and it must be a permutation of the registry
+    (a generator bug dropping or duplicating a name would silently lose
+    a query from the driver gate)."""
     from dataflowjavasdk_spark.queries import registry as R
 
     R._load_all()
-    unknown = [n for n in R._PRIORITY if n not in R._REGISTRY]
-    assert not unknown, f"_PRIORITY names not registered: {unknown}"
-    assert len(set(R._PRIORITY)) == len(R._PRIORITY), "duplicate _PRIORITY names"
+    ordered = [rq.name for rq in R._ordered()]
+    assert sorted(ordered) == sorted(R._REGISTRY), "order is not a permutation"
+    latest = R._driver_evidence_rounds()
+    changed = [n for n in R._CHANGED_THIS_ROUND if n not in R._REGISTRY]
+    assert not changed, f"_CHANGED_THIS_ROUND names not registered: {changed}"
+
+    def group(n: str) -> int:
+        if n not in latest:
+            return 0
+        return 1 if n in R._CHANGED_THIS_ROUND else 2
+
+    groups = [group(n) for n in ordered]
+    assert groups == sorted(groups), "groups out of order (new, changed, stale)"
+    # within the stale group, evidence rounds must be non-decreasing
+    stale_rounds = [latest[n] for n in ordered if group(n) == 2]
+    assert stale_rounds == sorted(stale_rounds), "stale cohort not oldest-first"
 
 
 def test_priority_prefix_maximizes_fresh_driver_coverage():
