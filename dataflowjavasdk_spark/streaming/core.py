@@ -350,8 +350,11 @@ def stream_stream_join(
     proves no match can still come (≡ AfterWatermark.pastEndOfWindow for
     the empty-side case).
 
-    `left_ts`/`right_ts` must be distinct names; the right key columns are
-    dropped from the output (KV join shape). At 100 TB: per-key state is
+    `left_ts`/`right_ts` must be distinct names; the output carries ONE
+    key column per join key, COALESCEd across sides (KV join shape —
+    Beam's CoGbkResult always carries the key, so a right/full outer
+    NULL-left row must still show its key; dropping the right keys
+    returned key=NULL for those panes). At 100 TB: per-key state is
     bounded by (upper - lower) + watermark delay worth of rows per side —
     size the range to the business rule, never "large, to be safe"."""
     if left_ts == right_ts:
@@ -369,7 +372,12 @@ def stream_stream_join(
     time_cond = (F.col(f"r.{right_ts}") >= lo) & (F.col(f"r.{right_ts}") <= hi)
     cond = time_cond if cond is None else (cond & time_cond)
     joined = l.join(r, cond, how)
-    return joined.drop(*[r[k] for k in on])
+    key_cols = [
+        F.coalesce(F.col(f"l.{k}"), F.col(f"r.{k}")).alias(k) for k in on
+    ]
+    left_rest = [F.col(f"l.{c}") for c in left.columns if c not in on]
+    right_rest = [F.col(f"r.{c}") for c in right.columns if c not in on]
+    return joined.select(*key_cols, *left_rest, *right_rest)
 
 
 class MicroBatchHarness:
