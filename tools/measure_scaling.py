@@ -1,0 +1,139 @@
+"""Scale-slope measurement (VERDICT r8 #1): run the bench headliners at
+sf0.01 / sf0.1 / sf1 in ONE session with interleaved reps, and report the
+per-query scaling exponent.
+
+Why one session: separate bench.py runs per scale drift 2x+ on sub-50 ms
+queries (session-to-session JIT/page-cache variance measured this round:
+q1 31 ms vs 77 ms across runs of the SAME code+data). Interleaving the
+scales rep-by-rep means every (query, sf) pair sees the same JVM state,
+so the RATIO between scales — the thing a slope is made of — is clean
+even when absolute numbers wobble.
+
+Protocol: phase 1 builds + executes every (query, scale) once in scale
+order (first_run, absorbs codegen/checkpoint materialization); phase 2
+takes `reps` interleaved timed re-executions per (query, scale), median.
+
+Exponent: slope = log10(t_sf1 / t_sf0.1) for the 0.1→1 decade (and
+log10(t_sf0.1 / t_sf0.01) for the smaller decade, reported for context —
+it is floor-dominated: a 25 ms query is mostly fixed plan/session
+overhead at BOTH small scales, which reads as slope ~0). A query is
+flagged SUPERLINEAR when t_sf1 > 10 * t_sf0.1 * TOLERANCE — more than
+linear-in-rows growth beyond the noise band, i.e. a plan that would NOT
+survive the next 100x.
+
+The sf1 fixture set is synthesized by tools/synthesize_sf.py (honest
+cardinality scaling — see its docstring). Regenerate with:
+    python tools/synthesize_sf.py --dest /tmp/sf1
+Usage:
+    python tools/measure_scaling.py [--reps 3] [--out /tmp/scaling.json]
+        [--only name1,name2] [--sf1 /tmp/sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import statistics
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
+
+TOLERANCE = 1.3
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--out", default="/tmp/scaling.json")
+    ap.add_argument("--only", default="")
+    ap.add_argument("--sf1", default="/tmp/sf1")
+    args = ap.parse_args()
+
+    import bench
+    from dataflowjavasdk_spark.queries import all_queries
+    from dataflowjavasdk_spark.session import get_spark
+
+    scales = [
+        (0.01, "/root/testdata/sf0.01"),
+        (0.1, "/root/testdata/sf0.1"),
+        (1.0, args.sf1),
+    ]
+    for _, d in scales:
+        if not os.path.isdir(d):
+            print(f"missing fixture dir {d} (run tools/synthesize_sf.py?)", file=sys.stderr)
+            return 2
+
+    spark = get_spark(app_name="scaling", shuffle_partitions=32)
+    qs = all_queries()
+    names = [n for n in bench.HEADLINE if n in qs]
+    if args.only:
+        keep = set(args.only.split(","))
+        names = [n for n in names if n in keep]
+
+    # Phase 1: build + first execution per (query, scale)
+    dfs: dict[tuple[str, float], object] = {}
+    first_run: dict[str, dict[str, float]] = {}
+    for name in names:
+        first_run[name] = {}
+        for sf, d in scales:
+            t0 = time.perf_counter()
+            try:
+                df = qs[name](spark, d)
+                bench._run(df)
+            except Exception as exc:  # noqa: BLE001
+                print(f"FAIL {name}@sf{sf}: {exc}", flush=True)
+                df = None
+            dfs[(name, sf)] = df
+            first_run[name][str(sf)] = round(time.perf_counter() - t0, 4)
+        print(f"built {name}: first_run {first_run[name]}", flush=True)
+
+    # Phase 2: interleaved timed reps
+    samples: dict[tuple[str, float], list[float]] = {k: [] for k in dfs}
+    for rep in range(args.reps):
+        for name in names:
+            for sf, _ in scales:
+                df = dfs[(name, sf)]
+                if df is None:
+                    continue
+                t0 = time.perf_counter()
+                bench._run(df)
+                samples[(name, sf)].append(time.perf_counter() - t0)
+        print(f"rep {rep + 1}/{args.reps} done", flush=True)
+
+    report: dict[str, dict] = {}
+    n_flagged = 0
+    for name in names:
+        med = {}
+        for sf, _ in scales:
+            s = samples[(name, sf)]
+            med[str(sf)] = round(statistics.median(s) * 1000, 1) if s else None
+        row: dict = {"ms": med, "first_run_s": first_run[name]}
+        if med["0.1"] and med["1.0"]:
+            row["slope_01_to_1"] = round(math.log10(med["1.0"] / med["0.1"]), 3)
+            row["superlinear"] = med["1.0"] > 10 * med["0.1"] * TOLERANCE
+            n_flagged += row["superlinear"]
+        if med["0.01"] and med["0.1"]:
+            row["slope_001_to_01"] = round(math.log10(med["0.1"] / med["0.01"]), 3)
+        report[name] = row
+
+    with open(args.out, "w") as fh:
+        json.dump(report, fh, indent=1)
+    print(f"\n{'query':36s} {'sf0.01':>8s} {'sf0.1':>8s} {'sf1':>9s} {'slope':>6s}")
+    for name, row in report.items():
+        m = row["ms"]
+        sl = row.get("slope_01_to_1")
+        mark = "  <-- SUPERLINEAR" if row.get("superlinear") else ""
+        print(
+            f"{name:36s} {m['0.01'] or -1:8.1f} {m['0.1'] or -1:8.1f} "
+            f"{m['1.0'] or -1:9.1f} {sl if sl is not None else -9:6.2f}{mark}"
+        )
+    print(f"\n{n_flagged} superlinear flag(s); report -> {args.out}")
+    return 1 if n_flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
