@@ -141,6 +141,61 @@ def session_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "session_ids_per_event",
+    oracle="""
+    WITH flagged AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_seq
+    FROM flagged
+    """,
+)
+def session_ids_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-ELEMENT session ids (round 9) — the capability the batch
+    Sessions formulation race (VERDICT r8 #2, BASELINE.md round-9 table)
+    keeps the gaps-and-islands path alive FOR: native session_window
+    only yields windows at aggregation time, but a training pipeline
+    sessionizing click logs needs the session id ON EVERY EVENT (session
+    features joined back to examples, intra-session ordering, session
+    splits for leakage-safe eval). The lag → flag → running-sum plan is
+    operators/windowing.py::_stage_intervals instantiated at [ts,
+    ts+gap) — the same staged frame Sessions.group_by_gaps_islands
+    aggregates, exposed per element.
+
+    Determinism: (ts, event_id) breaks timestamp ties in BOTH engines'
+    window order, so session_seq is total-order stable; output is all
+    integers (session_seq per user starts at 1), no floats to hash.
+
+    Scale shape: ONE shuffle on user_id + one partition sort, both
+    window passes fused over the same ordering — at 100 TB this is the
+    minimal cost of any per-key sessionization (Beam's GBK pays the
+    identical shuffle+sort); the 186-261 ms native session_window twin
+    (session_windows_events) covers the aggregate-only consumer."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    from pyspark.sql.window import Window as W
+
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prior = F.lag("ts").over(wo)
+    opens = (
+        prior.isNull() | (F.col("ts") >= prior + F.expr("INTERVAL 30 MINUTES"))
+    ).cast("long")
+    return (
+        ev.withColumn("__opens", opens)
+        .withColumn(
+            "session_seq",
+            F.sum("__opens").over(wo.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .select("event_id", "user_id", "session_seq")
+    )
+
+
+@query(
     "calendar_day_events",
     oracle=f"""
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
