@@ -82,6 +82,9 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset(
         # (VERDICT r8 #4): co_group_by_key's execution path changed
         "cogroup_nation_customer_supplier",
         "cogroup_customer_orders",
+        # aggregate-then-join rewrite of the scaling sweep's one
+        # superlinear plan (r9 #1): same rows, different plan
+        "q18_large_orders",
     }
 )
 
