@@ -60,14 +60,14 @@ def test_coverage_header_matches_registry():
         f"COVERAGE.md header says {m.group(1)} registered queries; "
         f"registry holds {n} — update the doc header"
     )
-    # the definitive closing tally ("Registry: **N queries, all oracled**")
-    # must agree too; mid-round narrative history lines ("Registry now
-    # 220...") are intentionally exempt — they record a moment in time.
-    tallies = {
-        int(x)
-        for x in re.findall(r"^Registry: \*\*(\d+) queries", text, flags=re.M)
-    }
-    assert tallies <= {n}, f"stale closing tally {tallies} vs registry {n}"
+    # the LATEST closing tally ("Registry: **N queries, all oracled**")
+    # must agree too; earlier rounds' tallies and mid-round narrative
+    # lines ("Registry now 220...") are historical record, exempt.
+    tallies = re.findall(r"^Registry: \*\*(\d+) queries", text, flags=re.M)
+    assert tallies, "COVERAGE.md lost its closing 'Registry:' tally"
+    assert int(tallies[-1]) == n, (
+        f"latest closing tally {tallies[-1]} vs registry {n}"
+    )
 
 
 @pytest.mark.parametrize(("name", "code"), _LABELED, ids=[n for n, _ in _LABELED])
