@@ -82,10 +82,10 @@ def test_priority_prefix_maximizes_fresh_driver_coverage():
     latest_round = int(re.findall(r"\d+", rounds[-1])[0])
     if latest_round >= _PRIORITY_ROUND:
         pytest.skip(
-            f"_PRIORITY was authored for round {_PRIORITY_ROUND} and the "
-            f"driver has already recorded round {latest_round} — rotate the "
-            "ordering (bump _PRIORITY_ROUND) for the next sample, then this "
-            "invariant re-arms"
+            f"_CHANGED_THIS_ROUND was pruned for round {_PRIORITY_ROUND} and "
+            f"the driver has already recorded round {latest_round} — the "
+            "generated order self-rotates, but prune the changed set and "
+            "bump _PRIORITY_ROUND, then this invariant re-arms"
         )
     with open(os.path.join(root, rounds[-1])) as fh:
         last = {
