@@ -61,6 +61,17 @@ SAME_PROTOCOL_MS = {
 }
 BASELINE_GATE = 2.0  # the driver's "within 2x of BASELINE" bar
 
+# Intentional plan trades: queries whose round-over-round slowdown at
+# sf0.1 is a DOCUMENTED exchange for large-scale behavior. Printed, not
+# flagged. Prune each round.
+WAIVED = {
+    # r9: aggregate-then-join rewrite (the scaling sweep's one
+    # superlinear flag): +~2x at sf0.1 (the added orderkey agg shuffle
+    # no longer hides under dimension broadcasts) for 17x at sf1
+    # (2,671 -> 153 ms, slope 1.32 -> 0.06). SCALE.md round-9 ledger.
+    "q18_large_orders": "r9 aggregate-then-join rewrite: sf0.1 cost for 17x at sf1",
+}
+
 
 def load(path: str) -> dict:
     """Load a bench payload and normalize per-query times to MILLISECONDS.
@@ -165,7 +176,12 @@ def main() -> int:
             ratio = raw / speed
             band = NOISE_SMALL if t_old < SMALL_MS else NOISE
             mark = ""
-            if ratio > band:
+            waived = resolve(name, WAIVED) or next(
+                (k for k in WAIVED if k.startswith(name)), None
+            )
+            if ratio > band and waived:
+                mark = f"  (waived: {WAIVED[waived]})"
+            elif ratio > band:
                 mark = "  <-- REGRESSED"
                 flags.append((name, f"{ratio:.2f}x vs prev round (speed-adjusted; raw {raw:.2f}x)"))
             print(f"  {name:34s} {t_new:8.1f} ms  {ratio:5.2f}x{mark}")
