@@ -21,6 +21,28 @@ def dsum(col: str | Column, prec: int = 18, scale: int = 2) -> Column:
     return F.sum(c.cast(f"decimal({prec},{scale})")).cast("double")
 
 
+def money(sum_col: Column) -> Column:
+    """Exact decimal SUM emitted as double at CENT precision — for sums
+    of decimal PRODUCTS (disc_price scale 4, charge scale 6).
+
+    Round-9 sf1 finding: an exact decimal sum of ~1e10 with 4-6
+    fractional digits carries 16-17 significant digits — more than a
+    double holds — and the decimal→double CAST at that point is not
+    correctly rounded in every engine (DuckDB converts via int128 →
+    double → scale divide, which can land 1 ulp off Spark's BigDecimal
+    path; measured on q1's sum_charge at sf1: 3.8e-6 apart on 2.8e10).
+    Flooring to integer cents WHILE STILL EXACT DECIMAL, converting the
+    exact integer (< 2^53) to double, and dividing by 100.0 once makes
+    both engines perform the identical, exactly-representable steps at
+    ANY scale factor. Oracle twin: sql_money()."""
+    return F.floor(sum_col * 100).cast("long").cast("double") / F.lit(100.0)
+
+
+def sql_money(sum_expr: str) -> str:
+    """DuckDB twin of money(): ``sum_expr`` must be the SUM(...) text."""
+    return f"(CAST(FLOOR(({sum_expr}) * 100) AS BIGINT) / 100.0)"
+
+
 def davg(col: str | Column, prec: int = 18, scale: int = 2) -> Column:
     """Exact-sum average emitted as double (single IEEE division). Oracle:
     CAST(SUM(CAST(x AS DECIMAL(p,s))) AS DOUBLE) / COUNT(*)."""
@@ -54,6 +76,12 @@ SQL_DISC_PRICE = (
 SQL_CHARGE = (
     f"({SQL_DISC_PRICE} * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2))))"
 )
+
+# Cent-exact emissions of the product sums (see money()): use these —
+# never a bare CAST(SUM(product) AS DOUBLE) — wherever a revenue/charge
+# total is emitted or fed into a division.
+SQL_SUM_DISC_PRICE = sql_money(f"SUM{SQL_DISC_PRICE}")
+SQL_SUM_CHARGE = sql_money(f"SUM{SQL_CHARGE}")
 
 
 def sql_dsum(expr: str, prec: int = 18, scale: int = 2) -> str:

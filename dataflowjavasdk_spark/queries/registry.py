@@ -85,6 +85,22 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset(
         # aggregate-then-join rewrite of the scaling sweep's one
         # superlinear plan (r9 #1): same rows, different plan
         "q18_large_orders",
+        # cent-exact money() emission of product-decimal sums (r9 sf1
+        # finding: decimal->double cast differs 1 ulp cross-engine past
+        # 16 significant digits) — values change at the last cent digit
+        "q1_pricing_summary",
+        "q3_join_agg",
+        "q5_region_revenue",
+        "q6_forecast_revenue",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q10_returned_revenue",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q19_bracket_revenue",
+        "q1_incremental_refresh",
+        "grouping_sets_revenue",
     }
 )
 

@@ -17,10 +17,13 @@ from pyspark.sql.window import Window as W
 from dataflowjavasdk_spark.queries.helpers import (
     SQL_CHARGE,
     SQL_DISC_PRICE,
+    SQL_SUM_CHARGE,
+    SQL_SUM_DISC_PRICE,
     charge,
     davg,
     disc_price,
     dsum,
+    money,
     sql_dsum,
 )
 from dataflowjavasdk_spark.queries.registry import query
@@ -50,8 +53,8 @@ def _cents(series) -> int:
     SELECT l_returnflag, l_linestatus,
            {sql_dsum('l_quantity', 12, 2)} AS sum_qty,
            {sql_dsum('l_extendedprice', 18, 2)} AS sum_base_price,
-           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM({SQL_CHARGE}) AS DOUBLE) AS sum_charge,
+           {SQL_SUM_DISC_PRICE} AS sum_disc_price,
+           {SQL_SUM_CHARGE} AS sum_charge,
            {sql_dsum('l_quantity', 12, 2)} / count(*) AS avg_qty,
            {sql_dsum('l_extendedprice', 18, 2)} / count(*) AS avg_price,
            {sql_dsum('l_discount', 4, 2)} / count(*) AS avg_disc,
@@ -76,8 +79,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity", 12, 2).alias("sum_qty"),
             dsum("l_extendedprice", 18, 2).alias("sum_base_price"),
-            F.sum(disc_price()).cast("double").alias("sum_disc_price"),
-            F.sum(charge()).cast("double").alias("sum_charge"),
+            money(F.sum(disc_price())).alias("sum_disc_price"),
+            money(F.sum(charge())).alias("sum_charge"),
             davg("l_quantity", 12, 2).alias("avg_qty"),
             davg("l_extendedprice", 18, 2).alias("avg_price"),
             davg("l_discount", 4, 2).alias("avg_disc"),
@@ -90,7 +93,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_join_agg",
     oracle=f"""
     SELECT l_orderkey,
-           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+           {SQL_SUM_DISC_PRICE} AS revenue,
            o_orderdate
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -124,7 +127,7 @@ def q3_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(od, li.l_orderkey == od.o_orderkey)
         .join(cu, od.o_custkey == cu.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        .agg(money(F.sum(disc_price())).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -134,7 +137,7 @@ def q3_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q5_region_revenue",
     oracle=f"""
-    SELECT n_name, CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+    SELECT n_name, {SQL_SUM_DISC_PRICE} AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -172,15 +175,16 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        .agg(money(F.sum(disc_price())).alias("revenue"))
     )
 
 
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+    SELECT (CAST(FLOOR((SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2)))) * 100) AS BIGINT)
+            / 100.0) AS revenue,
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -204,12 +208,12 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(12,2)")
-                * F.col("l_discount").cast("decimal(4,2)")
-            )
-            .cast("double")
-            .alias("revenue"),
+            money(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * F.col("l_discount").cast("decimal(4,2)")
+                )
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )

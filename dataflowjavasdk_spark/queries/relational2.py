@@ -10,7 +10,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from dataflowjavasdk_spark.functions.text import md5_long
-from dataflowjavasdk_spark.queries.helpers import SQL_DISC_PRICE, disc_price, dsum, sql_dsum
+from dataflowjavasdk_spark.queries.helpers import (
+    SQL_DISC_PRICE,
+    SQL_SUM_DISC_PRICE,
+    disc_price,
+    dsum,
+    money,
+    sql_dsum,
+)
 from dataflowjavasdk_spark.queries.registry import query
 from dataflowjavasdk_spark.sources.tables import load_table
 
@@ -185,7 +192,7 @@ def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
-           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue, count(*) AS n
+           {SQL_SUM_DISC_PRICE} AS revenue, count(*) AS n
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
     """,
@@ -207,7 +214,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_linestatus",
         )
         .agg(
-            F.sum(disc_price()).cast("double").alias("revenue"),
+            money(F.sum(disc_price())).alias("revenue"),
             F.count(F.lit(1)).alias("n"),
         )
         .select(
@@ -405,7 +412,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_revenue",
     oracle=f"""
     SELECT c_custkey, c_name, n_name,
-           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+           {SQL_SUM_DISC_PRICE} AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -433,7 +440,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cu, od.o_custkey == cu.c_custkey)
         .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        .agg(money(F.sum(disc_price())).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )

@@ -19,9 +19,12 @@ from pyspark.sql.window import Window as W
 
 from dataflowjavasdk_spark.queries.helpers import (
     SQL_DISC_PRICE,
+    SQL_SUM_DISC_PRICE,
     disc_price,
     dsum,
+    money,
     sql_dsum,
+    sql_money,
 )
 from dataflowjavasdk_spark.queries.registry import query
 from dataflowjavasdk_spark.sources.tables import load_table
@@ -33,7 +36,7 @@ from dataflowjavasdk_spark.functions import text as T
     oracle=f"""
     SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
            CAST(year(l_shipdate) AS INTEGER) AS l_year,
-           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+           {SQL_SUM_DISC_PRICE} AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -72,7 +75,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1"))
         )
         .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        .agg(money(F.sum(disc_price())).alias("revenue"))
     )
 
 
@@ -91,9 +94,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE p_type = 'PROMO'
     )
     SELECT o_year,
-           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
-                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+           {sql_money("SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(18,4)) END)")}
+             / {sql_money("SUM(volume)")} AS mkt_share
     FROM all_rev GROUP BY o_year
     """,
 )
@@ -115,9 +117,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             (
-                F.sum(F.when(F.col("n_name") == "NATION_3", disc_price()).otherwise(zero))
-                .cast("double")
-                / F.sum(disc_price()).cast("double")
+                money(F.sum(F.when(F.col("n_name") == "NATION_3", disc_price()).otherwise(zero)))
+                / money(F.sum(disc_price()))
             ).alias("mkt_share")
         )
     )
@@ -182,9 +183,8 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_promo_revenue",
     oracle=f"""
-    SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {SQL_DISC_PRICE}
-                                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-                 / CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS promo_revenue
+    SELECT 100.0 * {sql_money(f"SUM(CASE WHEN p_type = 'PROMO' THEN {SQL_DISC_PRICE} ELSE CAST(0 AS DECIMAL(18,4)) END)")}
+                 / {SQL_SUM_DISC_PRICE} AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
@@ -202,9 +202,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.join(pa, li.l_partkey == pa.p_partkey).agg(
         (
             F.lit(100.0)
-            * F.sum(F.when(F.col("p_type") == "PROMO", disc_price()).otherwise(zero))
-            .cast("double")
-            / F.sum(disc_price()).cast("double")
+            * money(F.sum(F.when(F.col("p_type") == "PROMO", disc_price()).otherwise(zero)))
+            / money(F.sum(disc_price()))
         ).alias("promo_revenue")
     )
 
@@ -261,7 +260,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_bracket_revenue",
     oracle=f"""
-    SELECT CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+    SELECT {SQL_SUM_DISC_PRICE} AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
            AND l_quantity BETWEEN 1 AND 20)
@@ -286,7 +285,7 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((b == "Brand#2") & s.between(10, 30) & q.between(10, 30))
         | ((b == "Brand#3") & s.between(20, 50) & q.between(20, 40))
     )
-    return j.filter(cond).agg(F.sum(disc_price()).cast("double").alias("revenue"))
+    return j.filter(cond).agg(money(F.sum(disc_price())).alias("revenue"))
 
 
 @query(
@@ -533,7 +532,7 @@ def calendar_week_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS total_revenue
+             {SQL_SUM_DISC_PRICE} AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -559,7 +558,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     su = load_table(spark, sf_dir, "supplier")
     revenue = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(disc_price()).cast("double").alias("total_revenue"))
+        .agg(money(F.sum(disc_price())).alias("total_revenue"))
         .localCheckpoint(eager=False)
     )
     mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
@@ -667,11 +666,11 @@ def value_moments_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     oracle=f"""
     SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-           CAST(SUM({SQL_DISC_PRICE}
+           (CAST(FLOOR((SUM({SQL_DISC_PRICE}
                     - CAST(0.4 AS DECIMAL(2,1))
                       * CAST(p_retailprice AS DECIMAL(12,2))
-                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-             AS sum_profit
+                      * CAST(l_quantity AS DECIMAL(12,2)))) * 100) AS BIGINT)
+            / 100.0) AS sum_profit
     FROM lineitem
     JOIN orders   ON o_orderkey = l_orderkey
     JOIN part     ON p_partkey = l_partkey
@@ -702,7 +701,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(su, li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.sum(disc_price() - cost).cast("double").alias("sum_profit"))
+        .agg(money(F.sum(disc_price() - cost)).alias("sum_profit"))
     )
 
 

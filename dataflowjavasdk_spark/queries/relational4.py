@@ -31,8 +31,11 @@ from pyspark.sql.window import Window as W
 from dataflowjavasdk_spark.queries.helpers import (
     SQL_CHARGE,
     SQL_DISC_PRICE,
+    SQL_SUM_CHARGE,
+    SQL_SUM_DISC_PRICE,
     charge,
     disc_price,
+    money,
     sql_dsum,
 )
 from dataflowjavasdk_spark.queries.registry import query
@@ -385,8 +388,8 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            {sql_dsum('l_quantity', 12, 2)} AS sum_qty,
            {sql_dsum('l_extendedprice', 18, 2)} AS sum_base_price,
-           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM({SQL_CHARGE}) AS DOUBLE) AS sum_charge,
+           {SQL_SUM_DISC_PRICE} AS sum_disc_price,
+           {SQL_SUM_CHARGE} AS sum_charge,
            count(*) AS count_order
     FROM refreshed
     GROUP BY l_returnflag, l_linestatus
@@ -439,8 +442,8 @@ def q1_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("p_qty").cast("double").alias("sum_qty"),
             F.sum("p_base").cast("double").alias("sum_base_price"),
-            F.sum("p_disc").cast("double").alias("sum_disc_price"),
-            F.sum("p_charge").cast("double").alias("sum_charge"),
+            money(F.sum("p_disc")).alias("sum_disc_price"),
+            money(F.sum("p_charge")).alias("sum_charge"),
             F.sum("p_n").cast("long").alias("count_order"),
         )
     )
