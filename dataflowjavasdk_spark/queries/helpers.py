@@ -6,6 +6,17 @@ cast to DECIMAL, summed exactly (associative ⇒ order-independent), and the
 final value emitted as DOUBLE. DuckDB oracles use the identical casts, so
 both engines produce bit-identical doubles and the driver's value-hash
 matches deterministically.
+
+Round-9 addendum (found by the sf1 gate, not the sf0.01 one): the final
+decimal→double CAST itself stops being engine-portable once the exact sum
+carries more significant digits than a double holds — sums of decimal
+PRODUCTS (scale 4-6) crossed that line at sf1 (~1e10 with 6 fractional
+digits = 17 sig digits; q1's sum_charge differed by exactly 1 ulp).
+Emission rule since then: product sums go through money()/sql_money() —
+floor to integer cents while still exact decimal, convert the exact
+integer (< 2^53) to double, divide by 100.0 once. Scale-2 sums (raw
+money columns) stay on dsum(): their magnitude would need to exceed
+~9e12 before the same hazard returns.
 """
 
 from __future__ import annotations
