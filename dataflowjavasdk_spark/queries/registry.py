@@ -203,6 +203,7 @@ def _load_all() -> None:
         "curation3",
         "curation4",
         "curation5",
+        "curation6",
         "retrieval",
         "analytics",
     ):

@@ -1,0 +1,56 @@
+"""Round-9 scale-planning semantics tests: LSH operating-point planner
+invariants (s-curve monotonicity, probability bounds) and the sampled
+dedup-rate estimator (fingerprint-bucket unbiasedness vs the uniform
+control's collapse)."""
+
+from __future__ import annotations
+
+from dataflowjavasdk_spark.queries.registry import get
+from tests.conftest import SMOKE_SF
+
+
+def test_lsh_plan_recall_monotone_in_rows(spark):
+    rows = get("lsh_plan_expected_recall").fn(spark, SMOKE_SF).collect()
+    by_r = {r["r_rows"]: r for r in rows}
+    # every config over the same observed pair set, full budget split
+    assert sorted(by_r) == [1, 2, 4, 8, 16, 32, 64, 128]
+    assert len({r["n_pairs"] for r in rows}) == 1
+    assert all(r["r_rows"] * r["n_bands"] == 128 for r in rows)
+    # probabilities are nano-unit bounded
+    for r in rows:
+        assert 0 <= r["mean_recall_e9"] <= 1_000_000_000
+        assert 0 <= r["n_caught_half"] <= r["n_pairs"]
+    # for pairs with s >= 0.5, detection probability 1-(1-s^r)^b falls
+    # monotonically as rows-per-band grows (bands shrink with it): the
+    # planner's whole point is making this trade measurable
+    recalls = [by_r[2**k]["mean_recall_e9"] for k in range(8)]
+    assert recalls == sorted(recalls, reverse=True)
+    caught = [by_r[2**k]["n_caught_half"] for k in range(8)]
+    assert caught == sorted(caught, reverse=True)
+    # r=1 (128 OR-ed single-hash bands) catches essentially everything
+    # observed at s >= 0.5
+    assert by_r[1]["mean_recall_e9"] > 990_000_000
+
+
+def test_dedup_rate_estimator_beats_uniform_control(spark):
+    rows = {
+        r["method"]: r
+        for r in get("dedup_rate_bucket_estimate").fn(spark, SMOKE_SF).collect()
+    }
+    assert set(rows) == {"exact", "fingerprint_bucket", "doc_id_uniform"}
+    exact = rows["exact"]
+    fp = rows["fingerprint_bucket"]
+    uni = rows["doc_id_uniform"]
+    # the corpus construction injects exact duplicates — ground truth > 0
+    assert exact["dup_permille"] > 0
+    # both samples are genuine subsets
+    assert 0 < fp["n_docs"] < exact["n_docs"]
+    assert 0 < uni["n_docs"] < exact["n_docs"]
+    # fingerprint-bucket sampling keeps duplicate groups whole: its rate
+    # estimate lands nearer the truth than the uniform control, which
+    # splits pairs (both members must survive a 1/7 draw => ~1/49 of
+    # pairs) and collapses toward zero
+    fp_err = abs(fp["dup_permille"] - exact["dup_permille"])
+    uni_err = abs(uni["dup_permille"] - exact["dup_permille"])
+    assert uni["dup_permille"] < exact["dup_permille"]
+    assert fp_err < uni_err

@@ -26,7 +26,11 @@ cardinality scaling — see its docstring). Regenerate with:
     python tools/synthesize_sf.py --dest /tmp/sf1
 Usage:
     python tools/measure_scaling.py [--reps 3] [--out /tmp/scaling.json]
-        [--only name1,name2] [--sf1 /tmp/sf1]
+        [--only name1,name2] [--sf1 /tmp/sf1] [--all]
+
+--all widens the sweep from the bench headliners to EVERY registered
+query (round 9: the remaining 111 non-headline registry entries get
+measured slopes too, so the scale ledger covers the whole surface).
 """
 
 from __future__ import annotations
@@ -51,6 +55,7 @@ def main() -> int:
     ap.add_argument("--out", default="/tmp/scaling.json")
     ap.add_argument("--only", default="")
     ap.add_argument("--sf1", default="/tmp/sf1")
+    ap.add_argument("--all", action="store_true", help="measure every registered query, not just bench headliners")
     args = ap.parse_args()
 
     import bench
@@ -69,7 +74,13 @@ def main() -> int:
 
     spark = get_spark(app_name="scaling", shuffle_partitions=32)
     qs = all_queries()
-    names = [n for n in bench.HEADLINE if n in qs]
+    if args.all:
+        # headliners first (comparable to the committed SCALING_r09 rows),
+        # then the rest of the registry in its deterministic order
+        names = [n for n in bench.HEADLINE if n in qs]
+        names += [n for n in qs if n not in set(names)]
+    else:
+        names = [n for n in bench.HEADLINE if n in qs]
     if args.only:
         keep = set(args.only.split(","))
         names = [n for n in names if n in keep]
