@@ -54,3 +54,31 @@ def test_dedup_rate_estimator_beats_uniform_control(spark):
     uni_err = abs(uni["dup_permille"] - exact["dup_permille"])
     assert uni["dup_permille"] < exact["dup_permille"]
     assert fp_err < uni_err
+
+
+def test_intra_doc_trim_removes_injection_and_stays_map_only(spark):
+    from dataflowjavasdk_spark.plans import audit
+
+    df = get("intra_doc_repetition_trim").fn(spark, SMOKE_SF)
+    # scale pin: self-repetition trimming is per-row array algebra —
+    # ZERO exchanges, zero Python evals (the whole point of the plan)
+    p = audit(df)
+    assert p.exchanges == 0
+    assert p.python_evals == 0
+    rows = df.collect()
+    natural = [r for r in rows if r["doc_id"] < 4_000_000]
+    injected = [r for r in rows if r["doc_id"] >= 4_000_000]
+    assert natural and injected
+    for r in rows:
+        # first occurrence is always kept: token 1 is never covered
+        assert 0 <= r["n_removed"] < r["n_tokens"]
+    # every injected doc carries a 5x-repeated 3-token tail (15 tokens);
+    # all repeats past the first appended gram must be trimmed
+    assert all(r["n_removed"] >= 12 for r in injected)
+    # each injected doc removes at least as much as its base doc plus
+    # the repeated tail it gained
+    base = {r["doc_id"]: r for r in natural}
+    for r in injected:
+        b = base[r["doc_id"] - 4_000_000]
+        assert r["n_tokens"] == b["n_tokens"] + 15
+        assert r["n_removed"] > b["n_removed"]
