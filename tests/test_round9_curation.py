@@ -82,3 +82,50 @@ def test_intra_doc_trim_removes_injection_and_stays_map_only(spark):
         b = base[r["doc_id"] - 4_000_000]
         assert r["n_tokens"] == b["n_tokens"] + 15
         assert r["n_removed"] > b["n_removed"]
+
+
+def test_trim_edge_cases_tiny_docs(spark):
+    """Spark's sequence(1, 0) is DESCENDING [1, 0] (DuckDB's range(1,1)
+    is empty) — pin the n<3 guards on crafted 0/1/2-token docs, plus a
+    known removal and idempotence on the trimmed output."""
+    from pyspark.sql import functions as F
+
+    from dataflowjavasdk_spark.queries.curation6 import _trim_repeated_trigrams
+
+    rows = [
+        (0, []),                          # empty doc
+        (1, ["a"]),                       # 1 token
+        (2, ["a", "b"]),                  # 2 tokens
+        (3, ["a", "b", "c"]),             # 3 tokens, no repeat
+        (4, "a b c a b c a b c".split()), # trigram repeated twice
+        (5, "x x x x x x".split()),       # degenerate same-token run
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tk array<string>")
+    got = {
+        r["doc_id"]: r
+        for r in _trim_repeated_trigrams(df)
+        .select("doc_id", "n", "kept_tk")
+        .collect()
+    }
+    # sub-3-token docs: nothing fabricated, nothing removed
+    assert got[0]["kept_tk"] == []
+    assert got[1]["kept_tk"] == ["a"]
+    assert got[2]["kept_tk"] == ["a", "b"]
+    assert got[3]["kept_tk"] == ["a", "b", "c"]
+    # repeats trimmed to the first occurrence
+    assert got[4]["kept_tk"] == ["a", "b", "c"]
+    # overlap semantics: occurrences at 2,3,4 are repeats of the gram at
+    # 1, and their 3-token covers reach back over positions 2-3 — only
+    # the very first token survives a same-token run
+    assert got[5]["kept_tk"] == ["x"]
+    # idempotence: trimming the trimmed tokens removes nothing more
+    trimmed = spark.createDataFrame(
+        [(k, r["kept_tk"]) for k, r in got.items()],
+        "doc_id long, tk array<string>",
+    )
+    again = {
+        r["doc_id"]: r["kept_tk"]
+        for r in _trim_repeated_trigrams(trimmed).select("doc_id", "kept_tk").collect()
+    }
+    for k in got:
+        assert again[k] == got[k]["kept_tk"]
