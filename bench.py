@@ -183,7 +183,6 @@ HEADLINE = [
     # it remains oracled and driver-sampled)
     "cogroup_nation_customer_supplier",
     "semdedup_prune",
-    "exact_dup_spans",
     "dup_span_removal",
     "quality_gate_agreement",
     "ann_recall_report",
@@ -209,6 +208,14 @@ HEADLINE = [
     # queries (dedup_exact, repetition_ratio_quality, ann_recall_report
     # precedents).
     "hybrid_rrf_fusion",
+    # round-9 batch 3: semantic context packing is a new plan shape
+    # (broadcast centroid assign → per-(cell, shard) affinity window →
+    # budget-striped pack) — slot opened by retiring exact_dup_spans,
+    # whose detection plan dup_span_removal exercises in whole (policy
+    # rule 2: cheaper member of a contained-plan pair).
+    # source_unigram_divergence stays off-headline: its token-counting
+    # prefix is tfidf's plan and the pair join is vocabulary-scale.
+    "semantic_context_pack",
 ]
 
 

@@ -1,0 +1,421 @@
+"""Query batch — round-9 corpus-organization operators: semantic context
+packing (in-context-pretraining document ordering) and the source
+unigram-divergence matrix (mixing diagnostics).
+
+Both answer questions a 100 TB training-data pipeline asks AFTER dedup
+and quality gating: "in what ORDER do related documents enter a context
+window?" (Shi et al., "In-Context Pretraining: Language Modeling Beyond
+Document Boundaries", arXiv:2310.10638 — public method) and "which
+sources are lexically redundant with each other before I pick mixing
+weights?".
+
+Shared discipline (SCALE.md): every emitted number is integer-exact or
+derives from an operation tree evaluated identically in Spark and DuckDB
+(the bit-identical left-fold cosine, single sqrt/divide/floor chains);
+orderings break float ties by id so ranks can never disagree
+cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from dataflowjavasdk_spark.functions import similarity as S
+from dataflowjavasdk_spark.functions import text as T
+from dataflowjavasdk_spark.queries.dedup import _CORPUS_SQL, _corpus
+from dataflowjavasdk_spark.queries.registry import query
+from dataflowjavasdk_spark.queries.similarity import _sql_cosine
+from dataflowjavasdk_spark.sources.tables import load_table
+
+# Context token budget: ~3 fixture documents per context (mean ~54
+# whitespace tokens/doc), so packing, straddling, and per-context
+# fingerprints are all exercised. Production uses the model's sequence
+# length here; the plan is identical.
+_CTX_TOKENS = 160
+
+# Shards per cluster: the scale knob. Ordering runs per (cell, shard),
+# so window parallelism is n_cells * _N_SHARDS instead of n_cells — at
+# 100 TB the per-cell running sum would otherwise serialize each
+# cluster through one task.
+_N_SHARDS = 4
+
+
+@query(
+    "semantic_context_pack",
+    oracle=f"""
+    WITH centroids AS (SELECT vec_id AS cell, embedding AS cv
+                       FROM embeddings WHERE vec_id < 8),
+    ranked AS (
+      SELECT e.vec_id, c.cell,
+             {_sql_cosine('e.embedding', 'c.cv')} AS ccos,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_sql_cosine('e.embedding', 'c.cv')} DESC,
+                                         c.cell) AS crk
+      FROM embeddings e CROSS JOIN centroids c
+    ),
+    asg AS (SELECT vec_id, cell, ccos, vec_id % {_N_SHARDS} AS shard
+            FROM ranked WHERE crk = 1),
+    docs AS (
+      SELECT d.doc_id, a.cell, a.shard, a.ccos,
+             len(list_filter(string_split(d.text, ' '), t -> t <> ''))
+               AS n_tok
+      FROM documents d JOIN asg a ON a.vec_id = d.doc_id
+    ),
+    ordered AS (
+      SELECT doc_id, cell, shard, n_tok,
+             row_number() OVER (PARTITION BY cell, shard
+                                ORDER BY ccos DESC, doc_id) AS rn,
+             sum(n_tok) OVER (PARTITION BY cell, shard
+                              ORDER BY ccos DESC, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM docs
+    )
+    SELECT cell, shard,
+           CAST((cum - n_tok) // {_CTX_TOKENS} AS BIGINT) AS context_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           ('0x' || substr(md5(
+             string_agg(doc_id::VARCHAR, ' ' ORDER BY rn)), 1, 15))::BIGINT
+             AS docs_fp
+    FROM ordered
+    GROUP BY cell, shard, (cum - n_tok) // {_CTX_TOKENS}
+    """,
+)
+def semantic_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-context-pretraining context packing (round 9; Shi et al.,
+    arXiv:2310.10638): instead of filling each training context with
+    RANDOM documents, place semantically related documents adjacently so
+    the model learns cross-document reasoning. Three stages, each the
+    scale-correct Spark shape:
+
+    1. ASSIGN each document's embedding to its nearest of 8 fixed
+       centroids (the IVF convention shared with kmeans_ivf_refined /
+       semdedup_prune) — constant centroid relation broadcasts, the
+       corpus streams map-side, the bit-identical left-fold cosine ranks
+       with vec_id tiebreaks.
+    2. ORDER within each (cell, shard) by centroid affinity (ccos DESC,
+       doc_id) — the paper's traveling-salesman pass approximated by the
+       affinity sweep. The shard key (vec_id % 4) is the 100 TB knob:
+       the running token sum is inherently sequential per partition, so
+       packing parallelism must come from the partition KEY, not the
+       window — n_cells * n_shards tasks instead of n_cells.
+    3. PACK the ordered stream into contexts of ~160 tokens by striping
+       the exclusive running token count (cum - n_tok) DIV budget: a
+       pure window + integer division, no per-group loop, no UDF.
+
+    Emits per context: doc count, token total, and a 60-bit fingerprint
+    of the ordered doc_id sequence — pinning the ACTUAL pack order, not
+    just its sizes. Plan: one broadcast join, one shuffle to
+    (cell, shard) reused by both window functions and the final
+    aggregation; everything else is whole-stage codegen."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cv")
+    )
+    cw = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cell"))
+    asg = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cell",
+            S.cosine(F.col("embedding"), F.col("cv")).alias("ccos"),
+        )
+        .withColumn("crk", F.row_number().over(cw))
+        .filter(F.col("crk") == 1)
+        .select(
+            "vec_id", "cell", "ccos", (F.col("vec_id") % _N_SHARDS).alias("shard")
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(T.tokens("text")).alias("n_tok")
+    )
+    joined = docs.join(asg, docs.doc_id == asg.vec_id).select(
+        "doc_id", "cell", "shard", "ccos", "n_tok"
+    )
+    ow = W.partitionBy("cell", "shard").orderBy(F.col("ccos").desc(), F.col("doc_id"))
+    ordered = joined.select(
+        "doc_id",
+        "cell",
+        "shard",
+        "n_tok",
+        F.row_number().over(ow).alias("rn"),
+        F.sum("n_tok").over(ow.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+    )
+    return (
+        ordered.withColumn(
+            "context_id", F.expr(f"(cum - n_tok) DIV {_CTX_TOKENS}")
+        )
+        .groupBy("cell", "shard", "context_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            T.md5_long(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("rn", "doc_id"))
+                        ),
+                        lambda s: s["doc_id"].cast("string"),
+                    ),
+                    " ",
+                )
+            ).alias("docs_fp"),
+        )
+    )
+
+
+@query(
+    "source_unigram_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(list_filter(string_split(text, ' '),
+                                        t -> t <> '')) AS token
+      FROM documents
+    ),
+    cnt AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, token
+    ),
+    prof AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(sum(c * c) AS BIGINT) AS ssq
+      FROM cnt GROUP BY source
+    ),
+    dots AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS inter_vocab,
+             CAST(sum(a.c * b.c) AS BIGINT) AS dot
+      FROM cnt a JOIN cnt b
+        ON a.token = b.token AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT d.source_a, d.source_b, d.inter_vocab,
+           CAST(pa.vocab + pb.vocab - d.inter_vocab AS BIGINT) AS union_vocab,
+           CAST((1000 * d.inter_vocab)
+                // (pa.vocab + pb.vocab - d.inter_vocab) AS BIGINT)
+             AS vocab_jaccard_permille,
+           CAST(floor((d.dot::DOUBLE * 1000000000.0)
+                / sqrt(pa.ssq::DOUBLE * pb.ssq::DOUBLE)) AS BIGINT)
+             AS count_cosine_e9
+    FROM dots d
+    JOIN prof pa ON pa.source = d.source_a
+    JOIN prof pb ON pb.source = d.source_b
+    """,
+)
+def source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair lexical divergence matrix (round 9) — before choosing
+    mixing weights (stratified_source_mix / temperature_mix_sqrt), a
+    pipeline should know which sources are lexically REDUNDANT: two
+    sources with near-identical unigram distributions contribute less
+    diversity than their token counts suggest. For every source pair
+    this emits the vocabulary overlap (intersection / union / Jaccard
+    permille) and the cosine similarity of the unigram COUNT vectors in
+    integer nano-units.
+
+    Exactness: counts, dots and sum-of-squares are int64 (the dot is a
+    sum of count products — order-independent); the only float ops are
+    one cast-multiply-sqrt-divide-multiply-floor chain written
+    identically in both engines.
+
+    Scale shape: unigram counting is a partial-agg groupBy (map-side
+    combine does most of the work — the shuffle carries one row per
+    DISTINCT (source, token), not per token). The pairwise dot is an
+    EQUI-join on token over that vocabulary-sized relation: a token
+    appearing in s sources contributes s*(s-1)/2 pair rows, so the
+    fan-out is bounded by (#sources)^2 per token — never corpus-sized,
+    never all-pairs over rows. Per-source profiles are a second tiny
+    aggregate; the final join is #pairs x 1 rows. At 100 TB only the
+    first groupBy touches the corpus; everything downstream is
+    vocabulary-scale."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    cnt = (
+        docs.select("source", F.explode(T.tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    prof = cnt.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c") * F.col("c")).alias("ssq"),
+    )
+    a, b = cnt.alias("a"), cnt.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("inter_vocab"),
+            F.sum(F.col("a.c") * F.col("b.c")).alias("dot"),
+        )
+    )
+    pa = prof.select(
+        F.col("source").alias("source_a"),
+        F.col("vocab").alias("vocab_a"),
+        F.col("ssq").alias("ssq_a"),
+    )
+    pb = prof.select(
+        F.col("source").alias("source_b"),
+        F.col("vocab").alias("vocab_b"),
+        F.col("ssq").alias("ssq_b"),
+    )
+    return (
+        dots.join(pa, "source_a")
+        .join(pb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "inter_vocab",
+            (F.col("vocab_a") + F.col("vocab_b") - F.col("inter_vocab")).alias(
+                "union_vocab"
+            ),
+            F.expr(
+                "(1000 * inter_vocab) DIV (vocab_a + vocab_b - inter_vocab)"
+            ).alias("vocab_jaccard_permille"),
+            F.floor(
+                (F.col("dot").cast("double") * F.lit(1000000000.0))
+                / F.sqrt(F.col("ssq_a").cast("double") * F.col("ssq_b").cast("double"))
+            )
+            .cast("long")
+            .alias("count_cosine_e9"),
+        )
+    )
+
+
+# Cost-planner config grid: r = 2^k rows per band over the 16-hash
+# signature convention shared with minhash_lsh_near_dups (b = 16/r).
+_COST_KS = list(range(5))
+
+
+def _cost_oracle() -> str:
+    """DuckDB twin of lsh_plan_candidate_cost, generated by the SAME
+    config loop as the Spark expressions (tok/sh/sig CTEs are verbatim
+    the minhash_lsh_near_dups oracle's — one shared signature
+    convention)."""
+    legs = []
+    for k in _COST_KS:
+        r, b = 2**k, 16 // 2**k
+        legs.append(
+            f"""SELECT {r}::BIGINT AS r_rows, doc_id,
+             unnest(range(0, {b})) AS band,
+             unnest(list_transform(range(0, {b}), b2 ->
+               ('0x' || substr(md5(b2::VARCHAR || '|' ||
+                  array_to_string(list_transform(
+                    array_slice(sigs, b2 * {r} + 1, b2 * {r} + {r}),
+                    v -> v::VARCHAR), ',')), 1, 15))::BIGINT)) AS bucket
+           FROM sig"""
+        )
+    banded = "\n      UNION ALL\n      ".join(legs)
+    return f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM corpus
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 1, 1)),
+               i -> array_to_string(array_slice(toks, i, i + 2), ' ')
+             )) AS grams
+      FROM tok
+    ),
+    sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 16), j ->
+               list_reduce(
+                 list_prepend(1152921504606846976::BIGINT,
+                   list_transform(grams, s ->
+                     ('0x' || substr(md5(j::VARCHAR || ':' || s), 1, 15))::BIGINT)),
+                 (a, b) -> least(a, b))
+             ) AS sigs
+      FROM sh
+    ),
+    banded AS (
+      {banded}
+    ),
+    bucketsz AS (
+      SELECT r_rows, band, bucket, CAST(count(*) AS BIGINT) AS n
+      FROM banded GROUP BY r_rows, band, bucket
+    )
+    SELECT r_rows,
+           CAST(16 // r_rows AS BIGINT) AS n_bands,
+           CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hot_buckets,
+           CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS candidate_pairs,
+           CAST(MAX(n) AS BIGINT) AS max_bucket
+    FROM bucketsz GROUP BY r_rows
+    """
+
+
+@query("lsh_plan_candidate_cost", oracle=_cost_oracle())
+def lsh_plan_candidate_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH operating-point COST planner (round 9) — the other half of the
+    picture lsh_plan_expected_recall draws: that query measures what each
+    (bands, rows) config would CATCH; this one measures what it would
+    COST. For every config r=2^k, b=16/r over the shared 16-hash MinHash
+    signature, band-bucket every document and report the number of
+    colliding buckets, the total candidate-pair volume the verify stage
+    would have to score (sum over buckets of C(n,2), PRE-dedup across
+    bands — that is the real join output size), and the largest bucket
+    (the skew hot spot AQE would have to split). Recall and cost together
+    pick the config: more rows per band cuts candidates exponentially but
+    drops recall; this makes the trade measurable on the actual corpus
+    before the expensive stage launches.
+
+    Scale shape: ONE signature computation (16 md5 folds per doc, the
+    same expression minhash_lsh_near_dups plans), all five configs'
+    band keys derived from it row-locally and exploded once — a single
+    corpus scan feeding a two-level integer aggregation; bucket counting
+    is partial-agg (map-side combine), so the shuffle carries one row
+    per distinct (config, band, bucket), never per document pair.
+    Everything emitted is integer-exact."""
+    corpus = _corpus(spark, sf_dir)
+    sig = corpus.select(
+        "doc_id",
+        S.minhash_signature(S.shingles("text", 3), num_hashes=16).alias("sigs"),
+    )
+    def _tagged(r: int):
+        # NB: a real closure, not a default-arg lambda — a two-parameter
+        # lambda would make PySpark pass (element, index) and bind the
+        # array INDEX where r_rows belongs
+        return lambda s: F.struct(
+            F.lit(r).cast("long").alias("r_rows"),
+            s["band"].alias("band"),
+            s["bucket"].alias("bucket"),
+        )
+
+    per_cfg = []
+    for k in _COST_KS:
+        r, b = 2**k, 16 // 2**k
+        per_cfg.append(
+            F.transform(
+                S.band_keys(F.col("sigs"), bands=b, rows_per_band=r), _tagged(r)
+            )
+        )
+    banded = sig.select(
+        "doc_id", F.explode(F.flatten(F.array(*per_cfg))).alias("bk")
+    ).select("bk.r_rows", "bk.band", "bk.bucket")
+    bucketsz = banded.groupBy("r_rows", "band", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        bucketsz.groupBy("r_rows")
+        .agg(
+            F.sum(F.when(F.col("n") >= 2, F.lit(1)).otherwise(F.lit(0))).alias(
+                "n_hot_buckets"
+            ),
+            F.sum(F.expr("(n * (n - 1)) DIV 2")).alias("candidate_pairs"),
+            F.max("n").alias("max_bucket"),
+        )
+        .withColumn("n_bands", F.expr("CAST(16 DIV r_rows AS BIGINT)"))
+    )

@@ -204,6 +204,7 @@ def _load_all() -> None:
         "curation4",
         "curation5",
         "curation6",
+        "curation7",
         "retrieval",
         "analytics",
     ):

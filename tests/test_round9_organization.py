@@ -1,0 +1,130 @@
+"""Round-9 corpus-organization semantics tests: semantic context packing
+(conservation, ordering, budget discipline) and the source
+unigram-divergence matrix (pair coverage, bounds, one hand-computed
+pair)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from dataflowjavasdk_spark.queries.registry import get
+from dataflowjavasdk_spark.sources.tables import load_table
+from tests.conftest import SMOKE_SF
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in text.split(" ") if t]
+
+
+def test_context_pack_conserves_docs_and_tokens(spark):
+    out = get("semantic_context_pack").fn(spark, SMOKE_SF).collect()
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text").collect()
+    total_docs = len(docs)
+    total_tokens = sum(len(_toks(r["text"])) for r in docs)
+    # packing is a partition of the corpus: every document lands in
+    # exactly one context, no token is lost or duplicated
+    assert sum(r["n_docs"] for r in out) == total_docs
+    assert sum(r["n_tokens"] for r in out) == total_tokens
+    # distinct ordered doc sequences -> distinct fingerprints
+    fps = [r["docs_fp"] for r in out]
+    assert len(fps) == len(set(fps))
+    for r in out:
+        assert 0 <= r["cell"] < 8
+        assert 0 <= r["shard"] < 4
+        assert r["context_id"] >= 0
+        assert r["n_docs"] >= 1
+        assert r["n_tokens"] >= 1
+
+
+def test_context_pack_striping_starts_at_zero_and_is_contiguous(spark):
+    out = get("semantic_context_pack").fn(spark, SMOKE_SF).collect()
+    by_group: dict[tuple, list[int]] = {}
+    for r in out:
+        by_group.setdefault((r["cell"], r["shard"]), []).append(r["context_id"])
+    for ids in by_group.values():
+        ids = sorted(ids)
+        # exclusive-cumsum striping with docs shorter than the budget:
+        # context ids start at 0 and are contiguous within each group
+        assert ids[0] == 0
+        assert ids == list(range(len(ids)))
+
+
+def test_source_divergence_pairs_bounds_and_hand_check(spark):
+    out = get("source_unigram_divergence").fn(spark, SMOKE_SF).collect()
+    docs = load_table(spark, SMOKE_SF, "documents").select("source", "text").collect()
+    sources = sorted({r["source"] for r in docs})
+    n = len(sources)
+    assert len(out) == n * (n - 1) // 2
+    seen = set()
+    for r in out:
+        assert r["source_a"] < r["source_b"]
+        seen.add((r["source_a"], r["source_b"]))
+        assert 1 <= r["inter_vocab"] <= r["union_vocab"]
+        assert 0 <= r["vocab_jaccard_permille"] <= 1000
+        assert 0 <= r["count_cosine_e9"] <= 1_000_000_000
+    assert len(seen) == len(out)
+
+    # hand-compute one pair from raw text and require exact agreement
+    a, b = sources[0], sources[1]
+    ca: Counter = Counter()
+    cb: Counter = Counter()
+    for r in docs:
+        if r["source"] == a:
+            ca.update(_toks(r["text"]))
+        elif r["source"] == b:
+            cb.update(_toks(r["text"]))
+    inter = set(ca) & set(cb)
+    union = set(ca) | set(cb)
+    dot = sum(ca[t] * cb[t] for t in inter)
+    ssq_a = sum(v * v for v in ca.values())
+    ssq_b = sum(v * v for v in cb.values())
+    expected_cos_e9 = math.floor(
+        (float(dot) * 1000000000.0) / math.sqrt(float(ssq_a) * float(ssq_b))
+    )
+    row = next(r for r in out if (r["source_a"], r["source_b"]) == (a, b))
+    assert row["inter_vocab"] == len(inter)
+    assert row["union_vocab"] == len(union)
+    assert row["vocab_jaccard_permille"] == (1000 * len(inter)) // len(union)
+    assert row["count_cosine_e9"] == expected_cos_e9
+
+
+def test_context_pack_respects_budget_stripes(spark):
+    # recompute the expected stripe of each document from the query's own
+    # ordering columns: for every context, the exclusive running count of
+    # its FIRST doc must fall inside [context_id*B, (context_id+1)*B)
+    out = (
+        get("semantic_context_pack")
+        .fn(spark, SMOKE_SF)
+        .groupBy("cell", "shard")
+        .agg(
+            F.sum("n_tokens").alias("group_tokens"),
+            F.max("context_id").alias("max_ctx"),
+        )
+        .collect()
+    )
+    for r in out:
+        # the last context starts at max_ctx*160 < group_tokens: stripes
+        # can never outrun the token mass of the group
+        assert r["max_ctx"] * 160 < r["group_tokens"]
+
+
+def test_lsh_candidate_cost_monotone_and_bounded(spark):
+    rows = {
+        r["r_rows"]: r
+        for r in get("lsh_plan_candidate_cost").fn(spark, SMOKE_SF).collect()
+    }
+    # full 16-slot budget split, every config present
+    assert sorted(rows) == [1, 2, 4, 8, 16]
+    assert all(r * rows[r]["n_bands"] == 16 for r in rows)
+    for r in rows.values():
+        # a bucket with n >= 2 contributes at least one candidate pair
+        assert r["n_hot_buckets"] <= r["candidate_pairs"]
+        assert r["max_bucket"] >= 2  # injected exact dups always collide
+        assert r["candidate_pairs"] >= 1
+    # the planner's reason to exist: rows-per-band is the cost dial —
+    # the most selective config must generate strictly fewer candidates
+    # than the most permissive one
+    assert rows[16]["candidate_pairs"] < rows[1]["candidate_pairs"]
