@@ -1,13 +1,15 @@
 """Query batch — round-9 corpus-organization operators: semantic context
-packing (in-context-pretraining document ordering) and the source
-unigram-divergence matrix (mixing diagnostics).
+packing (in-context-pretraining document ordering), the source
+unigram-divergence matrix (mixing diagnostics), the LSH candidate-cost
+planner, and UniMax budget waterfilling.
 
-Both answer questions a 100 TB training-data pipeline asks AFTER dedup
+All answer questions a 100 TB training-data pipeline asks AFTER dedup
 and quality gating: "in what ORDER do related documents enter a context
 window?" (Shi et al., "In-Context Pretraining: Language Modeling Beyond
-Document Boundaries", arXiv:2310.10638 — public method) and "which
-sources are lexically redundant with each other before I pick mixing
-weights?".
+Document Boundaries", arXiv:2310.10638 — public method), "which sources
+are lexically redundant with each other?", "what would each LSH
+operating point COST in candidate pairs?", and "how do I split the token
+budget fairly across sources?" (Chung et al., UniMax, ICLR 2023).
 
 Shared discipline (SCALE.md): every emitted number is integer-exact or
 derives from an operation tree evaluated identically in Spark and DuckDB
@@ -107,9 +109,10 @@ def semantic_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Emits per context: doc count, token total, and a 60-bit fingerprint
     of the ordered doc_id sequence — pinning the ACTUAL pack order, not
-    just its sizes. Plan: one broadcast join, one shuffle to
-    (cell, shard) reused by both window functions and the final
-    aggregation; everything else is whole-stage codegen."""
+    just its sizes. Plan (audited, PLANS.md): one broadcast join and two
+    exchanges total — one on vec_id for the assignment rank, one to
+    (cell, shard) that BOTH window functions and the final aggregation
+    reuse; everything else is whole-stage codegen, python_evals=0."""
     emb = load_table(spark, sf_dir, "embeddings")
     cent = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("cv")
@@ -418,4 +421,144 @@ def lsh_plan_candidate_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").alias("max_bucket"),
         )
         .withColumn("n_bands", F.expr("CAST(16 DIV r_rows AS BIGINT)"))
+    )
+
+
+@query(
+    "unimax_budget_allocation",
+    oracle="""
+    WITH cnt AS (
+      SELECT source,
+             CAST(sum(len(list_filter(string_split(text, ' '),
+                                      t -> t <> ''))) AS BIGINT) AS c
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST((95 * sum(c)) // 100 AS BIGINT) AS budget,
+             CAST(count(*) AS BIGINT) AS n
+      FROM cnt
+    ),
+    ord AS (
+      SELECT source, c,
+             row_number() OVER (ORDER BY c, source) AS i,
+             COALESCE(sum(c) OVER (ORDER BY c, source
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS pprev
+      FROM cnt
+    ),
+    flagged AS (
+      SELECT o.source, o.c, o.i,
+             (o.pprev + o.c * (t.n - o.i + 1) <= t.budget) AS capped
+      FROM ord o CROSS JOIN tot t
+    ),
+    lvl AS (
+      SELECT CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS k,
+             CAST(sum(CASE WHEN capped THEN c ELSE 0 END) AS BIGINT) AS pk
+      FROM flagged
+    ),
+    shared AS (
+      SELECT f.source, f.c, f.capped,
+             (t.budget - l.pk) // (t.n - l.k) AS share,
+             (t.budget - l.pk) % (t.n - l.k) AS rem,
+             CASE WHEN f.capped THEN NULL
+                  ELSE row_number() OVER (PARTITION BY f.capped
+                                          ORDER BY f.c, f.source) END AS uidx
+      FROM flagged f CROSS JOIN tot t CROSS JOIN lvl l
+    )
+    SELECT source,
+           c AS n_tokens,
+           CAST(CASE WHEN capped THEN c
+                     ELSE share + (CASE WHEN uidx <= rem THEN 1 ELSE 0 END)
+                END AS BIGINT) AS allocation,
+           capped,
+           CAST((1000 * CASE WHEN capped THEN c
+                             ELSE share + (CASE WHEN uidx <= rem
+                                           THEN 1 ELSE 0 END) END) // c
+             AS BIGINT) AS epochs_permille
+    FROM shared
+    """,
+)
+def unimax_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget waterfilling (round 9; Chung et al., "UniMax: Fairer
+    and More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining", ICLR 2023 — public method): split a total token budget
+    across sources as EVENLY as possible subject to per-source capacity
+    caps — small sources keep everything they have (capped), large
+    sources are trimmed to a common waterfill level, so no source is
+    over-epoched just because it is big. Budget here is 95% of the
+    corpus' token mass (self-scaling across fixtures); capacity is one
+    epoch of each source.
+
+    The waterfill is EXACT integer math, no iteration: sort sources by
+    capacity, source i is capped iff prefix(i-1) + c_i * (n-i+1) <=
+    budget (allocating everyone at least c_i would still fit); the
+    uncapped share is one floor division over the survivors, and the
+    remainder tokens go one each to the first `rem` uncapped sources in
+    sort order — so sum(allocation) == budget EXACTLY, pinned by test.
+    Output: per source, capacity, allocation, capped flag, and
+    epochs_permille (how much of the source one budget pass consumes).
+
+    Scale shape: ONE corpus scan (partial-agg token counting per
+    source); everything after operates on the #sources-row relation —
+    the global sort window is over a bounded dimension (sources number
+    in the hundreds at worst), and the single-row budget/level relations
+    broadcast. The 100 TB cost is the scan, which any budget decision
+    must pay once."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    cnt = docs.groupBy("source").agg(
+        F.sum(F.size(T.tokens("text"))).cast("long").alias("c")
+    )
+    tot = cnt.agg(
+        F.expr("CAST((95 * sum(c)) DIV 100 AS BIGINT)").alias("budget"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ow = W.orderBy("c", "source")
+    ord_ = cnt.select(
+        "source",
+        "c",
+        F.row_number().over(ow).alias("i"),
+        F.coalesce(
+            F.sum("c").over(ow.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ).alias("pprev"),
+    )
+    flagged = ord_.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "c",
+        "i",
+        "budget",
+        "n",
+        (F.col("pprev") + F.col("c") * (F.col("n") - F.col("i") + 1) <= F.col("budget")
+        ).alias("capped"),
+    )
+    lvl = flagged.agg(
+        F.sum(F.when(F.col("capped"), F.lit(1)).otherwise(F.lit(0))).alias("k"),
+        F.sum(F.when(F.col("capped"), F.col("c")).otherwise(F.lit(0))).alias("pk"),
+    )
+    uw = W.partitionBy("capped").orderBy("c", "source")
+    shared = (
+        flagged.crossJoin(F.broadcast(lvl))
+        .select(
+            "source",
+            "c",
+            "capped",
+            F.expr("(budget - pk) DIV (n - k)").alias("share"),
+            F.expr("(budget - pk) % (n - k)").alias("rem"),
+            F.when(F.col("capped"), F.lit(None).cast("long"))
+            .otherwise(F.row_number().over(uw).cast("long"))
+            .alias("uidx"),
+        )
+    )
+    alloc = F.when(F.col("capped"), F.col("c")).otherwise(
+        F.col("share")
+        + F.when(F.col("uidx") <= F.col("rem"), F.lit(1)).otherwise(F.lit(0))
+    )
+    return shared.select(
+        "source",
+        F.col("c").alias("n_tokens"),
+        alloc.cast("long").alias("allocation"),
+        "capped",
+        F.expr(
+            "CAST((1000 * (CASE WHEN capped THEN c ELSE share + "
+            "(CASE WHEN uidx <= rem THEN 1 ELSE 0 END) END)) DIV c AS BIGINT)"
+        ).alias("epochs_permille"),
     )

@@ -128,3 +128,29 @@ def test_lsh_candidate_cost_monotone_and_bounded(spark):
     # the most selective config must generate strictly fewer candidates
     # than the most permissive one
     assert rows[16]["candidate_pairs"] < rows[1]["candidate_pairs"]
+
+
+def test_unimax_allocation_exact_waterfill(spark):
+    rows = get("unimax_budget_allocation").fn(spark, SMOKE_SF).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    budget = (95 * total) // 100
+    # waterfilling spends the budget EXACTLY — no token lost to rounding
+    assert sum(r["allocation"] for r in rows) == budget
+    uncapped = [r for r in rows if not r["capped"]]
+    assert uncapped, "95% budget must leave at least one source uncapped"
+    for r in rows:
+        assert 1 <= r["allocation"] <= r["n_tokens"]
+        if r["capped"]:
+            # capped sources keep exactly their capacity (one full epoch)
+            assert r["allocation"] == r["n_tokens"]
+            assert r["epochs_permille"] == 1000
+        else:
+            assert r["epochs_permille"] < 1000
+    # the waterfill level is common: uncapped allocations differ by <= 1
+    # (the remainder distribution), and every capped capacity sits below
+    # every uncapped allocation
+    allocs = sorted(r["allocation"] for r in uncapped)
+    assert allocs[-1] - allocs[0] <= 1
+    for r in rows:
+        if r["capped"]:
+            assert r["n_tokens"] <= allocs[0]
