@@ -50,8 +50,14 @@ def money(sum_col: Column) -> Column:
 
 
 def sql_money(sum_expr: str) -> str:
-    """DuckDB twin of money(): ``sum_expr`` must be the SUM(...) text."""
-    return f"(CAST(FLOOR(({sum_expr}) * 100) AS BIGINT) / 100.0)"
+    """DuckDB twin of money(): ``sum_expr`` must be the SUM(...) text.
+
+    The divisor is CAST(100 AS DOUBLE), not the literal 100.0: DuckDB
+    types 100.0 as DOUBLE but Spark SQL types it as DECIMAL(4,1), so the
+    bare literal would make the same oracle text produce decimal division
+    when executed through the engine's SQL entry point
+    (tests/test_sql_surface.py runs these twins on Spark too)."""
+    return f"(CAST(FLOOR(({sum_expr}) * 100) AS BIGINT) / CAST(100 AS DOUBLE))"
 
 
 def davg(col: str | Column, prec: int = 18, scale: int = 2) -> Column:

@@ -184,7 +184,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT (CAST(FLOOR((SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                     * CAST(l_discount AS DECIMAL(4,2)))) * 100) AS BIGINT)
-            / 100.0) AS revenue,
+            / CAST(100 AS DOUBLE)) AS revenue,
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'

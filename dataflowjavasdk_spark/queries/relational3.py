@@ -670,7 +670,7 @@ def value_moments_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - CAST(0.4 AS DECIMAL(2,1))
                       * CAST(p_retailprice AS DECIMAL(12,2))
                       * CAST(l_quantity AS DECIMAL(12,2)))) * 100) AS BIGINT)
-            / 100.0) AS sum_profit
+            / CAST(100 AS DOUBLE)) AS sum_profit
     FROM lineitem
     JOIN orders   ON o_orderkey = l_orderkey
     JOIN part     ON p_partkey = l_partkey

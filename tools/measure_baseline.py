@@ -50,6 +50,7 @@ def spark_queries(spark):
         ev = ev_raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     else:
         ev = ev_raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
 
     def q1():
         return (
@@ -267,6 +268,64 @@ def spark_queries(spark):
             F.col("rk") <= 10
         )
 
+    def context_pack_plain():
+        # Plain user's in-context packing (round-9 twin of
+        # semantic_context_pack): the obvious code — zip_with+aggregate
+        # cosine, a window rank for nearest-centroid, a second window
+        # pair for order + running sum, groupBy for the contexts.
+        from pyspark.sql.window import Window as W
+
+        def dot(a, b):
+            return F.aggregate(
+                F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+
+        cent = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("cell"), F.col("embedding").alias("cv")
+        )
+        scored = emb.crossJoin(F.broadcast(cent)).select(
+            "vec_id",
+            "cell",
+            (
+                dot(F.col("embedding"), F.col("cv"))
+                / F.sqrt(
+                    dot(F.col("embedding"), F.col("embedding"))
+                    * dot(F.col("cv"), F.col("cv"))
+                )
+            ).alias("ccos"),
+        )
+        cw = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cell"))
+        asg = (
+            scored.withColumn("crk", F.row_number().over(cw))
+            .filter(F.col("crk") == 1)
+            .select("vec_id", "cell", "ccos", (F.col("vec_id") % 4).alias("shard"))
+        )
+        dtok = docs.select(
+            "doc_id",
+            F.size(
+                F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+            ).alias("n_tok"),
+        )
+        j = dtok.join(asg, dtok.doc_id == asg.vec_id)
+        ow = W.partitionBy("cell", "shard").orderBy(
+            F.col("ccos").desc(), F.col("doc_id")
+        )
+        ordered = j.select(
+            "doc_id",
+            "cell",
+            "shard",
+            "n_tok",
+            F.row_number().over(ow).alias("rn"),
+            F.sum("n_tok").over(ow.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+        )
+        return (
+            ordered.withColumn("context_id", F.expr("(cum - n_tok) DIV 160"))
+            .groupBy("cell", "shard", "context_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+        )
+
     return {
         "q1_pricing_summary": q1,
         "q3_join_agg": q3,
@@ -280,6 +339,7 @@ def spark_queries(spark):
         "tfidf_regex": tfidf_regex,
         "tfidf_ws": tfidf_ws,
         "bm25_plain": bm25_plain,
+        "context_pack_plain": context_pack_plain,
     }
 
 
@@ -409,6 +469,49 @@ DUCK_SQL = {
                                     ORDER BY score_micro DESC, doc_id) AS rk
           FROM scored)
         WHERE rk <= 10""",
+    "context_pack_plain": """
+        WITH centroids AS (SELECT vec_id AS cell, embedding AS cv
+                           FROM embeddings WHERE vec_id < 8),
+        ranked AS (
+          SELECT e.vec_id, c.cell,
+                 list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(list_zip(e.embedding, c.cv),
+                                  p -> p[1]::DOUBLE * p[2]::DOUBLE)),
+                   (x, y) -> x + y)
+                 / sqrt(
+                     list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(list_zip(e.embedding, e.embedding),
+                                      p -> p[1]::DOUBLE * p[2]::DOUBLE)),
+                       (x, y) -> x + y)
+                     * list_reduce(list_prepend(0.0::DOUBLE,
+                         list_transform(list_zip(c.cv, c.cv),
+                                        p -> p[1]::DOUBLE * p[2]::DOUBLE)),
+                         (x, y) -> x + y)) AS ccos
+          FROM embeddings e CROSS JOIN centroids c
+        ),
+        asg AS (
+          SELECT vec_id, cell, ccos, vec_id % 4 AS shard FROM (
+            SELECT vec_id, cell, ccos,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY ccos DESC, cell) AS crk
+            FROM ranked) WHERE crk = 1
+        ),
+        docs AS (
+          SELECT d.doc_id, a.cell, a.shard, a.ccos,
+                 len(list_filter(string_split(d.text, ' '), t -> t <> ''))
+                   AS n_tok
+          FROM documents d JOIN asg a ON a.vec_id = d.doc_id
+        ),
+        ordered AS (
+          SELECT doc_id, cell, shard, n_tok,
+                 sum(n_tok) OVER (PARTITION BY cell, shard
+                                  ORDER BY ccos DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+          FROM docs
+        )
+        SELECT cell, shard, (cum - n_tok) // 160 AS context_id,
+               count(*) AS n_docs, sum(n_tok) AS n_tokens
+        FROM ordered GROUP BY 1, 2, 3""",
 }
 
 
@@ -429,6 +532,7 @@ ENGINE_TWIN = {
     "tfidf_regex": "tfidf_regex",
     "tfidf_ws": "tfidf",
     "bm25_plain": "bm25_retrieval_topk",
+    "context_pack_plain": "semantic_context_pack",
 }
 
 
@@ -446,7 +550,7 @@ def main() -> None:
     qs = spark_queries(spark)
 
     con = duckdb.connect()
-    for t in ("lineitem", "customer", "orders", "events", "documents"):
+    for t in ("lineitem", "customer", "orders", "events", "documents", "embeddings"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
