@@ -49,15 +49,21 @@ SMALL_MS = 50.0
 # (tumbling_hourly_events is BASELINE.md's "tumbling_window_events" row;
 # tfidf is the "tfidf_ws" row; kll_quantiles_rollup is "quantile_rollup".)
 SAME_PROTOCOL_MS = {
-    "q1_pricing_summary": 57.9,
-    "q3_join_agg": 53.8,
-    "tumbling_hourly_events": 40.7,
-    "wordcount": 32.4,
-    "dedup_exact": 54.3,
-    "session_windows_events": 201.7,
-    "topk_per_group": 36.1,
-    "kll_quantiles_rollup": 40.1,
-    "tfidf": 172.5,
+    # plain-PySpark ms from BASELINE.md's newest protocol table (round-9
+    # second run, idle host) — refresh whenever a new table lands
+    "q1_pricing_summary": 41.1,
+    "q3_join_agg": 49.3,
+    "tumbling_hourly_events": 35.5,
+    "wordcount": 30.9,
+    "dedup_exact": 35.9,
+    "session_windows_events": 172.5,
+    "topk_per_group": 32.2,
+    "kll_quantiles_rollup": 37.0,
+    "tfidf": 222.0,
+    # bm25_retrieval_topk (43.5 ms plain) is in BASELINE.md's table but
+    # not here: it is represented in the headline via hybrid_rrf_fusion,
+    # and this dict may only hold live headliners (gate invariant).
+    "semantic_context_pack": 64.4,
 }
 BASELINE_GATE = 2.0  # the driver's "within 2x of BASELINE" bar
 

@@ -323,7 +323,31 @@ def spark_queries(spark):
         return (
             ordered.withColumn("context_id", F.expr("(cum - n_tok) DIV 160"))
             .groupBy("cell", "shard", "context_id")
-            .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tok").alias("n_tokens"),
+                # same per-context fingerprint the engine emits — the
+                # comparable must produce the same OUTPUT, not a subset
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.array_join(
+                                F.transform(
+                                    F.array_sort(
+                                        F.collect_list(F.struct("rn", "doc_id"))
+                                    ),
+                                    lambda s: s["doc_id"].cast("string"),
+                                ),
+                                " ",
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long").alias("docs_fp"),
+            )
         )
 
     return {
@@ -503,14 +527,17 @@ DUCK_SQL = {
           FROM documents d JOIN asg a ON a.vec_id = d.doc_id
         ),
         ordered AS (
-          SELECT doc_id, cell, shard, n_tok,
+          SELECT doc_id, cell, shard, n_tok, ccos,
                  sum(n_tok) OVER (PARTITION BY cell, shard
                                   ORDER BY ccos DESC, doc_id
                                   ROWS UNBOUNDED PRECEDING) AS cum
           FROM docs
         )
         SELECT cell, shard, (cum - n_tok) // 160 AS context_id,
-               count(*) AS n_docs, sum(n_tok) AS n_tokens
+               count(*) AS n_docs, sum(n_tok) AS n_tokens,
+               ('0x' || substr(md5(
+                 string_agg(doc_id::VARCHAR, ' ' ORDER BY ccos DESC, doc_id)),
+                 1, 15))::BIGINT AS docs_fp
         FROM ordered GROUP BY 1, 2, 3""",
 }
 

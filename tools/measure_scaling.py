@@ -129,6 +129,14 @@ def main() -> int:
             n_flagged += row["superlinear"]
         if med["0.01"] and med["0.1"]:
             row["slope_001_to_01"] = round(math.log10(med["0.1"] / med["0.01"]), 3)
+        # Throughput sanity (round-9 lesson): a perfectly linear slope can
+        # hide an awful CONSTANT — intra_doc_repetition_trim measured
+        # slope 1.01 at ~6 ms/doc (320 s at sf1) before its O(n^2)
+        # array_position scan was rewritten. Warn (don't gate) when the
+        # sf1 median exceeds the absolute band every healthy headliner
+        # sits under, so the next such constant is visible in the table.
+        if med["1.0"]:
+            row["heavy_constant"] = med["1.0"] > 60_000
         report[name] = row
 
     with open(args.out, "w") as fh:
@@ -138,6 +146,8 @@ def main() -> int:
         m = row["ms"]
         sl = row.get("slope_01_to_1")
         mark = "  <-- SUPERLINEAR" if row.get("superlinear") else ""
+        if row.get("heavy_constant"):
+            mark += "  <-- HEAVY CONSTANT (>60 s at sf1)"
         print(
             f"{name:36s} {m['0.01'] or -1:8.1f} {m['0.1'] or -1:8.1f} "
             f"{m['1.0'] or -1:9.1f} {sl if sl is not None else -9:6.2f}{mark}"
