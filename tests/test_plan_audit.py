@@ -253,6 +253,10 @@ def test_no_cartesian_products_anywhere(spark):
                                          # the cosine_topk_bruteforce shape
         "hybrid_rrf_fusion",            # composes both shapes above
         "retrieval_label_precision",    # composes all three retrieval legs
+        "semantic_context_pack",        # 8-row centroid broadcast (the
+                                        # kmeans_ivf_refined convention)
+        "unimax_budget_allocation",     # 1-row budget + 1-row level
+                                        # singleton broadcasts
     }
     for name in all_queries():
         p = _plan(spark, name)
