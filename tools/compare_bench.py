@@ -159,13 +159,31 @@ def main() -> int:
         # it's probably the host.
         import statistics
 
+        # Collision-ambiguity guard: when the old round's contract line
+        # truncated two names to the same 7 chars, the FIRST collision
+        # member keeps the clean truncation ("cogroup" for
+        # cogroup_customer_orders while cogroup_nation_customer_supplier
+        # is stored as "cogro2") — so a clean prefix key can legitimately
+        # prefix SEVERAL live full names, and attributing it to any one
+        # of them fabricates a regression (round 9: a false 10x flag on
+        # the nation CoGBK, matched against the 36 ms customer_orders
+        # row). A truncated key claimed by more than one live name is
+        # skipped for all of them.
+        claimed: dict[str, int] = {}
+        for name in new:
+            k = resolve(name, old)
+            if k is not None and k != name:
+                claimed[k] = claimed.get(k, 0) + 1
         pairs = {}
         for name, t_new in new.items():
             old_key = resolve(name, old) or next(
                 (k for k in old if k.startswith(name)), None
             )
-            if old_key is not None:
-                pairs[name] = (t_new, old[old_key])
+            if old_key is None:
+                continue
+            if old_key != name and claimed.get(old_key, 0) > 1:
+                continue
+            pairs[name] = (t_new, old[old_key])
         if pairs:
             speed = statistics.median(
                 t / max(o, 1e-9) for t, o in pairs.values()
