@@ -562,3 +562,135 @@ def unimax_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(CASE WHEN uidx <= rem THEN 1 ELSE 0 END) END)) DIV c AS BIGINT)"
         ).alias("epochs_permille"),
     )
+
+
+# Padding-waste grid: batch size for the padded strategies and the token
+# budget for the packed stripes (same budget as semantic_context_pack).
+_PAD_BATCH = 16
+
+
+@query(
+    "padding_waste_report",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    arrival AS (
+      SELECT n_tok,
+             (row_number() OVER (ORDER BY doc_id) - 1) // {_PAD_BATCH} AS b
+      FROM toks
+    ),
+    srt AS (
+      SELECT n_tok,
+             (row_number() OVER (ORDER BY n_tok, doc_id) - 1)
+               // {_PAD_BATCH} AS b
+      FROM toks
+    ),
+    a_b AS (SELECT b, CAST(count(*) AS BIGINT) AS n,
+                   CAST(max(n_tok) AS BIGINT) AS mx,
+                   CAST(sum(n_tok) AS BIGINT) AS real
+            FROM arrival GROUP BY b),
+    s_b AS (SELECT b, CAST(count(*) AS BIGINT) AS n,
+                   CAST(max(n_tok) AS BIGINT) AS mx,
+                   CAST(sum(n_tok) AS BIGINT) AS real
+            FROM srt GROUP BY b),
+    tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total FROM toks),
+    legs AS (
+      SELECT 'naive_arrival' AS strategy,
+             CAST(count(*) AS BIGINT) AS n_units,
+             CAST(sum(n * mx) AS BIGINT) AS capacity_tokens,
+             CAST(sum(real) AS BIGINT) AS real_tokens
+      FROM a_b
+      UNION ALL
+      SELECT 'length_sorted' AS strategy,
+             CAST(count(*) AS BIGINT),
+             CAST(sum(n * mx) AS BIGINT),
+             CAST(sum(real) AS BIGINT)
+      FROM s_b
+      UNION ALL
+      SELECT 'packed_stripes' AS strategy,
+             CAST((total + 160 - 1) // 160 AS BIGINT),
+             CAST(((total + 160 - 1) // 160) * 160 AS BIGINT),
+             total
+      FROM tot
+    )
+    SELECT strategy, n_units, capacity_tokens, real_tokens,
+           CAST((1000 * (capacity_tokens - real_tokens))
+                // capacity_tokens AS BIGINT) AS waste_permille
+    FROM legs
+    """,
+)
+def padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste planner (round 9) — the measured WHY behind
+    sequence packing: a padded batch of B documents costs
+    B * max(len) tokens of compute while only sum(len) are real, so the
+    waste depends on the BATCHING POLICY. Three strategies over the same
+    corpus, one row each:
+
+    - naive_arrival: batches of 16 in doc_id (arrival) order — the
+      baseline trainer loader; mixed lengths in one batch maximize the
+      max-len padding.
+    - length_sorted: the same batches after a global sort by length —
+      batch members have near-equal lengths, so padding collapses; the
+      cost is the sort (and lost shuffle randomness, which real loaders
+      restore with a bucketed shuffle).
+    - packed_stripes: concatenate-and-stripe at a 160-token budget
+      (semantic_context_pack's policy) — waste is only the final
+      partial stripe, the attainable lower bound.
+
+    Emits capacity vs real tokens and waste permille — integer-exact.
+    At 100 TB the report costs one corpus scan plus two document-count
+    windows; the global sort is rank-based and would be a range
+    partition (Spark's sort shuffle) at scale, the same cost the
+    length-bucketed loader itself pays."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(T.tokens("text")).cast("long").alias("n_tok")
+    )
+    arrival = toks.select(
+        "n_tok",
+        F.expr(f"(row_number() OVER (ORDER BY doc_id) - 1) DIV {_PAD_BATCH}").alias(
+            "b"
+        ),
+    )
+    srt = toks.select(
+        "n_tok",
+        F.expr(
+            f"(row_number() OVER (ORDER BY n_tok, doc_id) - 1) DIV {_PAD_BATCH}"
+        ).alias("b"),
+    )
+    def _batched(df):
+        return df.groupBy("b").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("n_tok").alias("mx"),
+            F.sum("n_tok").alias("real"),
+        )
+    a_b, s_b = _batched(arrival), _batched(srt)
+    def _leg(df, name):
+        return df.agg(
+            F.lit(name).alias("strategy"),
+            F.count(F.lit(1)).alias("n_units"),
+            F.sum(F.col("n") * F.col("mx")).alias("capacity_tokens"),
+            F.sum("real").alias("real_tokens"),
+        )
+    packed = toks.agg(F.sum("n_tok").alias("total")).select(
+        F.lit("packed_stripes").alias("strategy"),
+        F.expr("CAST((total + 159) DIV 160 AS BIGINT)").alias("n_units"),
+        F.expr("CAST(((total + 159) DIV 160) * 160 AS BIGINT)").alias(
+            "capacity_tokens"
+        ),
+        F.col("total").alias("real_tokens"),
+    )
+    legs = _leg(a_b, "naive_arrival").unionByName(_leg(s_b, "length_sorted")).unionByName(packed)
+    return legs.select(
+        "strategy",
+        "n_units",
+        "capacity_tokens",
+        "real_tokens",
+        F.expr(
+            "CAST((1000 * (capacity_tokens - real_tokens)) DIV capacity_tokens"
+            " AS BIGINT)"
+        ).alias("waste_permille"),
+    )

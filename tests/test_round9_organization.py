@@ -154,3 +154,24 @@ def test_unimax_allocation_exact_waterfill(spark):
     for r in rows:
         if r["capped"]:
             assert r["n_tokens"] <= allocs[0]
+
+
+def test_padding_waste_ordering(spark):
+    rows = {
+        r["strategy"]: r
+        for r in get("padding_waste_report").fn(spark, SMOKE_SF).collect()
+    }
+    assert set(rows) == {"naive_arrival", "length_sorted", "packed_stripes"}
+    total = rows["packed_stripes"]["real_tokens"]
+    for r in rows.values():
+        assert r["real_tokens"] == total  # every strategy carries the corpus
+        assert r["capacity_tokens"] >= r["real_tokens"]
+        assert 0 <= r["waste_permille"] <= 1000
+    # the report's reason to exist: sorting beats arrival order, packing
+    # beats both (packing waste is only the final partial stripe)
+    assert (
+        rows["packed_stripes"]["waste_permille"]
+        <= rows["length_sorted"]["waste_permille"]
+        <= rows["naive_arrival"]["waste_permille"]
+    )
+    assert rows["naive_arrival"]["waste_permille"] > rows["packed_stripes"]["waste_permille"]
