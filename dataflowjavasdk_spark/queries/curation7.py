@@ -579,15 +579,24 @@ _PAD_BATCH = 16
       FROM documents
     ),
     arrival AS (
+      SELECT n_tok, doc_id // {_PAD_BATCH} AS b FROM toks
+    ),
+    per_len AS (
+      SELECT n_tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY n_tok
+    ),
+    offs AS (
       SELECT n_tok,
-             (row_number() OVER (ORDER BY doc_id) - 1) // {_PAD_BATCH} AS b
-      FROM toks
+             COALESCE(sum(cnt) OVER (ORDER BY n_tok
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS off
+      FROM per_len
     ),
     srt AS (
-      SELECT n_tok,
-             (row_number() OVER (ORDER BY n_tok, doc_id) - 1)
+      SELECT t.n_tok,
+             (o.off + row_number() OVER (PARTITION BY t.n_tok
+                                         ORDER BY t.doc_id) - 1)
                // {_PAD_BATCH} AS b
-      FROM toks
+      FROM toks t JOIN offs o ON o.n_tok = t.n_tok
     ),
     a_b AS (SELECT b, CAST(count(*) AS BIGINT) AS n,
                    CAST(max(n_tok) AS BIGINT) AS mx,
@@ -630,35 +639,41 @@ def padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     waste depends on the BATCHING POLICY. Three strategies over the same
     corpus, one row each:
 
-    - naive_arrival: batches of 16 in doc_id (arrival) order — the
-      baseline trainer loader; mixed lengths in one batch maximize the
-      max-len padding.
-    - length_sorted: the same batches after a global sort by length —
-      batch members have near-equal lengths, so padding collapses; the
-      cost is the sort (and lost shuffle randomness, which real loaders
-      restore with a bucketed shuffle).
+    - naive_arrival: id-striped batches of 16 (doc_id DIV 16 — arrival
+      order; the fixture's ids are dense) — the baseline trainer
+      loader; mixed lengths in one batch maximize the max-len padding.
+      Map-only, no window at all.
+    - length_sorted: the same batches after a TOTAL order by
+      (length, id). The global rank is computed scalably — NOT with a
+      partitionless row_number window (which collapses every row onto
+      one task, the classic Spark anti-pattern): rank = cumulative
+      count of all shorter lengths (a window over the TINY
+      distinct-lengths relation) + intra-length rank (a window
+      partitioned by n_tok, fully parallel). This is the
+      two-pass/offset pattern any exact global rank needs at 100 TB.
     - packed_stripes: concatenate-and-stripe at a 160-token budget
       (semantic_context_pack's policy) — waste is only the final
       partial stripe, the attainable lower bound.
 
-    Emits capacity vs real tokens and waste permille — integer-exact.
-    At 100 TB the report costs one corpus scan plus two document-count
-    windows; the global sort is rank-based and would be a range
-    partition (Spark's sort shuffle) at scale, the same cost the
-    length-bucketed loader itself pays."""
+    Emits capacity vs real tokens and waste permille — integer-exact;
+    one corpus scan, one n_tok shuffle, distinct-lengths-sized side
+    relations."""
     toks = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.size(T.tokens("text")).cast("long").alias("n_tok")
     )
     arrival = toks.select(
-        "n_tok",
-        F.expr(f"(row_number() OVER (ORDER BY doc_id) - 1) DIV {_PAD_BATCH}").alias(
-            "b"
-        ),
+        "n_tok", F.expr(f"doc_id DIV {_PAD_BATCH}").alias("b")
     )
-    srt = toks.select(
+    per_len = toks.groupBy("n_tok").agg(F.count(F.lit(1)).alias("cnt"))
+    lw = W.orderBy("n_tok").rowsBetween(W.unboundedPreceding, -1)
+    offs = per_len.select(
+        "n_tok", F.coalesce(F.sum("cnt").over(lw), F.lit(0)).alias("off")
+    )
+    srt = toks.join(offs, "n_tok").select(
         "n_tok",
         F.expr(
-            f"(row_number() OVER (ORDER BY n_tok, doc_id) - 1) DIV {_PAD_BATCH}"
+            "(off + row_number() OVER (PARTITION BY n_tok ORDER BY doc_id)"
+            f" - 1) DIV {_PAD_BATCH}"
         ).alias("b"),
     )
     def _batched(df):
