@@ -709,3 +709,102 @@ def padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("waste_permille"),
     )
+
+
+# Shard fan-out for the Merkle manifest — the training_shard_manifest
+# convention (md5 of the key, never doc_id % N).
+_N_MERKLE_SHARDS = 16
+_SHARD_SQL = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    f" % {_N_MERKLE_SHARDS}"
+)
+_DOC_FP_SQL = (
+    "('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),"
+    " 1, 15))::BIGINT"
+)
+
+
+@query(
+    "shard_merkle_manifest",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, {_SHARD_SQL} AS shard, {_DOC_FP_SQL} AS fp
+      FROM documents
+    ),
+    shards AS (
+      SELECT shard,
+             CAST(count(*) AS BIGINT) AS n_items,
+             ('0x' || substr(md5(
+               string_agg(fp::VARCHAR, ' ' ORDER BY fp, doc_id)),
+               1, 15))::BIGINT AS root
+      FROM assigned GROUP BY shard
+    )
+    SELECT 'shard' AS level, shard AS key, n_items, root FROM shards
+    UNION ALL
+    SELECT 'corpus' AS level, CAST(-1 AS BIGINT) AS key,
+           CAST(count(*) AS BIGINT) AS n_items,
+           ('0x' || substr(md5(
+             string_agg(root::VARCHAR, ' ' ORDER BY shard)),
+             1, 15))::BIGINT AS root
+    FROM shards
+    """,
+)
+def shard_merkle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-level Merkle manifest (round 9) — integrity verification
+    for trainer egress, one level above training_shard_manifest's
+    count/byte audit: each shard's root is a 60-bit hash over its
+    members' content fingerprints in (fp, doc_id) order, and the corpus
+    root hashes the shard roots in shard order. A loader that recomputes
+    a shard's root detects ANY dropped, duplicated, or altered document
+    with one comparison; the corpus root verifies the set of shards the
+    same way (a two-level Merkle tree — deeper trees are the same fold
+    repeated). Roots are order-CANONICAL (members sorted by content
+    fingerprint), so they are invariant to task scheduling and input
+    order — the property that makes the manifest reproducible across
+    rebuilds.
+
+    Scale shape: one corpus scan, one shuffle on the 16-key shard space
+    (collect_list per shard is bounded by shard size — shards are the
+    unit a loader reads whole anyway); the corpus level aggregates 16
+    rows. Everything emitted is integer-exact."""
+    from dataflowjavasdk_spark.functions.text import md5_long
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.fingerprint("text").alias("fp")
+    )
+    assigned = docs.withColumn(
+        "shard", md5_long(F.col("doc_id").cast("string")) % _N_MERKLE_SHARDS
+    )
+    shards = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        md5_long(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("fp", "doc_id"))),
+                    lambda s: s["fp"].cast("string"),
+                ),
+                " ",
+            )
+        ).alias("root"),
+    )
+    shard_rows = shards.select(
+        F.lit("shard").alias("level"),
+        F.col("shard").cast("long").alias("key"),
+        "n_items",
+        "root",
+    )
+    corpus_row = shards.agg(
+        F.lit("corpus").alias("level"),
+        F.lit(-1).cast("long").alias("key"),
+        F.count(F.lit(1)).alias("n_items"),
+        md5_long(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("shard", "root"))),
+                    lambda s: s["root"].cast("string"),
+                ),
+                " ",
+            )
+        ).alias("root"),
+    )
+    return shard_rows.unionByName(corpus_row)

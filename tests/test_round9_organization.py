@@ -175,3 +175,46 @@ def test_padding_waste_ordering(spark):
         <= rows["naive_arrival"]["waste_permille"]
     )
     assert rows["naive_arrival"]["waste_permille"] > rows["packed_stripes"]["waste_permille"]
+
+
+def test_merkle_manifest_detects_any_change(spark):
+    import hashlib
+
+    rows = get("shard_merkle_manifest").fn(spark, SMOKE_SF).collect()
+    shard_rows = [r for r in rows if r["level"] == "shard"]
+    corpus = [r for r in rows if r["level"] == "corpus"]
+    assert len(corpus) == 1
+    assert corpus[0]["n_items"] == len(shard_rows)
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text").collect()
+    assert sum(r["n_items"] for r in shard_rows) == len(docs)
+
+    # recompute one shard's root from raw text and require exact equality;
+    # then flip one document and require the root to CHANGE
+    def fp(text):
+        import re as _re
+
+        norm = _re.sub(r"\s+", " ", text.strip().lower())
+        return int(hashlib.md5(norm.encode()).hexdigest()[:15], 16)
+
+    def shard_of(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 16
+
+    target = shard_rows[0]["key"]
+    members = sorted(
+        (fp(r["text"]), r["doc_id"]) for r in docs if shard_of(r["doc_id"]) == target
+    )
+    joined = " ".join(str(f) for f, _ in members)
+    expected = int(hashlib.md5(joined.encode()).hexdigest()[:15], 16)
+    assert shard_rows[0]["root"] == expected
+    tampered = " ".join(
+        str(f + (1 if i == 0 else 0)) for i, (f, _) in enumerate(members)
+    )
+    assert int(hashlib.md5(tampered.encode()).hexdigest()[:15], 16) != expected
+
+    # corpus root is the fold over shard roots in shard order
+    by_shard = sorted((r["key"], r["root"]) for r in shard_rows)
+    expected_corpus = int(
+        hashlib.md5(" ".join(str(r) for _, r in by_shard).encode()).hexdigest()[:15],
+        16,
+    )
+    assert corpus[0]["root"] == expected_corpus
