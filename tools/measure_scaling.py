@@ -56,6 +56,11 @@ def main() -> int:
     ap.add_argument("--only", default="")
     ap.add_argument("--sf1", default="/tmp/sf1")
     ap.add_argument("--all", action="store_true", help="measure every registered query, not just bench headliners")
+    ap.add_argument(
+        "--scales",
+        default="",
+        help="override scale grid: comma list of sf:dir pairs, ascending",
+    )
     args = ap.parse_args()
 
     import bench
@@ -67,6 +72,16 @@ def main() -> int:
         (0.1, "/root/testdata/sf0.1"),
         (1.0, args.sf1),
     ]
+    if args.scales:
+        # override: comma list of sf:dir pairs, ascending (e.g.
+        # "0.1:/root/testdata/sf0.1,1.0:/tmp/sf1,10.0:/tmp/sf10" for the
+        # second measured decade). Slope/flag semantics generalize: one
+        # slope per consecutive pair, superlinear judged on the LAST
+        # (largest) pair against its actual sf ratio.
+        scales = []
+        for part in args.scales.split(","):
+            sf_s, d = part.split(":", 1)
+            scales.append((float(sf_s), d))
     for _, d in scales:
         if not os.path.isdir(d):
             print(f"missing fixture dir {d} (run tools/synthesize_sf.py?)", file=sys.stderr)
@@ -123,35 +138,52 @@ def main() -> int:
             s = samples[(name, sf)]
             med[str(sf)] = round(statistics.median(s) * 1000, 1) if s else None
         row: dict = {"ms": med, "first_run_s": first_run[name]}
-        if med["0.1"] and med["1.0"]:
-            row["slope_01_to_1"] = round(math.log10(med["1.0"] / med["0.1"]), 3)
-            row["superlinear"] = med["1.0"] > 10 * med["0.1"] * TOLERANCE
+
+        def _fmt(sf: float) -> str:
+            return str(sf).replace("0.", "0").replace(".0", "")
+
+        # one slope per consecutive scale pair (default scales produce the
+        # historical slope_001_to_01 / slope_01_to_1 key names verbatim);
+        # the superlinear flag is judged on the LAST (largest) pair
+        # against its actual sf ratio
+        for (sa, _), (sb, _) in zip(scales, scales[1:]):
+            a, b = med.get(str(sa)), med.get(str(sb))
+            if a and b:
+                row[f"slope_{_fmt(sa)}_to_{_fmt(sb)}"] = round(
+                    math.log10(b / a), 3
+                )
+        last_a, last_b = scales[-2][0], scales[-1][0]
+        a, b = med.get(str(last_a)), med.get(str(last_b))
+        if a and b:
+            row["superlinear"] = b > (last_b / last_a) * a * TOLERANCE
             n_flagged += row["superlinear"]
-        if med["0.01"] and med["0.1"]:
-            row["slope_001_to_01"] = round(math.log10(med["0.1"] / med["0.01"]), 3)
         # Throughput sanity (round-9 lesson): a perfectly linear slope can
         # hide an awful CONSTANT — intra_doc_repetition_trim measured
         # slope 1.01 at ~6 ms/doc (320 s at sf1) before its O(n^2)
         # array_position scan was rewritten. Warn (don't gate) when the
         # sf1 median exceeds the absolute band every healthy headliner
         # sits under, so the next such constant is visible in the table.
-        if med["1.0"]:
-            row["heavy_constant"] = med["1.0"] > 60_000
+        top = med.get(str(scales[-1][0]))
+        if top:
+            row["heavy_constant"] = top > 60_000
         report[name] = row
 
     with open(args.out, "w") as fh:
         json.dump(report, fh, indent=1)
-    print(f"\n{'query':36s} {'sf0.01':>8s} {'sf0.1':>8s} {'sf1':>9s} {'slope':>6s}")
+    hdr = " ".join(f"{'sf' + str(sf):>9s}" for sf, _ in scales)
+    print(f"\n{'query':36s} {hdr} {'slope':>6s}")
+    slope_keys = [k for k in next(iter(report.values()), {}) if k.startswith("slope_")]
+    last_slope = slope_keys[-1] if slope_keys else None
     for name, row in report.items():
         m = row["ms"]
-        sl = row.get("slope_01_to_1")
+        sl = row.get(last_slope) if last_slope else None
         mark = "  <-- SUPERLINEAR" if row.get("superlinear") else ""
         if row.get("heavy_constant"):
-            mark += "  <-- HEAVY CONSTANT (>60 s at sf1)"
-        print(
-            f"{name:36s} {m['0.01'] or -1:8.1f} {m['0.1'] or -1:8.1f} "
-            f"{m['1.0'] or -1:9.1f} {sl if sl is not None else -9:6.2f}{mark}"
+            mark += "  <-- HEAVY CONSTANT (>60 s at top scale)"
+        cells = " ".join(
+            f"{(m.get(str(sf)) or -1):9.1f}" for sf, _ in scales
         )
+        print(f"{name:36s} {cells} {sl if sl is not None else -9:6.2f}{mark}")
     print(f"\n{n_flagged} superlinear flag(s); report -> {args.out}")
     return 1 if n_flagged else 0
 
