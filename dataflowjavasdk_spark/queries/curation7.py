@@ -185,28 +185,35 @@ def semantic_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source,
              CAST(count(*) AS BIGINT) AS vocab,
              CAST(sum(c) AS BIGINT) AS n_tokens,
-             CAST(sum(c * c) AS BIGINT) AS ssq
+             sum(CAST(c AS HUGEINT) * c) AS ssq
       FROM cnt GROUP BY source
     ),
     dots AS (
       SELECT a.source AS source_a, b.source AS source_b,
              CAST(count(*) AS BIGINT) AS inter_vocab,
-             CAST(sum(a.c * b.c) AS BIGINT) AS dot
+             sum(CAST(a.c AS HUGEINT) * b.c) AS dot
       FROM cnt a JOIN cnt b
         ON a.token = b.token AND a.source < b.source
       GROUP BY a.source, b.source
+    ),
+    pairs AS (
+      SELECT pa.source AS source_a, pb.source AS source_b,
+             pa.vocab AS vocab_a, pb.vocab AS vocab_b,
+             pa.ssq AS ssq_a, pb.ssq AS ssq_b
+      FROM prof pa JOIN prof pb ON pa.source < pb.source
     )
-    SELECT d.source_a, d.source_b, d.inter_vocab,
-           CAST(pa.vocab + pb.vocab - d.inter_vocab AS BIGINT) AS union_vocab,
-           CAST((1000 * d.inter_vocab)
-                // (pa.vocab + pb.vocab - d.inter_vocab) AS BIGINT)
-             AS vocab_jaccard_permille,
-           CAST(floor((d.dot::DOUBLE * 1000000000.0)
-                / sqrt(pa.ssq::DOUBLE * pb.ssq::DOUBLE)) AS BIGINT)
+    SELECT p.source_a, p.source_b,
+           CAST(COALESCE(d.inter_vocab, 0) AS BIGINT) AS inter_vocab,
+           CAST(p.vocab_a + p.vocab_b - COALESCE(d.inter_vocab, 0) AS BIGINT)
+             AS union_vocab,
+           CAST((1000 * COALESCE(d.inter_vocab, 0))
+                // (p.vocab_a + p.vocab_b - COALESCE(d.inter_vocab, 0))
+             AS BIGINT) AS vocab_jaccard_permille,
+           CAST(floor((COALESCE(d.dot, 0)::DOUBLE * 1000000000.0)
+                / sqrt(p.ssq_a::DOUBLE * p.ssq_b::DOUBLE)) AS BIGINT)
              AS count_cosine_e9
-    FROM dots d
-    JOIN prof pa ON pa.source = d.source_a
-    JOIN prof pb ON pb.source = d.source_b
+    FROM pairs p LEFT JOIN dots d
+      ON d.source_a = p.source_a AND d.source_b = p.source_b
     """,
 )
 def source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,10 +226,19 @@ def source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     permille) and the cosine similarity of the unigram COUNT vectors in
     integer nano-units.
 
-    Exactness: counts, dots and sum-of-squares are int64 (the dot is a
-    sum of count products — order-independent); the only float ops are
-    one cast-multiply-sqrt-divide-multiply-floor chain written
-    identically in both engines.
+    EVERY pair appears — including fully disjoint ones (inter_vocab=0,
+    cosine=0), the most divergent signal the matrix exists to surface:
+    the pair scaffold is a non-equi self-join of the tiny per-source
+    profile relation, LEFT-joined to the token-overlap dots.
+
+    Exactness: counts are int64; count PRODUCTS (dot, sum-of-squares)
+    accumulate in 128-bit exact integers (Spark decimal(38,0), DuckDB
+    HUGEINT) because c*c overflows int64 once a token passes ~3e9
+    occurrences — routine for stopwords at the 100 TB scale this plan
+    targets. The only float ops are one
+    cast-multiply-sqrt-divide-multiply-floor chain written identically
+    in both engines (past 2^53 the exact-int-to-double cast carries the
+    usual documented half-ulp).
 
     Scale shape: unigram counting is a partial-agg groupBy (map-side
     combine does most of the work — the shuffle carries one row per
@@ -243,7 +259,8 @@ def source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     prof = cnt.groupBy("source").agg(
         F.count(F.lit(1)).alias("vocab"),
         F.sum("c").alias("n_tokens"),
-        F.sum(F.col("c") * F.col("c")).alias("ssq"),
+        # 128-bit exact accumulation: c*c wraps int64 past c ~ 3e9
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c")).alias("ssq"),
     )
     a, b = cnt.alias("a"), cnt.alias("b")
     dots = (
@@ -258,7 +275,9 @@ def source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("inter_vocab"),
-            F.sum(F.col("a.c") * F.col("b.c")).alias("dot"),
+            F.sum(
+                F.col("a.c").cast("decimal(19,0)") * F.col("b.c")
+            ).alias("dot"),
         )
     )
     pa = prof.select(
@@ -271,26 +290,36 @@ def source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vocab").alias("vocab_b"),
         F.col("ssq").alias("ssq_b"),
     )
-    return (
-        dots.join(pa, "source_a")
-        .join(pb, "source_b")
-        .select(
-            "source_a",
-            "source_b",
-            "inter_vocab",
-            (F.col("vocab_a") + F.col("vocab_b") - F.col("inter_vocab")).alias(
-                "union_vocab"
-            ),
-            F.expr(
-                "(1000 * inter_vocab) DIV (vocab_a + vocab_b - inter_vocab)"
-            ).alias("vocab_jaccard_permille"),
-            F.floor(
-                (F.col("dot").cast("double") * F.lit(1000000000.0))
-                / F.sqrt(F.col("ssq_a").cast("double") * F.col("ssq_b").cast("double"))
-            )
-            .cast("long")
-            .alias("count_cosine_e9"),
+    # pair scaffold: every (source_a < source_b) pair exists even when
+    # the sources share zero vocabulary (the dots join yields no row
+    # there — the left join + coalesce puts the 0 on the report)
+    pairs = pa.join(pb, F.col("source_a") < F.col("source_b"))
+    joined = pairs.join(dots, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        F.coalesce("inter_vocab", F.lit(0)).alias("inter_vocab"),
+        "vocab_a",
+        "vocab_b",
+        F.coalesce(F.col("dot"), F.lit(0).cast("decimal(19,0)")).alias("dot"),
+        "ssq_a",
+        "ssq_b",
+    )
+    return joined.select(
+        "source_a",
+        "source_b",
+        "inter_vocab",
+        (F.col("vocab_a") + F.col("vocab_b") - F.col("inter_vocab")).alias(
+            "union_vocab"
+        ),
+        F.expr(
+            "(1000 * inter_vocab) DIV (vocab_a + vocab_b - inter_vocab)"
+        ).alias("vocab_jaccard_permille"),
+        F.floor(
+            (F.col("dot").cast("double") * F.lit(1000000000.0))
+            / F.sqrt(F.col("ssq_a").cast("double") * F.col("ssq_b").cast("double"))
         )
+        .cast("long")
+        .alias("count_cosine_e9"),
     )
 
 
@@ -621,8 +650,9 @@ _PAD_BATCH = 16
       FROM s_b
       UNION ALL
       SELECT 'packed_stripes' AS strategy,
-             CAST((total + 160 - 1) // 160 AS BIGINT),
-             CAST(((total + 160 - 1) // 160) * 160 AS BIGINT),
+             CAST((total + {_CTX_TOKENS} - 1) // {_CTX_TOKENS} AS BIGINT),
+             CAST(((total + {_CTX_TOKENS} - 1) // {_CTX_TOKENS})
+                  * {_CTX_TOKENS} AS BIGINT),
              total
       FROM tot
     )
@@ -692,10 +722,13 @@ def padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     packed = toks.agg(F.sum("n_tok").alias("total")).select(
         F.lit("packed_stripes").alias("strategy"),
-        F.expr("CAST((total + 159) DIV 160 AS BIGINT)").alias("n_units"),
-        F.expr("CAST(((total + 159) DIV 160) * 160 AS BIGINT)").alias(
-            "capacity_tokens"
-        ),
+        F.expr(
+            f"CAST((total + {_CTX_TOKENS - 1}) DIV {_CTX_TOKENS} AS BIGINT)"
+        ).alias("n_units"),
+        F.expr(
+            f"CAST(((total + {_CTX_TOKENS - 1}) DIV {_CTX_TOKENS})"
+            f" * {_CTX_TOKENS} AS BIGINT)"
+        ).alias("capacity_tokens"),
         F.col("total").alias("real_tokens"),
     )
     legs = _leg(a_b, "naive_arrival").unionByName(_leg(s_b, "length_sorted")).unionByName(packed)
@@ -718,10 +751,9 @@ _SHARD_SQL = (
     "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
     f" % {_N_MERKLE_SHARDS}"
 )
-_DOC_FP_SQL = (
-    "('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),"
-    " 1, 15))::BIGINT"
-)
+# fingerprint SQL twin shared with the dedup family — ONE copy to keep
+# in sync with functions/text.py fingerprint()
+from dataflowjavasdk_spark.queries.curation6 import _FP_SQL as _DOC_FP_SQL  # noqa: E402
 
 
 @query(
@@ -767,17 +799,15 @@ def shard_merkle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (collect_list per shard is bounded by shard size — shards are the
     unit a loader reads whole anyway); the corpus level aggregates 16
     rows. Everything emitted is integer-exact."""
-    from dataflowjavasdk_spark.functions.text import md5_long
-
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", T.fingerprint("text").alias("fp")
     )
     assigned = docs.withColumn(
-        "shard", md5_long(F.col("doc_id").cast("string")) % _N_MERKLE_SHARDS
+        "shard", T.md5_long(F.col("doc_id").cast("string")) % _N_MERKLE_SHARDS
     )
     shards = assigned.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_items"),
-        md5_long(
+        T.md5_long(
             F.array_join(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("fp", "doc_id"))),
@@ -797,7 +827,7 @@ def shard_merkle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("corpus").alias("level"),
         F.lit(-1).cast("long").alias("key"),
         F.count(F.lit(1)).alias("n_items"),
-        md5_long(
+        T.md5_long(
             F.array_join(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("shard", "root"))),

@@ -257,6 +257,8 @@ def test_no_cartesian_products_anywhere(spark):
                                         # kmeans_ivf_refined convention)
         "unimax_budget_allocation",     # 1-row budget + 1-row level
                                         # singleton broadcasts
+        "source_unigram_divergence",    # #sources-row profile self-join
+                                        # (pair scaffold, source_a < source_b)
     }
     for name in all_queries():
         p = _plan(spark, name)
