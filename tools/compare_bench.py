@@ -89,6 +89,10 @@ def load(path: str) -> dict:
         d = json.load(fh)
     if "queries" not in d and isinstance(d.get("parsed"), dict):
         d = d["parsed"]
+    if not isinstance(d.get("queries"), dict):
+        # e.g. a driver wrapper whose parsed is null (BENCH_r03.json):
+        # fail with a clear message instead of a KeyError traceback
+        raise ValueError(f"unusable bench snapshot (no queries dict): {path}")
     if d.get("queries_unit") != "ms":
         # durable payload: seconds under full names
         d = dict(d)
@@ -133,18 +137,35 @@ def main() -> int:
             for p in sorted(glob.glob(os.path.join(repo, "BENCH_r*.json")))
             if os.path.abspath(p) != os.path.abspath(new_path)
         ]
-        old_path = rounds[-1] if rounds else None
+        # newest usable prior snapshot: skip parsed-null wrappers
+        # (BENCH_r03.json's committed shape) instead of crashing on them
+        old_path = None
+        for cand in reversed(rounds):
+            try:
+                load(cand)
+            except ValueError:
+                continue
+            old_path = cand
+            break
         if old_path is None:
-            print("no distinct prior BENCH_r*.json to compare against", file=sys.stderr)
+            print("no usable prior BENCH_r*.json to compare against", file=sys.stderr)
             return 2
 
-    new_payload = load(new_path)
+    try:
+        new_payload = load(new_path)
+    except ValueError as exc:
+        print(exc, file=sys.stderr)
+        return 2
     new = new_payload["queries"]
     flags = []
     speed = 1.0  # host-speed shift factor (median round-over-round ratio)
 
     if old_path:
-        old_payload = load(old_path)
+        try:
+            old_payload = load(old_path)
+        except ValueError as exc:
+            print(exc, file=sys.stderr)
+            return 2
         old = old_payload["queries"]
         # Host-speed normalization: the benchmark host is shared, and a
         # noisy-neighbor phase shifts EVERY query by a common factor
@@ -169,24 +190,41 @@ def main() -> int:
         # the nation CoGBK, matched against the 36 ms customer_orders
         # row). A truncated key claimed by more than one live name is
         # skipped for all of them.
+        def _old_key(name: str) -> str | None:
+            # truncated-old-key prefix match, or (for truncated NEW
+            # payloads vs full-name old ones) an old full name of which
+            # the new key is a prefix
+            return resolve(name, old) or next(
+                (k for k in old if k.startswith(name)), None
+            )
+
+        # the ambiguity count must run over the SAME matching function
+        # the pairing uses — tallying resolve() alone would let the
+        # startswith fallback sneak a collided key past the guard
         claimed: dict[str, int] = {}
         for name in new:
-            k = resolve(name, old)
+            k = _old_key(name)
             if k is not None and k != name:
                 claimed[k] = claimed.get(k, 0) + 1
         pairs = {}
         for name, t_new in new.items():
-            old_key = resolve(name, old) or next(
-                (k for k in old if k.startswith(name)), None
-            )
+            old_key = _old_key(name)
             if old_key is None:
                 continue
             if old_key != name and claimed.get(old_key, 0) > 1:
                 continue
             pairs[name] = (t_new, old[old_key])
-        if pairs:
+        if len(pairs) >= 5:
             speed = statistics.median(
                 t / max(o, 1e-9) for t, o in pairs.values()
+            )
+        elif pairs:
+            # too few common rows for a median to mean "host weather" —
+            # with ONE pair the normalization would divide the query's
+            # regression by itself and print a perfect 1.00x
+            print(
+                f"only {len(pairs)} common queries; "
+                "skipping host-speed normalization"
             )
         print(f"vs {os.path.basename(old_path)} (host-speed factor {speed:.2f}x):")
         if speed > 2.5:
@@ -221,21 +259,49 @@ def main() -> int:
             print("\nfirst_run (one-shot pipeline cost, speed-adjusted):")
             for name in common:
                 ratio = new_fr[name] / max(old_fr[name], 1e-9) / speed
+                band = NOISE_SMALL if old_fr[name] < SMALL_MS else NOISE
+                waived = resolve(name, WAIVED) or next(
+                    (k for k in WAIVED if k.startswith(name)), None
+                )
                 mark = ""
-                if ratio > NOISE:
+                if ratio > band and waived:
+                    mark = f"  (waived: {WAIVED[waived]})"
+                elif ratio > band:
                     mark = "  <-- REGRESSED"
                     flags.append((name, f"{ratio:.2f}x first_run vs prev round"))
                 print(f"  {name:34s} {new_fr[name]:8.1f} ms  {ratio:5.2f}x{mark}")
 
+    # The baseline section normalizes by ITS OWN median, not the
+    # prev-round host factor: SAME_PROTOCOL_MS was measured in the
+    # BASELINE.md session, so the right weather correction is
+    # median(new/baseline) over these rows themselves (engine/plain
+    # parity holds at the median — BASELINE.md's seven protocol runs),
+    # and an isolated breach shows as a residual above that median.
+    # Dividing by the prev-ROUND factor would compound the previous
+    # snapshot's weather into this comparison.
+    import statistics as _stats
+
+    base_pairs = {
+        name: new[resolve(name, new)]
+        for name in SAME_PROTOCOL_MS
+        if resolve(name, new) is not None
+    }
+    base_speed = (
+        _stats.median(
+            base_pairs[n] / SAME_PROTOCOL_MS[n] for n in base_pairs
+        )
+        if len(base_pairs) >= 5
+        else 1.0
+    )
     print(
         "\nvs BASELINE.md same-protocol plain-PySpark rows "
-        f"(2x gate, speed-adjusted by {speed:.2f}x):"
+        f"(2x gate, section-median speed {base_speed:.2f}x):"
     )
     for name, base_ms in SAME_PROTOCOL_MS.items():
         key = resolve(name, new)
         if key is None:
             continue
-        ratio = new[key] / speed / base_ms
+        ratio = new[key] / base_speed / base_ms
         mark = ""
         if ratio > BASELINE_GATE:
             mark = "  <-- OVER 2x GATE"

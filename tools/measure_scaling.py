@@ -130,6 +130,19 @@ def main() -> int:
                 samples[(name, sf)].append(time.perf_counter() - t0)
         print(f"rep {rep + 1}/{args.reps} done", flush=True)
 
+    def _fmt(sf: float) -> str:
+        # "0.01"->"001", "0.1"->"01", "1.0"->"1", "10.0"->"10": strip a
+        # LEADING "0." then a trailing ".0" — a blanket str.replace would
+        # also hit the interior "0." of "10.0" and mislabel the decade
+        # as slope_1_to_100 (review-caught; the committed sf10 artifact
+        # carried the bad key)
+        s = str(sf)
+        if s.startswith("0."):
+            s = "0" + s[2:]
+        if s.endswith(".0"):
+            s = s[:-2]
+        return s
+
     report: dict[str, dict] = {}
     n_flagged = 0
     for name in names:
@@ -138,9 +151,6 @@ def main() -> int:
             s = samples[(name, sf)]
             med[str(sf)] = round(statistics.median(s) * 1000, 1) if s else None
         row: dict = {"ms": med, "first_run_s": first_run[name]}
-
-        def _fmt(sf: float) -> str:
-            return str(sf).replace("0.", "0").replace(".0", "")
 
         # one slope per consecutive scale pair (default scales produce the
         # historical slope_001_to_01 / slope_01_to_1 key names verbatim);
@@ -152,34 +162,52 @@ def main() -> int:
                 row[f"slope_{_fmt(sa)}_to_{_fmt(sb)}"] = round(
                     math.log10(b / a), 3
                 )
-        last_a, last_b = scales[-2][0], scales[-1][0]
-        a, b = med.get(str(last_a)), med.get(str(last_b))
-        if a and b:
-            row["superlinear"] = b > (last_b / last_a) * a * TOLERANCE
-            n_flagged += row["superlinear"]
+        if len(scales) >= 2:
+            last_a, last_b = scales[-2][0], scales[-1][0]
+            a, b = med.get(str(last_a)), med.get(str(last_b))
+            if a and b:
+                row["superlinear"] = b > (last_b / last_a) * a * TOLERANCE
+                n_flagged += row["superlinear"]
+            elif b is None:
+                # a query that CRASHED/OOMed at the top scale is the worst
+                # scaling outcome there is — flag it, don't exit 0
+                row["superlinear"] = True
+                row["failed_at_top_scale"] = True
+                n_flagged += 1
         # Throughput sanity (round-9 lesson): a perfectly linear slope can
         # hide an awful CONSTANT — intra_doc_repetition_trim measured
         # slope 1.01 at ~6 ms/doc (320 s at sf1) before its O(n^2)
         # array_position scan was rewritten. Warn (don't gate) when the
-        # sf1 median exceeds the absolute band every healthy headliner
-        # sits under, so the next such constant is visible in the table.
+        # top-scale median exceeds the absolute band every healthy
+        # headliner sits under; the band is calibrated at sf1 (60 s) and
+        # scales with the top sf so a healthy linear query doesn't trip
+        # it merely by being measured at a larger fixture.
         top = med.get(str(scales[-1][0]))
         if top:
-            row["heavy_constant"] = top > 60_000
+            row["heavy_constant"] = top > 60_000 * max(scales[-1][0], 1.0)
         report[name] = row
 
     with open(args.out, "w") as fh:
         json.dump(report, fh, indent=1)
     hdr = " ".join(f"{'sf' + str(sf):>9s}" for sf, _ in scales)
     print(f"\n{'query':36s} {hdr} {'slope':>6s}")
-    slope_keys = [k for k in next(iter(report.values()), {}) if k.startswith("slope_")]
-    last_slope = slope_keys[-1] if slope_keys else None
+    # the printed slope column is ALWAYS the largest decade, derived from
+    # the scale grid itself — not from whichever keys the first report
+    # row happened to get (a first-row top-scale failure would silently
+    # switch every row to the small decade)
+    last_slope = (
+        f"slope_{_fmt(scales[-2][0])}_to_{_fmt(scales[-1][0])}"
+        if len(scales) >= 2
+        else None
+    )
     for name, row in report.items():
         m = row["ms"]
         sl = row.get(last_slope) if last_slope else None
         mark = "  <-- SUPERLINEAR" if row.get("superlinear") else ""
+        if row.get("failed_at_top_scale"):
+            mark = "  <-- FAILED AT TOP SCALE"
         if row.get("heavy_constant"):
-            mark += "  <-- HEAVY CONSTANT (>60 s at top scale)"
+            mark += "  <-- HEAVY CONSTANT"
         cells = " ".join(
             f"{(m.get(str(sf)) or -1):9.1f}" for sf, _ in scales
         )
