@@ -94,3 +94,66 @@ def test_baseline_rows_cover_live_headliners():
 
     for name in SAME_PROTOCOL_MS:
         assert name in bench.HEADLINE, f"{name} dropped from bench.HEADLINE"
+
+
+def test_load_rejects_parsed_null_snapshot(tmp_path):
+    """A driver wrapper with parsed: null (BENCH_r03.json's committed
+    shape) must raise a clear ValueError, not a KeyError traceback."""
+    import json
+
+    p = tmp_path / "BENCH_rX.json"
+    p.write_text(json.dumps({"parsed": None, "raw": "..."}))
+    with pytest.raises(ValueError, match="unusable bench snapshot"):
+        load(str(p))
+
+
+def test_collision_truncated_key_is_skipped_for_all_claimants(tmp_path):
+    """A 7-char truncation collision leaves the first member with the
+    clean prefix; that key must not be attributed to ANY full name
+    (round 9: 'cogroup' = customer_orders 36 ms was matched against the
+    nation CoGBK's 372 ms, fabricating a 10x flag)."""
+    import json
+    import subprocess
+
+    old = tmp_path / "BENCH_r97.json"
+    old.write_text(
+        json.dumps(
+            {
+                "queries_unit": "ms",
+                "queries": {"cogroup": 36, "cogro2": 301, "wordcou": 22,
+                            "q1_pric": 30, "q3_join": 43, "tfidf": 180,
+                            "topk_pe": 27},
+            }
+        )
+    )
+    new = tmp_path / "BENCH_r98.json"
+    new.write_text(
+        json.dumps(
+            {
+                "metric": "headline_queries_warm_total",
+                "value": 1.0,
+                "unit": "sec",
+                "queries": {
+                    "cogroup_customer_orders": 0.036,
+                    "cogroup_nation_customer_supplier": 0.372,
+                    "wordcount": 0.022,
+                    "q1_pricing_summary": 0.030,
+                    "q3_join_agg": 0.043,
+                    "tfidf": 0.180,
+                    "topk_per_group": 0.027,
+                },
+            }
+        )
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "compare_bench.py"),
+         str(new), str(old)],
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    # both cogroup_* rows must be "(new this round)" — neither compared
+    # against the ambiguous truncated key — and nothing may flag
+    assert proc.stdout.count("(new this round)") == 2, proc.stdout
+    assert "cogroup_nation_customer_supplier" in proc.stdout
+    assert proc.returncode == 0, proc.stdout
