@@ -218,3 +218,45 @@ def test_merkle_manifest_detects_any_change(spark):
         16,
     )
     assert corpus[0]["root"] == expected_corpus
+
+
+def test_source_divergence_emits_disjoint_pairs(spark, tmp_path):
+    """Review-caught contract: a source pair sharing ZERO vocabulary —
+    the most divergent signal the matrix exists for — must still get a
+    row (inter=0, jaccard=0, cosine=0), in Spark AND the DuckDB twin."""
+    import duckdb
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["aa bb cc", "bb cc dd", "xx yy", "yy zz ww"],
+            "lang": ["en"] * 4,
+            "source": ["s_latin", "s_latin", "s_other", "s_other"],
+            "n_chars": [8, 8, 5, 8],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    rq = get("source_unigram_divergence")
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in rq.fn(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {("s_latin", "s_other")}
+    r = rows[("s_latin", "s_other")]
+    assert r["inter_vocab"] == 0
+    assert r["union_vocab"] == 8  # aa bb cc dd | xx yy zz ww
+    assert r["vocab_jaccard_permille"] == 0
+    assert r["count_cosine_e9"] == 0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    oracle = con.execute(rq.oracle).fetchall()
+    assert len(oracle) == 1
+    (sa, sb, inter, union, jac, cos) = oracle[0]
+    assert (sa, sb, inter, union, jac, cos) == (
+        "s_latin", "s_other", 0, 8, 0, 0,
+    )
