@@ -16,7 +16,12 @@ keys so cardinalities scale HONESTLY:
   manufacture a superlinear near-dup pair explosion that would
   contaminate the slope measurement. (Vocabulary scales linearly —
   harsher than a real corpus's sublinear vocab growth, i.e. the
-  conservative direction for term-keyed plans.)
+  conservative direction for term-keyed plans. The suffixes also
+  inflate text BYTES ~1.33x beyond the row multiple at --mult 10 —
+  avg base token 5.5 chars + 2-3 char suffix — so char-bound scan
+  slopes read up to ~0.12 HIGH; a byte-linear query can brush the
+  13.0x superlinear gate from inflation alone. Bias direction is
+  conservative: it can only overstate, never hide, superlinearity.)
 - embeddings for replica r>0 apply a SIGNED PERMUTATION (circular roll
   by r, sign-flip of the first r dims): orthogonal, so all
   within-replica cosines/norms are bit-preserved while cross-replica
@@ -84,9 +89,29 @@ def _suffix_tokens(texts: list[str | None], r: int) -> list[str | None]:
 
 
 def _signed_permute(emb: np.ndarray, r: int) -> np.ndarray:
-    out = np.roll(emb, r, axis=1).copy()
+    """Orthogonal per-replica transform: circular roll by r mod dim plus a
+    DETERMINISTIC md5-derived sign vector per replica. The earlier
+    first-r-dims sign flip degenerated once r reached the embedding dim
+    (review-caught: at --mult 100, replica 64 was the exact NEGATION of
+    replica 0 and pairs (r, r+64) had matched cosines ~ -1, violating
+    the decorrelation invariant; at mult >= 193 replicas repeated
+    bit-for-bit). An md5 sign pattern per (replica, dim) keeps every
+    transform orthogonal (norms and within-replica cosines
+    bit-preserved) while making any two replicas' transforms differ in
+    ~half the dims for ANY r — no wrap-around period."""
+    import hashlib
+
+    dim = emb.shape[1]
+    out = np.roll(emb, r % dim, axis=1).copy()
     if r:
-        out[:, :r] = -out[:, :r]
+        digest = b""
+        while len(digest) < dim:
+            digest += hashlib.md5(f"sign:{r}:{len(digest)}".encode()).digest()
+        signs = np.array(
+            [1.0 if (digest[d] & 1) else -1.0 for d in range(dim)],
+            dtype=np.float32,
+        )
+        out *= signs
     return out
 
 
@@ -99,35 +124,81 @@ def replicate(src: str, dest: str, mult: int) -> None:
 
     for t in SCALED_TABLES:
         base = pq.read_table(os.path.join(src, f"{t}.parquet"))
-        parts = []
+        # hoist the Arrow->Python conversions out of the replica loop
+        # (they were rebuilt mult-1 times) and stream replicas through
+        # one ParquetWriter so peak memory is one replica, not the
+        # whole output table
+        base_texts = (
+            base.column("text").to_pylist() if t == "documents" else None
+        )
+        base_emb = (
+            np.asarray(base.column("embedding").to_pylist(), dtype=np.float32)
+            if t == "embeddings"
+            else None
+        )
+        emb_type = (
+            base.schema.field("embedding").type if t == "embeddings" else None
+        )
+        writer = None
+        total = 0
         for r in range(mult):
             rep = _offset_keys(base, r)
             if t == "documents" and r:
-                texts = _suffix_tokens(base.column("text").to_pylist(), r)
+                texts = _suffix_tokens(base_texts, r)
                 i = rep.column_names.index("text")
                 rep = rep.set_column(i, "text", pa.array(texts, pa.string()))
+                if "n_chars" in rep.column_names:
+                    # keep the n_chars == len(text) fixture invariant on
+                    # suffixed replicas (review-caught: the copied column
+                    # understated the lengthened text by ~33%)
+                    j = rep.column_names.index("n_chars")
+                    rep = rep.set_column(
+                        j,
+                        "n_chars",
+                        pa.array(
+                            [None if s is None else len(s) for s in texts],
+                            rep.column("n_chars").type,
+                        ),
+                    )
             if t == "embeddings" and r:
-                emb = np.asarray(base.column("embedding").to_pylist(), dtype=np.float32)
-                perm = _signed_permute(emb, r)
+                perm = _signed_permute(base_emb, r)
                 i = rep.column_names.index("embedding")
+                # reuse the base column's exact list type so concat /
+                # readers never depend on pyarrow's nested-field-name
+                # unification
                 rep = rep.set_column(
-                    i,
-                    "embedding",
-                    pa.array(list(perm), pa.list_(pa.float32())),
+                    i, "embedding", pa.array(list(perm), emb_type)
                 )
-            parts.append(rep)
-        out = pa.concat_tables(parts)
-        pq.write_table(out, os.path.join(dest, f"{t}.parquet"))
-        print(f"{t}: {base.num_rows} -> {out.num_rows} rows")
+            if writer is None:
+                writer = pq.ParquetWriter(
+                    os.path.join(dest, f"{t}.parquet"), rep.schema
+                )
+            writer.write_table(rep)
+            total += rep.num_rows
+        if writer is not None:
+            writer.close()
+        print(f"{t}: {base.num_rows} -> {total} rows")
+
+    import json as _json
+
+    with open(os.path.join(dest, "manifest.json"), "w") as fh:
+        _json.dump({"src": src, "mult": mult}, fh)
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
-    ap.add_argument("--dest", default="/tmp/sf1")
+    ap.add_argument(
+        "--dest",
+        default=None,
+        help="defaults to /tmp/sf{mult/10:g} so --mult 100 cannot "
+        "silently overwrite the sf1 fixture",
+    )
     args = ap.parse_args()
-    replicate(args.src, args.dest, args.mult)
+    dest = args.dest or f"/tmp/sf{args.mult / 10:g}"
+    print(f"writing to {dest} (mult={args.mult})")
+    replicate(args.src, dest, args.mult)
 
 
 if __name__ == "__main__":
