@@ -13,6 +13,8 @@ Scale design (the whole point of these at 100 TB):
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -21,53 +23,169 @@ from pyspark.sql import functions as F
 from dataflowjavasdk_spark.functions.text import md5_long, tokens
 
 
+def let_(value: Column, body) -> Column:
+    """Expression-level let-binding: evaluate `value` ONCE per row and bind
+    it to a lambda variable for `body` (transform over a 1-element array).
+
+    Why this exists (round-10 measured 100x-class constant): Catalyst's
+    projection collapse inlines a projected expression's whole tree into
+    every use site, and common-subexpression elimination does not reach
+    into higher-order-function lambda bodies. An expression like
+    `transform(seq, i -> slice(tokens(text), ...))` therefore re-runs the
+    regexp tokenize per ARRAY ELEMENT — measured 26 s for shingling 50k
+    docs at sf1 where the let-bound form takes ~2 s. A lambda-variable
+    reference is a plain variable read, so binding through `transform`
+    restores evaluate-once semantics without forcing a materialization
+    barrier (localCheckpoint) or leaving whole-stage codegen."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def shingles(col: str | Column, n: int = 3) -> Column:
     """Token n-gram shingles (distinct). Expression-only: transform over a
-    token-index sequence, join with spaces."""
-    toks = tokens(col)
-    k = F.size(toks) - (n - 1)
-    grams = F.when(
-        k > 0,
-        F.transform(
-            F.sequence(F.lit(0), k - 1),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+    token-index sequence, join with spaces. Tokenization is let-bound so
+    the regexp split runs once per row, not once per gram position."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def build(toks: Column) -> Column:
+        k = F.size(toks) - (n - 1)
+        grams = F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.array_distinct(grams)
+
+    return let_(tokens(c), build)
 
 
 def kgrams_with_dups(toks: Column, n: int = 4) -> Column:
     """Positional token n-grams over an already-tokenized column,
     duplicates KEPT (winnowing consumes every occurrence with its
     position; `shingles` dedups because set similarity wants sets).
-    Expression-only, row-local."""
-    k = F.size(toks) - (n - 1)
-    return F.when(
-        k > 0,
-        F.transform(
-            F.sequence(F.lit(0), k - 1),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    Expression-only, row-local; the token array is let-bound in case the
+    caller passes a computed expression rather than a materialized
+    column."""
+
+    def build(tk: Column) -> Column:
+        k = F.size(tk) - (n - 1)
+        return F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.array_join(F.slice(tk, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let_(toks, build)
+
+
+# --- MinHash hash family -------------------------------------------------
+#
+# One md5 per gram (base hash, 60 bits), then each of the `num_hashes`
+# slots applies an independent 2-universal affine map
+# h_j(s) = (a_j * base(s) + b_j) mod (2^61 - 1) — the classic
+# Carter-Wegman family. Round 10 replaced the md5-per-(seed, gram)
+# construction (16x the md5 calls; measured as THE dominant one-shot cost
+# of the LSH pipeline at sf1/sf10) with this derivation. The mulmod is
+# decomposed into shift/mask int64 ops that cannot overflow, so Spark
+# (ANSI mode) and DuckDB (overflow-checking BIGINT) compute it
+# identically — parity property-tested in tests/test_dedup_similarity.py.
+
+MINHASH_PRIME = (1 << 61) - 1  # Mersenne prime 2^61-1
+MINHASH_SENTINEL = 1 << 60  # empty shingle set -> sentinel max
+
+
+def minhash_constants(num_hashes: int = 16) -> list[tuple[int, int]]:
+    """Deterministic per-slot (a_j, b_j): a_j in [1, 2^30) keeps every
+    intermediate of the split mulmod under 2^63; b_j in [0, 2^61-1).
+    Derived from md5 of the slot index so both engines — which embed the
+    values as literals — agree by construction."""
+    out = []
+    for j in range(num_hashes):
+        a = (
+            int.from_bytes(
+                hashlib.md5(f"minhash-a:{j}".encode()).digest()[:8], "big"
+            )
+            % ((1 << 30) - 1)
+            + 1
+        )
+        b = (
+            int.from_bytes(
+                hashlib.md5(f"minhash-b:{j}".encode()).digest()[:8], "big"
+            )
+            % MINHASH_PRIME
+        )
+        out.append((a, b))
+    return out
+
+
+def affine_hash(h: Column, a: int, b: int) -> Column:
+    """(a*h + b) mod (2^61-1) in pure int64, no overflow: h < 2^61 splits
+    as h1*2^31 + h0; a*h1*2^31 reduces via 2^61 ≡ 1 (mod p). Every
+    intermediate stays below 2^63 (a < 2^30), so ANSI Spark never traps
+    and DuckDB reproduces the value bit for bit."""
+    x = F.lit(a) * F.shiftright(h, 31)
+    return (
+        F.shiftright(x, 30)
+        + F.shiftleft(x.bitwiseAND(F.lit((1 << 30) - 1)), 31)
+        + F.lit(a) * h.bitwiseAND(F.lit((1 << 31) - 1))
+        + F.lit(b)
+    ) % F.lit(MINHASH_PRIME)
+
+
+def _affine_sql(h: str, a: int, b: int) -> str:
+    """DuckDB twin of affine_hash — same shift/mask decomposition."""
+    x = f"({a} * ({h} >> 31))"
+    return (
+        f"((({x} >> 30) + (({x} & 1073741823) << 31) + "
+        f"{a} * ({h} & 2147483647) + {b}) % {MINHASH_PRIME})"
+    )
+
+
+def minhash_base_sql(grams: str) -> str:
+    """DuckDB twin of the per-gram base hash array (md5_long per gram)."""
+    return f"list_transform({grams}, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)"
+
+
+def minhash_sig_sql(grams: str, num_hashes: int = 16) -> str:
+    """DuckDB twin of minhash_signature: the full signature array as one
+    SQL expression over a grams list expression. The base-hash list is
+    let-bound through a 1-element list_transform (same trick as let_), so
+    md5 runs once per gram, not once per (slot, gram)."""
+    mins = ",\n               ".join(
+        f"coalesce(list_min(list_transform(hs, h -> {_affine_sql('h', a, b)})), "
+        f"{MINHASH_SENTINEL})"
+        for a, b in minhash_constants(num_hashes)
+    )
+    return (
+        f"(list_transform([{minhash_base_sql(grams)}], hs -> "
+        f"[{mins}]))[1]"
+    )
 
 
 def minhash_signature(shingles_col: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature: sig[j] = min over shingles of h_j(s), with
-    h_j(s) = md5_long(j || ':' || s). Pure expressions; cross-engine exact
-    (DuckDB twin uses the same md5 construction). Empty shingle sets get
-    sentinel max."""
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    max_long = F.lit(2**60).cast("long")
-    return F.transform(
-        seeds,
-        lambda j: F.aggregate(
-            shingles_col,
-            max_long,
-            lambda acc, s: F.least(
-                acc, md5_long(F.concat(j.cast("string"), F.lit(":"), s))
-            ),
-        ),
-    )
+    """MinHash signature: sig[j] = min over shingles of
+    (a_j * md5_long(s) + b_j) mod (2^61-1). Pure expressions, one md5 per
+    gram; cross-engine exact (minhash_sig_sql is the DuckDB twin). Empty
+    shingle sets get sentinel max."""
+    sentinel = F.lit(MINHASH_SENTINEL).cast("long")
+
+    def _xf(a: int, b: int):
+        # real closure — a default-arg lambda would become a 2-param
+        # lambda and PySpark would bind the array INDEX to it
+        return lambda h: affine_hash(h, a, b)
+
+    def build(base: Column) -> Column:
+        return F.array(
+            *[
+                F.coalesce(F.array_min(F.transform(base, _xf(a, b))), sentinel)
+                for a, b in minhash_constants(num_hashes)
+            ]
+        )
+
+    return let_(F.transform(shingles_col, lambda s: md5_long(s)), build)
 
 
 def band_keys(signature_col: Column, bands: int, rows_per_band: int) -> Column:

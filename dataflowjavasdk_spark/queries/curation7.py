@@ -363,13 +363,7 @@ def _cost_oracle() -> str:
     ),
     sig AS (
       SELECT doc_id,
-             list_transform(range(0, 16), j ->
-               list_reduce(
-                 list_prepend(1152921504606846976::BIGINT,
-                   list_transform(grams, s ->
-                     ('0x' || substr(md5(j::VARCHAR || ':' || s), 1, 15))::BIGINT)),
-                 (a, b) -> least(a, b))
-             ) AS sigs
+             {S.minhash_sig_sql('grams')} AS sigs
       FROM sh
     ),
     banded AS (

@@ -235,14 +235,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) AS grams
       FROM corpus
     ),
-    js AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS hash_idx)
-    SELECT sh.doc_id, js.hash_idx,
-           list_reduce(
-             list_prepend(1152921504606846976::BIGINT,
-               list_transform(grams, s ->
-                 ('0x' || substr(md5(hash_idx::VARCHAR || ':' || s), 1, 15))::BIGINT)),
-             (a, b) -> least(a, b)) AS minhash
-    FROM sh CROSS JOIN js
+    sig AS (SELECT doc_id, {S.minhash_sig_sql('grams')} AS sig FROM sh)
+    SELECT doc_id,
+           CAST(unnest(range(0, 16)) AS INT) AS hash_idx,
+           unnest(sig) AS minhash
+    FROM sig
     """,
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -644,13 +641,7 @@ def containment_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH corpus AS ({_CORPUS_SQL}),{_candidate_pairs_sql("corpus", 4)},
     sigs AS MATERIALIZED (
       SELECT doc_id, len(grams) AS n, grams,
-             list_transform(range(0, 16), j ->
-               list_reduce(
-                 list_prepend(1152921504606846976::BIGINT,
-                   list_transform(grams, s ->
-                     ('0x' || substr(md5(j::VARCHAR || ':' || s), 1, 15))
-                       ::BIGINT)),
-                 (a, b) -> least(a, b))) AS sig
+             {S.minhash_sig_sql('grams')} AS sig
       FROM sh
     ),
     pairs AS (
@@ -761,13 +752,7 @@ def containment_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFram
     WITH corpus AS ({_CORPUS_SQL}),{_candidate_pairs_sql("corpus", 4)},
     sigs AS MATERIALIZED (
       SELECT doc_id, len(grams) AS n, grams,
-             list_transform(range(0, 16), j ->
-               list_reduce(
-                 list_prepend(1152921504606846976::BIGINT,
-                   list_transform(grams, s ->
-                     ('0x' || substr(md5(j::VARCHAR || ':' || s), 1, 15))
-                       ::BIGINT)),
-                 (a, b) -> least(a, b))) AS sig
+             {S.minhash_sig_sql('grams')} AS sig
       FROM sh
     ),
     pairs AS (
@@ -1210,13 +1195,7 @@ def pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sig AS (
       SELECT doc_id,
-             list_transform(range(0, 16), j ->
-               list_reduce(
-                 list_prepend(1152921504606846976::BIGINT,
-                   list_transform(grams, s ->
-                     ('0x' || substr(md5(j::VARCHAR || ':' || s), 1, 15))::BIGINT)),
-                 (a, b) -> least(a, b))
-             ) AS sigs
+             {S.minhash_sig_sql('grams')} AS sigs
       FROM sh
     ),
     banded AS (
@@ -1247,22 +1226,34 @@ def pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end MinHash+LSH near-dedup: signature (16 hashes) → banding
-    (4 bands × 4 rows) → candidate pairs via band-bucket equi-join → exact
-    Jaccard verification ≥ 0.5. Rows-only check (banding is not worth
-    expressing in SQL); recall vs the exact pipeline is unit-tested at
-    sf0.001 (tests/test_dedup_similarity.py)."""
+    (4 bands × 4 rows) → candidate pairs via an id-only band-bucket
+    equi-join → exact Jaccard verification ≥ 0.5 against the pinned gram
+    relation. Full SQL value-hash oracle (left); recall vs the exact
+    pipeline is additionally unit-tested at sf0.001
+    (tests/test_dedup_similarity.py).
+
+    Scale shape (the 100 TB contract): the band explode and the
+    band-bucket self-join carry ONLY (doc_id, band, bucket) — ~24-byte
+    rows — so the shuffle volume of the candidate stage is independent
+    of document size. Gram arrays are materialized once (localCheckpoint)
+    and hash-joined back exactly once per pair side after the id-level
+    dropDuplicates, so each surviving candidate moves each gram array
+    once, not (band fan-out × candidate multiplicity) times as the
+    pre-round-10 plan did."""
     corpus = _corpus(spark, sf_dir)
-    sh = corpus.select("doc_id", S.shingles("text", 3).alias("grams"))
+    # Pin the gram relation: the signature path and both verify-join
+    # sides reuse it; unpinned, Spark re-shingles the corpus per use
+    # (3 corpus scans on the executed plan).
+    sh = corpus.select(
+        "doc_id", S.shingles("text", 3).alias("grams")
+    ).localCheckpoint(eager=False)
     sig = sh.select(
-        "doc_id", "grams", S.minhash_signature(F.col("grams"), 16).alias("sig")
-    ).localCheckpoint(eager=False)  # both self-join sides reuse the
-    # signatures; unpinned, Spark recomputes shingling + 16 minhashes
-    # per side (6 corpus scans on the executed plan)
+        "doc_id", S.minhash_signature(F.col("grams"), 16).alias("sig")
+    )
     banded = sig.select(
         "doc_id",
-        "grams",
         F.explode(S.band_keys(F.col("sig"), bands=4, rows_per_band=4)).alias("bk"),
-    ).select("doc_id", "grams", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -1275,13 +1266,18 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.grams").alias("g_a"),
-            F.col("b.grams").alias("g_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    verified = cand.join(
+        sh.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("g_a")),
+        "id_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("g_b")),
+        "id_b",
+    )
     return (
-        cand.withColumn("jacc", S.jaccard(F.col("g_a"), F.col("g_b")))
+        verified.withColumn("jacc", S.jaccard(F.col("g_a"), F.col("g_b")))
         .filter(F.col("jacc") >= 0.5)
         .select("id_a", "id_b", "jacc")
     )

@@ -694,3 +694,70 @@ def test_minhash_jaccard_calibration_invariants(spark):
     full = [r for r in rows if r["n_agree"] == 16]
     for r in full:
         assert r["sum_exact_jaccard"] > 0
+
+
+def test_affine_hash_cross_engine_parity(spark):
+    """The round-10 MinHash hash family — (a*h+b) mod 2^61-1 via the
+    overflow-free shift/mask decomposition — must agree bit-for-bit
+    between Spark (affine_hash), DuckDB (_affine_sql), and exact Python
+    big-int arithmetic, including at the domain edges."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(0xA11CE)
+    consts = S.minhash_constants(16)
+    hs = [0, 1, (1 << 60) - 1, S.MINHASH_SENTINEL] + [
+        rng.randrange(0, 1 << 60) for _ in range(60)
+    ]
+    cases = [(h, *consts[i % len(consts)]) for i, h in enumerate(hs)]
+
+    df = spark.createDataFrame(
+        [(h, i) for i, (h, _, _) in enumerate(cases)], "h long, i long"
+    )
+    exprs = [
+        F.max(F.when(F.col("i") == i, S.affine_hash(F.col("h"), a, b))).alias(
+            f"v{i}"
+        )
+        for i, (_, a, b) in enumerate(cases)
+    ]
+    got = df.agg(*exprs).collect()[0]
+
+    con = duckdb.connect()
+    for i, (h, a, b) in enumerate(cases):
+        expect = (a * h + b) % S.MINHASH_PRIME
+        assert got[f"v{i}"] == expect, (h, a, b)
+        sql_v = con.sql(f"SELECT {S._affine_sql(str(h), a, b)}").fetchone()[0]
+        assert sql_v == expect, (h, a, b)
+
+
+def test_minhash_signature_matches_sql_twin(spark):
+    """End-to-end signature parity: minhash_signature vs minhash_sig_sql
+    on the same shingle sets, including the empty-set sentinel row."""
+    import duckdb
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "a b",  # < 3 tokens -> empty 3-gram set -> all-sentinel signature
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["sig"]
+        for r in df.select(
+            "doc_id", S.minhash_signature(S.shingles("text", 3), 16).alias("sig")
+        ).collect()
+    }
+    con = duckdb.connect()
+    grams_sql = (
+        "list_distinct(list_transform("
+        "range(1, greatest(len(list_filter(string_split(text, ' '), t -> t <> '')) - 1, 1)),"
+        " i -> array_to_string(array_slice(list_filter(string_split(text, ' '), t -> t <> ''), i, i + 2), ' ')))"
+    )
+    for i, t in enumerate(texts):
+        sig = con.sql(
+            f"SELECT {S.minhash_sig_sql(grams_sql)} AS sig FROM (SELECT ? AS text)",
+            params=[t],
+        ).fetchone()[0]
+        assert list(sig) == list(got[i]), f"doc {i}"
+    assert list(got[2]) == [S.MINHASH_SENTINEL] * 16
