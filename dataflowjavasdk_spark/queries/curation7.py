@@ -259,8 +259,12 @@ def source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     prof = cnt.groupBy("source").agg(
         F.count(F.lit(1)).alias("vocab"),
         F.sum("c").alias("n_tokens"),
-        # 128-bit exact accumulation: c*c wraps int64 past c ~ 3e9
-        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c")).alias("ssq"),
+        # exact accumulation: c*c wraps int64 past c ~ 3e9. The cast is
+        # decimal(38,0) EXPLICITLY (not 19 + implicit promotion): under
+        # default non-ANSI mode a decimal overflow yields NULL silently,
+        # so the bound the docstring promises must be the bound the
+        # operand carries.
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("ssq"),
     )
     a, b = cnt.alias("a"), cnt.alias("b")
     dots = (
@@ -276,7 +280,7 @@ def source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("inter_vocab"),
             F.sum(
-                F.col("a.c").cast("decimal(19,0)") * F.col("b.c")
+                F.col("a.c").cast("decimal(38,0)") * F.col("b.c")
             ).alias("dot"),
         )
     )

@@ -157,3 +157,75 @@ def test_collision_truncated_key_is_skipped_for_all_claimants(tmp_path):
     assert proc.stdout.count("(new this round)") == 2, proc.stdout
     assert "cogroup_nation_customer_supplier" in proc.stdout
     assert proc.returncode == 0, proc.stdout
+
+
+def test_latest_scaling_artifact_clean():
+    """Scaling-ledger gate (VERDICT r9 #2): the newest committed
+    SCALING_r*.json must carry the throughput column and zero flags —
+    superlinear, failed_at_top_scale, or family-relative
+    throughput_outlier. This is the automatic form of the audit that
+    caught the q18 join, the intra-doc-trim constant, and the minhash
+    verify constant by hand. Pure JSON read, no Spark."""
+    arts = sorted(glob.glob(os.path.join(REPO, "SCALING_r*.json")))
+    # gate only artifacts in the round-10+ format (ms_per_krow present):
+    # SCALING_r09_sf10.json predates the column and carries the
+    # session_windows flag the round-9 judge investigated and cleared
+    # in isolation (VERDICT r9) — historical record, not a live gate.
+    arts = [
+        a
+        for a in arts
+        if any("ms_per_krow" in r for r in json.load(open(a)).values())
+    ]
+    if not arts:
+        pytest.skip("no throughput-format SCALING_r*.json artifacts yet")
+    latest = arts[-1]
+    with open(latest) as fh:
+        report = json.load(fh)
+    assert report, f"{latest} is empty"
+    flagged = {
+        name: [
+            k
+            for k in ("superlinear", "failed_at_top_scale", "throughput_outlier")
+            if row.get(k)
+        ]
+        for name, row in report.items()
+        if any(
+            row.get(k)
+            for k in ("superlinear", "failed_at_top_scale", "throughput_outlier")
+        )
+    }
+    assert not flagged, f"{os.path.basename(latest)} has flags: {flagged}"
+    # the ms_per_krow column exists from round 10 on; once any row has
+    # it, every measured row must (no silent partial coverage)
+    if any("ms_per_krow" in row for row in report.values()):
+        missing = [
+            name
+            for name, row in report.items()
+            if "ms_per_krow" not in row and any((row.get("ms") or {}).values())
+        ]
+        assert not missing, f"rows without ms_per_krow: {missing}"
+
+
+
+def test_expand_short_keys_roundtrip():
+    """Contract-line truncated keys — including collision-suffixed ones —
+    must expand back to exactly the HEADLINE full names (VERDICT r9 #4:
+    suffixed keys were skipped, dropping headliners from the
+    comparison)."""
+    import bench
+    from tools.compare_bench import _expand_short_keys
+
+    keymap = bench.short_keys(list(bench.HEADLINE))
+    assert len(set(keymap.values())) == len(bench.HEADLINE)
+    payload = {
+        "queries": {s: 1.0 for s in keymap.values()},
+        "queries_unit": "ms",
+    }
+    out = _expand_short_keys(payload)
+    assert out.get("expanded_short_keys") is True
+    assert set(out["queries"]) == set(bench.HEADLINE)
+    # a foreign roster (one key missing) must NOT be partially expanded
+    partial = {"queries": dict(list(payload["queries"].items())[:-1]),
+               "queries_unit": "ms"}
+    out2 = _expand_short_keys(partial)
+    assert "expanded_short_keys" not in out2

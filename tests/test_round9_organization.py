@@ -62,10 +62,16 @@ def test_source_divergence_pairs_bounds_and_hand_check(spark):
     for r in out:
         assert r["source_a"] < r["source_b"]
         seen.add((r["source_a"], r["source_b"]))
-        assert 1 <= r["inter_vocab"] <= r["union_vocab"]
+        # 0 is legitimate: a lexically disjoint source pair has empty
+        # intersection (test_source_divergence_emits_disjoint_pairs pins
+        # exactly that contract on a crafted corpus)
+        assert 0 <= r["inter_vocab"] <= r["union_vocab"]
         assert 0 <= r["vocab_jaccard_permille"] <= 1000
         assert 0 <= r["count_cosine_e9"] <= 1_000_000_000
     assert len(seen) == len(out)
+    # the smoke fixture's sources DO share vocabulary — keep that as its
+    # own targeted expectation rather than a per-pair lower bound
+    assert any(r["inter_vocab"] > 0 for r in out)
 
     # hand-compute one pair from raw text and require exact agreement
     a, b = sources[0], sources[1]

@@ -131,17 +131,31 @@ def main() -> int:
         print(f"rep {rep + 1}/{args.reps} done", flush=True)
 
     def _fmt(sf: float) -> str:
-        # "0.01"->"001", "0.1"->"01", "1.0"->"1", "10.0"->"10": strip a
-        # LEADING "0." then a trailing ".0" — a blanket str.replace would
-        # also hit the interior "0." of "10.0" and mislabel the decade
-        # as slope_1_to_100 (review-caught; the committed sf10 artifact
-        # carried the bad key)
-        s = str(sf)
-        if s.startswith("0."):
-            s = "0" + s[2:]
-        if s.endswith(".0"):
-            s = s[:-2]
-        return s
+        # Historical names for the standard grid: 0.01->"001", 0.1->"01",
+        # 1->"1", 10->"10" (committed SCALING_r09* artifacts use these).
+        # Any OTHER scale falls back to str(sf) with "." -> "p" — the
+        # strip-leading-"0."-heuristic collapses distinct nonstandard
+        # scales into ambiguous keys (0.25 -> "025", 0.5 -> "05").
+        names = {0.01: "001", 0.1: "01", 1.0: "1", 10.0: "10"}
+        return names.get(sf, str(sf).replace(".", "p"))
+
+    def _fixture_rows(d: str) -> int:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(os.path.join(d, "*.parquet"))
+        )
+
+    # Throughput denominator (round-9 ledger lesson, VERDICT r9 #2): a
+    # linear slope can hide a 7x CONSTANT, and "7x the cluster bill" needs
+    # a per-row number to show up in. ms_per_krow divides the median by
+    # the fixture's total row count at that scale — the same denominator
+    # for every query, so family-relative comparison is denominator-free,
+    # and a healthy linear query reads as a FLAT ms/krow across scales.
+    fixture_krows = {str(sf): _fixture_rows(d) / 1000.0 for sf, d in scales}
 
     report: dict[str, dict] = {}
     n_flagged = 0
@@ -185,7 +199,49 @@ def main() -> int:
         top = med.get(str(scales[-1][0]))
         if top:
             row["heavy_constant"] = top > 60_000 * max(scales[-1][0], 1.0)
+        row["ms_per_krow"] = {
+            k: round(v / fixture_krows[k], 4)
+            for k, v in med.items()
+            if v and fixture_krows.get(k)
+        }
         report[name] = row
+
+    # Family-relative throughput outliers: compare each query's top-scale
+    # ms_per_krow against the median of its query MODULE (dedup, text,
+    # curation*, ...). A query >8x its family median is flagged — this is
+    # the automatic version of the audit that caught intra_doc_trim
+    # (~7x its text-family peers) and the minhash verify constant by
+    # hand in round 9. Families need >=3 measured members to judge
+    # (else fall back to the global median of this run, needing >=5);
+    # sparse runs (--only one query) skip the judgment rather than
+    # fabricate a baseline.
+    top_key = str(scales[-1][0])
+    per_family: dict[str, list[float]] = {}
+    tops: dict[str, float] = {}
+    for name, row in report.items():
+        v = row["ms_per_krow"].get(top_key)
+        if v is not None:
+            fam = getattr(qs[name], "__module__", "?").rsplit(".", 1)[-1]
+            per_family.setdefault(fam, []).append(v)
+            tops[name] = v
+    all_vals = sorted(tops.values())
+    for name, row in report.items():
+        v = tops.get(name)
+        if v is None:
+            continue
+        fam = getattr(qs[name], "__module__", "?").rsplit(".", 1)[-1]
+        fam_vals = per_family.get(fam, [])
+        if len(fam_vals) >= 3:
+            base = statistics.median(fam_vals)
+        elif len(all_vals) >= 5:
+            base = statistics.median(all_vals)
+        else:
+            continue
+        row["throughput_family"] = fam
+        row["throughput_vs_family_median"] = round(v / base, 2) if base else None
+        if base and v > 8 * base:
+            row["throughput_outlier"] = True
+            n_flagged += 1
 
     with open(args.out, "w") as fh:
         json.dump(report, fh, indent=1)
@@ -208,6 +264,12 @@ def main() -> int:
             mark = "  <-- FAILED AT TOP SCALE"
         if row.get("heavy_constant"):
             mark += "  <-- HEAVY CONSTANT"
+        if row.get("throughput_outlier"):
+            mark += (
+                f"  <-- THROUGHPUT OUTLIER "
+                f"({row.get('throughput_vs_family_median')}x "
+                f"{row.get('throughput_family')} median)"
+            )
         cells = " ".join(
             f"{(m.get(str(sf)) or -1):9.1f}" for sf, _ in scales
         )

@@ -96,9 +96,13 @@ def _signed_permute(emb: np.ndarray, r: int) -> np.ndarray:
     replica 0 and pairs (r, r+64) had matched cosines ~ -1, violating
     the decorrelation invariant; at mult >= 193 replicas repeated
     bit-for-bit). An md5 sign pattern per (replica, dim) keeps every
-    transform orthogonal (norms and within-replica cosines
-    bit-preserved) while making any two replicas' transforms differ in
-    ~half the dims for ANY r — no wrap-around period."""
+    transform orthogonal — within-replica norm/cosine VALUES are
+    preserved up to fold-order ulp (sign flips are exact, but the
+    circular roll reorders dimensions, so the engines' sequential
+    left-fold dot/ssq sums accumulate in a different order and the last
+    ulp can differ between replicas) — while making any two replicas'
+    transforms differ in ~half the dims for ANY r, no wrap-around
+    period."""
     import hashlib
 
     dim = emb.shape[1]
