@@ -60,7 +60,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # _CHANGED_THIS_ROUND set describes; test_entry_contract uses it to know
 # whether the no-wasted-slot invariant is still checkable or the changed
 # set is due for its per-round pruning.
-_PRIORITY_ROUND = 9
+_PRIORITY_ROUND = 10
 
 # Queries whose code or oracle materially changed in _PRIORITY_ROUND's
 # round: they re-enter the 50-slot sample even though their previous
@@ -69,38 +69,21 @@ _PRIORITY_ROUND = 9
 # invariant; prune the set at each rotation.
 _CHANGED_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # measured retrieval denominators (ADVICE r8): n_retrieved /
-        # n_exact are now COUNT(*) and pct uses floor-division — output
-        # schema and values changed in both engines
-        "retrieval_label_precision",
-        "embedding_compression_recall",
-        # blank-doc guard on the injected-repetition branch, both
-        # engines (ADVICE r8) — same rows on current fixtures, but the
-        # oracle text changed
-        "char_entropy_quality",
-        # default-on CoGBK hot-key guard + max-group accumulator
-        # (VERDICT r8 #4): co_group_by_key's execution path changed
-        "cogroup_nation_customer_supplier",
-        "cogroup_customer_orders",
-        # aggregate-then-join rewrite of the scaling sweep's one
-        # superlinear plan (r9 #1): same rows, different plan
-        "q18_large_orders",
-        # cent-exact money() emission of product-decimal sums (r9 sf1
-        # finding: decimal->double cast differs 1 ulp cross-engine past
-        # 16 significant digits) — values change at the last cent digit
-        "q1_pricing_summary",
-        "q3_join_agg",
-        "q5_region_revenue",
-        "q6_forecast_revenue",
-        "q7_volume_shipping",
-        "q8_market_share",
-        "q9_product_profit",
-        "q10_returned_revenue",
-        "q14_promo_revenue",
-        "q15_top_supplier",
-        "q19_bracket_revenue",
-        "q1_incremental_refresh",
-        "grouping_sets_revenue",
+        # round-10 MinHash hash-family change (one md5 base hash per
+        # gram + Carter-Wegman affine per slot, VERDICT r9 #1): values
+        # of every signature-bearing output changed in BOTH engines, and
+        # the LSH candidate join carries ids only now
+        "minhash_signatures",
+        "minhash_lsh_near_dups",
+        "containment_sketch_calibration",
+        "minhash_jaccard_calibration",
+        "lsh_plan_candidate_cost",
+        # nested-let rewrite of the trim pipeline (same rows, plan
+        # changed from re-inlined withColumns to inline(struct))
+        "intra_doc_repetition_trim",
+        # explicit decimal(38,0) accumulators (same values on current
+        # fixtures; operand width changed in the Spark plan)
+        "source_unigram_divergence",
     }
 )
 

@@ -310,6 +310,186 @@ def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
     return df.withWatermark(ts_col, delay)
 
 
+class SourceWatermarkTracker:
+    """Source-COMPUTED watermark emulation for parquet drop-dir sources
+    (the tractable half of the MillWheel/source-watermark gap; historical
+    sdk/io/PubsubIO.java timestampLabel + ReduceFnRunner's min-across-
+    inputs close rule).
+
+    Spark's watermark is data-computed and observable only GLOBALLY (one
+    eventTime.watermark per query); Beam's runner tracks a per-source low
+    watermark — a source ADVERTISES how far its event time has progressed
+    — and closes windows at the min across sources. This tracker
+    reproduces that for drop-dir sources without scanning data: each
+    source's watermark is the max event-time recorded in its files'
+    parquet FOOTER column statistics (metadata reads, the file-source
+    analog of Pub/Sub's oldest-unacked advertisement), minus the
+    source's allowed delay. low_watermark() is the min across sources:
+
+    - a source with NO files is None -> low watermark None (holds
+      everything, Beam's -inf),
+    - a STALLED source (no new files) pins the min at its last file's
+      max — the slowest-input rule; the N-way CoGBK keeps every window
+      at or past that point open (pinned by
+      tests/test_streaming.py::test_stalled_source_holds_watermark
+      against the engine's actual emission behavior).
+
+    At scale the same contract is a streaming source's own watermark API
+    (Kafka per-partition max, Pub/Sub backlog); footers here play that
+    role so the semantics are testable offline."""
+
+    def __init__(
+        self,
+        source_dirs: dict[str, str],
+        ts_col: str = "ts",
+        delays: dict[str, str] | str = "0 seconds",
+    ):
+        self.source_dirs = dict(source_dirs)
+        self.ts_col = ts_col
+        if isinstance(delays, str):
+            delays = {name: delays for name in source_dirs}
+        self.delay_s = {
+            name: self._duration_s(delays.get(name, "0 seconds"))
+            for name in source_dirs
+        }
+
+    @staticmethod
+    def _duration_s(spec: str) -> float:
+        n, unit = spec.split()
+        mult = {
+            "millisecond": 0.001, "milliseconds": 0.001,
+            "second": 1.0, "seconds": 1.0,
+            "minute": 60.0, "minutes": 60.0,
+            "hour": 3600.0, "hours": 3600.0,
+        }[unit]
+        return float(n) * mult
+
+    def per_source(self) -> dict:
+        """name -> per-source watermark (datetime, delay already
+        subtracted) or None when the source has no timestamped file yet."""
+        import datetime
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        out = {}
+        for name, d in self.source_dirs.items():
+            best = None
+            for f in sorted(_glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)):
+                try:
+                    meta = pq.ParquetFile(f).metadata
+                except Exception:
+                    continue
+                file_max = None
+                for rg in range(meta.num_row_groups):
+                    group = meta.row_group(rg)
+                    for ci in range(group.num_columns):
+                        col = group.column(ci)
+                        if col.path_in_schema != self.ts_col:
+                            continue
+                        st = col.statistics
+                        if st is not None and st.has_min_max:
+                            mx = st.max
+                            if file_max is None or mx > file_max:
+                                file_max = mx
+                if file_max is None and meta.num_rows:
+                    # INT96-era files carry no timestamp statistics —
+                    # fall back to a single-column read of this file
+                    # (documented deviation from the footer-only path;
+                    # harness feeds write TIMESTAMP_MICROS so the
+                    # fallback never triggers there)
+                    try:
+                        tbl = pq.read_table(f, columns=[self.ts_col])
+                        vals = tbl.column(0).to_pylist()
+                        file_max = max(v for v in vals if v is not None)
+                    except Exception:
+                        file_max = None
+                if file_max is not None:
+                    # parquet TIMESTAMP(isAdjustedToUTC) stats come back
+                    # tz-aware; normalize to the naive-UTC convention the
+                    # engine's event times use throughout
+                    if getattr(file_max, "tzinfo", None) is not None:
+                        file_max = file_max.astimezone(
+                            datetime.timezone.utc
+                        ).replace(tzinfo=None)
+                    if best is None or file_max > best:
+                        best = file_max
+            if best is not None:
+                best = best - datetime.timedelta(seconds=self.delay_s[name])
+            out[name] = best
+        return out
+
+    def low_watermark(self):
+        """min across sources (None if ANY source has produced nothing —
+        an unstarted input holds the whole pipeline, Beam's -inf)."""
+        per = self.per_source()
+        if not per or any(v is None for v in per.values()):
+            return None
+        return min(per.values())
+
+
+def nway_windowed_cogroup(
+    sources: dict[str, DataFrame],
+    key: str,
+    ts_col: str,
+    window_size: str,
+    delays: dict[str, str] | str = "0 seconds",
+    value_col: str | None = None,
+) -> DataFrame:
+    """N-way CoGroupByKey over UNBOUNDED inputs as a first-class engine
+    operator (round 10 — previously this union-tag plan lived only in
+    test code): each source gets its own watermark node (so Spark's
+    multi-watermark policy enforces the reference's min-across-sources
+    close), sources union with an integer tag, and one windowed
+    aggregation emits per-(window, key) per-source counts — n_<name>,
+    plus sum_<name> when `value_col` is given. A key absent from a
+    source shows 0 (the empty-iterable CoGbkResult contract stated
+    relationally). Append mode => exactly-once on-time emission when the
+    min watermark passes the window end.
+
+    Scale: one shuffle (the windowed groupBy); the union is plan-level
+    only. Per-source watermarks are observable via SourceWatermarkTracker
+    on the backing drop-dirs."""
+    if isinstance(delays, str):
+        delays = {name: delays for name in sources}
+    names = list(sources)
+    tagged = []
+    for i, name in enumerate(names):
+        src = with_watermark(sources[name], ts_col, delays.get(name, "0 seconds"))
+        cols = [F.col(key), F.col(ts_col), F.lit(i).alias("__tag")]
+        cols.append(
+            (F.col(value_col) if value_col else F.lit(0.0)).cast("double").alias("__v")
+        )
+        tagged.append(src.select(*cols))
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    aggs = []
+    for i, name in enumerate(names):
+        aggs.append(
+            F.sum(F.when(F.col("__tag") == i, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        if value_col:
+            aggs.append(
+                F.sum(F.when(F.col("__tag") == i, F.col("__v")).otherwise(0.0))
+                .alias(f"sum_{name}")
+            )
+    return (
+        u.groupBy(F.window(ts_col, window_size).alias("__w"), key)
+        .agg(*aggs)
+        .select(
+            F.col("__w.start").alias("window_start"),
+            F.col("__w.end").alias("window_end"),
+            key,
+            *[c for c in
+              [f"n_{n}" for n in names]
+              + ([f"sum_{n}" for n in names] if value_col else [])],
+        )
+    )
+
+
 def drop_duplicates_within_watermark(df: DataFrame, id_cols: list[str], ts_col: str, delay: str) -> DataFrame:
     """Effectively-once id-dedup (PubsubIO idLabel): state for an id is
     kept only within the watermark horizon — bounded state at scale."""
@@ -380,6 +560,27 @@ def stream_stream_join(
     return joined.select(*key_cols, *left_rest, *right_rest)
 
 
+
+
+def _write_parquet_micros(df: DataFrame, path: str) -> None:
+    """Harness feed writer: force TIMESTAMP_MICROS (Spark's default INT96
+    timestamps carry NO parquet column statistics, which would blind the
+    SourceWatermarkTracker's footer-based watermark advertisement).
+    Session conf set/restored around the write so nothing else in the
+    shared test session changes."""
+    spark = df.sparkSession
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        df.write.mode("overwrite").parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 class MicroBatchHarness:
     """Controlled-replay streaming harness (the ReduceFnTester analog).
 
@@ -416,7 +617,7 @@ class MicroBatchHarness:
         staging = os.path.join(self.root, f"staging_{self._feed_i}")
         one = df.coalesce(1)
         if self.fmt == "parquet":
-            one.write.mode("overwrite").parquet(staging)
+            _write_parquet_micros(one, staging)
             suffix = ".parquet"
         elif self.fmt == "jsonl":
             # Spark's default JSON timestampFormat carries millis only;
@@ -509,7 +710,7 @@ class MultiStreamHarness:
 
     def feed(self, name: str, df: DataFrame) -> None:
         staging = os.path.join(self.root, f"staging_{self._feed_i}")
-        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        _write_parquet_micros(df.coalesce(1), staging)
         for f in os.listdir(staging):
             if f.endswith(".parquet"):
                 shutil.copy(

@@ -1461,3 +1461,79 @@ def test_streaming_ivf_index_maintenance(spark, tmp_path):
         ).collect()
     }
     assert panes == batch, "streaming index counts diverge from batch"
+
+
+def test_stalled_source_holds_watermark(spark):
+    """Source-computed watermark emulation (VERDICT r9 #8): the
+    SourceWatermarkTracker's per-source/min watermarks — read from the
+    drop-dirs' parquet footer statistics, no data scan — must PREDICT the
+    engine's N-way CoGBK close behavior round by round, including the
+    Beam slowest-input rule: a STALLED source (no new files) pins the min
+    watermark at its last file's max event time and holds every window at
+    or past it open, exactly ReduceFnRunner's min-across-inputs close."""
+    h = SC.MultiStreamHarness(spark, {"a": THREE, "b": THREE, "c": THREE})
+    try:
+        names = ["a", "b", "c"]
+        tracker = SC.SourceWatermarkTracker(
+            {n: h.input_dirs[n] for n in names}, ts_col="ts"
+        )
+
+        def build(sources):
+            return SC.nway_windowed_cogroup(
+                sources, key="key", ts_col="ts", window_size="60 seconds",
+                value_col="v",
+            )
+
+        # no files anywhere: an unstarted source is -inf
+        assert tracker.low_watermark() is None
+
+        h.feed("a", spark.createDataFrame(
+            [("k1", _ts(10), 1.0), ("k1", _ts(20), 2.0)], THREE))
+        h.feed("b", spark.createDataFrame([("k1", _ts(30), 4.0)], THREE))
+        # c still empty -> tracker holds everything; the query agrees
+        assert tracker.low_watermark() is None
+        assert h.run_round(build, output_mode="append") == []
+
+        h.feed("c", spark.createDataFrame([("k2", _ts(40), 8.0)], THREE))
+        per = tracker.per_source()
+        assert (per["a"], per["b"], per["c"]) == (_ts(20), _ts(30), _ts(40))
+        assert tracker.low_watermark() == _ts(20)  # min across sources
+        # 20s < 60s: [0,60) stays open
+        assert h.run_round(build, output_mode="append") == []
+
+        # advance a and b far past the window end; c is STALLED -> the
+        # min stays pinned at c's 40s and [0,60) must remain open
+        h.feed("a", spark.createDataFrame([("kx", _ts(120), 1.0)], THREE))
+        h.feed("b", spark.createDataFrame([("kx", _ts(130), 1.0)], THREE))
+        assert tracker.low_watermark() == _ts(40)
+        assert h.run_round(build, output_mode="append") == []
+
+        # the stalled source finally advances -> the tracker's min passes
+        # 60s immediately (Beam would close NOW). Spark discards
+        # per-source progress on availableNow restart (the offset log
+        # persists only the GLOBAL min, so idle sources a/b restore to
+        # 40s) — the round emits nothing yet, which is exactly the
+        # information gap the tracker closes: it still knows a=120/b=130.
+        h.feed("c", spark.createDataFrame([("kx", _ts(125), 1.0)], THREE))
+        assert tracker.low_watermark() == _ts(120)
+        assert h.run_round(build, output_mode="append") == []
+        # all sources tick -> every watermark node re-observes data past
+        # the window end, the min passes 60s in-run, [0,60) closes once
+        # with per-source counts/sums and the empty-iterable zeros
+        for n in names:
+            h.feed(n, spark.createDataFrame([("kx", _ts(140), 1.0)], THREE))
+        assert tracker.low_watermark() == _ts(140)
+        out = h.run_round(build, output_mode="append")
+        got = {
+            (str(r["window_start"]), r["key"]): (
+                r["n_a"], r["n_b"], r["n_c"], r["sum_a"], r["sum_b"], r["sum_c"]
+            )
+            for r in out
+        }
+        assert got == {
+            ("2024-01-01 00:00:00", "k1"): (2, 1, 0, 3.0, 4.0, 0.0),
+            ("2024-01-01 00:00:00", "k2"): (0, 0, 1, 0.0, 0.0, 8.0),
+        }
+        assert h.run_round(build, output_mode="append") == []  # replay
+    finally:
+        h.close()

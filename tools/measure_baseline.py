@@ -350,6 +350,108 @@ def spark_queries(spark):
             )
         )
 
+    def wav_features_plain():
+        # Plain user's WAV feature pass (round-10 13th protocol row — the
+        # python_evals family finally has a same-protocol comparable):
+        # one mapInPandas that synthesizes the payload corpus and decodes
+        # it with the stdlib wave module per clip — the obvious code.
+        # Like the engine twin, the synthesized corpus is pinned
+        # (payloads are STORED in production; steady state measures the
+        # DECODE pass, first_run pays the one-time build).
+        docs_wav = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "n_chars"
+        )
+
+        def synth(batches):
+            import io
+            import wave
+
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                payloads = []
+                for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                    n = 100 + int(n_chars) % 400
+                    amp = 1000 * (int(doc_id) % 9 + 1)
+                    pcm = np.full(n, amp, dtype="<i2")
+                    pcm[1::2] = -amp
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as w:
+                        w.setnchannels(1)
+                        w.setsampwidth(2)
+                        w.setframerate(8000)
+                        w.writeframes(pcm.tobytes())
+                    payloads.append(buf.getvalue())
+                yield pd.DataFrame(
+                    {"media_id": pdf["doc_id"], "payload": payloads}
+                )
+
+        media = docs_wav.mapInPandas(
+            synth, schema="media_id long, payload binary"
+        ).localCheckpoint(eager=False)
+
+        def feats(batches):
+            import io
+            import wave
+
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                rows = []
+                for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                        rate = w.getframerate()
+                        n = w.getnframes()
+                        pcm = np.frombuffer(
+                            w.readframes(n), dtype="<i2"
+                        ).astype(np.float64)
+                    rms = float(np.sqrt(np.mean(pcm**2))) if n else 0.0
+                    zcr = (
+                        float(
+                            np.mean(
+                                np.abs(
+                                    np.diff(np.signbit(pcm).astype(np.int8))
+                                )
+                            )
+                        )
+                        if n > 1
+                        else 0.0
+                    )
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "sample_rate": rate,
+                            "n_samples": n,
+                            "duration_s": n / rate,
+                            "rms": rms / 32768.0,
+                            "zero_crossing_rate": zcr,
+                        }
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "media_id", "sample_rate", "n_samples",
+                        "duration_s", "rms", "zero_crossing_rate",
+                    ],
+                )
+
+        return media.mapInPandas(
+            feats,
+            schema=(
+                "media_id long, sample_rate long, n_samples long, "
+                "duration_s double, rms double, zero_crossing_rate double"
+            ),
+        ).select(
+            "media_id",
+            "sample_rate",
+            "n_samples",
+            F.round("duration_s", 9).alias("duration_s"),
+            F.round("rms", 9).alias("rms"),
+            "zero_crossing_rate",
+        )
+
     return {
         "q1_pricing_summary": q1,
         "q3_join_agg": q3,
@@ -364,10 +466,18 @@ def spark_queries(spark):
         "tfidf_ws": tfidf_ws,
         "bm25_plain": bm25_plain,
         "context_pack_plain": context_pack_plain,
+        "wav_features_plain": wav_features_plain,
     }
 
 
 DUCK_SQL = {
+    "wav_features_plain": """
+        SELECT doc_id AS media_id, 8000 AS sample_rate,
+               CAST(100 + (n_chars % 400) AS BIGINT) AS n_samples,
+               round((100 + (n_chars % 400)) / 8000.0, 9) AS duration_s,
+               round((1000 * (doc_id % 9 + 1)) / 32768.0, 9) AS rms,
+               1.0::DOUBLE AS zero_crossing_rate
+        FROM documents""",
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus, sum(l_quantity), sum(l_extendedprice),
                sum(l_extendedprice*(1-l_discount)),
@@ -560,6 +670,7 @@ ENGINE_TWIN = {
     "tfidf_ws": "tfidf",
     "bm25_plain": "bm25_retrieval_topk",
     "context_pack_plain": "semantic_context_pack",
+    "wav_features_plain": "audio_wav_features",
 }
 
 
