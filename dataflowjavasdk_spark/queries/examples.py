@@ -17,7 +17,7 @@ from pyspark.sql.window import Window as W
 from dataflowjavasdk_spark.functions import similarity as S
 from dataflowjavasdk_spark.queries.registry import query
 from dataflowjavasdk_spark.session import scratch_dir
-from dataflowjavasdk_spark.sources.tables import load_table
+from dataflowjavasdk_spark.sources.tables import decode_fanout, load_table
 
 _SESSIONIZED = """
     flagged AS (
@@ -490,7 +490,7 @@ def audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(decode_fanout(spark, sf_dir))
     )
 
     def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
@@ -573,7 +573,7 @@ def audio_tone_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(decode_fanout(spark, sf_dir))
     )
 
     def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
@@ -1661,7 +1661,7 @@ def audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "n_chars")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(decode_fanout(spark, sf_dir))
     )
 
     def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
@@ -1743,7 +1743,7 @@ def bmp_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "n_chars")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(decode_fanout(spark, sf_dir))
     )
 
     def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
@@ -1829,7 +1829,7 @@ def image_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "n_chars")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(decode_fanout(spark, sf_dir))
     )
 
     def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
@@ -1894,7 +1894,7 @@ def png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "n_chars")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(decode_fanout(spark, sf_dir))
     )
 
     def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
@@ -1987,7 +1987,7 @@ def jpeg_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "n_chars")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(decode_fanout(spark, sf_dir))
     )
 
     def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
@@ -2166,7 +2166,7 @@ def mjpeg_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "n_chars")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(decode_fanout(spark, sf_dir))
     )
 
     def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
@@ -2243,7 +2243,7 @@ def gif_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "n_chars")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(decode_fanout(spark, sf_dir))
     )
 
     def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
@@ -2365,7 +2365,7 @@ def _mixed_media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "n_chars")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(decode_fanout(spark, sf_dir))
     )
 
     def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
@@ -2732,7 +2732,7 @@ def image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "n_chars")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(decode_fanout(spark, sf_dir))
     )
 
     def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
@@ -2861,7 +2861,7 @@ def video_keyframe_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(decode_fanout(spark, sf_dir))
     )
 
     def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
@@ -2945,7 +2945,7 @@ def audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(decode_fanout(spark, sf_dir))
     )
 
     def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:

@@ -100,24 +100,27 @@ def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the corpus before the real job; (b) the document-frequency relation
     is joined WITHOUT a forced broadcast — its cardinality is the
     vocabulary, which grows with the corpus; AQE broadcasts it only when
-    stats say it is genuinely small. Round 3: the tokenized relation is
-    pinned (lazy localCheckpoint) because BOTH the tf and the df branch
-    consume it and Spark recomputes two-branch subplans — one scan + one
-    tokenization pass instead of two (the materialize-after-tokenize
-    stage boundary, same as the Jaccard helper). N stays a count on the
-    raw table: parquet answers count(*) from footer metadata, no data
-    scan."""
+    stats say it is genuinely small. Round 10 (opt guide §2.3 "aggregate
+    before you shuffle"): document frequency is derived FROM the
+    (doc_id, term) aggregate — df(term) = COUNT(*) over the per-doc term
+    relation, exactly countDistinct(doc_id) per term since tf0 holds one
+    row per (doc_id, term) — so the exploded token stream is aggregated
+    ONCE and the pinned intermediate is the post-aggregation relation
+    (distinct terms per doc), not every token instance. That drops one
+    full aggregation pass over the token stream, shrinks the checkpoint
+    by the average within-doc term multiplicity, and cuts the plan from
+    5 exchanges to 4. N stays a count on the raw table: parquet answers
+    count(*) from footer metadata, no data scan."""
     docs = load_table(spark, sf_dir, "documents")
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    tok = docs.select(
-        "doc_id", F.explode(T.tokens("text")).alias("term")
-    ).localCheckpoint(eager=False)
-    tf = (
-        tok.groupBy("doc_id", "term")
+    tf0 = (
+        docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("n_term"))
-        .withColumn("n_doc", F.sum("n_term").over(W.partitionBy("doc_id")))
+        .localCheckpoint(eager=False)
     )
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf = tf0.withColumn("n_doc", F.sum("n_term").over(W.partitionBy("doc_id")))
+    df = tf0.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return (
         tf.join(df, "term")
         .join(F.broadcast(n))
@@ -161,23 +164,26 @@ def tfidf_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``BPE_PRETOKEN_PAT`` — letter runs / single digits / punctuation)
     instead of the single-space split. This wires the realistic tokenizer
     into a downstream consumer past wordcount (VERDICT r4 "Next round"
-    #6): same pinned-tokenization stage boundary, same in-plan corpus
-    count, same AQE-decided df join — only the tokenizer differs, so the
-    100 TB shape analysis of ``tfidf`` carries over unchanged."""
+    #6): same single-aggregation-pass shape as ``tfidf`` (round 10 —
+    df derived from the pinned (doc_id, term) aggregate, opt guide
+    §2.3), same in-plan corpus count, same AQE-decided df join — only
+    the tokenizer differs, so the 100 TB shape analysis of ``tfidf``
+    carries over unchanged."""
     docs = load_table(spark, sf_dir, "documents")
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    tok = docs.select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all(F.col("text"), F.lit(T.BPE_PRETOKEN_PAT), 0)
-        ).alias("term"),
-    ).localCheckpoint(eager=False)
-    tf = (
-        tok.groupBy("doc_id", "term")
+    tf0 = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit(T.BPE_PRETOKEN_PAT), 0)
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("n_term"))
-        .withColumn("n_doc", F.sum("n_term").over(W.partitionBy("doc_id")))
+        .localCheckpoint(eager=False)
     )
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf = tf0.withColumn("n_doc", F.sum("n_term").over(W.partitionBy("doc_id")))
+    df = tf0.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return (
         tf.join(df, "term")
         .join(F.broadcast(n))
