@@ -1637,8 +1637,8 @@ def audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload is synthesized with analytically known content — a 16-bit
     PCM square wave at amplitude 1000*(doc_id%9+1) with 100+(n_chars%400)
     samples at 8 kHz — then parsed back through the REAL decoder
-    (functions/multimodal.decode_wav: stdlib RIFF/PCM parsing, not a
-    stub) and reduced to features. The DuckDB twin computes the SAME
+    (functions/multimodal.decode_wav: direct RIFF/PCM chunk parsing, not
+    a stub) and reduced to features. The DuckDB twin computes the SAME
     features analytically from the fixture columns, so any decode defect
     (endianness, sample width, header offsets, channel interleave) or
     feature-math drift breaks the value hash: rms of a ±a square wave is

@@ -1057,3 +1057,83 @@ def test_audio_frame_rms_rows_and_trailing_drop(spark):
     assert [r["frame_idx"] for r in rows] == [0, 1]
     assert rows[0]["rms"] == 0.0
     assert abs(rows[1]["rms"] - 1000 / 32768) < 1e-12
+
+
+def test_wav_chunk_walker_matches_stdlib_wave_reference():
+    """decode_wav's round-10 struct chunk walker must agree bit for bit
+    with a stdlib `wave`-module reference decode (the pre-round-10
+    front-end) across sample widths, channel counts, and odd frame
+    counts — the walker changed the container parsing, never the sample
+    math."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from dataflowjavasdk_spark.functions.multimodal import decode_wav
+
+    def reference(payload):
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            rate, nch, width = (
+                w.getframerate(), w.getnchannels(), w.getsampwidth(),
+            )
+            raw = w.readframes(w.getnframes())
+        if width == 1:
+            arr = (
+                np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+            ) / 128.0
+        elif width == 2:
+            arr = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        else:
+            arr = (
+                np.frombuffer(raw, dtype="<i4").astype(np.float64)
+                / 2147483648.0
+            )
+        return rate, nch, arr.reshape(-1, nch)
+
+    rng = np.random.default_rng(7)
+    cases = [
+        (1, 1, 101),  # 8-bit mono, odd frame count (odd data chunk, padded)
+        (2, 1, 100),
+        (2, 2, 57),
+        (4, 2, 33),
+    ]
+    for width, nch, nframes in cases:
+        if width == 1:
+            pcm = rng.integers(0, 256, nframes * nch).astype(np.uint8)
+        elif width == 2:
+            pcm = rng.integers(-(2**15), 2**15, nframes * nch).astype("<i2")
+        else:
+            pcm = rng.integers(-(2**31), 2**31, nframes * nch).astype("<i4")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(width)
+            w.setframerate(8000)
+            w.writeframes(pcm.tobytes())
+        payload = buf.getvalue()
+        r_rate, r_nch, r_arr = reference(payload)
+        d_rate, d_nch, d_arr = decode_wav(payload)
+        assert (d_rate, d_nch) == (r_rate, r_nch)
+        assert d_arr.shape == r_arr.shape
+        assert np.array_equal(d_arr, r_arr)
+
+
+def test_wav_chunk_walker_rejects_non_pcm_and_truncated():
+    import pytest as _pytest
+
+    from dataflowjavasdk_spark.functions.multimodal import decode_wav
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00JUNK")
+    with _pytest.raises(ValueError):
+        decode_wav(b"not a riff container at all")
+    # fmt chunk with a non-PCM format tag (3 = IEEE float, unsupported)
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 0)
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    with _pytest.raises(ValueError):
+        decode_wav(payload)

@@ -194,3 +194,23 @@ def test_scratch_sweep_removes_dead_pid_roots(tmp_path, monkeypatch):
         cleanup = [dead, notpid] + ([] if alive_preexisting else [alive])
         for p in cleanup:
             shutil.rmtree(p, ignore_errors=True)
+
+
+def test_decode_fanout_scales_with_input(spark, monkeypatch):
+    """decode_fanout derives the decode-stage partition count from the
+    table's parquet row count: floor 1 at tiny inputs, ~rows/2048 in the
+    middle, capped at 4x defaultParallelism — and the rows-per-task knob
+    is env-overridable (round-10 scale-adaptive fan-out)."""
+    from dataflowjavasdk_spark.sources import tables as TB
+
+    cores = spark.sparkContext.defaultParallelism
+
+    def fake_rows(sf_dir, name):
+        return {"tiny": 10, "mid": 10 * 2048, "huge": 10**9}[sf_dir]
+
+    monkeypatch.setattr(TB, "table_row_count", fake_rows)
+    assert TB.decode_fanout(spark, "tiny") == 1
+    assert TB.decode_fanout(spark, "mid") == min(4 * cores, 10)
+    assert TB.decode_fanout(spark, "huge") == 4 * cores
+    monkeypatch.setenv("SPARK_GRAFT_DECODE_ROWS_PER_TASK", "10240")
+    assert TB.decode_fanout(spark, "mid") == min(4 * cores, 2)
