@@ -251,10 +251,17 @@ def source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     first groupBy touches the corpus; everything downstream is
     vocabulary-scale."""
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    # Pin the per-source unigram counts (round 10): the profile aggregate
+    # and BOTH sides of the pairwise-dot self-join consume this relation,
+    # and unpinned Spark re-runs the corpus explode + count per consumer
+    # (three full token passes on the executed plan). The pinned rows are
+    # the vocabulary-sized (source, token, c) relation — the only
+    # corpus-scale pass then runs exactly once.
     cnt = (
         docs.select("source", F.explode(T.tokens("text")).alias("token"))
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     prof = cnt.groupBy("source").agg(
         F.count(F.lit(1)).alias("vocab"),

@@ -72,11 +72,21 @@ def _blocked_candidates(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
     (MEMORY_AND_DISK, spills cleanly). Returns (pinned sh, cand)."""
     sh = sh.localCheckpoint(eager=False)
     ex = sh.select("doc_id", F.explode("grams").alias("gram"))
+    # Pin the capped gram list (round 10): BOTH self-join sides consume
+    # it through `kept`, and without the pin each side re-runs the full
+    # explode→shuffle→agg document-frequency pass over the corpus (the
+    # broadcast side of the self-join cannot share the other side's
+    # exchange). The pinned rows are the df-capped gram vocabulary —
+    # far smaller than one corpus gram pass at any scale. `ex` itself
+    # stays unpinned on purpose: it is a shuffle-free map-side explode
+    # of the already-pinned sh, while checkpointing it would write a
+    # corpus-sized relation.
     gram_df = (
         ex.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter((F.col("df") >= 2) & (F.col("df") <= SHINGLE_DF_CAP))
         .select("gram")
+        .localCheckpoint(eager=False)
     )
     kept = ex.join(gram_df, "gram")
     a, b = kept.alias("a"), kept.alias("b")
@@ -1250,10 +1260,27 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = sh.select(
         "doc_id", S.minhash_signature(F.col("grams"), 16).alias("sig")
     )
-    banded = sig.select(
-        "doc_id",
-        F.explode(S.band_keys(F.col("sig"), bands=4, rows_per_band=4)).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    # Pin the banded relation too (round 10): both sides of the
+    # band-bucket self-join otherwise re-evaluate the ENTIRE signature
+    # subtree (md5 base hash per gram + 16 affine slots — the plan shows
+    # the Scan→sig→Generate chain once per side), doubling the pipeline's
+    # dominant compute. The pinned rows are just (doc_id, band, bucket)
+    # — ~24 bytes x 4 bands/doc — so materializing them costs far less
+    # than one signature pass, at any scale.
+    banded = (
+        sig.select(
+            "doc_id",
+            F.explode(
+                S.band_keys(F.col("sig"), bands=4, rows_per_band=4)
+            ).alias("bk"),
+        )
+        .select(
+            "doc_id",
+            F.col("bk.band").alias("band"),
+            F.col("bk.bucket").alias("bucket"),
+        )
+        .localCheckpoint(eager=False)
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -1773,10 +1800,20 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         F.row_number().over(W.partitionBy("doc_id").orderBy("df", "gram")),
     )
-    prefix = ranked.filter(
-        F.col("pos")
-        <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
-    ).select("doc_id", "n", "gram")
+    # Pin the prefix relation (round 10): both self-join sides consume
+    # it, and unpinned each side re-runs the explode + document-frequency
+    # aggregate + ranking window over the whole gram relation (the
+    # broadcast side of the self-join cannot share the other side's
+    # exchange). The pinned rows are only the exposed prefix grams —
+    # ~(1-t) of the shingle relation.
+    prefix = (
+        ranked.filter(
+            F.col("pos")
+            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        )
+        .select("doc_id", "n", "gram")
+        .localCheckpoint(eager=False)
+    )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(
