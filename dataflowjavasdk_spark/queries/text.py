@@ -109,8 +109,10 @@ def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (distinct terms per doc), not every token instance. That drops one
     full aggregation pass over the token stream, shrinks the checkpoint
     by the average within-doc term multiplicity, and cuts the plan from
-    5 exchanges to 4. N stays a count on the raw table: parquet answers
-    count(*) from footer metadata, no data scan."""
+    5 exchanges to 3 (bench scale, where the now-small df side
+    broadcasts; 4 at vocabulary scales where it shuffles). N stays a
+    count on the raw table: parquet answers count(*) from footer
+    metadata, no data scan."""
     docs = load_table(spark, sf_dir, "documents")
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     tf0 = (
