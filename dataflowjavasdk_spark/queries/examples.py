@@ -1987,7 +1987,7 @@ def jpeg_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "n_chars")
-        .repartition(decode_fanout(spark, sf_dir))
+        .repartition(decode_fanout(spark, sf_dir, rows_per_task=512))
     )
 
     def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
@@ -2166,7 +2166,7 @@ def mjpeg_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "n_chars")
-        .repartition(decode_fanout(spark, sf_dir))
+        .repartition(decode_fanout(spark, sf_dir, rows_per_task=512))
     )
 
     def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:

@@ -123,9 +123,14 @@ def decode_fanout(spark: SparkSession, sf_dir: str, name: str = "documents",
     ~0.2 s); at large inputs it UNDER-splits (32 tasks for 500k+ rows
     pins one long wave per core with no AQE/straggler granularity).
 
-    Sizing: ``rows_per_task`` payloads ≈ 0.1-0.2 s of vectorized decode
-    per task — enough to amortize the per-task Python round trip, small
-    enough to schedule in waves; override via
+    Sizing: pick ``rows_per_task`` ≈ 0.2 s of decode work per task —
+    enough to amortize the per-task Python round trip, small enough to
+    schedule in waves. The default 2048 fits the ~0.1 ms/row audio/BMP
+    decoders; the JPEG-bearing stages (~0.5 ms/row: baseline JPEG DCT
+    per payload) pass 512, because at small inputs a compute-heavy
+    decoder otherwise lands on too few cores (measured sf0.1,
+    interleaved medians: mjpeg_frame_sample 1.75 s warm at 3 tasks →
+    1.05 s at 10; 256 gives no further gain). Override via
     ``SPARK_GRAFT_DECODE_ROWS_PER_TASK`` for payloads far off the
     fixture's ~KB scale. The cap of 4x defaultParallelism bounds task
     count by cluster size (on a real cluster defaultParallelism IS the

@@ -87,15 +87,19 @@ def test_prefix_filter_pin_discipline(spark):
     """prefix_filter_jaccard_pairs (the costliest r6 relational query)
     pins its shingle relation with a lazy localCheckpoint, so base
     parquet Relations never appear in its optimized plan and the generic
-    probe above reads 0 — freeze the pin's own invariant instead: the
-    checkpointed shingle RDD is referenced exactly 6 times (exploded
-    gram relation ×2 via the df join, prefix self-join ×2, full-gram
-    verify sides ×2). More references means someone un-pinned a branch
-    and reintroduced recompute; a parquet Relation appearing means the
-    documents scan itself escaped the pin (VERDICT r6 next-round #6)."""
+    probe above reads 0 — freeze the pin's own invariant instead: since
+    round 10 the exposed-prefix relation is ALSO pinned (the self-join
+    sides otherwise re-ran the explode + df aggregate + ranking window
+    once each — OPTIMIZATION_r10.md item 3), so checkpoint RDDs are
+    referenced exactly 4 times (prefix self-join ×2, full-gram verify
+    sides ×2; the explode/df/window chain now lives behind the prefix
+    checkpoint and appears once, at its materialization). More
+    references means someone un-pinned a branch and reintroduced
+    recompute; a parquet Relation appearing means the documents scan
+    itself escaped the pin (VERDICT r6 next-round #6)."""
     df = get("prefix_filter_jaccard_pairs").fn(spark, SMOKE_SF)
     t = df._jdf.queryExecution().optimizedPlan().toString()
-    assert len(re.findall(r"LogicalRDD", t)) == 6
+    assert len(re.findall(r"LogicalRDD", t)) == 4
     assert not re.findall(r"Relation \[\w+?#", t)
 
 
