@@ -168,24 +168,67 @@ def quantile_bucketed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ApproximateQuantiles-driven partitioning a training pipeline applies
     before sampling — historical sdk/transforms/ApproximateQuantiles.java
     as the reference surface, here the EXACT ntile so the oracle matches
-    bit-for-bit): quartiles over (n_chars, doc_id) — the doc_id tiebreak
-    makes the assignment a total order, hence deterministic cross-engine.
-    Scale note: global ntile is a single total sort of (n_chars, doc_id)
-    pairs — 16 bytes/row, range-partitioned by Spark; for 100 TB corpora
-    prefer approx_percentile cutpoints (sketch, no sort) when exactness
-    is not required; this query is the exact, oracle-checkable form."""
+    bit-for-bit).
+
+    Computed WITHOUT the global ntile window (which moves every row to
+    one partition for the total order): the output only aggregates
+    n_chars per bucket, and under ORDER BY (n_chars, doc_id) all docs
+    sharing a length occupy one contiguous rank interval
+    [off+1, off+cnt] (off = count of strictly shorter docs), with the
+    doc_id tiebreak only permuting docs WITHIN that interval — the
+    per-bucket aggregates never see it. So: build the per-length
+    histogram (one map-side-combined corpus exchange, vocabulary-sized
+    result), turn ntile's bucket sizes (q = N div 4 with the remainder
+    r spread one-per-bucket from bucket 1, per the SQL standard both
+    engines implement) into 4 rank ranges, and intersect each length's
+    interval with each range. Every post-histogram relation is
+    distinct-lengths-sized; nothing corpus-scale crosses a single
+    partition. Equivalence is pinned by the unchanged oracle ntile."""
     from pyspark.sql.window import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
-    bucketed = docs.select(
-        "n_chars",
-        F.ntile(4).over(W.orderBy("n_chars", "doc_id")).alias("bucket"),
+    per_len = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    lw = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, -1)
+    aw = W.orderBy("n_chars").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
     )
-    return bucketed.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_docs"),
+    offs = per_len.select(
+        "n_chars",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(lw), F.lit(0)).alias("off"),
+        F.sum("cnt").over(aw).alias("n_total"),
+    )
+    q = F.expr("n_total DIV 4")
+    r = F.col("n_total") % 4
+    b = F.col("bucket")
+    rk_start = (b - 1) * q + F.least(b - 1, r) + 1
+    rk_end = b * q + F.least(b, r)
+    overlap = (
+        offs.select(
+            "n_chars",
+            "cnt",
+            "off",
+            "n_total",
+            F.explode(F.array([F.lit(i) for i in range(1, 5)])).alias("bucket"),
+        )
+        .filter(
+            (F.col("off") + 1 <= rk_end) & (F.col("off") + F.col("cnt") >= rk_start)
+        )
+        .select(
+            "bucket",
+            "n_chars",
+            (
+                F.least(rk_end, F.col("off") + F.col("cnt"))
+                - F.greatest(rk_start, F.col("off") + 1)
+                + 1
+            ).alias("n_ov"),
+        )
+    )
+    return overlap.groupBy("bucket").agg(
+        F.sum("n_ov").alias("n_docs"),
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
-        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.col("n_ov") * F.col("n_chars")).cast("long").alias("total_chars"),
     )
 
 

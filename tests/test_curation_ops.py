@@ -85,3 +85,60 @@ def test_sequence_packing_is_lossless_and_contiguous(spark):
         for r in packed:
             assert cum < 256 * (r["pack_id"] + 1)
             cum += r["pack_tokens"]
+
+
+def test_quantile_buckets_match_direct_ntile_on_crafted_corpora(spark, tmp_path):
+    """quantile_bucketed_docs (round 10) computes the global ntile(4)
+    WITHOUT the single-partition corpus window, from the per-length
+    histogram: each length's contiguous rank interval is intersected
+    with the 4 ntile rank ranges. The oracle pins the fixture; this
+    pins the part the fixture can't stress — the remainder rule (first
+    N%4 buckets take the extra row) at every N mod 4, with duplicated
+    lengths straddling bucket boundaries — against a direct ntile
+    window computed on the same rows."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window as W
+
+    fn = get("quantile_bucketed_docs").fn
+    for n in (1, 2, 3, 4, 5, 6, 7, 8, 9, 101, 102, 103):
+        # lengths repeat every 3 docs -> same-length runs cross quartile
+        # boundaries for most n; doc_id is the ntile tiebreak.
+        rows = [(i, (i % 3) * 10 + 7) for i in range(n)]
+        df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+        sf_dir = tmp_path / f"n{n}"
+        sf_dir.mkdir()
+        df.coalesce(1).write.parquet(str(sf_dir / "documents.parquet"))
+        expect = {
+            tuple(r)
+            for r in df.select(
+                "n_chars",
+                F.ntile(4).over(W.orderBy("n_chars", "doc_id")).alias("bucket"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min("n_chars").cast("long").alias("min_chars"),
+                F.max("n_chars").cast("long").alias("max_chars"),
+                F.sum("n_chars").cast("long").alias("total_chars"),
+            )
+            .collect()
+        }
+        got = {tuple(r) for r in fn(spark, str(sf_dir)).collect()}
+        assert got == expect, f"n={n}: {sorted(got)} != {sorted(expect)}"
+
+
+def test_quantile_buckets_plan_has_no_corpus_window(spark):
+    """The rewrite's invariant: no partitionless window (ntile or any
+    other) runs over the corpus-scale documents relation — the only
+    single-partition exchange feeds from the vocabulary-sized length
+    histogram (a HashAggregate), never from the raw scan."""
+    import re
+
+    df = get("quantile_bucketed_docs").fn(spark, SMOKE_SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan
+    # every SinglePartition exchange must sit directly on an aggregate,
+    # not on the parquet scan
+    for m in re.finditer(r"Exchange SinglePartition", plan):
+        tail = plan[m.end() : m.end() + 400]
+        assert "HashAggregate" in tail.split("Scan parquet")[0], tail
