@@ -182,20 +182,11 @@ BMP_FEATURES_SCHEMA = (
 )
 
 
-def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """REAL WAV decoder (RIFF/PCM, direct chunk-walker over the container
-    bytes — no external libs): returns (sample_rate, n_channels, samples
-    as float64 in [-1, 1], shape (n_frames, n_channels)). Supports
-    8/16/32-bit integer PCM (format tag 1, and WAVE_FORMAT_EXTENSIBLE
-    carrying PCM).
-
-    Round 10: the stdlib ``wave`` front-end (io.BytesIO + chunk objects
-    per call) cost ~100 µs/payload — 2.7x the cost of walking the RIFF
-    chunk list with ``struct`` directly (measured, 5k payloads). Decode
-    is the per-row hot loop of every audio query, so the walker is
-    inlined here; parsing is the same spec (RIFF header, `fmt ` fields,
-    `data` chunk, word-aligned chunk sizes) and the sample math is
-    untouched, so outputs are bit-identical."""
+def _parse_wav(payload: bytes) -> tuple[int, int, int, bytes]:
+    """RIFF/PCM chunk walk only (no sample math): returns
+    (sample_rate, n_channels, byte_width, raw_data_bytes). Shared by the
+    per-row decoder and the batch front-end so both parse the same spec
+    the same way."""
     import struct
 
     if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -218,15 +209,121 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("missing fmt /data chunk in WAVE payload")
     if fmt_tag not in (1, 0xFFFE):  # integer PCM / extensible-PCM
         raise ValueError(f"unsupported WAVE format tag {fmt_tag}")
-    if width == 1:  # unsigned 8-bit
-        arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
-    elif width == 2:
-        arr = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
-    elif width == 4:
-        arr = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
-    else:
+    if width not in (1, 2, 4):
         raise ValueError(f"unsupported PCM sample width {width}")
-    return rate, nch, arr.reshape(-1, nch)
+    if nch < 1 or len(raw) % (width * nch):
+        raise ValueError("PCM data length is not a whole number of frames")
+    return rate, nch, width, raw
+
+
+def _scale_pcm(raw: bytes, width: int) -> np.ndarray:
+    """Integer PCM bytes → flat float64 in [-1, 1]. One expression per
+    width, used identically for a single clip and for a whole batch's
+    concatenated bytes, so values cannot drift between the two paths."""
+    if width == 1:  # unsigned 8-bit
+        return (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    if width == 2:
+        return np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    return np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL WAV decoder (RIFF/PCM, direct chunk-walker over the container
+    bytes — no external libs): returns (sample_rate, n_channels, samples
+    as float64 in [-1, 1], shape (n_frames, n_channels)). Supports
+    8/16/32-bit integer PCM (format tag 1, and WAVE_FORMAT_EXTENSIBLE
+    carrying PCM).
+
+    Round 10: the stdlib ``wave`` front-end (io.BytesIO + chunk objects
+    per call) cost ~100 µs/payload — 2.7x the cost of walking the RIFF
+    chunk list with ``struct`` directly (measured, 5k payloads). Decode
+    is the per-row hot loop of every audio query, so the walker is
+    inlined here (_parse_wav); parsing is the same spec (RIFF header,
+    `fmt ` fields, `data` chunk, word-aligned chunk sizes) and the
+    sample math is untouched, so outputs are bit-identical."""
+    rate, nch, width, raw = _parse_wav(payload)
+    return rate, nch, _scale_pcm(raw, width).reshape(-1, nch)
+
+
+def decode_wav_batch(
+    payloads,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Batch WAV decode for the audio feature extractors (round 10,
+    guide §4.2: per-row numpy calls on ~500-sample clips spend more time
+    in call dispatch than in math). Headers are walked per payload
+    (inherently row-local, ~µs); the SAMPLE math — frombuffer, widen to
+    float64, scale, channel-fold — runs once per (width, n_channels)
+    GROUP over the group's concatenated bytes, so a homogeneous corpus
+    (the overwhelmingly common case) pays ONE numpy expression chain per
+    batch instead of one per clip.
+
+    Returns (rates, n_channels, frame_counts, starts, mono): int64
+    arrays per clip, plus the mono-folded float64 samples of all clips
+    concatenated in row order (starts[i] indexes clip i's first sample;
+    frame_counts[i] its length). Mono folding is mean over the channel
+    axis of the same (frames, nch) layout the per-row decoder returns,
+    so values are bit-identical to decode_wav(...)[2].mean(axis=1)."""
+    metas = [_parse_wav(bytes(p)) for p in payloads]
+    n_rows = len(metas)
+    rates = np.fromiter((m[0] for m in metas), dtype=np.int64, count=n_rows)
+    nchs = np.fromiter((m[1] for m in metas), dtype=np.int64, count=n_rows)
+    lens = np.fromiter(
+        (len(m[3]) // (m[2] * m[1]) for m in metas), dtype=np.int64, count=n_rows
+    )
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, (_r, nch, width, _raw) in enumerate(metas):
+        groups.setdefault((width, nch), []).append(i)
+    monos: list[np.ndarray | None] = [None] * n_rows
+    for (width, nch), idxs in groups.items():
+        flat = _scale_pcm(b"".join(metas[i][3] for i in idxs), width)
+        mono_g = flat if nch == 1 else flat.reshape(-1, nch).mean(axis=1)
+        pos = 0
+        for i in idxs:
+            monos[i] = mono_g[pos : pos + lens[i]]
+            pos += lens[i]
+    mono = (
+        np.concatenate(monos) if n_rows else np.empty(0, dtype=np.float64)
+    )
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    return rates, nchs, lens, starts, mono
+
+
+def _segment_sums(values: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Per-clip sums over concatenated per-clip values; zero-length clips
+    yield 0.0. np.add.reduceat keeps each clip's accumulation CLIP-LOCAL
+    (sequential within the clip) — deliberately not a global float
+    cumsum, whose rounding error grows with batch size and would leak
+    one clip's magnitude into another's sum."""
+    out = np.zeros(len(lens), dtype=np.float64)
+    nz = np.flatnonzero(lens > 0)
+    if len(nz):
+        out[nz] = np.add.reduceat(values, starts[nz].astype(np.intp))
+    return out
+
+
+def _segment_max(values: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Per-clip max over concatenated per-clip values; zero-length clips
+    yield 0.0 (the extractors' documented empty-clip stat)."""
+    out = np.zeros(len(lens), dtype=np.float64)
+    nz = np.flatnonzero(lens > 0)
+    if len(nz):
+        out[nz] = np.maximum.reduceat(values, starts[nz].astype(np.intp))
+    return out
+
+
+def _gather_framed(
+    mono: np.ndarray, starts: np.ndarray, nf: np.ndarray, frame: int
+) -> np.ndarray:
+    """Gather every clip's whole frames (dropping per-clip tails) into a
+    (total_frames, frame) matrix — the batch twin of the per-clip
+    `mono[:nf*frame].reshape(nf, frame)`, built with one fancy-index
+    instead of a Python loop."""
+    lens2 = nf * frame
+    if not lens2.sum():
+        return np.empty((0, frame), dtype=np.float64)
+    s2 = np.concatenate(([0], np.cumsum(lens2)))[:-1]
+    idx = np.repeat(starts - s2, lens2) + np.arange(int(lens2.sum()))
+    return mono[idx].reshape(-1, frame)
 
 
 def extract_audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -238,35 +335,35 @@ def extract_audio_features(df: DataFrame, payload_col: str = "payload") -> DataF
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            out = []
-            for media_id, payload in zip(batch["media_id"], batch[payload_col]):
-                rate, nch, pcm = decode_wav(bytes(payload))
-                mono = pcm.mean(axis=1)
-                n = mono.shape[0]
-                rms = float(np.sqrt(np.mean(mono**2))) if n else 0.0
-                zcr = (
-                    float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8)))))
-                    if n > 1
-                    else 0.0
-                )
-                out.append(
-                    {
-                        "media_id": media_id,
-                        "sample_rate": rate,
-                        "n_channels": nch,
-                        "n_samples": n,
-                        "duration_s": n / rate if rate else 0.0,
-                        "rms": rms,
-                        "zero_crossing_rate": zcr,
-                    }
-                )
+            rates, nchs, n, starts, mono = decode_wav_batch(batch[payload_col])
+            # clip-local sequential sum of squares (see _segment_sums on
+            # why not a global cumsum); same operands as the per-row
+            # np.mean(mono**2) up to within-clip summation order, which
+            # the query layer's round(..., 9) absorbs (and the fixture's
+            # dyadic squares sum exactly under ANY order).
+            rms = np.sqrt(_segment_sums(mono * mono, starts, n) / np.maximum(n, 1))
+            # zero crossings: integer diff of the sign bits — exact under
+            # a global cumsum, with each clip's count read off as a
+            # prefix-difference that excludes the clip-boundary diffs.
+            if mono.size > 1:
+                d = np.abs(np.diff(np.signbit(mono).astype(np.int8)))
+                ics = np.concatenate(([0], np.cumsum(d, dtype=np.int64)))
+                ends = starts + n
+                num = ics[np.maximum(ends - 1, starts)] - ics[starts]
+            else:
+                num = np.zeros(len(n), dtype=np.int64)
+            zcr = np.where(n > 1, num / np.maximum(n - 1, 1), 0.0)
             # explicit columns: a zero-row batch must still match the schema
             yield pd.DataFrame(
-                out,
-                columns=[
-                    "media_id", "sample_rate", "n_channels", "n_samples",
-                    "duration_s", "rms", "zero_crossing_rate",
-                ],
+                {
+                    "media_id": batch["media_id"].to_numpy(),
+                    "sample_rate": rates,
+                    "n_channels": nchs,
+                    "n_samples": n,
+                    "duration_s": np.where(rates > 0, n / np.maximum(rates, 1), 0.0),
+                    "rms": np.where(n > 0, rms, 0.0),
+                    "zero_crossing_rate": zcr,
+                }
             )
 
     return df.select("media_id", payload_col).mapInPandas(
@@ -741,28 +838,28 @@ def extract_audio_frame_energy(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            out = []
-            for media_id, payload in zip(batch["media_id"], batch[payload_col]):
-                _rate, _nch, pcm = decode_wav(bytes(payload))
-                mono = pcm.mean(axis=1)
-                n_frames = mono.shape[0] // frame
-                frames = mono[: n_frames * frame].reshape(n_frames, frame)
-                rms = np.sqrt((frames**2).mean(axis=1))
-                out.append(
-                    {
-                        "media_id": media_id,
-                        "n_frames": n_frames,
-                        "n_silent": int((rms < 1e-9).sum()),
-                        "mean_frame_rms": float(rms.mean()) if n_frames else 0.0,
-                        "max_frame_rms": float(rms.max()) if n_frames else 0.0,
-                    }
-                )
+            _rates, _nchs, lens, starts, mono = decode_wav_batch(batch[payload_col])
+            nf = lens // frame
+            fm = _gather_framed(mono, starts, nf, frame)
+            # per-frame rms: same (frame,)-axis reduction as the per-row
+            # path, so every frame's value is bit-identical.
+            frms = np.sqrt((fm**2).mean(axis=1))
+            fstarts = np.concatenate(([0], np.cumsum(nf)))[:-1]
+            ics = np.concatenate(
+                ([0], np.cumsum((frms < 1e-9).astype(np.int64)))
+            )
+            n_silent = ics[fstarts + nf] - ics[fstarts]
+            mean_rms = np.where(
+                nf > 0, _segment_sums(frms, fstarts, nf) / np.maximum(nf, 1), 0.0
+            )
             yield pd.DataFrame(
-                out,
-                columns=[
-                    "media_id", "n_frames", "n_silent",
-                    "mean_frame_rms", "max_frame_rms",
-                ],
+                {
+                    "media_id": batch["media_id"].to_numpy(),
+                    "n_frames": nf,
+                    "n_silent": n_silent,
+                    "mean_frame_rms": mean_rms,
+                    "max_frame_rms": _segment_max(frms, fstarts, nf),
+                }
             )
 
     return df.select("media_id", payload_col).mapInPandas(
@@ -793,37 +890,50 @@ def extract_tone_detection(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bank = np.asarray(freqs_hz, dtype=np.float64)
+        freq_arr = np.asarray(freqs_hz, dtype=np.int64)
         # (n, n_probes) complex exponential bases, memoized per (n, rate):
         # clips in a corpus overwhelmingly share a duration/rate profile,
-        # so the basis builds once per partition, one GEMV per clip.
+        # so the basis builds once per partition and the whole group runs
+        # as ONE (clips x n) @ (n x n_probes) GEMM (round 10; the per-clip
+        # GEMV spent more time in dispatch than in the 800x8 product).
+        # BLAS may accumulate GEMM and GEMV in different orders, but the
+        # outputs are integer argmaxes with the probe-tone margin many
+        # orders above one ulp, so the emitted rows cannot move.
         bases: dict[tuple[int, int], np.ndarray] = {}
         for batch in batches:
-            out = []
-            for media_id, payload in zip(batch["media_id"], batch[payload_col]):
-                rate, _nch, pcm = decode_wav(bytes(payload))
-                mono = pcm.mean(axis=1)
-                n = mono.shape[0]
+            rates, _nchs, lens, starts, mono = decode_wav_batch(batch[payload_col])
+            n_rows = len(lens)
+            best = np.zeros(n_rows, dtype=np.int64)
+            groups: dict[tuple[int, int], list[int]] = {}
+            for i in range(n_rows):
+                groups.setdefault((int(lens[i]), int(rates[i])), []).append(i)
+            for (n, rate), idxs in groups.items():
+                if n == 0:
+                    continue  # empty clip: keep bin 0, the argmax of all-zero power
                 basis = bases.get((n, rate))
                 if basis is None:
                     basis = np.exp(
                         -2j * np.pi * np.outer(np.arange(n), bank) / float(rate)
                     )
                     bases[(n, rate)] = basis
-                power = np.abs(mono @ basis) ** 2
-                best = int(np.argmax(power))
-                out.append(
-                    {
-                        "media_id": media_id,
-                        "n_samples": n,
-                        "dominant_bin": best,
-                        "dominant_freq_hz": int(freqs_hz[best]),
-                    }
-                )
+                rows = np.asarray(idxs, dtype=np.intp)
+                if len(rows) == n_rows:
+                    # homogeneous corpus (the common case): mono IS the
+                    # row-major (clips x n) matrix — reshape, zero copies
+                    gathered = mono.reshape(n_rows, n)
+                else:
+                    gathered = mono[
+                        (starts[rows, None] + np.arange(n)[None, :]).ravel()
+                    ].reshape(len(rows), n)
+                power = np.abs(gathered @ basis) ** 2
+                best[rows] = np.argmax(power, axis=1)
             yield pd.DataFrame(
-                out,
-                columns=[
-                    "media_id", "n_samples", "dominant_bin", "dominant_freq_hz",
-                ],
+                {
+                    "media_id": batch["media_id"].to_numpy(),
+                    "n_samples": lens,
+                    "dominant_bin": best,
+                    "dominant_freq_hz": freq_arr[best],
+                }
             )
 
     return df.select("media_id", payload_col).mapInPandas(
@@ -1202,17 +1312,19 @@ def extract_audio_frame_rms(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            ids, idxs, rmss = [], [], []
-            for media_id, payload in zip(batch["media_id"], batch[payload_col]):
-                _rate, _nch, pcm = decode_wav(bytes(payload))
-                mono = pcm.mean(axis=1)
-                n_frames = mono.shape[0] // frame
-                frames = mono[: n_frames * frame].reshape(n_frames, frame)
-                rms = np.sqrt((frames**2).mean(axis=1))
-                ids.extend([media_id] * n_frames)
-                idxs.extend(range(n_frames))
-                rmss.extend(float(x) for x in rms)
-            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "rms": rmss})
+            _rates, _nchs, lens, starts, mono = decode_wav_batch(batch[payload_col])
+            nf = lens // frame
+            fm = _gather_framed(mono, starts, nf, frame)
+            frms = np.sqrt((fm**2).mean(axis=1))
+            total_f = int(nf.sum())
+            fstarts = np.concatenate(([0], np.cumsum(nf)))[:-1]
+            yield pd.DataFrame(
+                {
+                    "media_id": np.repeat(batch["media_id"].to_numpy(), nf),
+                    "frame_idx": np.arange(total_f) - np.repeat(fstarts, nf),
+                    "rms": frms,
+                }
+            )
 
     return df.select("media_id", payload_col).mapInPandas(
         run, schema=AUDIO_FRAME_RMS_SCHEMA

@@ -1137,3 +1137,94 @@ def test_wav_chunk_walker_rejects_non_pcm_and_truncated():
     payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
     with _pytest.raises(ValueError):
         decode_wav(payload)
+
+
+def test_wav_batch_decode_matches_per_row_on_heterogeneous_corpus():
+    """decode_wav_batch groups clips by (width, n_channels) and runs the
+    sample math once per group over concatenated bytes; every clip's
+    mono fold must still be bit-identical to the per-row
+    decode_wav(...)[2].mean(axis=1), including across a corpus that
+    mixes widths, channel counts, rates, and frame counts (so groups
+    interleave in row order) and a clip shorter than one frame."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from dataflowjavasdk_spark.functions.multimodal import (
+        _gather_framed,
+        _segment_max,
+        _segment_sums,
+        decode_wav,
+        decode_wav_batch,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [  # (width, nch, nframes, rate) — deliberately interleaved groups
+        (2, 1, 100, 8000),
+        (1, 1, 101, 8000),
+        (2, 2, 57, 16000),
+        (2, 1, 3, 8000),  # shorter than one 160-sample frame
+        (4, 2, 33, 8000),
+        (2, 1, 100, 8000),  # same group as row 0, non-adjacent
+        (1, 2, 64, 11025),
+    ]
+    payloads = []
+    for width, nch, nframes, rate in cases:
+        if width == 1:
+            pcm = rng.integers(0, 256, nframes * nch).astype(np.uint8)
+        elif width == 2:
+            pcm = rng.integers(-(2**15), 2**15, nframes * nch).astype("<i2")
+        else:
+            pcm = rng.integers(-(2**31), 2**31, nframes * nch).astype("<i4")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(width)
+            w.setframerate(rate)
+            w.writeframes(pcm.tobytes())
+        payloads.append(buf.getvalue())
+
+    rates, nchs, lens, starts, mono = decode_wav_batch(payloads)
+    assert len(rates) == len(cases)
+    assert starts[0] == 0 and np.all(np.diff(starts) == lens[:-1])
+    per_row = [decode_wav(p) for p in payloads]
+    for i, (rate, nch, pcm) in enumerate(per_row):
+        assert (rates[i], nchs[i], lens[i]) == (rate, nch, pcm.shape[0])
+        assert np.array_equal(mono[starts[i] : starts[i] + lens[i]], pcm.mean(axis=1))
+
+    # segment reductions == per-clip numpy reductions (sums run
+    # clip-locally via reduceat; empty segments yield 0.0)
+    monos = [p[2].mean(axis=1) for p in per_row]
+    sums = _segment_sums(mono * mono, starts, lens)
+    for i, m in enumerate(monos):
+        assert sums[i] == np.add.reduce(m * m)
+    mx = _segment_max(mono, starts, lens)
+    for i, m in enumerate(monos):
+        assert mx[i] == m.max()
+    zero_lens = np.zeros_like(lens)
+    assert np.all(_segment_sums(mono, starts, zero_lens) == 0.0)
+    assert np.all(_segment_max(mono, starts, zero_lens) == 0.0)
+
+    # framed gather == per-clip reshape (tails dropped, short clip -> 0 rows)
+    frame = 160
+    nf = lens // frame
+    fm = _gather_framed(mono, starts, nf, frame)
+    assert fm.shape == (int(nf.sum()), frame)
+    pos = 0
+    for i, m in enumerate(monos):
+        want = m[: nf[i] * frame].reshape(int(nf[i]), frame)
+        assert np.array_equal(fm[pos : pos + int(nf[i])], want)
+        pos += int(nf[i])
+
+    # degenerate corpora: empty batch and a zero-frame clip
+    e_rates, e_nchs, e_lens, e_starts, e_mono = decode_wav_batch([])
+    assert len(e_rates) == 0 and e_mono.size == 0
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"")
+    z_rates, _, z_lens, z_starts, z_mono = decode_wav_batch([buf.getvalue()])
+    assert z_lens[0] == 0 and z_mono.size == 0
