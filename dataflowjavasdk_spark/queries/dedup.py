@@ -104,26 +104,76 @@ def _blocked_candidates(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 def _jaccard_pairs_capped(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Exact-Jaccard near-dup pairs from (doc_id, grams, n) with df-capped
-    blocking (see _blocked_candidates). grams must be distinct per doc
-    (S.shingles guarantees it)."""
-    sh, cand = _blocked_candidates(sh)
-    ga = sh.select(
+    blocking (same cap/semantics as _blocked_candidates). grams must be
+    distinct per doc (S.shingles guarantees it).
+
+    Round 10: the verify stage used to re-join every candidate pair to
+    BOTH docs' full gram arrays and run array_intersect per pair —
+    shipping corpus-scale arrays across two joins (measured 85% of this
+    query's warm cost at sf0.1: 1.47M candidates x ~40-string arrays per
+    side). The intersection is instead read off the blocking join
+    itself: every gram two docs share has df >= 2 by definition, so
+    |A∩B| = (shared grams with df in [2, cap]: the groupBy-count of the
+    candidate enumeration — the same shuffle the old .distinct() paid)
+    + (shared grams with df > cap: counted from per-doc over-cap-gram
+    arrays, a stopword-vocabulary-bounded relation that is EMPTY unless
+    a gram tops the cap). The per-pair join now carries only (n, hot)
+    per side instead of the gram arrays, and the per-pair
+    array_intersect runs over the near-empty hot arrays. Emitted pairs
+    and jacc values are bit-identical (same integers, same float
+    expression)."""
+    sh = sh.localCheckpoint(eager=False)
+    ex = sh.select("doc_id", F.explode("grams").alias("gram"))
+    # pinned: one df pass feeds the kept-gram filter on BOTH enumeration
+    # sides and the over-cap list (see _blocked_candidates on why the
+    # broadcast side of a self-join cannot reuse the other's exchange)
+    gram_df = (
+        ex.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .localCheckpoint(eager=False)
+    )
+    kept = ex.join(gram_df.filter(F.col("df") <= SHINGLE_DF_CAP).select("gram"), "gram")
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter_kept"))
+    )
+    doc_hot = (
+        ex.join(gram_df.filter(F.col("df") > SHINGLE_DF_CAP).select("gram"), "gram")
+        .groupBy("doc_id")
+        .agg(F.collect_list("gram").alias("hot"))
+    )
+    meta = sh.select("doc_id", "n").join(doc_hot, "doc_id", "left")
+    ma = meta.select(
         F.col("doc_id").alias("id_a"),
-        F.col("grams").alias("grams_a"),
         F.col("n").alias("n_a"),
+        F.col("hot").alias("hot_a"),
     )
-    gb = sh.select(
+    mb = meta.select(
         F.col("doc_id").alias("id_b"),
-        F.col("grams").alias("grams_b"),
         F.col("n").alias("n_b"),
+        F.col("hot").alias("hot_b"),
     )
-    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    no_hot = F.array().cast("array<string>")
+    inter = F.col("inter_kept") + F.size(
+        F.array_intersect(
+            F.coalesce("hot_a", no_hot), F.coalesce("hot_b", no_hot)
+        )
+    )
     jacc = inter.cast("double") / F.greatest(
         F.col("n_a") + F.col("n_b") - inter, F.lit(1)
     ).cast("double")
     return (
-        cand.join(ga, "id_a")
-        .join(gb, "id_b")
+        pairs.join(ma, "id_a")
+        .join(mb, "id_b")
         .select("id_a", "id_b", jacc.alias("jacc"))
         .filter(F.col("jacc") >= threshold)
     )

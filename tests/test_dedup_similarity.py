@@ -361,6 +361,44 @@ def test_jaccard_df_cap_bounds_candidates(spark):
         D.SHINGLE_DF_CAP = cap
 
 
+def test_jaccard_count_verify_asymmetric_hot_grams(spark):
+    """The round-10 count-from-blocking-join verify splits |A∩B| into
+    kept-gram pair counts plus the hot-array intersection. Pin the
+    asymmetric branches: a pair where only ONE side holds any hot gram
+    (the other side's hot array is NULL from the left join) and a pair
+    whose shared hot grams differ from each side's full hot set must
+    both produce the exact full-set Jaccard."""
+    import dataflowjavasdk_spark.queries.dedup as D
+    from dataflowjavasdk_spark.functions import similarity as S
+
+    cap = D.SHINGLE_DF_CAP
+    try:
+        D.SHINGLE_DF_CAP = 3
+        # "h1 h2 h3" appears in docs 0,2,3,4,5 (df=5 > 3: hot) but NOT in
+        # doc 1; docs 0/1 share rare grams only → doc 1's hot array is
+        # NULL while doc 0's is non-empty (left-join null branch).
+        rare = "alpha beta gamma delta epsilon"
+        docs = [(0, f"h1 h2 h3 {rare}"), (1, f"{rare} zeta")]
+        docs += [(i, f"h1 h2 h3 u{i}a u{i}b u{i}c u{i}d") for i in range(2, 6)]
+        sh = (
+            spark.createDataFrame(docs, "doc_id long, text string")
+            .select("doc_id", S.shingles("text", 3).alias("grams"))
+            .withColumn("n", F.size("grams"))
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r["jacc"]
+            for r in D._jaccard_pairs_capped(sh, threshold=0.0).collect()
+        }
+        # doc0 = 6 grams (1 hot), doc1 = 4 grams (0 hot); shared = the 3
+        # rare shingles of "alpha beta gamma delta epsilon" → 3/7. Every
+        # other pair shares ONLY the hot gram → blocked out, same
+        # semantics as before the rewrite.
+        assert set(got) == {(0, 1)}
+        assert got[(0, 1)] == pytest.approx(3 / 7)
+    finally:
+        D.SHINGLE_DF_CAP = cap
+
+
 def test_dup_span_removal_empties_injected_copies(spark):
     """dup_span_removal applies the keep-lowest-id policy: every
     injected variant (+1M exact copies, +2M truncations) that appears
