@@ -181,17 +181,30 @@ def edit_distance_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh, cand = _blocked_candidates(sh)
     ta = sh.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
     tb = sh.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
-    lev = F.levenshtein("text_a", "text_b")
+    # Banded Levenshtein (round 10): rel <= T  ⟺  lev <= T·max_len  ⟺
+    # lev <= floor(T·max_len) (lev is an integer; T = 0.25 is dyadic so
+    # the double product floors exactly). Spark's 3-arg levenshtein
+    # computes within that per-pair band and early-exits with -1 the
+    # moment the distance provably exceeds it — O(len·band) instead of
+    # O(len²) per pair, and the -1 rows ARE the rejected pairs, so the
+    # kept set and emitted lev/rel values are unchanged.
+    lev = F.expr(
+        "levenshtein(text_a, text_b, "
+        f"cast(floor({_LEV_REL_THRESHOLD} * "
+        "greatest(length(text_a), length(text_b), 1)) as int))"
+    )
     rel = lev.cast("double") / F.greatest(
         F.length("text_a"), F.length("text_b"), F.lit(1)
     ).cast("double")
     # Filter on the UNROUNDED ratio (as the oracle does) and emit the
     # rounded one — filtering on the rounded value would admit pairs the
-    # oracle rejects at the threshold boundary.
+    # oracle rejects at the threshold boundary. lev >= 0 is the band's
+    # not-exceeded marker; within the band lev is the exact distance, so
+    # the rel comparison is the same arithmetic as the unbanded filter.
     return (
         cand.join(ta, "id_a")
         .join(tb, "id_b")
-        .filter(rel <= _LEV_REL_THRESHOLD)
+        .filter((lev >= 0) & (rel <= _LEV_REL_THRESHOLD))
         .select(
             "id_a",
             "id_b",

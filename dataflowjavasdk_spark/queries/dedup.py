@@ -102,26 +102,30 @@ def _blocked_candidates(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
     return sh, cand
 
 
-def _jaccard_pairs_capped(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Exact-Jaccard near-dup pairs from (doc_id, grams, n) with df-capped
-    blocking (same cap/semantics as _blocked_candidates). grams must be
-    distinct per doc (S.shingles guarantees it).
+def _capped_pair_profile(sh: DataFrame, doc_cols=None) -> DataFrame:
+    """Candidate pairs from the df-capped gram blocking with the EXACT
+    full-set intersection count — (id_a, id_b, n_a, n_b, inter) plus any
+    ``doc_cols`` ({name: Column over sh}) carried to both sides as
+    ``<name>_a`` / ``<name>_b``. Same candidate semantics as
+    _blocked_candidates; grams must be distinct per doc (S.shingles
+    guarantees it).
 
     Round 10: the verify stage used to re-join every candidate pair to
     BOTH docs' full gram arrays and run array_intersect per pair —
-    shipping corpus-scale arrays across two joins (measured 85% of this
-    query's warm cost at sf0.1: 1.47M candidates x ~40-string arrays per
-    side). The intersection is instead read off the blocking join
-    itself: every gram two docs share has df >= 2 by definition, so
+    shipping corpus-scale arrays across two joins (measured 85% of the
+    Jaccard query's warm cost at sf0.1: 1.47M candidates x ~40-string
+    arrays per side). The intersection is instead read off the blocking
+    join itself: every gram two docs share has df >= 2 by definition, so
     |A∩B| = (shared grams with df in [2, cap]: the groupBy-count of the
     candidate enumeration — the same shuffle the old .distinct() paid)
     + (shared grams with df > cap: counted from per-doc over-cap-gram
     arrays, a stopword-vocabulary-bounded relation that is EMPTY unless
-    a gram tops the cap). The per-pair join now carries only (n, hot)
-    per side instead of the gram arrays, and the per-pair
-    array_intersect runs over the near-empty hot arrays. Emitted pairs
-    and jacc values are bit-identical (same integers, same float
-    expression)."""
+    a gram tops the cap). The per-pair join now carries only
+    (n, hot, doc_cols) per side instead of the gram arrays, and the
+    per-pair array_intersect runs over the near-empty hot arrays.
+    Emitted pairs and inter counts are bit-identical to the
+    full-array verify (same integers)."""
+    doc_cols = doc_cols or {}
     sh = sh.localCheckpoint(eager=False)
     ex = sh.select("doc_id", F.explode("grams").alias("gram"))
     # pinned: one df pass feeds the kept-gram filter on BOTH enumeration
@@ -151,16 +155,20 @@ def _jaccard_pairs_capped(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.collect_list("gram").alias("hot"))
     )
-    meta = sh.select("doc_id", "n").join(doc_hot, "doc_id", "left")
+    meta = sh.select(
+        "doc_id", "n", *[v.alias(k) for k, v in doc_cols.items()]
+    ).join(doc_hot, "doc_id", "left")
     ma = meta.select(
         F.col("doc_id").alias("id_a"),
         F.col("n").alias("n_a"),
         F.col("hot").alias("hot_a"),
+        *[F.col(k).alias(f"{k}_a") for k in doc_cols],
     )
     mb = meta.select(
         F.col("doc_id").alias("id_b"),
         F.col("n").alias("n_b"),
         F.col("hot").alias("hot_b"),
+        *[F.col(k).alias(f"{k}_b") for k in doc_cols],
     )
     no_hot = F.array().cast("array<string>")
     inter = F.col("inter_kept") + F.size(
@@ -168,13 +176,26 @@ def _jaccard_pairs_capped(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
             F.coalesce("hot_a", no_hot), F.coalesce("hot_b", no_hot)
         )
     )
+    return (
+        pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .withColumn("inter", inter)
+        .drop("inter_kept", "hot_a", "hot_b")
+    )
+
+
+def _jaccard_pairs_capped(sh: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact-Jaccard near-dup pairs from (doc_id, grams, n) over the
+    df-capped blocking, verified by the count-from-blocking-join profile
+    (see _capped_pair_profile — pairs and jacc values are bit-identical
+    to the old per-pair full-array array_intersect)."""
+    prof = _capped_pair_profile(sh)
+    inter = F.col("inter")
     jacc = inter.cast("double") / F.greatest(
         F.col("n_a") + F.col("n_b") - inter, F.lit(1)
     ).cast("double")
     return (
-        pairs.join(ma, "id_a")
-        .join(mb, "id_b")
-        .select("id_a", "id_b", jacc.alias("jacc"))
+        prof.select("id_a", "id_b", jacc.alias("jacc"))
         .filter(F.col("jacc") >= threshold)
     )
 
@@ -648,9 +669,10 @@ def containment_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB: identical blocking cost to near_dup_pairs_jaccard (same
     capped gram equi-join, same pinned shingle relation); verification
-    reads only candidate pairs' gram sets. The directed output feeds a
-    keep-the-container policy: dropping id_contained rows never loses
-    text the container does not carry."""
+    counts the intersection on the blocking join itself
+    (_capped_pair_profile) — no gram set is shipped per pair. The
+    directed output feeds a keep-the-container policy: dropping
+    id_contained rows never loses text the container does not carry."""
     corpus = _corpus(spark, sf_dir)
     # 4-gram shingles + a 10-gram floor on the contained side: on the
     # fixture's tiny-vocabulary word soup, 3-gram containment is loose
@@ -661,25 +683,13 @@ def containment_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = corpus.select(
         "doc_id", S.shingles("text", 4).alias("grams")
     ).withColumn("n", F.size("grams"))
-    sh, cand = _blocked_candidates(sh)
-    ga = sh.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("grams").alias("grams_a"),
-        F.col("n").alias("n_a"),
-    )
-    gb = sh.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("grams").alias("grams_b"),
-        F.col("n").alias("n_b"),
-    )
-    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    prof = _capped_pair_profile(sh)
+    inter = F.col("inter")
     n_small = F.least("n_a", "n_b")
     cont = inter.cast("double") / F.greatest(n_small, F.lit(1)).cast("double")
     small_is_a = F.col("n_a") <= F.col("n_b")
     return (
-        cand.join(ga, "id_a")
-        .join(gb, "id_b")
-        .filter(n_small >= 10)
+        prof.filter(n_small >= 10)
         .select(
             F.when(small_is_a, F.col("id_a")).otherwise(F.col("id_b"))
             .alias("id_contained"),
@@ -749,43 +759,24 @@ def containment_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFram
     shingle relation.
 
     At 100 TB: signatures are 16 longs per doc (the minhash_signatures
-    projection); agreement counting touches no gram sets; only this
-    EVAL's exact column does — in production the exact verify runs on a
-    sampled stratum exactly like this query's shape."""
+    projection); agreement counting touches no gram sets, and since
+    round 10 neither does the exact column — the intersection is
+    counted on the blocking join (_capped_pair_profile), so the pair
+    verify ships only (n, sig, hot) per side."""
     corpus = _corpus(spark, sf_dir)
     sh = corpus.select(
         "doc_id", S.shingles("text", 4).alias("grams")
     ).withColumn("n", F.size("grams"))
-    sh, cand = _blocked_candidates(sh)
-    sigs = sh.select(
-        "doc_id",
-        "n",
-        "grams",
-        S.minhash_signature(F.col("grams"), num_hashes=16).alias("sig"),
-    )
-    a = sigs.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("n").alias("n_a"),
-        F.col("grams").alias("grams_a"),
-        F.col("sig").alias("sig_a"),
-    )
-    b = sigs.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("n").alias("n_b"),
-        F.col("grams").alias("grams_b"),
-        F.col("sig").alias("sig_b"),
-    )
-    joined = (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .filter(F.least("n_a", "n_b") >= 10)
-    )
+    joined = _capped_pair_profile(
+        sh,
+        {"sig": S.minhash_signature(F.col("grams"), num_hashes=16)},
+    ).filter(F.least("n_a", "n_b") >= 10)
     agree = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z
         )
     )
-    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    inter = F.col("inter")
     mn = F.least("n_a", "n_b")
     exact_c = inter.cast("double") / mn
     est_j = agree / F.lit(16.0)
@@ -853,44 +844,25 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle relation with the containment twin; exact sums use the
     round(·,9)→DECIMAL(28,9) discipline.
 
-    At 100 TB: signature agreement touches 16 longs per doc; only the
-    calibration's exact column reads gram sets, on the df-capped
-    candidate stratum — the production shape is this query on a sample,
-    then the sketch-only gate corpus-wide."""
+    At 100 TB: signature agreement touches 16 longs per doc, and since
+    round 10 the exact column reads no gram sets either — the
+    intersection is counted on the blocking join (_capped_pair_profile)
+    — the production shape is this query on a sample, then the
+    sketch-only gate corpus-wide."""
     corpus = _corpus(spark, sf_dir)
     sh = corpus.select(
         "doc_id", S.shingles("text", 4).alias("grams")
     ).withColumn("n", F.size("grams"))
-    sh, cand = _blocked_candidates(sh)
-    sigs = sh.select(
-        "doc_id",
-        "n",
-        "grams",
-        S.minhash_signature(F.col("grams"), num_hashes=16).alias("sig"),
-    )
-    a = sigs.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("n").alias("n_a"),
-        F.col("grams").alias("grams_a"),
-        F.col("sig").alias("sig_a"),
-    )
-    b = sigs.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("n").alias("n_b"),
-        F.col("grams").alias("grams_b"),
-        F.col("sig").alias("sig_b"),
-    )
-    joined = (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .filter(F.least("n_a", "n_b") >= 10)
-    )
+    joined = _capped_pair_profile(
+        sh,
+        {"sig": S.minhash_signature(F.col("grams"), num_hashes=16)},
+    ).filter(F.least("n_a", "n_b") >= 10)
     agree = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z
         )
     )
-    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    inter = F.col("inter")
     exact_j = inter.cast("double") / (
         F.col("n_a") + F.col("n_b") - inter
     ).cast("double")

@@ -69,6 +69,39 @@ def test_edit_distance_pairs_are_exact_and_find_truncations(spark):
     assert found, "constructed truncation near-dups must be detected"
 
 
+def test_banded_levenshtein_matches_unbanded_at_threshold_boundary(spark):
+    """The round-10 banded verify keeps a pair iff
+    levenshtein(a, b, floor(0.25·max_len)) >= 0, claiming that is
+    exactly rel <= 0.25 with exact lev values for kept pairs. Pin the
+    boundary: lev == floor(T·max) is kept with the true distance,
+    lev == floor(T·max)+1 returns -1 (rejected), including max_len
+    where T·max is exactly integral and the empty-string edge."""
+    cases = [
+        ("abcdefgh", "abcdefXY"),   # len 8, lev 2 = 0.25*8 → boundary keep
+        ("abcdefgh", "abcdeXYZ"),   # len 8, lev 3 > 2 → reject
+        ("abcd", "abcX"),           # len 4, lev 1 = floor(1.0) → keep
+        ("abcd", "abXY"),           # len 4, lev 2 → reject
+        ("abc", "abc"),             # lev 0 → keep
+        ("", ""),                   # greatest(...,1) guard: band 0, lev 0
+        ("ab", "abcdefghij"),       # length gap 8 > band 2 → reject w/o DP
+    ]
+    df = spark.createDataFrame(cases, "text_a string, text_b string")
+    banded = F.expr(
+        "levenshtein(text_a, text_b, cast(floor(0.25 * "
+        "greatest(length(text_a), length(text_b), 1)) as int))"
+    )
+    rows = df.select(
+        "text_a", "text_b", banded.alias("banded"), F.levenshtein("text_a", "text_b").alias("full")
+    ).collect()
+    for r in rows:
+        mx = max(len(r["text_a"]), len(r["text_b"]), 1)
+        kept_old = r["full"] / mx <= 0.25
+        if kept_old:
+            assert r["banded"] == r["full"], r
+        else:
+            assert r["banded"] == -1, r
+
+
 def test_incremental_dedup_verdicts_match_construction(spark):
     """Every +1M batch doc is an exact copy -> verdict 'exact' with a
     match whose text fingerprint-normalizes identically; +2M docs are
