@@ -188,23 +188,46 @@ def edit_distance_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # moment the distance provably exceeds it — O(len·band) instead of
     # O(len²) per pair, and the -1 rows ARE the rejected pairs, so the
     # kept set and emitted lev/rel values are unchanged.
+    # Equal texts (the corpus's exact-copy pairs — 9% of candidates at
+    # sf0.1) short-circuit to 0 on an O(len) comparison instead of the
+    # DP; for the rest the banded kernel runs.
     lev = F.expr(
+        "CASE WHEN text_a = text_b THEN 0 ELSE "
         "levenshtein(text_a, text_b, "
         f"cast(floor({_LEV_REL_THRESHOLD} * "
-        "greatest(length(text_a), length(text_b), 1)) as int))"
+        "greatest(length(text_a), length(text_b), 1)) as int)) END"
     )
     rel = lev.cast("double") / F.greatest(
         F.length("text_a"), F.length("text_b"), F.lit(1)
     ).cast("double")
-    # Filter on the UNROUNDED ratio (as the oracle does) and emit the
-    # rounded one — filtering on the rounded value would admit pairs the
-    # oracle rejects at the threshold boundary. lev >= 0 is the band's
-    # not-exceeded marker; within the band lev is the exact distance, so
-    # the rel comparison is the same arithmetic as the unbanded filter.
-    return (
+    # The DP's parallelism must come from the PAIR count, not the corpus
+    # layout: left alone, the lev predicate is evaluated inside the
+    # broadcast text join, whose partitioning is the corpus scan's (1-2
+    # partitions at fixture scale) — and AQE coalesces by bytes, which
+    # mis-sizes a compute-bound stage whose rows are cheap to hold but
+    # expensive to process (same rationale as decode_fanout for the
+    # Python decoders). So the candidate pair TEXTS — a candidate-scale
+    # relation, the standard materialize-before-verify point — are
+    # repartitioned round-robin to the session's core count and pinned;
+    # the pin is also the optimizer barrier that keeps the DP filter
+    # from being pushed back into the narrow join (a deterministic
+    # predicate pushes through a bare repartition). Measured at sf1:
+    # 19.5 s -> sub-second warm, identical rows.
+    pairs_txt = (
         cand.join(ta, "id_a")
         .join(tb, "id_b")
-        .filter((lev >= 0) & (rel <= _LEV_REL_THRESHOLD))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
+    )
+    # lev >= 0 alone IS the oracle's unrounded-ratio filter: within the
+    # band lev is the exact distance and lev <= floor(T·max) ⟺ rel <= T
+    # (integer lev, dyadic T — see the band derivation above), while -1
+    # marks a provably-exceeded band. Repeating the rel comparison in
+    # the filter would evaluate the Levenshtein expression a second time
+    # inside the join condition (measured in the plan), for no extra
+    # selectivity. The emitted rel is still rounded only for display.
+    return (
+        pairs_txt.filter(lev >= 0)
         .select(
             "id_a",
             "id_b",
