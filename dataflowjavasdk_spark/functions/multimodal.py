@@ -227,6 +227,61 @@ def _scale_pcm(raw: bytes, width: int) -> np.ndarray:
     return np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
 
 
+class _BufferPool:
+    """Per-worker reusable scratch buffers for the batch audio paths
+    (round 10, guide §4.3 "heavyweight init once per task" / §5
+    "memory"). The batch extractors need a handful of batch-sized
+    float64 temporaries per Arrow batch; allocating them fresh each
+    batch hands the pages back to the OS on free, and on hosts with
+    lazily-backed memory (VM free-page reporting) every re-touch
+    faults them back in — measured on this sandbox as random
+    300–1100 ms stalls on a 20 ms decode, recurring per batch in
+    long-lived workers. One growable buffer per role pins the pages
+    for the worker's lifetime: the fault cost is paid once, every
+    later batch is a pure compute pass. Values are unaffected —
+    callers fill the buffer with copies or ufunc-`out=` stores and
+    slice exactly the length they filled. Retained memory is bounded
+    by the largest Arrow batch's PCM footprint times the handful of
+    roles (≈3 copies of one batch's samples)."""
+
+    __slots__ = ("_bufs",)
+
+    def __init__(self) -> None:
+        self._bufs: dict[str, np.ndarray] = {}
+
+    def f64(self, role: str, n: int) -> np.ndarray:
+        buf = self._bufs.get(role)
+        if buf is None or buf.size < n:
+            buf = np.empty(max(n + (n >> 2), 1024), dtype=np.float64)
+            self._bufs[role] = buf
+        return buf[:n]
+
+    def i64(self, role: str, n: int) -> np.ndarray:
+        buf = self._bufs.get(role)
+        if buf is None or buf.size < n:
+            buf = np.empty(max(n + (n >> 2), 1024), dtype=np.int64)
+            self._bufs[role] = buf
+        return buf[:n]
+
+
+_POOL = _BufferPool()
+
+
+def _scale_pcm_into(raw: bytes, width: int, out: np.ndarray) -> np.ndarray:
+    """_scale_pcm with the result written into ``out`` (a pool slice).
+    The per-element operation chain is the same as _scale_pcm's — the
+    integer view is widened to float64 exactly and then scaled by the
+    same constant — so the stored bits are identical; only the
+    destination buffer differs."""
+    if width == 1:  # unsigned 8-bit
+        np.subtract(np.frombuffer(raw, dtype=np.uint8), 128.0, out=out)
+        np.divide(out, 128.0, out=out)
+        return out
+    if width == 2:
+        return np.divide(np.frombuffer(raw, dtype="<i2"), 32768.0, out=out)
+    return np.divide(np.frombuffer(raw, dtype="<i4"), 2147483648.0, out=out)
+
+
 def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     """REAL WAV decoder (RIFF/PCM, direct chunk-walker over the container
     bytes — no external libs): returns (sample_rate, n_channels, samples
@@ -262,8 +317,18 @@ def decode_wav_batch(
     concatenated in row order (starts[i] indexes clip i's first sample;
     frame_counts[i] its length). Mono folding is mean over the channel
     axis of the same (frames, nch) layout the per-row decoder returns,
-    so values are bit-identical to decode_wav(...)[2].mean(axis=1)."""
-    metas = [_parse_wav(bytes(p)) for p in payloads]
+    so values are bit-identical to decode_wav(...)[2].mean(axis=1).
+
+    The returned ``mono`` is a view into a pooled per-worker buffer
+    (_BufferPool) and is only valid until the NEXT decode_wav_batch /
+    iter_wav_chunks step in the same process — consume it within the
+    batch, as every extractor here does."""
+    return _decode_metas([_parse_wav(bytes(p)) for p in payloads])
+
+
+def _decode_metas(
+    metas,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     n_rows = len(metas)
     rates = np.fromiter((m[0] for m in metas), dtype=np.int64, count=n_rows)
     nchs = np.fromiter((m[1] for m in metas), dtype=np.int64, count=n_rows)
@@ -273,19 +338,77 @@ def decode_wav_batch(
     groups: dict[tuple[int, int], list[int]] = {}
     for i, (_r, nch, width, _raw) in enumerate(metas):
         groups.setdefault((width, nch), []).append(i)
-    monos: list[np.ndarray | None] = [None] * n_rows
-    for (width, nch), idxs in groups.items():
-        flat = _scale_pcm(b"".join(metas[i][3] for i in idxs), width)
-        mono_g = flat if nch == 1 else flat.reshape(-1, nch).mean(axis=1)
-        pos = 0
-        for i in idxs:
-            monos[i] = mono_g[pos : pos + lens[i]]
-            pos += lens[i]
-    mono = (
-        np.concatenate(monos) if n_rows else np.empty(0, dtype=np.float64)
-    )
     starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    total = int(lens.sum())
+    # All large float64 stores land in pooled per-worker buffers (see
+    # _BufferPool): same values, no per-batch page churn.
+    if len(groups) == 1:
+        ((width, nch), idxs) = next(iter(groups.items()))
+        raw = b"".join(m[3] for m in metas)
+        if nch == 1:
+            # homogeneous mono corpus (the common case): scale straight
+            # into the pooled mono buffer, no fold, no copies
+            mono = _scale_pcm_into(raw, width, _POOL.f64("mono", total))
+        else:
+            flat = _scale_pcm_into(raw, width, _POOL.f64("flat", total * nch))
+            mono = _POOL.f64("mono", total)
+            np.mean(flat.reshape(-1, nch), axis=1, out=mono)
+    else:
+        mono = _POOL.f64("mono", total)
+        for (width, nch), idxs in groups.items():
+            raw = b"".join(metas[i][3] for i in idxs)
+            flat = _scale_pcm_into(
+                raw, width, _POOL.f64("flat", len(raw) // width)
+            )
+            mono_g = flat if nch == 1 else flat.reshape(-1, nch).mean(axis=1)
+            pos = 0
+            for i in idxs:
+                mono[starts[i] : starts[i] + lens[i]] = mono_g[pos : pos + lens[i]]
+                pos += lens[i]
+    if not n_rows:
+        mono = np.empty(0, dtype=np.float64)
     return rates, nchs, lens, starts, mono
+
+
+# ~1 MB of float64 samples per chunk: big enough that numpy dispatch is
+# fully amortized (hundreds of clips per chunk), small enough that every
+# scratch buffer stays heap-scale. Chosen against the worker-rotation
+# reality documented on iter_wav_chunks.
+_CHUNK_SAMPLES = 1 << 17
+
+
+def iter_wav_chunks(payloads, max_samples: int = _CHUNK_SAMPLES):
+    """Decode a batch of WAV payloads as a sequence of clip-aligned
+    CHUNKS, yielding (row_offset, rates, nchs, lens, starts, mono) per
+    chunk — the chunked front-end the audio extractors iterate (round
+    10). Chunk boundaries fall on clip boundaries and every downstream
+    reduction is clip-local, so chunking cannot change any emitted bit
+    versus one whole-batch decode.
+
+    Why chunks instead of one batch-sized decode: Spark hands
+    successive re-executions of a stage to ARBITRARY idle workers from
+    its pool (measured: 5 reps of a 3-task stage landed on 15 distinct
+    PIDs once ~128 workers existed), so per-worker reusable buffers
+    only amortize in small sessions; and on hosts with lazily-backed
+    VM memory, every fresh multi-MB buffer touch in a cold worker
+    faults through to the host — measured here as random 300–1100 ms
+    stalls on a 20 ms decode. Bounding the working set to ~1 MB per
+    buffer role keeps every scratch allocation heap-recycled (never
+    mmap-returned, never re-faulted) no matter which worker runs the
+    task, while hundreds of clips per chunk keep the per-call numpy
+    dispatch amortized (guide §4.2)."""
+    metas = [_parse_wav(bytes(p)) for p in payloads]
+    n = len(metas)
+    i = 0
+    while i < n:
+        j, samples = i, 0
+        while j < n:
+            samples += len(metas[j][3]) // (metas[j][2] * metas[j][1])
+            j += 1
+            if samples >= max_samples:
+                break
+        yield (i, *_decode_metas(metas[i:j]))
+        i = j
 
 
 def _segment_sums(values: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
@@ -316,14 +439,25 @@ def _gather_framed(
 ) -> np.ndarray:
     """Gather every clip's whole frames (dropping per-clip tails) into a
     (total_frames, frame) matrix — the batch twin of the per-clip
-    `mono[:nf*frame].reshape(nf, frame)`, built with one fancy-index
-    instead of a Python loop."""
+    `mono[:nf*frame].reshape(nf, frame)`. Round 10: built by per-clip
+    contiguous copies into a pooled buffer instead of one giant
+    fancy-index — the index array alone was a batch-sized int64
+    allocation per call, and per-batch large allocations are exactly
+    what _BufferPool exists to avoid; a slice copy per clip is a plain
+    memcpy (~µs) and the values are byte-identical."""
     lens2 = nf * frame
-    if not lens2.sum():
+    total = int(lens2.sum())
+    if not total:
         return np.empty((0, frame), dtype=np.float64)
-    s2 = np.concatenate(([0], np.cumsum(lens2)))[:-1]
-    idx = np.repeat(starts - s2, lens2) + np.arange(int(lens2.sum()))
-    return mono[idx].reshape(-1, frame)
+    out = _POOL.f64("framed", total)
+    pos = 0
+    for i in range(len(starts)):
+        ln = int(lens2[i])
+        if ln:
+            s = int(starts[i])
+            out[pos : pos + ln] = mono[s : s + ln]
+            pos += ln
+    return out.reshape(-1, frame)
 
 
 def extract_audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -335,34 +469,57 @@ def extract_audio_features(df: DataFrame, payload_col: str = "payload") -> DataF
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            rates, nchs, n, starts, mono = decode_wav_batch(batch[payload_col])
-            # clip-local sequential sum of squares (see _segment_sums on
-            # why not a global cumsum); same operands as the per-row
-            # np.mean(mono**2) up to within-clip summation order, which
-            # the query layer's round(..., 9) absorbs (and the fixture's
-            # dyadic squares sum exactly under ANY order).
-            rms = np.sqrt(_segment_sums(mono * mono, starts, n) / np.maximum(n, 1))
-            # zero crossings: integer diff of the sign bits — exact under
-            # a global cumsum, with each clip's count read off as a
-            # prefix-difference that excludes the clip-boundary diffs.
-            if mono.size > 1:
-                d = np.abs(np.diff(np.signbit(mono).astype(np.int8)))
-                ics = np.concatenate(([0], np.cumsum(d, dtype=np.int64)))
-                ends = starts + n
-                num = ics[np.maximum(ends - 1, starts)] - ics[starts]
-            else:
-                num = np.zeros(len(n), dtype=np.int64)
-            zcr = np.where(n > 1, num / np.maximum(n - 1, 1), 0.0)
+            cols: list[list[np.ndarray]] = [[], [], [], [], []]
+            for _off, rates, nchs, n, starts, mono in iter_wav_chunks(
+                batch[payload_col]
+            ):
+                # clip-local sequential sum of squares (see _segment_sums
+                # on why not a global cumsum); same operands as the
+                # per-row np.mean(mono**2) up to within-clip summation
+                # order, which the query layer's round(..., 9) absorbs
+                # (and the fixture's dyadic squares sum exactly under ANY
+                # order). Squares land in a pooled chunk-scale buffer
+                # (same elementwise op, same bits).
+                sq = _POOL.f64("mono_sq", mono.size)
+                np.multiply(mono, mono, out=sq)
+                rms = np.sqrt(_segment_sums(sq, starts, n) / np.maximum(n, 1))
+                # zero crossings: integer diff of the sign bits — exact
+                # under a cumsum, with each clip's count read off as a
+                # prefix-difference that excludes the clip-boundary diffs
+                # (so per-chunk cumsums cannot change any clip's count).
+                if mono.size > 1:
+                    d = np.abs(np.diff(np.signbit(mono).astype(np.int8)))
+                    ics = _POOL.i64("ics", d.size + 1)
+                    ics[0] = 0
+                    np.cumsum(d, dtype=np.int64, out=ics[1:])
+                    ends = starts + n
+                    num = ics[np.maximum(ends - 1, starts)] - ics[starts]
+                else:
+                    num = np.zeros(len(n), dtype=np.int64)
+                zcr = np.where(n > 1, num / np.maximum(n - 1, 1), 0.0)
+                cols[0].append(rates)
+                cols[1].append(nchs)
+                cols[2].append(n)
+                cols[3].append(np.where(n > 0, rms, 0.0))
+                cols[4].append(zcr)
+
+            def cat(parts, dtype):
+                return (
+                    np.concatenate(parts) if parts else np.empty(0, dtype=dtype)
+                )
+
+            rates = cat(cols[0], np.int64)
+            n = cat(cols[2], np.int64)
             # explicit columns: a zero-row batch must still match the schema
             yield pd.DataFrame(
                 {
                     "media_id": batch["media_id"].to_numpy(),
                     "sample_rate": rates,
-                    "n_channels": nchs,
+                    "n_channels": cat(cols[1], np.int64),
                     "n_samples": n,
                     "duration_s": np.where(rates > 0, n / np.maximum(rates, 1), 0.0),
-                    "rms": np.where(n > 0, rms, 0.0),
-                    "zero_crossing_rate": zcr,
+                    "rms": cat(cols[3], np.float64),
+                    "zero_crossing_rate": cat(cols[4], np.float64),
                 }
             )
 
@@ -838,27 +995,45 @@ def extract_audio_frame_energy(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            _rates, _nchs, lens, starts, mono = decode_wav_batch(batch[payload_col])
-            nf = lens // frame
-            fm = _gather_framed(mono, starts, nf, frame)
-            # per-frame rms: same (frame,)-axis reduction as the per-row
-            # path, so every frame's value is bit-identical.
-            frms = np.sqrt((fm**2).mean(axis=1))
-            fstarts = np.concatenate(([0], np.cumsum(nf)))[:-1]
-            ics = np.concatenate(
-                ([0], np.cumsum((frms < 1e-9).astype(np.int64)))
-            )
-            n_silent = ics[fstarts + nf] - ics[fstarts]
-            mean_rms = np.where(
-                nf > 0, _segment_sums(frms, fstarts, nf) / np.maximum(nf, 1), 0.0
-            )
+            cols: list[list[np.ndarray]] = [[], [], [], []]
+            for _off, _rates, _nchs, lens, starts, mono in iter_wav_chunks(
+                batch[payload_col]
+            ):
+                nf = lens // frame
+                fm = _gather_framed(mono, starts, nf, frame)
+                # per-frame rms: same (frame,)-axis reduction as the
+                # per-row path, so every frame's value is bit-identical;
+                # squares land in a pooled chunk-scale buffer.
+                sq = _POOL.f64("framed_sq", fm.size).reshape(fm.shape)
+                np.multiply(fm, fm, out=sq)
+                frms = np.sqrt(sq.mean(axis=1))
+                fstarts = np.concatenate(([0], np.cumsum(nf)))[:-1]
+                ics = np.concatenate(
+                    ([0], np.cumsum((frms < 1e-9).astype(np.int64)))
+                )
+                cols[0].append(nf)
+                cols[1].append(ics[fstarts + nf] - ics[fstarts])
+                cols[2].append(
+                    np.where(
+                        nf > 0,
+                        _segment_sums(frms, fstarts, nf) / np.maximum(nf, 1),
+                        0.0,
+                    )
+                )
+                cols[3].append(_segment_max(frms, fstarts, nf))
+
+            def cat(parts, dtype):
+                return (
+                    np.concatenate(parts) if parts else np.empty(0, dtype=dtype)
+                )
+
             yield pd.DataFrame(
                 {
                     "media_id": batch["media_id"].to_numpy(),
-                    "n_frames": nf,
-                    "n_silent": n_silent,
-                    "mean_frame_rms": mean_rms,
-                    "max_frame_rms": _segment_max(frms, fstarts, nf),
+                    "n_frames": cat(cols[0], np.int64),
+                    "n_silent": cat(cols[1], np.int64),
+                    "mean_frame_rms": cat(cols[2], np.float64),
+                    "max_frame_rms": cat(cols[3], np.float64),
                 }
             )
 
@@ -891,42 +1066,69 @@ def extract_tone_detection(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bank = np.asarray(freqs_hz, dtype=np.float64)
         freq_arr = np.asarray(freqs_hz, dtype=np.int64)
-        # (n, n_probes) complex exponential bases, memoized per (n, rate):
+        n_probes = len(freqs_hz)
+        # (n, 2*n_probes) REAL [cos | sin] bases, memoized per (n, rate):
         # clips in a corpus overwhelmingly share a duration/rate profile,
         # so the basis builds once per partition and the whole group runs
-        # as ONE (clips x n) @ (n x n_probes) GEMM (round 10; the per-clip
-        # GEMV spent more time in dispatch than in the 800x8 product).
-        # BLAS may accumulate GEMM and GEMV in different orders, but the
-        # outputs are integer argmaxes with the probe-tone margin many
-        # orders above one ulp, so the emitted rows cannot move.
+        # as ONE (clips x n) @ (n x 2*n_probes) dgemm (round 10; the
+        # per-clip GEMV spent more time in dispatch than in the 800x8
+        # product). The split into |.|^2 = (x·cosθ)^2 + (x·sinθ)^2 is
+        # deliberate: numpy's REAL @ COMPLEX matmul takes a non-BLAS
+        # mixed-dtype path that costs 0.8-2.9 s on its FIRST call in a
+        # worker process (measured; steady state 10-20 ms), and Spark's
+        # Python workers pay that cliff per task — the all-real dgemm is
+        # 0.3 ms from the first call. BLAS may accumulate in a different
+        # order than the complex kernel, but the outputs are integer
+        # argmaxes with the probe-tone margin many orders above one ulp,
+        # so the emitted rows cannot move.
         bases: dict[tuple[int, int], np.ndarray] = {}
         for batch in batches:
-            rates, _nchs, lens, starts, mono = decode_wav_batch(batch[payload_col])
-            n_rows = len(lens)
-            best = np.zeros(n_rows, dtype=np.int64)
-            groups: dict[tuple[int, int], list[int]] = {}
-            for i in range(n_rows):
-                groups.setdefault((int(lens[i]), int(rates[i])), []).append(i)
-            for (n, rate), idxs in groups.items():
-                if n == 0:
-                    continue  # empty clip: keep bin 0, the argmax of all-zero power
-                basis = bases.get((n, rate))
-                if basis is None:
-                    basis = np.exp(
-                        -2j * np.pi * np.outer(np.arange(n), bank) / float(rate)
-                    )
-                    bases[(n, rate)] = basis
-                rows = np.asarray(idxs, dtype=np.intp)
-                if len(rows) == n_rows:
-                    # homogeneous corpus (the common case): mono IS the
-                    # row-major (clips x n) matrix — reshape, zero copies
-                    gathered = mono.reshape(n_rows, n)
-                else:
-                    gathered = mono[
-                        (starts[rows, None] + np.arange(n)[None, :]).ravel()
-                    ].reshape(len(rows), n)
-                power = np.abs(gathered @ basis) ** 2
-                best[rows] = np.argmax(power, axis=1)
+            len_parts: list[np.ndarray] = []
+            best_parts: list[np.ndarray] = []
+            for _off, rates, _nchs, lens, starts, mono in iter_wav_chunks(
+                batch[payload_col]
+            ):
+                n_rows = len(lens)
+                best = np.zeros(n_rows, dtype=np.int64)
+                groups: dict[tuple[int, int], list[int]] = {}
+                for i in range(n_rows):
+                    groups.setdefault((int(lens[i]), int(rates[i])), []).append(i)
+                for (n, rate), idxs in groups.items():
+                    if n == 0:
+                        continue  # empty clip: keep bin 0, the argmax of all-zero power
+                    basis = bases.get((n, rate))
+                    if basis is None:
+                        theta = (
+                            -2.0 * np.pi * np.outer(np.arange(n), bank) / float(rate)
+                        )
+                        basis = np.concatenate(
+                            [np.cos(theta), np.sin(theta)], axis=1
+                        )
+                        bases[(n, rate)] = basis
+                    rows = np.asarray(idxs, dtype=np.intp)
+                    if len(rows) == n_rows:
+                        # homogeneous chunk (the common case): mono IS the
+                        # row-major (clips x n) matrix — reshape, no copies
+                        gathered = mono.reshape(n_rows, n)
+                    else:
+                        gathered = mono[
+                            (starts[rows, None] + np.arange(n)[None, :]).ravel()
+                        ].reshape(len(rows), n)
+                    proj = gathered @ basis
+                    power = proj[:, :n_probes] ** 2 + proj[:, n_probes:] ** 2
+                    best[rows] = np.argmax(power, axis=1)
+                len_parts.append(lens)
+                best_parts.append(best)
+            lens = (
+                np.concatenate(len_parts)
+                if len_parts
+                else np.empty(0, dtype=np.int64)
+            )
+            best = (
+                np.concatenate(best_parts)
+                if best_parts
+                else np.empty(0, dtype=np.int64)
+            )
             yield pd.DataFrame(
                 {
                     "media_id": batch["media_id"].to_numpy(),
@@ -1312,17 +1514,34 @@ def extract_audio_frame_rms(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            _rates, _nchs, lens, starts, mono = decode_wav_batch(batch[payload_col])
-            nf = lens // frame
-            fm = _gather_framed(mono, starts, nf, frame)
-            frms = np.sqrt((fm**2).mean(axis=1))
-            total_f = int(nf.sum())
-            fstarts = np.concatenate(([0], np.cumsum(nf)))[:-1]
+            ids = batch["media_id"].to_numpy()
+            id_parts: list[np.ndarray] = []
+            idx_parts: list[np.ndarray] = []
+            rms_parts: list[np.ndarray] = []
+            for off, _rates, _nchs, lens, starts, mono in iter_wav_chunks(
+                batch[payload_col]
+            ):
+                nf = lens // frame
+                fm = _gather_framed(mono, starts, nf, frame)
+                sq = _POOL.f64("framed_sq", fm.size).reshape(fm.shape)
+                np.multiply(fm, fm, out=sq)
+                frms = np.sqrt(sq.mean(axis=1))
+                total_f = int(nf.sum())
+                fstarts = np.concatenate(([0], np.cumsum(nf)))[:-1]
+                id_parts.append(np.repeat(ids[off : off + len(lens)], nf))
+                idx_parts.append(np.arange(total_f) - np.repeat(fstarts, nf))
+                rms_parts.append(frms)
+
+            def cat(parts, dtype):
+                return (
+                    np.concatenate(parts) if parts else np.empty(0, dtype=dtype)
+                )
+
             yield pd.DataFrame(
                 {
-                    "media_id": np.repeat(batch["media_id"].to_numpy(), nf),
-                    "frame_idx": np.arange(total_f) - np.repeat(fstarts, nf),
-                    "rms": frms,
+                    "media_id": cat(id_parts, np.int64),
+                    "frame_idx": cat(idx_parts, np.int64),
+                    "rms": cat(rms_parts, np.float64),
                 }
             )
 

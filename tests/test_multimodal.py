@@ -1228,3 +1228,58 @@ def test_wav_batch_decode_matches_per_row_on_heterogeneous_corpus():
         w.writeframes(b"")
     z_rates, _, z_lens, z_starts, z_mono = decode_wav_batch([buf.getvalue()])
     assert z_lens[0] == 0 and z_mono.size == 0
+
+
+def test_wav_batch_pool_reuse_shrinking_batches():
+    """The round-10 _BufferPool retains per-worker buffers across
+    batches; a SMALLER batch following a larger one must slice the
+    pooled buffers to exactly its own length — stale samples from the
+    earlier batch beyond the fill must never leak into mono, the
+    framed gather, or the segment reductions."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from dataflowjavasdk_spark.functions.multimodal import (
+        _gather_framed,
+        _segment_sums,
+        decode_wav,
+        decode_wav_batch,
+    )
+
+    rng = np.random.default_rng(7)
+
+    def wav(nframes, fill):
+        pcm = (fill * np.ones(nframes)).astype("<i2") if fill is not None else (
+            rng.integers(-(2**15), 2**15, nframes).astype("<i2")
+        )
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(pcm.tobytes())
+        return buf.getvalue()
+
+    big = [wav(500, None) for _ in range(40)]  # grows the pool
+    small = [wav(170, 12345), wav(333, -2048)]  # then a shrunk batch
+
+    decode_wav_batch(big)  # fills pooled buffers with big-batch samples
+    rates, _, lens, starts, mono = decode_wav_batch(small)
+    assert int(lens.sum()) == 170 + 333
+    for i, p in enumerate(small):
+        ref = decode_wav(p)[2].mean(axis=1)
+        assert np.array_equal(mono[starts[i] : starts[i] + lens[i]], ref)
+
+    nf = lens // 160
+    fm = _gather_framed(mono, starts, nf, 160)
+    assert fm.shape == (int(nf.sum()), 160)
+    refs = [decode_wav(p)[2].mean(axis=1) for p in small]
+    want = np.concatenate(
+        [m[: (len(m) // 160) * 160].reshape(-1, 160) for m in refs]
+    )
+    assert np.array_equal(fm, want)
+    sums = _segment_sums(mono * mono, starts, lens)
+    for i, m in enumerate(refs):
+        assert sums[i] == np.add.reduce(m * m)
