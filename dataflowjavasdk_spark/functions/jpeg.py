@@ -31,6 +31,7 @@ scale-pipeline extension, not a parity item.
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -197,6 +198,26 @@ class _BitReader:
 # amortizes across files; the cache is bounded to stay executor-safe.
 _LUT_CACHE: dict[tuple, list] = {}
 
+# (table, LUT) keyed by the raw DHT payload bytes (BITS ++ VALS — the
+# exact canonical-table definition, so equal bytes ⟺ equal table): on a
+# hit the per-file cost is one dict probe instead of rebuilding the
+# code dict and re-deriving the LUT key. Truncated segments can never
+# false-hit (their raw slice is shorter, hence different bytes) and
+# still raise inside build_huffman on the miss path.
+_DHT_CACHE: dict[bytes, tuple[dict, list]] = {}
+
+
+def _dht_table_lut(raw: bytes) -> tuple[dict, list]:
+    cached = _DHT_CACHE.get(raw)
+    if cached is None:
+        bits = list(raw[:16])
+        table = build_huffman(bits, list(raw[16 : 16 + sum(bits)]))
+        cached = (table, _huff_lut(table))
+        if len(_DHT_CACHE) >= 64:
+            _DHT_CACHE.pop(next(iter(_DHT_CACHE)))
+        _DHT_CACHE[raw] = cached
+    return cached
+
 
 def _huff_lut(table: dict[tuple[int, int], int]) -> list:
     key = tuple(sorted(table.items()))
@@ -242,7 +263,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     qt: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}  # (class,id)
+    huff: dict[tuple[int, int], tuple[dict, list]] = {}  # (class,id)->(table,LUT)
     frame = None  # (h, w, [(cid, hi, vi, tq), ...])
     restart_interval = 0
     scan_comps = None
@@ -296,12 +317,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             i = 0
             while i < len(seg):
                 tc, th = seg[i] >> 4, seg[i] & 0x0F
-                bits = list(seg[i + 1 : i + 17])
-                n = sum(bits)
-                vals = list(seg[i + 17 : i + 17 + n])
-                if len(vals) != n:
+                n = sum(seg[i + 1 : i + 17])
+                if i + 17 + n > len(seg):
                     raise ValueError("truncated DHT")
-                huff[(tc, th)] = build_huffman(bits, vals)
+                huff[(tc, th)] = _dht_table_lut(bytes(seg[i + 1 : i + 17 + n]))
                 i += 17 + n
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
@@ -352,7 +371,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if (0, td) not in huff or (1, ta) not in huff:
             raise ValueError(f"component {cs} references missing DHT")
         order.append(
-            (cs, hi, vi, qt[tq], _huff_lut(huff[(0, td)]), _huff_lut(huff[(1, ta)]))
+            (cs, hi, vi, qt[tq], huff[(0, td)][1], huff[(1, ta)][1])
         )
 
     # Split the scan on restart markers; each segment restarts DC
@@ -476,6 +495,17 @@ def _encode_table(table: dict[tuple[int, int], int]) -> dict[int, tuple[int, int
     return {sym: (code, length) for (length, code), sym in table.items()}
 
 
+@functools.lru_cache(maxsize=1)
+def _std_encode_tables() -> tuple[dict, dict, dict, dict]:
+    """Writer-side Annex K tables (constants — built once per process)."""
+    return (
+        _encode_table(build_huffman(DC_LUMA_BITS, DC_LUMA_VALS)),
+        _encode_table(build_huffman(AC_LUMA_BITS, AC_LUMA_VALS)),
+        _encode_table(build_huffman(DC_CHROMA_BITS, DC_CHROMA_VALS)),
+        _encode_table(build_huffman(AC_CHROMA_BITS, AC_CHROMA_VALS)),
+    )
+
+
 def _magnitude(v: int) -> tuple[int, int]:
     """(category t, t-bit magnitude encoding) for a coefficient value."""
     t = int(v != 0 and int(abs(v)).bit_length())
@@ -507,12 +537,7 @@ def encode_jpeg(
     if mode not in ("444", "420", "422"):
         raise ValueError(f"unsupported subsampling {subsample!r}")
 
-    dc_l = build_huffman(DC_LUMA_BITS, DC_LUMA_VALS)
-    ac_l = build_huffman(AC_LUMA_BITS, AC_LUMA_VALS)
-    dc_c = build_huffman(DC_CHROMA_BITS, DC_CHROMA_VALS)
-    ac_c = build_huffman(AC_CHROMA_BITS, AC_CHROMA_VALS)
-    enc_dc_l, enc_ac_l = _encode_table(dc_l), _encode_table(ac_l)
-    enc_dc_c, enc_ac_c = _encode_table(dc_c), _encode_table(ac_c)
+    enc_dc_l, enc_ac_l, enc_dc_c, enc_ac_c = _std_encode_tables()
 
     if gray:
         comps = [(1, 1, 1, 0)]

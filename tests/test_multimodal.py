@@ -592,6 +592,49 @@ def test_jpeg_rejects_bad_payloads():
         build_huffman([0, 3] + [0] * 14, [1, 2])
 
 
+def test_jpeg_dht_cache_transparent_and_bounded():
+    """The raw-DHT-bytes table cache (round 10) must be invisible: cold
+    decode (empty cache) == warm decode (hit), a truncated DHT still
+    raises even when the intact table is already cached (the short raw
+    slice can never false-hit), and the cache stays executor-bounded."""
+    import pytest
+
+    import numpy as np
+
+    from dataflowjavasdk_spark.functions import jpeg as J
+
+    img = np.zeros((13, 18), np.uint8)
+    img[:, :8], img[:, 8:16], img[:, 16:] = 40, 57, 74
+    payload = J.encode_jpeg(img)
+    J._DHT_CACHE.clear()
+    cold = J.decode_jpeg(payload)
+    assert J._DHT_CACHE, "decode should populate the DHT cache"
+    warm = J.decode_jpeg(payload)
+    assert np.array_equal(cold, warm)
+
+    # Truncate the first DHT segment by one value byte (fixing the
+    # marker length): must raise despite the intact table being cached.
+    i = payload.index(b"\xff\xc4")
+    seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+    trunc = (
+        payload[: i + 2]
+        + (seglen - 1).to_bytes(2, "big")
+        + payload[i + 4 : i + 2 + seglen - 1]
+        + payload[i + 2 + seglen :]
+    )
+    with pytest.raises(ValueError, match="truncated DHT|corrupt Huffman"):
+        J.decode_jpeg(trunc)
+
+    # Cached entry must equal a fresh build, and the cache stays bounded.
+    J._DHT_CACHE.clear()
+    for v in range(70):
+        raw = bytes([0, 1] + [0] * 14) + bytes([v])  # one 2-bit code -> v
+        table, lut = J._dht_table_lut(raw)
+        assert table == J.build_huffman([0, 1] + [0] * 14, [v])
+        assert lut[0] == (v, 2)  # peek16=0 spells code 00
+    assert len(J._DHT_CACHE) <= 64
+
+
 def test_jpeg_spark_extractor_mixed_gray_color(spark):
     """extract_jpeg_features over a mixed grayscale/4:2:0 batch: schema,
     NULL chroma means for gray rows, exact means for block-constant
