@@ -49,6 +49,20 @@ _RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 
+# Python-boundary batch sizing for multi-MB payload corpora (guide §4 /
+# round-10 queue): Arrow batches are row-capped (10k) AND byte-capped;
+# with multi-MB media payloads the byte cap is what bounds each Python
+# worker's resident batch. Opt-in via env because the local fixtures'
+# KB-scale payloads cannot exercise it — unset, the session keeps
+# Spark's own default (64m in 4.1), so the driver's bench measures the
+# stock boundary. On a media-heavy cluster size it so (bytes-per-batch
+# x concurrent tasks) fits executor memory, e.g. 16-32m for 5-20 MB
+# payloads.
+if os.environ.get("SPARK_GRAFT_ARROW_MAX_BYTES"):
+    _RUNTIME_CONFS["spark.sql.execution.arrow.maxBytesPerBatch"] = os.environ[
+        "SPARK_GRAFT_ARROW_MAX_BYTES"
+    ]
+
 
 def configure_session(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime confs to an existing session.

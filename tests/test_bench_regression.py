@@ -229,3 +229,82 @@ def test_expand_short_keys_roundtrip():
                "queries_unit": "ms"}
     out2 = _expand_short_keys(partial)
     assert "expanded_short_keys" not in out2
+
+
+def test_throughput_baseline_excludes_pinned_flat_rows():
+    """Round-10 fix for the scaling sweep's family-baseline blind spot:
+    rows whose warm time does NOT track input scale (pinned-aggregate
+    warm paths, top-decade slope ~0) must not define the family
+    throughput baseline — a curation2 median set by six flat ~50 ms rows
+    made BOTH members doing real per-row kernel work read as ~30x false
+    outliers (edit_distance_near_dups 32.2x, pii_redaction 27.6x). Every
+    row is still judged; genuine outliers among scale-tracking rows must
+    still flag."""
+    from tools.measure_scaling import apply_throughput_flags
+
+    def row(v_krow, slope):
+        return {"ms_per_krow": {"1.0": v_krow}, "slope_01_to_1": slope}
+
+    fams = {}
+    report = {}
+    # curation2: six pinned-flat rows (tiny flat ms -> tiny ms_per_krow)
+    # plus two real-kernel rows ~30x above the flat median but mutually
+    # consistent — the round-10 false-flag shape.
+    for i in range(6):
+        name = f"flat{i}"
+        report[name] = row(1.0 + 0.1 * i, 0.02)
+        fams[name] = "curation2"
+    report["edit_distance"] = row(30.0, 1.07)
+    report["pii_redaction"] = row(28.0, 0.95)
+    fams["edit_distance"] = fams["pii_redaction"] = "curation2"
+    # dedup: three healthy tracking rows and one genuine 11x outlier
+    for name, v in [("d1", 25.0), ("d2", 32.0), ("d3", 27.0)]:
+        report[name] = row(v, 0.8)
+        fams[name] = "dedup"
+    report["runaway"] = row(300.0, 1.2)
+    fams["runaway"] = "dedup"
+
+    n = apply_throughput_flags(
+        report, top_key="1.0", slope_key="slope_01_to_1", fam_of=fams.get
+    )
+
+    # membership: only scale-tracking rows define baselines
+    assert not report["flat0"]["throughput_baseline_member"]
+    assert report["edit_distance"]["throughput_baseline_member"]
+    # the two real-kernel curation2 rows are NOT outliers any more
+    # (family has <3 tracking members -> global tracking median applies)
+    assert "throughput_outlier" not in report["edit_distance"]
+    assert "throughput_outlier" not in report["pii_redaction"]
+    assert report["edit_distance"]["throughput_vs_family_median"] < 8
+    # flat rows are still judged (ratio far below 1) and never flag
+    assert report["flat0"]["throughput_vs_family_median"] < 1
+    assert "throughput_outlier" not in report["flat0"]
+    # a genuine outlier among tracking rows still flags
+    assert report["runaway"].get("throughput_outlier") is True
+    assert n == 1
+
+
+def test_stall_cluster_advisory_keeps_flags(tmp_path):
+    """Round-10 noise-model note: when a mid-run host stall inflates a
+    cluster of queries by a common factor, compare_bench must SAY so
+    (the bimodal-weather signature) while keeping the flags and the
+    non-zero exit — a shared-helper code regression produces the same
+    shape, so the gate must not auto-dismiss it."""
+    mk = lambda qs: {"queries": qs, "queries_unit": "ms", "sf": 0.1}
+    steady = {f"steady{i}": 100.0 for i in range(6)}
+    old = tmp_path / "old.json"
+    new = tmp_path / "new.json"
+    old.write_text(json.dumps(mk({**steady, **{f"stall{i}": 100.0 for i in range(6)}})))
+    new.write_text(
+        json.dumps(mk({**steady, **{f"stall{i}": 400.0 for i in range(6)}}))
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "compare_bench.py"),
+         str(new), str(old)],
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert proc.returncode == 1, proc.stdout  # flags kept
+    assert proc.stdout.count("REGRESSED") == 6, proc.stdout
+    assert "host stall" in proc.stdout, proc.stdout

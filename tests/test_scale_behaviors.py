@@ -214,3 +214,24 @@ def test_decode_fanout_scales_with_input(spark, monkeypatch):
     assert TB.decode_fanout(spark, "huge") == 4 * cores
     monkeypatch.setenv("SPARK_GRAFT_DECODE_ROWS_PER_TASK", "10240")
     assert TB.decode_fanout(spark, "mid") == min(4 * cores, 2)
+
+
+def test_arrow_byte_cap_env_optin(monkeypatch):
+    """SPARK_GRAFT_ARROW_MAX_BYTES (round-10 queue item): unset, the
+    session must NOT override Spark's own Arrow byte cap (the driver's
+    bench measures the stock boundary); set, the runtime-conf map must
+    carry it through. Pure module-reload test — no session built."""
+    import importlib
+
+    import dataflowjavasdk_spark.session as sess
+
+    key = "spark.sql.execution.arrow.maxBytesPerBatch"
+    monkeypatch.delenv("SPARK_GRAFT_ARROW_MAX_BYTES", raising=False)
+    importlib.reload(sess)
+    assert key not in sess._RUNTIME_CONFS
+    monkeypatch.setenv("SPARK_GRAFT_ARROW_MAX_BYTES", "16777216")
+    importlib.reload(sess)
+    assert sess._RUNTIME_CONFS[key] == "16777216"
+    # restore the import-time state for the rest of the suite
+    monkeypatch.delenv("SPARK_GRAFT_ARROW_MAX_BYTES", raising=False)
+    importlib.reload(sess)

@@ -184,6 +184,7 @@ def main() -> int:
         return 2
     new = new_payload["queries"]
     flags = []
+    flagged_warm_ratios: list[tuple[str, float]] = []
     speed = 1.0  # host-speed shift factor (median round-over-round ratio)
 
     if old_path:
@@ -277,7 +278,40 @@ def main() -> int:
             elif ratio > band:
                 mark = "  <-- REGRESSED"
                 flags.append((name, f"{ratio:.2f}x vs prev round (speed-adjusted; raw {raw:.2f}x)"))
+                flagged_warm_ratios.append((name, ratio))
             print(f"  {name:34s} {t_new:8.1f} ms  {ratio:5.2f}x{mark}")
+
+        # Bimodal-weather advisory (round-10 lesson): a mid-run host
+        # stall inflates a CLUSTER of queries by a roughly common factor
+        # while the rest sit at ~1x — the median normalization above
+        # absorbs only the majority mode, so the stalled cluster reads
+        # as N independent "REGRESSED" rows (observed: one stalled bench
+        # run flagged 35 untouched sub-100 ms queries in its second
+        # half). When >=4 flagged rows share a factor within a 1.35x
+        # geometric band, say so. The flags are DELIBERATELY kept (exit
+        # code unchanged): a regression in a shared helper moves many
+        # queries by a common factor too, and a gate must not teach
+        # itself to ignore that shape — the advisory tells the human to
+        # re-run the bench before acting, not to dismiss the rows.
+        if len(flagged_warm_ratios) >= 4:
+            import math
+
+            logs = sorted(math.log(r) for _, r in flagged_warm_ratios)
+            mid = logs[len(logs) // 2]
+            cluster = [
+                n
+                for n, r in flagged_warm_ratios
+                if abs(math.log(r) - mid) <= math.log(1.35)
+            ]
+            if len(cluster) >= 4:
+                print(
+                    f"\n  NOTE: {len(cluster)} flagged queries share a common "
+                    f"~{math.exp(mid):.2f}x factor — the signature of a mid-run "
+                    "host stall (bimodal weather), not of independent code "
+                    "regressions. Re-run the bench before acting on these flags; "
+                    "they are kept because a shared-helper regression has the "
+                    "same shape."
+                )
 
         # first_run (one-shot pipeline cost incl. checkpoint
         # materialization): compare when both rounds carry it —

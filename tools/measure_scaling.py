@@ -48,6 +48,65 @@ sys.path.insert(0, _REPO_ROOT)
 
 TOLERANCE = 1.3
 
+# A row joins the throughput-baseline pool only if its warm time tracks
+# input scale: largest-decade slope >= 0.3 (warm time at least ~2x over a
+# 10x decade). Pinned-aggregate warm paths read ~flat ms at any scale, so
+# their top-scale ms_per_krow is an arbitrary small constant, not a
+# throughput (round-10 false flags: edit_distance_near_dups 32.2x and the
+# long-cleared pii_redaction 27.6x vs a curation2 median set by flat rows).
+SCALE_TRACKING_MIN = 0.3
+
+
+def apply_throughput_flags(report, top_key, slope_key, fam_of) -> int:
+    """Annotate `report` rows with the family-relative throughput verdict.
+
+    Every row with a top-scale ms_per_krow is JUDGED, but only
+    scale-tracking rows (see SCALE_TRACKING_MIN) define the family /
+    global baseline medians. Families need >=3 baseline members (else
+    fall back to the global baseline median, needing >=5; else skip the
+    judgment rather than fabricate a baseline). Returns the number of
+    rows flagged `throughput_outlier`. Pure dict-in/dict-out so the
+    membership rule is unit-testable without Spark."""
+    per_family: dict[str, list[float]] = {}
+    tops: dict[str, float] = {}
+    for name, row in report.items():
+        v = (row.get("ms_per_krow") or {}).get(top_key)
+        if v is None:
+            continue
+        tops[name] = v
+        tracking = (
+            slope_key is not None
+            and row.get(slope_key) is not None
+            and row[slope_key] >= SCALE_TRACKING_MIN
+        )
+        row["throughput_baseline_member"] = tracking
+        if tracking:
+            per_family.setdefault(fam_of(name), []).append(v)
+    all_vals = sorted(
+        v
+        for name, v in tops.items()
+        if report[name].get("throughput_baseline_member")
+    )
+    n_flagged = 0
+    for name, row in report.items():
+        v = tops.get(name)
+        if v is None:
+            continue
+        fam = fam_of(name)
+        fam_vals = per_family.get(fam, [])
+        if len(fam_vals) >= 3:
+            base = statistics.median(fam_vals)
+        elif len(all_vals) >= 5:
+            base = statistics.median(all_vals)
+        else:
+            continue
+        row["throughput_family"] = fam
+        row["throughput_vs_family_median"] = round(v / base, 2) if base else None
+        if base and v > 8 * base:
+            row["throughput_outlier"] = True
+            n_flagged += 1
+    return n_flagged
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -208,40 +267,21 @@ def main() -> int:
 
     # Family-relative throughput outliers: compare each query's top-scale
     # ms_per_krow against the median of its query MODULE (dedup, text,
-    # curation*, ...). A query >8x its family median is flagged — this is
-    # the automatic version of the audit that caught intra_doc_trim
-    # (~7x its text-family peers) and the minhash verify constant by
-    # hand in round 9. Families need >=3 measured members to judge
-    # (else fall back to the global median of this run, needing >=5);
-    # sparse runs (--only one query) skip the judgment rather than
-    # fabricate a baseline.
-    top_key = str(scales[-1][0])
-    per_family: dict[str, list[float]] = {}
-    tops: dict[str, float] = {}
-    for name, row in report.items():
-        v = row["ms_per_krow"].get(top_key)
-        if v is not None:
-            fam = getattr(qs[name], "__module__", "?").rsplit(".", 1)[-1]
-            per_family.setdefault(fam, []).append(v)
-            tops[name] = v
-    all_vals = sorted(tops.values())
-    for name, row in report.items():
-        v = tops.get(name)
-        if v is None:
-            continue
-        fam = getattr(qs[name], "__module__", "?").rsplit(".", 1)[-1]
-        fam_vals = per_family.get(fam, [])
-        if len(fam_vals) >= 3:
-            base = statistics.median(fam_vals)
-        elif len(all_vals) >= 5:
-            base = statistics.median(all_vals)
-        else:
-            continue
-        row["throughput_family"] = fam
-        row["throughput_vs_family_median"] = round(v / base, 2) if base else None
-        if base and v > 8 * base:
-            row["throughput_outlier"] = True
-            n_flagged += 1
+    # curation*, ...) — the automatic version of the audit that caught
+    # intra_doc_trim (~7x its text-family peers) and the minhash verify
+    # constant by hand in round 9. Only scale-tracking rows define the
+    # baseline (see apply_throughput_flags / SCALE_TRACKING_MIN — the
+    # round-10 fix for the pinned-flat-baseline false flags).
+    n_flagged += apply_throughput_flags(
+        report,
+        top_key=str(scales[-1][0]),
+        slope_key=(
+            f"slope_{_fmt(scales[-2][0])}_to_{_fmt(scales[-1][0])}"
+            if len(scales) >= 2
+            else None
+        ),
+        fam_of=lambda n: getattr(qs[n], "__module__", "?").rsplit(".", 1)[-1],
+    )
 
     with open(args.out, "w") as fh:
         json.dump(report, fh, indent=1)
