@@ -182,6 +182,11 @@ BMP_FEATURES_SCHEMA = (
 )
 
 
+# KSDATAFORMAT_SUBTYPE_PCM ({00000001-0000-0010-8000-00AA00389B71}) as
+# the 16 on-disk GUID bytes (little-endian data1/2/3, big-endian data4).
+_SUBTYPE_PCM_GUID = b"\x01\x00\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+
+
 def _parse_wav(payload: bytes) -> tuple[int, int, int, bytes]:
     """RIFF/PCM chunk walk only (no sample math): returns
     (sample_rate, n_channels, byte_width, raw_data_bytes). Shared by the
@@ -193,6 +198,7 @@ def _parse_wav(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("not a RIFF/WAVE payload")
     off, n = 12, len(payload)
     rate = nch = width = fmt_tag = None
+    fmt_ext = b""
     raw = None
     while off + 8 <= n:
         cid = payload[off : off + 4]
@@ -202,12 +208,32 @@ def _parse_wav(payload: bytes) -> tuple[int, int, int, bytes]:
                 "<HHIIHH", payload, off + 8
             )
             width = bits // 8
-        elif cid == b"data":
+            # cbSize + extension bytes (present for WAVE_FORMAT_EXTENSIBLE)
+            fmt_ext = payload[off + 8 + 16 : off + 8 + sz]
+        elif cid == b"data" and raw is None:
+            # The declared size must fit inside the payload: a silent
+            # slice truncation that happened to stay frame-aligned would
+            # drop tail samples without an error (ADVICE r10). And the
+            # FIRST data chunk wins, matching the stdlib wave module's
+            # semantics (a later chunk must not overwrite it).
+            if off + 8 + sz > n:
+                raise ValueError("truncated WAV data chunk")
             raw = payload[off + 8 : off + 8 + sz]
         off += 8 + sz + (sz & 1)  # chunks are word-aligned
     if rate is None or raw is None:
         raise ValueError("missing fmt /data chunk in WAVE payload")
-    if fmt_tag not in (1, 0xFFFE):  # integer PCM / extensible-PCM
+    if fmt_tag == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the real format lives in the
+        # extension's SubFormat GUID. Require KSDATAFORMAT_SUBTYPE_PCM —
+        # an extensible IEEE-float/A-law file must raise like any other
+        # unsupported format, not decode as int PCM garbage (ADVICE r10).
+        # Layout after the 16 base fmt bytes: cbSize(2) +
+        # wValidBitsPerSample(2) + dwChannelMask(4) + SubFormat GUID(16).
+        if len(fmt_ext) < 24 or fmt_ext[8:24] != _SUBTYPE_PCM_GUID:
+            raise ValueError(
+                "unsupported WAVE_FORMAT_EXTENSIBLE SubFormat (PCM only)"
+            )
+    elif fmt_tag != 1:  # integer PCM
         raise ValueError(f"unsupported WAVE format tag {fmt_tag}")
     if width not in (1, 2, 4):
         raise ValueError(f"unsupported PCM sample width {width}")
@@ -493,7 +519,14 @@ def extract_audio_features(df: DataFrame, payload_col: str = "payload") -> DataF
                     ics[0] = 0
                     np.cumsum(d, dtype=np.int64, out=ics[1:])
                     ends = starts + n
-                    num = ics[np.maximum(ends - 1, starts)] - ics[starts]
+                    # Clamp both gather indices to d.size (ics's last
+                    # valid index): a ZERO-LENGTH clip at the END of the
+                    # chunk has starts == mono.size, one past ics — the
+                    # clamped values are discarded anyway by the n > 1
+                    # mask below (ADVICE r10 repro: empty data chunk as
+                    # the chunk's last row crashed with IndexError).
+                    hi = np.minimum(np.maximum(ends - 1, starts), d.size)
+                    num = ics[hi] - ics[np.minimum(starts, d.size)]
                 else:
                     num = np.zeros(len(n), dtype=np.int64)
                 zcr = np.where(n > 1, num / np.maximum(n - 1, 1), 0.0)
@@ -1002,8 +1035,14 @@ def extract_audio_frame_energy(
                 nf = lens // frame
                 fm = _gather_framed(mono, starts, nf, frame)
                 # per-frame rms: same (frame,)-axis reduction as the
-                # per-row path, so every frame's value is bit-identical;
-                # squares land in a pooled chunk-scale buffer.
+                # per-row path, so every frame's value is bit-identical.
+                # The per-CLIP mean below (_segment_sums / nf) is a
+                # sequential reduceat accumulation where the per-row
+                # path used np.mean's pairwise sum — equal after the
+                # query layer's round(..., 9), not bit-equal in general
+                # (ADVICE r10); every oracle comparison on these columns
+                # goes through that rounding discipline. Squares land in
+                # a pooled chunk-scale buffer.
                 sq = _POOL.f64("framed_sq", fm.size).reshape(fm.shape)
                 np.multiply(fm, fm, out=sq)
                 frms = np.sqrt(sq.mean(axis=1))

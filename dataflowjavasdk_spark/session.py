@@ -54,9 +54,12 @@ _RUNTIME_CONFS: dict[str, str] = {
 # with multi-MB media payloads the byte cap is what bounds each Python
 # worker's resident batch. Opt-in via env because the local fixtures'
 # KB-scale payloads cannot exercise it — unset, the session keeps
-# Spark's own default (64m in 4.1), so the driver's bench measures the
-# stock boundary. On a media-heavy cluster size it so (bytes-per-batch
-# x concurrent tasks) fits executor memory, e.g. 16-32m for 5-20 MB
+# Spark's stock behavior, where the worker's byte-cap fallback is
+# 2^31-1 bytes, i.e. effectively unbounded (~2 GiB per batch; the 10k
+# row cap is what actually binds — verified against the installed
+# PySpark 4.1.2 worker, ADVICE r10), which is exactly why a media-heavy
+# cluster should SET this knob. Size it so (bytes-per-batch x
+# concurrent tasks) fits executor memory, e.g. 16-32m for 5-20 MB
 # payloads.
 if os.environ.get("SPARK_GRAFT_ARROW_MAX_BYTES"):
     _RUNTIME_CONFS["spark.sql.execution.arrow.maxBytesPerBatch"] = os.environ[

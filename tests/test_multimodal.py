@@ -1326,3 +1326,147 @@ def test_wav_batch_pool_reuse_shrinking_batches():
     sums = _segment_sums(mono * mono, starts, lens)
     for i, m in enumerate(refs):
         assert sums[i] == np.add.reduce(m * m)
+
+
+def _empty_wav_bytes():
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"")
+    return buf.getvalue()
+
+
+def test_audio_features_empty_clip_last_in_batch(spark):
+    """ADVICE r10 regression (repro'd): a zero-length WAV (empty data
+    chunk — valid PCM) as a batch's LAST row made the zero-crossing
+    gather index one past the cumsum buffer (starts == mono.size) and
+    crashed with IndexError. Empty clips must report rms=0.0/zcr=0.0
+    like the pre-round-10 per-row path, wherever they fall in the
+    batch."""
+    from dataflowjavasdk_spark.functions import multimodal as M
+
+    rows = [
+        (1, bytearray(_wav_bytes(seconds=0.05))),
+        (2, bytearray(_empty_wav_bytes())),  # empty clip LAST
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).coalesce(1)
+    got = {r["media_id"]: r for r in M.extract_audio_features(df).collect()}
+    assert got[2]["n_samples"] == 0
+    assert got[2]["rms"] == 0.0
+    assert got[2]["zero_crossing_rate"] == 0.0
+    assert got[2]["duration_s"] == 0.0
+    assert got[1]["n_samples"] == 400 and got[1]["rms"] > 0.0
+    # frame-energy path over the same batch shape stays healthy too
+    fr = {
+        r["media_id"]: r
+        for r in M.extract_audio_frame_energy(df).collect()
+    }
+    assert fr[2]["n_frames"] == 0 and fr[2]["mean_frame_rms"] == 0.0
+
+
+def _extensible_wav_bytes(subformat_guid: bytes, n_frames: int = 40):
+    """Hand-built WAVE_FORMAT_EXTENSIBLE (fmt tag 0xFFFE) 16-bit mono
+    payload with the given 16-byte SubFormat GUID."""
+    import struct
+
+    import numpy as np
+
+    pcm = (np.arange(n_frames, dtype=np.int64) * 321 - 5000).astype("<i2")
+    data = pcm.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 0xFFFE, 1, 8000, 8000 * 2, 2, 16
+    ) + struct.pack("<HHI", 22, 16, 0x4) + subformat_guid
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_parse_wav_extensible_subformat_guid():
+    """ADVICE r10: WAVE_FORMAT_EXTENSIBLE must be gated on the
+    extension's SubFormat GUID — PCM decodes (bit-equal to the tag-1
+    twin), IEEE-float raises instead of decoding as int PCM garbage."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+    import pytest
+
+    from dataflowjavasdk_spark.functions.multimodal import (
+        _SUBTYPE_PCM_GUID,
+        decode_wav,
+    )
+
+    good = _extensible_wav_bytes(_SUBTYPE_PCM_GUID)
+    rate, nch, samples = decode_wav(good)
+    assert (rate, nch) == (8000, 1)
+    # tag-1 twin with identical sample bytes
+    pcm = (np.arange(40, dtype=np.int64) * 321 - 5000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(pcm.tobytes())
+    assert np.array_equal(samples, decode_wav(buf.getvalue())[2])
+
+    float_guid = b"\x03" + _SUBTYPE_PCM_GUID[1:]  # KSDATAFORMAT IEEE_FLOAT
+    with pytest.raises(ValueError, match="SubFormat"):
+        decode_wav(_extensible_wav_bytes(float_guid))
+    # truncated extension (no GUID at all) also rejects
+    trunc = _extensible_wav_bytes(_SUBTYPE_PCM_GUID)
+    # shrink the fmt chunk's declared size to the 16 base bytes
+    fmt_off = trunc.index(b"fmt ")
+    trunc = (
+        trunc[: fmt_off + 4]
+        + struct.pack("<I", 16)
+        + trunc[fmt_off + 8 : fmt_off + 8 + 16]
+        + trunc[trunc.index(b"data") :]
+    )
+    with pytest.raises(ValueError, match="SubFormat"):
+        decode_wav(trunc)
+
+
+def test_parse_wav_data_chunk_strictness():
+    """ADVICE r10: a data chunk whose declared size overruns the payload
+    must raise (not silently truncate), and the FIRST data chunk wins
+    when several are present (stdlib wave semantics)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from dataflowjavasdk_spark.functions.multimodal import decode_wav
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    a = (np.arange(10, dtype=np.int64) * 100).astype("<i2").tobytes()
+    b = (np.arange(10, dtype=np.int64) * 7 + 3).astype("<i2").tobytes()
+
+    def riff(*chunks):
+        body = b"WAVE" + b"".join(
+            cid + struct.pack("<I", len(data)) + data for cid, data in chunks
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    two = riff((b"fmt ", fmt), (b"data", a), (b"data", b))
+    _, _, samples = decode_wav(two)
+    assert np.array_equal(
+        samples.ravel(), np.frombuffer(a, "<i2").astype(np.float64) / 32768.0
+    )
+
+    overrun = riff((b"fmt ", fmt), (b"data", a))
+    # bump the declared data size past the payload end
+    off = overrun.index(b"data") + 4
+    overrun = overrun[:off] + struct.pack("<I", len(a) + 4) + overrun[off + 4 :]
+    with pytest.raises(ValueError, match="truncated WAV data chunk"):
+        decode_wav(overrun)
