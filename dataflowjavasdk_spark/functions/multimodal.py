@@ -128,21 +128,28 @@ def extract_image_features(df: DataFrame, payload_col: str = "payload") -> DataF
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            out = []
-            for media_id, payload in zip(batch["media_id"], batch[payload_col]):
+            n_rows = len(batch)
+            width = np.empty(n_rows, np.int64)
+            height = np.empty(n_rows, np.int64)
+            mean_luma = np.empty(n_rows, np.float64)
+            phash = np.empty(n_rows, np.int64)
+            for i, payload in enumerate(batch[payload_col]):
                 img = _decode_image(bytes(payload))
                 luma = _luma_plane(img)
-                out.append(
-                    {
-                        "media_id": media_id,
-                        "width": img.shape[1],
-                        "height": img.shape[0],
-                        "mean_luma": float(luma.mean()),
-                        "phash": _ahash_any_dims(luma),
-                    }
-                )
+                width[i] = img.shape[1]
+                height[i] = img.shape[0]
+                mean_luma[i] = luma.mean()
+                phash[i] = _ahash_any_dims(luma)
+            # columnar assembly (round 11, guide §4.2); decode + luma
+            # math unchanged
             yield pd.DataFrame(
-                out, columns=["media_id", "width", "height", "mean_luma", "phash"]
+                {
+                    "media_id": batch["media_id"].to_numpy(),
+                    "width": width,
+                    "height": height,
+                    "mean_luma": mean_luma,
+                    "phash": phash,
+                }
             )
 
     return df.select("media_id", payload_col).mapInPandas(
@@ -631,28 +638,32 @@ def extract_bmp_features(df: DataFrame, payload_col: str = "payload") -> DataFra
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            out = []
-            for media_id, payload in zip(batch["media_id"], batch[payload_col]):
+            n_rows = len(batch)
+            width = np.empty(n_rows, np.int64)
+            height = np.empty(n_rows, np.int64)
+            means = np.empty((n_rows, 3), np.float64)
+            for i, payload in enumerate(batch[payload_col]):
                 img = decode_bmp(bytes(payload))
-                means = img.reshape(-1, 3).mean(axis=0)
-                luma = 0.299 * means[0] + 0.587 * means[1] + 0.114 * means[2]
-                out.append(
-                    {
-                        "media_id": media_id,
-                        "width": img.shape[1],
-                        "height": img.shape[0],
-                        "mean_r": float(means[0]),
-                        "mean_g": float(means[1]),
-                        "mean_b": float(means[2]),
-                        "mean_luma": float(luma),
-                    }
-                )
+                # Round 11 (guide §4.2): channel means as exact integer
+                # sums / n_pixels — the sums are < 2^53 so the old
+                # pairwise float64 mean computed the same exact integer;
+                # one correctly-rounded division each, bit-identical.
+                # Columnar assembly replaces the per-row list of dicts.
+                sums = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                means[i] = sums / (img.shape[0] * img.shape[1])
+                width[i] = img.shape[1]
+                height[i] = img.shape[0]
+            luma = 0.299 * means[:, 0] + 0.587 * means[:, 1] + 0.114 * means[:, 2]
             yield pd.DataFrame(
-                out,
-                columns=[
-                    "media_id", "width", "height",
-                    "mean_r", "mean_g", "mean_b", "mean_luma",
-                ],
+                {
+                    "media_id": batch["media_id"].to_numpy(),
+                    "width": width,
+                    "height": height,
+                    "mean_r": means[:, 0],
+                    "mean_g": means[:, 1],
+                    "mean_b": means[:, 2],
+                    "mean_luma": luma,
+                }
             )
 
     return df.select("media_id", payload_col).mapInPandas(
@@ -706,27 +717,49 @@ def extract_resized_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            out = []
-            for media_id, payload in zip(batch["media_id"], batch[payload_col]):
+            n_rows = len(batch)
+            ow = np.empty(n_rows, np.int64)
+            oh = np.empty(n_rows, np.int64)
+            nnr = np.empty(n_rows, np.float64)
+            boxr = np.empty(n_rows, np.float64)
+            mg = np.empty(n_rows, np.float64)
+            if factor < 1:  # resize_nearest/resize_box contract
+                raise ValueError(f"factor must be >= 1, got {factor}")
+            for i, payload in enumerate(batch[payload_col]):
                 img = decode_bmp(bytes(payload))
-                nn = resize_nearest(img, factor)
-                box = resize_box(img, factor)
-                out.append(
-                    {
-                        "media_id": media_id,
-                        "out_width": nn.shape[1],
-                        "out_height": nn.shape[0],
-                        "nn_mean_r": float(nn[..., 0].mean()),
-                        "box_mean_r": float(box[..., 0].mean()),
-                        "mean_g": float(box[..., 1].mean()),
-                    }
+                h, w = img.shape[:2]
+                if h % factor or w % factor:  # resize_box contract
+                    raise ValueError(
+                        f"dims {w}x{h} not divisible by factor {factor}"
+                    )
+                # Round 11 (guide §4.2): both kernels reduce to channel
+                # MEANS, so neither downscaled image needs materializing.
+                # nn mean = mean over the stride-sampled pixels; box mean
+                # = mean over ALL pixels (each factor x factor block
+                # contributes its exact block mean, and every block has
+                # equal weight — resize_box enforces divisibility).
+                # Bit-identical: all sums are exact integers < 2^53, the
+                # old pairwise float64 means summed those same integers
+                # exactly, and fl(S/4)/nblocks == fl(S/(h*w)) because
+                # S/4 is an exact dyadic intermediate. Verified bit-equal
+                # on the full fixture corpus + pinned by test.
+                nn = img[::factor, ::factor]
+                ow[i] = nn.shape[1]
+                oh[i] = nn.shape[0]
+                nnr[i] = int(nn[..., 0].sum(dtype=np.int64)) / (
+                    nn.shape[0] * nn.shape[1]
                 )
+                boxr[i] = int(img[..., 0].sum(dtype=np.int64)) / (h * w)
+                mg[i] = int(img[..., 1].sum(dtype=np.int64)) / (h * w)
             yield pd.DataFrame(
-                out,
-                columns=[
-                    "media_id", "out_width", "out_height",
-                    "nn_mean_r", "box_mean_r", "mean_g",
-                ],
+                {
+                    "media_id": batch["media_id"].to_numpy(),
+                    "out_width": ow,
+                    "out_height": oh,
+                    "nn_mean_r": nnr,
+                    "box_mean_r": boxr,
+                    "mean_g": mg,
+                }
             )
 
     return df.select("media_id", payload_col).mapInPandas(
@@ -770,13 +803,19 @@ def extract_image_ahash(df: DataFrame, payload_col: str = "payload") -> DataFram
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            out = []
-            for media_id, payload in zip(batch["media_id"], batch[payload_col]):
-                hi, lo = ahash64(decode_bmp(bytes(payload)))
-                out.append(
-                    {"media_id": media_id, "hash_hi": hi, "hash_lo": lo}
-                )
-            yield pd.DataFrame(out, columns=["media_id", "hash_hi", "hash_lo"])
+            n_rows = len(batch)
+            hh = np.empty(n_rows, np.int64)
+            hl = np.empty(n_rows, np.int64)
+            for i, payload in enumerate(batch[payload_col]):
+                hh[i], hl[i] = ahash64(decode_bmp(bytes(payload)))
+            # columnar assembly (round 11, guide §4.2); hash math unchanged
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"].to_numpy(),
+                    "hash_hi": hh,
+                    "hash_lo": hl,
+                }
+            )
 
     return df.select("media_id", payload_col).mapInPandas(
         run, schema=AHASH_SCHEMA
@@ -916,32 +955,38 @@ def extract_png_features(df: DataFrame, payload_col: str = "payload") -> DataFra
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            out = []
-            for media_id, payload in zip(batch["media_id"], batch[payload_col]):
+            n_rows = len(batch)
+            width = np.empty(n_rows, np.int64)
+            height = np.empty(n_rows, np.int64)
+            nchs = np.empty(n_rows, np.int64)
+            means = np.empty((n_rows, 3), np.float64)
+            for i, payload in enumerate(batch[payload_col]):
                 img = decode_png(bytes(payload))
+                npix = img.shape[0] * img.shape[1]
+                # exact-integer channel sums / one division — bit-equal
+                # to the old pairwise float64 means (sums < 2^53);
+                # columnar assembly (round 11, guide §4.2)
                 if img.ndim == 2:
-                    m = float(img.mean())
-                    means, nch = (m, m, m), 1
+                    means[i] = int(img.sum(dtype=np.int64)) / npix
+                    nchs[i] = 1
                 else:
-                    mm = img.reshape(-1, img.shape[2]).mean(axis=0)
-                    means, nch = (float(mm[0]), float(mm[1]), float(mm[2])), img.shape[2]
-                out.append(
-                    {
-                        "media_id": media_id,
-                        "width": img.shape[1],
-                        "height": img.shape[0],
-                        "n_channels": nch,
-                        "mean_r": means[0],
-                        "mean_g": means[1],
-                        "mean_b": means[2],
-                    }
-                )
+                    sums = img.reshape(-1, img.shape[2]).sum(
+                        axis=0, dtype=np.int64
+                    )
+                    means[i] = sums[:3] / npix
+                    nchs[i] = img.shape[2]
+                width[i] = img.shape[1]
+                height[i] = img.shape[0]
             yield pd.DataFrame(
-                out,
-                columns=[
-                    "media_id", "width", "height", "n_channels",
-                    "mean_r", "mean_g", "mean_b",
-                ],
+                {
+                    "media_id": batch["media_id"].to_numpy(),
+                    "width": width,
+                    "height": height,
+                    "n_channels": nchs,
+                    "mean_r": means[:, 0],
+                    "mean_g": means[:, 1],
+                    "mean_b": means[:, 2],
+                }
             )
 
     return df.select("media_id", payload_col).mapInPandas(
@@ -966,40 +1011,42 @@ def extract_jpeg_features(df: DataFrame, payload_col: str = "payload") -> DataFr
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            out = []
-            for media_id, payload in zip(batch["media_id"], batch[payload_col]):
+            n_rows = len(batch)
+            width = np.empty(n_rows, np.int64)
+            height = np.empty(n_rows, np.int64)
+            ncomp = np.empty(n_rows, np.int64)
+            mean_y = np.empty(n_rows, np.float64)
+            # chroma means stay OBJECT lists: grayscale rows are SQL
+            # NULL, and a float64 column would turn None into NaN
+            mean_cb: list = [None] * n_rows
+            mean_cr: list = [None] * n_rows
+            for i, payload in enumerate(batch[payload_col]):
                 img = decode_jpeg(bytes(payload))
+                npix = img.shape[0] * img.shape[1]
+                width[i] = img.shape[1]
+                height[i] = img.shape[0]
+                # exact-integer plane sums / one division — bit-equal to
+                # the old pairwise float64 means (sums < 2^53); columnar
+                # assembly (round 11, guide §4.2)
                 if img.ndim == 2:
-                    out.append(
-                        {
-                            "media_id": media_id,
-                            "width": img.shape[1],
-                            "height": img.shape[0],
-                            "n_components": 1,
-                            "mean_y": float(img.mean()),
-                            "mean_cb": None,
-                            "mean_cr": None,
-                        }
-                    )
+                    ncomp[i] = 1
+                    mean_y[i] = int(img.sum(dtype=np.int64)) / npix
                 else:
-                    mm = img.reshape(-1, 3).mean(axis=0)
-                    out.append(
-                        {
-                            "media_id": media_id,
-                            "width": img.shape[1],
-                            "height": img.shape[0],
-                            "n_components": 3,
-                            "mean_y": float(mm[0]),
-                            "mean_cb": float(mm[1]),
-                            "mean_cr": float(mm[2]),
-                        }
-                    )
+                    ncomp[i] = 3
+                    sums = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                    mean_y[i] = sums[0] / npix
+                    mean_cb[i] = sums[1] / npix
+                    mean_cr[i] = sums[2] / npix
             yield pd.DataFrame(
-                out,
-                columns=[
-                    "media_id", "width", "height", "n_components",
-                    "mean_y", "mean_cb", "mean_cr",
-                ],
+                {
+                    "media_id": batch["media_id"].to_numpy(),
+                    "width": width,
+                    "height": height,
+                    "n_components": ncomp,
+                    "mean_y": mean_y,
+                    "mean_cb": pd.Series(mean_cb, dtype=object),
+                    "mean_cr": pd.Series(mean_cr, dtype=object),
+                }
             )
 
     return df.select("media_id", payload_col).mapInPandas(
@@ -1203,8 +1250,13 @@ def extract_mjpeg_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            out = []
-            for media_id, payload in zip(batch["media_id"], batch[payload_col]):
+            n_rows = len(batch)
+            nf = np.empty(n_rows, np.int64)
+            ns = np.empty(n_rows, np.int64)
+            width = np.empty(n_rows, np.int64)
+            height = np.empty(n_rows, np.int64)
+            luma = np.empty(n_rows, np.float64)
+            for i, payload in enumerate(batch[payload_col]):
                 raw = extract_mjpeg_frames(bytes(payload))
                 if not raw:
                     # mirror decode_avi_mjpeg's clean rejection: a parseable
@@ -1215,22 +1267,22 @@ def extract_mjpeg_features(
                     (fr if fr.ndim == 2 else fr[..., 0]).mean() for fr in sampled
                 ]
                 first = sampled[0]
-                out.append(
-                    {
-                        "media_id": media_id,
-                        "n_frames": len(raw),
-                        "n_sampled": len(sampled),
-                        "width": first.shape[1],
-                        "height": first.shape[0],
-                        "mean_luma": float(np.mean(lumas)),
-                    }
-                )
+                nf[i] = len(raw)
+                ns[i] = len(sampled)
+                width[i] = first.shape[1]
+                height[i] = first.shape[0]
+                luma[i] = np.mean(lumas)
+            # columnar assembly (round 11, guide §4.2); the per-frame
+            # decode + mean math is unchanged
             yield pd.DataFrame(
-                out,
-                columns=[
-                    "media_id", "n_frames", "n_sampled",
-                    "width", "height", "mean_luma",
-                ],
+                {
+                    "media_id": batch["media_id"].to_numpy(),
+                    "n_frames": nf,
+                    "n_sampled": ns,
+                    "width": width,
+                    "height": height,
+                    "mean_luma": luma,
+                }
             )
 
     return df.select("media_id", payload_col).mapInPandas(
@@ -1247,34 +1299,56 @@ GIF_FEATURES_SCHEMA = (
 def extract_gif_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """REAL GIF feature extraction (functions/video.decode_gif — LZW +
     palette): frame count, declared palette size, dimensions, and the
-    palette-resolved mean RGB across all frames."""
+    palette-resolved mean RGB across all frames.
+
+    Round 11 (guide §4.2 — per-payload feature math dominated the
+    decode 2:1): the mean RGB is computed from an integer palette-index
+    HISTOGRAM — counts = bincount(all frame indices), channel sum =
+    counts · palette, mean = sum / n_pixels — instead of materializing
+    the (n_frames, h, w, 3) float64 palette-gather and pairwise-meaning
+    it. Bit-identical, not approximately: every channel sum is an exact
+    integer below 2^53, so the float64 pairwise sum the old np.mean
+    computed equals the exact histogram dot product, and the single
+    division is correctly rounded in both. Output assembly is columnar
+    (preallocated arrays), not a per-row list of dicts. Verified
+    bit-equal on the full 5,000-payload fixture corpus and pinned by
+    test against the old formulation on random GIFs."""
     from dataflowjavasdk_spark.functions.video import decode_gif
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            out = []
-            for media_id, payload in zip(batch["media_id"], batch[payload_col]):
+            n_rows = len(batch)
+            n_frames = np.empty(n_rows, np.int64)
+            pal_size = np.empty(n_rows, np.int64)
+            width = np.empty(n_rows, np.int64)
+            height = np.empty(n_rows, np.int64)
+            means = np.empty((n_rows, 3), np.float64)
+            for i, payload in enumerate(batch[payload_col]):
                 palette, frames = decode_gif(bytes(payload))
-                rgb = np.stack([palette[f] for f in frames]).astype(np.float64)
-                means = rgb.reshape(-1, 3).mean(axis=0)
-                out.append(
-                    {
-                        "media_id": media_id,
-                        "n_frames": len(frames),
-                        "palette_size": int(palette.shape[0]),
-                        "width": frames[0].shape[1],
-                        "height": frames[0].shape[0],
-                        "mean_r": float(means[0]),
-                        "mean_g": float(means[1]),
-                        "mean_b": float(means[2]),
-                    }
+                f0 = frames[0]
+                idx = (
+                    np.concatenate([f.ravel() for f in frames])
+                    if len(frames) > 1
+                    else f0.ravel()
                 )
+                counts = np.bincount(idx, minlength=palette.shape[0])
+                sums = counts @ palette.astype(np.int64)  # exact int64
+                means[i] = sums / idx.size
+                n_frames[i] = len(frames)
+                pal_size[i] = palette.shape[0]
+                width[i] = f0.shape[1]
+                height[i] = f0.shape[0]
             yield pd.DataFrame(
-                out,
-                columns=[
-                    "media_id", "n_frames", "palette_size", "width",
-                    "height", "mean_r", "mean_g", "mean_b",
-                ],
+                {
+                    "media_id": batch["media_id"].to_numpy(),
+                    "n_frames": n_frames,
+                    "palette_size": pal_size,
+                    "width": width,
+                    "height": height,
+                    "mean_r": means[:, 0],
+                    "mean_g": means[:, 1],
+                    "mean_b": means[:, 2],
+                }
             )
 
     return df.select("media_id", payload_col).mapInPandas(
@@ -1320,7 +1394,11 @@ def curate_media_features(sniffed: DataFrame) -> DataFrame:
                         "media_id": media_id,
                         "media_type": mtype,
                         "units": int(img.shape[0] * img.shape[1]),
-                        "mean_pix": float(img.astype("float64").mean()),
+                        # np.mean on the uint8 array accumulates in
+                        # float64 already — same exact integer sum as
+                        # the old astype("float64").mean() without the
+                        # full-image copy (round 11)
+                        "mean_pix": float(img.mean()),
                         "rate": None,
                     }
                 )

@@ -1470,3 +1470,119 @@ def test_parse_wav_data_chunk_strictness():
     overrun = overrun[:off] + struct.pack("<I", len(a) + 4) + overrun[off + 4 :]
     with pytest.raises(ValueError, match="truncated WAV data chunk"):
         decode_wav(overrun)
+
+
+def test_media_feature_math_matches_reference_formulation(spark):
+    """Round-11 extractor rewrites (integer-histogram / integer-sum
+    means + columnar assembly) must be BIT-identical to the original
+    per-payload formulations — pinned here by recomputing the old math
+    (palette gather + pairwise np.mean; resize_nearest/resize_box then
+    .mean()) independently on random corpora."""
+    import numpy as np
+
+    from dataflowjavasdk_spark.functions import multimodal as M
+    from dataflowjavasdk_spark.functions.video import decode_gif, encode_gif
+
+    rng = np.random.default_rng(23)
+
+    # --- GIFs: random sizes (incl. 1x1), palettes, frame counts ---
+    gifs = []
+    for i in range(30):
+        h, w = int(rng.integers(1, 12)), int(rng.integers(1, 12))
+        npal = int(rng.integers(2, 9))
+        pal = [tuple(int(v) for v in rng.integers(0, 256, 3)) for _ in range(npal)]
+        frames = [
+            rng.integers(0, npal, (h, w)).astype(np.uint8)
+            for _ in range(int(rng.integers(1, 5)))
+        ]
+        gifs.append((i, bytearray(encode_gif(frames, pal))))
+    df = spark.createDataFrame(gifs, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in M.extract_gif_features(df).collect()}
+    for i, payload in gifs:
+        palette, frames = decode_gif(bytes(payload))
+        rgb = np.stack([palette[f] for f in frames]).astype(np.float64)
+        means = rgb.reshape(-1, 3).mean(axis=0)
+        r = got[i]
+        assert r["n_frames"] == len(frames)
+        assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (
+            means[0], means[1], means[2],
+        )
+
+    # --- BMPs: bmp features + both resize kernels (even dims) ---
+    bmps = []
+    for i in range(30):
+        h, w = 2 * int(rng.integers(1, 9)), 2 * int(rng.integers(1, 9))
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        bmps.append((i, img, bytearray(M.encode_bmp(img))))
+    df = spark.createDataFrame(
+        [(i, p) for i, _img, p in bmps], "media_id long, payload binary"
+    )
+    feats = {r["media_id"]: r for r in M.extract_bmp_features(df).collect()}
+    resized = {r["media_id"]: r for r in M.extract_resized_features(df).collect()}
+    for i, img, _p in bmps:
+        means = img.reshape(-1, 3).mean(axis=0)
+        luma = 0.299 * means[0] + 0.587 * means[1] + 0.114 * means[2]
+        r = feats[i]
+        assert (r["mean_r"], r["mean_g"], r["mean_b"], r["mean_luma"]) == (
+            means[0], means[1], means[2], luma,
+        )
+        nn = M.resize_nearest(img, 2)
+        box = M.resize_box(img, 2)
+        rr = resized[i]
+        assert rr["nn_mean_r"] == float(nn[..., 0].mean())
+        assert rr["box_mean_r"] == float(box[..., 0].mean())
+        assert rr["mean_g"] == float(box[..., 1].mean())
+
+    # --- PNGs: gray / RGB / RGBA ---
+    pngs = []
+    for i in range(24):
+        h, w = int(rng.integers(1, 10)), int(rng.integers(1, 10))
+        ch = (1, 3, 4)[i % 3]
+        img = (
+            rng.integers(0, 256, (h, w)).astype(np.uint8)
+            if ch == 1
+            else rng.integers(0, 256, (h, w, ch)).astype(np.uint8)
+        )
+        pngs.append((i, img, bytearray(M.encode_png(img))))
+    df = spark.createDataFrame(
+        [(i, p) for i, _img, p in pngs], "media_id long, payload binary"
+    )
+    got = {r["media_id"]: r for r in M.extract_png_features(df).collect()}
+    for i, img, _p in pngs:
+        r = got[i]
+        if img.ndim == 2:
+            m = float(img.mean())
+            assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (m, m, m)
+        else:
+            mm = img.reshape(-1, img.shape[2]).mean(axis=0)
+            assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (
+                float(mm[0]), float(mm[1]), float(mm[2]),
+            )
+
+    # --- JPEGs: gray and 4:2:0 color; NULL chroma stays NULL ---
+    from dataflowjavasdk_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    jpegs = []
+    for i in range(20):
+        h, w = int(rng.integers(1, 20)), int(rng.integers(1, 20))
+        if i % 2:
+            img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+            jpegs.append((i, bytearray(encode_jpeg(img))))
+        else:
+            img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+            jpegs.append((i, bytearray(encode_jpeg(img, subsample=True))))
+    df = spark.createDataFrame(jpegs, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in M.extract_jpeg_features(df).collect()}
+    for i, payload in jpegs:
+        img = decode_jpeg(bytes(payload))
+        r = got[i]
+        if img.ndim == 2:
+            assert r["n_components"] == 1
+            assert r["mean_y"] == float(img.mean())
+            assert r["mean_cb"] is None and r["mean_cr"] is None
+        else:
+            mm = img.reshape(-1, 3).mean(axis=0)
+            assert r["n_components"] == 3
+            assert (r["mean_y"], r["mean_cb"], r["mean_cr"]) == (
+                float(mm[0]), float(mm[1]), float(mm[2]),
+            )
