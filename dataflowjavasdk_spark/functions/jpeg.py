@@ -51,6 +51,9 @@ ZIGZAG = np.array(
     ],
     dtype=np.int64,
 )
+# Python-int twin for the entropy-decode hot loop: indexing a Python
+# list with a Python int skips the numpy scalar boxing ZIGZAG[k] pays.
+_ZIGZAG_L = ZIGZAG.tolist()
 
 # Typical Huffman tables from T.81 Annex K.3 (the tables every encoder
 # ships; public spec content). BITS[i] = #codes of length i+1; VALS =
@@ -190,6 +193,38 @@ class _BitReader:
         v = (self.buf >> self.nbits) & ((1 << n) - 1)
         self.buf &= (1 << self.nbits) - 1
         return v
+
+    def read_symbol(self, lut: list) -> int:
+        """Fused peek16 + LUT probe + consume: one call per symbol
+        instead of three (peek16/_fill/consume), same bit semantics —
+        the entropy decode's per-symbol dispatch cost halves (round 11,
+        guide §4.2 'per-task work')."""
+        nbits = self.nbits
+        buf = self.buf
+        if nbits < 16:
+            data = self.data
+            pos = self.pos
+            n = len(data)
+            while nbits < 16 and pos < n:
+                buf = (buf << 8) | data[pos]
+                pos += 1
+                nbits += 8
+            self.pos = pos
+            if nbits < 16:
+                entry = lut[(buf << (16 - nbits)) & 0xFFFF]
+            else:
+                entry = lut[(buf >> (nbits - 16)) & 0xFFFF]
+        else:
+            entry = lut[(buf >> (nbits - 16)) & 0xFFFF]
+        if entry is None:
+            raise ValueError("invalid Huffman code in JPEG stream")
+        sym, length = entry
+        if nbits < length:
+            raise ValueError("truncated JPEG entropy stream")
+        nbits -= length
+        self.buf = buf & ((1 << nbits) - 1)
+        self.nbits = nbits
+        return sym
 
 
 # 16-bit-prefix lookup tables, cached by table content: every index whose
@@ -332,17 +367,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tdta = struct.unpack_from(">BB", seg, 1 + 2 * c)
                 scan_comps.append((cs, tdta >> 4, tdta & 0x0F))
-            # entropy-coded data runs to the next non-RST marker
+            # entropy-coded data runs to the next non-RST marker. Jump
+            # 0xFF to 0xFF with bytes.find instead of walking every
+            # byte in Python (round 11: the per-byte loop was the
+            # single largest constant of the whole decode at realistic
+            # payload sizes — O(scan bytes) interpreter work for what
+            # is a memchr).
             start = pos + 2 + seglen
             end = start
-            while end + 1 < len(payload):
-                if payload[end] == 0xFF and payload[end + 1] not in (0x00,) and not (
-                    0xD0 <= payload[end + 1] <= 0xD7
-                ):
+            n_payload = len(payload)
+            while True:
+                end = payload.find(b"\xff", end)
+                if end < 0 or end + 1 >= n_payload:
+                    raise ValueError("truncated JPEG scan (no trailing marker)")
+                nxt = payload[end + 1]
+                if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
                     break
-                end += 1
-            else:
-                raise ValueError("truncated JPEG scan (no trailing marker)")
+                end += 2
             scan_data = payload[start:end]
             pos = end
             break
@@ -356,8 +397,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
+    # np.empty for scanned components, not zeros: the MCU loop below
+    # writes EVERY block of the padded grid (all m in range(n_mcus) x
+    # all (by, bx)). A frame component the scan omits (legal if odd)
+    # keeps the zero-filled plane the original code gave it.
+    scanned = {cs for cs, _td, _ta in scan_comps}
     planes = {
-        cid: np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
+        cid: (np.empty if cid in scanned else np.zeros)(
+            (mcuy * vi * 8, mcux * hi * 8), dtype=np.float64
+        )
         for cid, hi, vi, _ in comps
     }
     comp_by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
@@ -371,28 +419,37 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if (0, td) not in huff or (1, ta) not in huff:
             raise ValueError(f"component {cs} references missing DHT")
         order.append(
-            (cs, hi, vi, qt[tq], huff[(0, td)][1], huff[(1, ta)][1])
+            (
+                cs, hi, vi, qt[tq], huff[(0, td)][1], huff[(1, ta)][1],
+                planes[cs],
+                # DC flat-fill constant: pred*q00/8 == float(pred*q00)/8.0
+                # exactly (the integer product is < 2^53 and /8 only
+                # shifts the exponent), so hoisting the division out of
+                # the per-block loop cannot move a bit
+                float(qt[tq][0, 0]) / 8.0,
+            )
         )
 
     # Split the scan on restart markers; each segment restarts DC
     # prediction and is byte-aligned (T.81 E.1.4).
     if restart_interval:
+        # find-based split on RSTn markers (same memchr rationale as the
+        # scan-end jump above); byte-identical segment list.
         segments = []
-        cur = bytearray()
+        seg_start = 0
         i = 0
-        while i < len(scan_data):
-            if (
-                scan_data[i] == 0xFF
-                and i + 1 < len(scan_data)
-                and 0xD0 <= scan_data[i + 1] <= 0xD7
-            ):
-                segments.append(bytes(cur))
-                cur = bytearray()
+        n_scan = len(scan_data)
+        while True:
+            i = scan_data.find(b"\xff", i)
+            if i < 0 or i + 1 >= n_scan:
+                segments.append(scan_data[seg_start:])
+                break
+            if 0xD0 <= scan_data[i + 1] <= 0xD7:
+                segments.append(scan_data[seg_start:i])
                 i += 2
-                continue
-            cur.append(scan_data[i])
-            i += 1
-        segments.append(bytes(cur))
+                seg_start = i
+            else:
+                i += 1
     else:
         segments = [scan_data]
 
@@ -400,6 +457,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     seg_idx = 0
     reader = _BitReader(_unstuff(segments[0]))
     pred = {cs: 0 for cs, *_ in order}
+    my = mx = 0
     for m in range(n_mcus):
         if restart_interval and m and m % restart_interval == 0:
             seg_idx += 1
@@ -407,20 +465,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError("JPEG scan missing expected restart marker")
             reader = _BitReader(_unstuff(segments[seg_idx]))
             pred = {cs: 0 for cs, *_ in order}
-        my, mx = divmod(m, mcux)
-        for cs, hi, vi, qtbl, dctab, actab in order:
+        for cs, hi, vi, qtbl, dctab, actab, plane, q00d in order:
             for by in range(vi):
                 for bx in range(hi):
-                    coef = np.zeros(64, dtype=np.int32)
-                    t = _decode_symbol(reader, dctab)
+                    t = reader.read_symbol(dctab)
                     if t > 11:
                         raise ValueError(f"invalid DC category {t}")
                     pred[cs] += _extend(reader.read_bits(t), t)
-                    coef[0] = pred[cs]
+                    # coefficient storage is allocated LAZILY: DC-only
+                    # blocks (the dominant case in real photographic
+                    # corpora after quantization, and in the fixtures)
+                    # never touch numpy at all — the IDCT of a lone DC
+                    # term is a flat fill (round 11; np.zeros + scalar
+                    # stores per block dominated the per-block cost).
+                    coef: list | None = None
                     k = 0
-                    has_ac = False
                     while k < 63:
-                        rs = _decode_symbol(reader, actab)
+                        rs = reader.read_symbol(actab)
                         r, s = rs >> 4, rs & 0x0F
                         if s == 0:
                             if r == 15:  # ZRL: run of 16 zeros
@@ -430,24 +491,38 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         k += r + 1
                         if k > 63:
                             raise ValueError("AC run past end of block")
-                        coef[ZIGZAG[k]] = _extend(reader.read_bits(s), s)
-                        has_ac = True
+                        if coef is None:
+                            coef = [0] * 64
+                        coef[_ZIGZAG_L[k]] = _extend(reader.read_bits(s), s)
                     y0, x0 = (my * vi + by) * 8, (mx * hi + bx) * 8
-                    if has_ac:
-                        block = coef.reshape(8, 8) * qtbl
+                    if coef is not None:
+                        coef[0] = pred[cs]
+                        block = (
+                            np.asarray(coef, dtype=np.int32).reshape(8, 8)
+                            * qtbl
+                        )
                         px = _B.T @ block.astype(np.float64) @ _B
-                        planes[cs][y0 : y0 + 8, x0 : x0 + 8] = px
+                        plane[y0 : y0 + 8, x0 : x0 + 8] = px
                     else:
                         # DC-only block: IDCT of a lone DC term is flat
-                        planes[cs][y0 : y0 + 8, x0 : x0 + 8] = (
-                            float(coef[0] * qtbl[0, 0]) / 8.0
-                        )
+                        plane[y0 : y0 + 8, x0 : x0 + 8] = pred[cs] * q00d
+        mx += 1
+        if mx == mcux:
+            mx = 0
+            my += 1
 
     out = []
     for cid, hi, vi, _ in comps:
-        p = np.clip(np.round(planes[cid] + 128.0), 0, 255).astype(np.uint8)
-        if hi < hmax or vi < vmax:  # JFIF sample replication
-            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        rv, rh = vmax // vi, hmax // hi
+        # Crop the plane to the pixels that survive the final [:h, :w]
+        # BEFORE the round/clip/repeat passes: the MCU-padded margin is
+        # dead weight and the ops are elementwise, so values are
+        # unchanged (round 11 — on small/odd-dimension images the pad
+        # can exceed the image itself).
+        p = planes[cid][: -(-h // rv), : -(-w // rh)]
+        p = np.clip(np.round(p + 128.0), 0, 255).astype(np.uint8)
+        if rh > 1 or rv > 1:  # JFIF sample replication
+            p = np.repeat(np.repeat(p, rv, axis=0), rh, axis=1)
         out.append(p[:h, :w])
     return out[0] if len(out) == 1 else np.stack(out, axis=-1)
 
