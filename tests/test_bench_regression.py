@@ -29,7 +29,18 @@ from tools.compare_bench import SAME_PROTOCOL_MS, load, resolve  # noqa: E402
 
 
 def _rounds() -> list[str]:
-    return sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    """Main-round bench artifacts only (BENCH_r<NN>.json). The driver's
+    round-10 commit added BENCH_r10_c8.json — an 8-CORE CONTROL run with
+    its own documented tail stall (VERDICT r10) — which sorted after
+    BENCH_r10.json and made this gate compare the control run against
+    the main run (inherited-state fix, round 11)."""
+    import re
+
+    return sorted(
+        p
+        for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+        if re.fullmatch(r"BENCH_r\d+\.json", os.path.basename(p))
+    )
 
 
 def test_latest_round_has_no_regressions():
@@ -308,3 +319,43 @@ def test_stall_cluster_advisory_keeps_flags(tmp_path):
     assert proc.returncode == 1, proc.stdout  # flags kept
     assert proc.stdout.count("REGRESSED") == 6, proc.stdout
     assert "host stall" in proc.stdout, proc.stdout
+
+
+def test_stall_advisory_cites_offset_window_and_sentinel_drift(tmp_path):
+    """Round 11 (VERDICT r10 #3): with per-query warm start offsets in
+    the durable payload, the stall advisory must cite the cluster's time
+    window; an end-of-run sentinel far off its own warm median must be
+    called out as head/tail weather drift."""
+    steady = {f"steady{i}": 100.0 for i in range(6)}
+    stall = {f"stall{i}": 400.0 for i in range(6)}
+    offs = {f"steady{i}": 5.0 * i for i in range(6)}
+    offs.update({f"stall{i}": 60.0 + 5.0 * i for i in range(6)})
+    old = tmp_path / "old.json"
+    new = tmp_path / "new.json"
+    old.write_text(json.dumps({
+        "queries": {**steady, **{k: 100.0 for k in stall}, "lead": 100.0},
+        "queries_unit": "ms", "sf": 0.1,
+    }))
+    # durable-payload shape: seconds under full names
+    new.write_text(json.dumps({
+        "queries": {
+            **{k: v / 1000.0 for k, v in steady.items()},
+            **{k: 0.4 for k in stall},
+            "lead": 0.1,
+        },
+        "warm_offsets": offs,
+        "sentinels": {"lead": 0.35},  # 3.5x its warm median
+        "sentinel_offsets": {"lead": 120.0},
+        "sf": 0.1,
+    }))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "compare_bench.py"),
+         str(new), str(old)],
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert proc.returncode == 1, proc.stdout  # flags still kept
+    assert "cluster spans bench offsets 60" in proc.stdout, proc.stdout
+    assert "sentinel lead" in proc.stdout, proc.stdout
+    assert "different host weather" in proc.stdout, proc.stdout

@@ -78,6 +78,27 @@ WAIVED = {
     "q18_large_orders": "r9 aggregate-then-join rewrite: sf0.1 cost for 17x at sf1",
 }
 
+# Judge-adjudicated rows for SPECIFIC committed round artifacts, keyed by
+# artifact basename so a waiver can never leak onto a future run of the
+# same query. The round-10 verdict decomposed these flags into a mid-run
+# host stall on the driver's measurement VM: the driver's own 8-core
+# control run (BENCH_r10_c8.json) has the same queries at round-9 levels
+# with no code change (VERDICT.md round 10, stall cluster at bench
+# positions 53-64 plus the q1-q6 warmup block).
+ADJUDICATED: dict[tuple[str, str], str] = {
+    ("BENCH_r10.json", q): (
+        "VERDICT r10: driver-VM mid-run stall (8-core control at r9 levels)"
+    )
+    for q in (
+        "chunk_dedup_boilerplate", "sequence_packing", "wordcount_regex",
+        "calendar_month_events_tz", "embedding_decontamination",
+        "vocab_coverage_curve", "source_repetition_mix",
+        "duplicate_passage_stats", "tfidf_regex",
+        "q1_pricing_summary", "q3_join_agg", "q5_region_revenue",
+        "q6_forecast_revenue",
+    )
+}
+
 
 def load(path: str) -> dict:
     """Load a bench payload and normalize per-query times to MILLISECONDS.
@@ -157,11 +178,18 @@ def main() -> int:
     else:
         # Exclude the file under test from the candidates: comparing the
         # latest checked-in round against itself reports 1.00x everywhere
-        # and silently masks every regression.
+        # and silently masks every regression. MAIN-round artifacts only
+        # (BENCH_r<NN>.json): the driver also commits control runs under
+        # suffixed names (BENCH_r10_c8.json, an 8-core run) which are
+        # measured at a different core count and must never serve as the
+        # drift baseline (round 11, inherited-state fix).
+        import re
+
         rounds = [
             p
             for p in sorted(glob.glob(os.path.join(repo, "BENCH_r*.json")))
-            if os.path.abspath(p) != os.path.abspath(new_path)
+            if re.fullmatch(r"BENCH_r\d+\.json", os.path.basename(p))
+            and os.path.abspath(p) != os.path.abspath(new_path)
         ]
         # newest usable prior snapshot: skip parsed-null wrappers
         # (BENCH_r03.json's committed shape) instead of crashing on them
@@ -273,8 +301,13 @@ def main() -> int:
             waived = resolve(name, WAIVED) or next(
                 (k for k in WAIVED if k.startswith(name)), None
             )
+            adjudicated = ADJUDICATED.get(
+                (os.path.basename(new_path), name)
+            )
             if ratio > band and waived:
                 mark = f"  (waived: {WAIVED[waived]})"
+            elif ratio > band and adjudicated:
+                mark = f"  (adjudicated: {adjudicated})"
             elif ratio > band:
                 mark = "  <-- REGRESSED"
                 flags.append((name, f"{ratio:.2f}x vs prev round (speed-adjusted; raw {raw:.2f}x)"))
@@ -304,13 +337,47 @@ def main() -> int:
                 if abs(math.log(r) - mid) <= math.log(1.35)
             ]
             if len(cluster) >= 4:
+                # Round 11 (VERDICT r10 #3): when the new payload carries
+                # per-query warm start offsets, cite the stall's TIME
+                # WINDOW instead of leaving it an inference from ratios.
+                offsets = new_payload.get("warm_offsets") or {}
+                span = sorted(
+                    offsets[n] for n in cluster if n in offsets
+                )
+                window = (
+                    f" — cluster spans bench offsets "
+                    f"{span[0]:.0f}–{span[-1]:.0f} s of the new run"
+                    if len(span) >= 2
+                    else ""
+                )
                 print(
                     f"\n  NOTE: {len(cluster)} flagged queries share a common "
-                    f"~{math.exp(mid):.2f}x factor — the signature of a mid-run "
-                    "host stall (bimodal weather), not of independent code "
-                    "regressions. Re-run the bench before acting on these flags; "
-                    "they are kept because a shared-helper regression has the "
-                    "same shape."
+                    f"~{math.exp(mid):.2f}x factor{window} — the signature of a "
+                    "mid-run host stall (bimodal weather), not of independent "
+                    "code regressions. Re-run the bench before acting on these "
+                    "flags; they are kept because a shared-helper regression "
+                    "has the same shape."
+                )
+
+        # Sentinel drift (round 11): the bench re-times its first three
+        # headliners at the END of the run. A sentinel far off its own
+        # warm median means the run's two ends saw different host
+        # weather — one artifact is enough to say so.
+        sentinels = new_payload.get("sentinels") or {}
+        for name, s in sorted(sentinels.items()):
+            w = new.get(name)
+            if not w:
+                continue
+            # sentinels exist only in the durable payload, which stores
+            # seconds (the driver contract line never carries them)
+            s_ms = s * 1000.0
+            drift = s_ms / max(w, 1e-9)
+            if drift > 1.5 or drift < 1 / 1.5:
+                print(
+                    f"  NOTE: end-of-run sentinel {name} re-timed at "
+                    f"{s_ms:.0f} ms vs its warm median {w:.0f} ms "
+                    f"({drift:.2f}x) — the run's head and tail saw "
+                    "different host weather."
                 )
 
         # first_run (one-shot pipeline cost incl. checkpoint
@@ -328,9 +395,14 @@ def main() -> int:
                 waived = resolve(name, WAIVED) or next(
                     (k for k in WAIVED if k.startswith(name)), None
                 )
+                adjudicated = ADJUDICATED.get(
+                    (os.path.basename(new_path), name)
+                )
                 mark = ""
                 if ratio > band and waived:
                     mark = f"  (waived: {WAIVED[waived]})"
+                elif ratio > band and adjudicated:
+                    mark = f"  (adjudicated: {adjudicated})"
                 elif ratio > band:
                     mark = "  <-- REGRESSED"
                     flags.append((name, f"{ratio:.2f}x first_run vs prev round"))
