@@ -112,16 +112,36 @@ def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     5 exchanges to 3 (bench scale, where the now-small df side
     broadcasts; 4 at vocabulary scales where it shuffles). N stays a
     count on the raw table: parquet answers count(*) from footer
-    metadata, no data scan."""
+    metadata, no data scan.
+
+    Round 11 (opt guide §2.4 "remove shuffles outright"): n_doc — the
+    per-document token total the TF normalizes by — is NOT derived from
+    a window over the (doc_id, term) relation anymore. sum(n_term) OVER
+    (PARTITION BY doc_id) re-shuffled and sorted every (doc, term) row
+    of the corpus on every run (and single-threads at bench scale once
+    AQE coalesces the small exchange). The same integer is simply the
+    doc's token count — size() of the already-tokenized array, a pure
+    projection computed BEFORE the aggregate and carried through it as
+    max(n_doc) (constant within the group). One exchange and one
+    corpus-scale sort gone; the aggregate shuffles 8 extra bytes per
+    (doc, term) row."""
     docs = load_table(spark, sf_dir, "documents")
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     tf0 = (
-        docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+        docs.select("doc_id", T.tokens("text").alias("__toks"))
+        .select(
+            "doc_id",
+            F.size("__toks").alias("n_doc"),
+            F.explode("__toks").alias("term"),
+        )
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("n_term"))
+        .agg(
+            F.count(F.lit(1)).alias("n_term"),
+            F.max("n_doc").alias("n_doc"),
+        )
         .localCheckpoint(eager=False)
     )
-    tf = tf0.withColumn("n_doc", F.sum("n_term").over(W.partitionBy("doc_id")))
+    tf = tf0
     df = tf0.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return (
         tf.join(df, "term")
@@ -170,21 +190,31 @@ def tfidf_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     df derived from the pinned (doc_id, term) aggregate, opt guide
     §2.3), same in-plan corpus count, same AQE-decided df join — only
     the tokenizer differs, so the 100 TB shape analysis of ``tfidf``
-    carries over unchanged."""
+    carries over unchanged (including the round-11 window removal:
+    n_doc is size() of the token array, carried through the aggregate,
+    not a second corpus shuffle)."""
     docs = load_table(spark, sf_dir, "documents")
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     tf0 = (
         docs.select(
             "doc_id",
-            F.explode(
-                F.regexp_extract_all(F.col("text"), F.lit(T.BPE_PRETOKEN_PAT), 0)
-            ).alias("term"),
+            F.regexp_extract_all(
+                F.col("text"), F.lit(T.BPE_PRETOKEN_PAT), 0
+            ).alias("__toks"),
+        )
+        .select(
+            "doc_id",
+            F.size("__toks").alias("n_doc"),
+            F.explode("__toks").alias("term"),
         )
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("n_term"))
+        .agg(
+            F.count(F.lit(1)).alias("n_term"),
+            F.max("n_doc").alias("n_doc"),
+        )
         .localCheckpoint(eager=False)
     )
-    tf = tf0.withColumn("n_doc", F.sum("n_term").over(W.partitionBy("doc_id")))
+    tf = tf0
     df = tf0.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return (
         tf.join(df, "term")

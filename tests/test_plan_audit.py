@@ -279,3 +279,19 @@ def test_ewma_single_exchange_with_mapside_window_prune(spark):
     assert p.python_evals == 0
     assert p.exchanges == 1
     assert p.text.count("WindowGroupLimit (") >= 2  # partial + final
+
+
+def test_tfidf_has_no_window_in_warm_plan(spark):
+    """Round 11: n_doc is carried through the (doc_id, term) aggregate as
+    a projection-derived column — the warm path must contain NO window
+    (the old sum-over-doc window re-shuffled and sorted every (doc, term)
+    row of the corpus on every execution)."""
+    from dataflowjavasdk_spark.queries import all_queries
+
+    qs = all_queries()
+    for name in ("tfidf", "tfidf_regex"):
+        df = qs[name](spark, SMOKE_SF)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "Window" not in plan, f"{name} warm plan regrew a window"
