@@ -14,6 +14,7 @@ Scale design (the whole point of these at 100 TB):
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -301,29 +302,52 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+@lru_cache(maxsize=None)
+def _plane_matrix(planes: int, dim: int) -> tuple[tuple[float, ...], ...]:
+    """The sign-random-projection weight matrix, computed ONCE at
+    plan-build time. Component (p, d) is the same deterministic value in
+    [-1, 1) the expression form derived per row — md5("plane:p:d")'s
+    first 60 bits, pmod 2001, affine to [-1, 1) — reproduced here with
+    the identical IEEE-double operations (the integer fits a double
+    exactly; subtraction and division are the same two IEEE ops), so the
+    literal is bit-identical to what the md5 expressions produced.
+    Round 11: the matrix is CONSTANT per (planes, dim), but expressed as
+    per-row expressions Catalyst cannot constant-fold through the
+    higher-order lambdas, so every row of every evaluation recomputed
+    planes*dim md5+concat+pmod calls (~7.5 s for 2000 rows at 8x64)."""
+    rows = []
+    for p in range(planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:15], 16)
+            row.append((float(h % 2001) - 1000.0) / 1000.0)
+        rows.append(tuple(row))
+    return tuple(rows)
+
+
 def random_hyperplane_bucket(vec: Column, planes: int = 8, dim: int = 64) -> Column:
     """Sign-random-projection LSH bucket id ∈ [0, 2^planes). Plane p's
     component d is a deterministic pseudo-random value in [-1, 1)
-    derived from md5(p, d) — no stored model, reproducible everywhere.
-    Cosine-similar vectors land in the same bucket with high probability."""
-    plane_component = lambda p, d: (
-        F.pmod(md5_long(F.concat(F.lit("plane:"), p.cast("string"), F.lit(":"), d.cast("string"))), F.lit(2001)).cast("double")
-        - F.lit(1000.0)
-    ) / F.lit(1000.0)
-    dims = F.sequence(F.lit(0), F.lit(dim - 1))
-    plane_dot = lambda p: F.aggregate(
-        F.zip_with(
-            vec,
-            F.transform(dims, lambda d: plane_component(p, d)),
-            lambda x, w: x.cast("double") * w,
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    planes_seq = F.sequence(F.lit(0), F.lit(planes - 1))
-    bits = F.transform(
-        planes_seq,
-        lambda p: F.when(plane_dot(p) >= 0, F.lit(1)).otherwise(F.lit(0)),
-    )
-    # binary fold: bucket = Σ bit_p · 2^p expressed as acc*2 + bit
-    return F.aggregate(bits, F.lit(0), lambda acc, b: acc * 2 + b)
+    derived from md5(p, d) — no stored model, reproducible everywhere
+    (the DuckDB oracle twins recompute the identical construction from
+    md5 in SQL). Cosine-similar vectors land in the same bucket with
+    high probability.
+
+    The weight matrix is embedded as array<double> literals
+    (_plane_matrix): same values, same zip_with/fold evaluation order as
+    the original expression form — bit-identity pinned by
+    tests/test_dedup_similarity.py against the md5-expression reference
+    on the full fixture corpus."""
+    mat = _plane_matrix(planes, dim)
+    bucket: Column = F.lit(0)
+    for p in range(planes):
+        w = F.array(*[F.lit(x) for x in mat[p]])
+        plane_dot = F.aggregate(
+            F.zip_with(vec, w, lambda x, wv: x.cast("double") * wv),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        # binary fold: bucket = Σ bit_p · 2^p expressed as acc*2 + bit,
+        # unrolled in the same plane order as the old aggregate-over-bits
+        bucket = bucket * 2 + F.when(plane_dot >= 0, F.lit(1)).otherwise(F.lit(0))
+    return bucket

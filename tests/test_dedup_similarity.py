@@ -116,6 +116,85 @@ def test_ann_lsh_finds_planted_neighbors(spark):
     assert get("ann_lsh_topk").fn(spark, SMOKE_SF).count() > 0
 
 
+def test_hyperplane_literal_matrix_matches_md5_expression(spark):
+    # Round 11: random_hyperplane_bucket embeds the (constant) plane
+    # matrix as array<double> literals instead of recomputing planes*dim
+    # md5+pmod expressions per row. This pins bit-identity against the
+    # original md5-expression formulation on the full fixture embeddings
+    # for both plane families in use (8x64 and 16x64), and pins the
+    # matrix values themselves against the Spark md5 expression.
+    from dataflowjavasdk_spark.functions.similarity import _plane_matrix
+    from dataflowjavasdk_spark.functions.text import md5_long
+    from dataflowjavasdk_spark.sources.tables import load_table
+
+    def reference_bucket(vec, planes, dim):
+        plane_component = lambda p, d: (
+            F.pmod(
+                md5_long(
+                    F.concat(
+                        F.lit("plane:"), p.cast("string"), F.lit(":"), d.cast("string")
+                    )
+                ),
+                F.lit(2001),
+            ).cast("double")
+            - F.lit(1000.0)
+        ) / F.lit(1000.0)
+        dims = F.sequence(F.lit(0), F.lit(dim - 1))
+        plane_dot = lambda p: F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(dims, lambda d: plane_component(p, d)),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        planes_seq = F.sequence(F.lit(0), F.lit(planes - 1))
+        bits = F.transform(
+            planes_seq,
+            lambda p: F.when(plane_dot(p) >= 0, F.lit(1)).otherwise(F.lit(0)),
+        )
+        return F.aggregate(bits, F.lit(0), lambda acc, b: acc * 2 + b)
+
+    # matrix values == the Spark md5-expression values, exactly
+    probe = [(0, 0), (0, 63), (7, 31), (15, 63), (3, 17)]
+    row = (
+        spark.range(1)
+        .select(
+            *[
+                (
+                    (
+                        F.pmod(md5_long(F.lit(f"plane:{p}:{d}")), F.lit(2001)).cast(
+                            "double"
+                        )
+                        - F.lit(1000.0)
+                    )
+                    / F.lit(1000.0)
+                ).alias(f"c_{p}_{d}")
+                for p, d in probe
+            ]
+        )
+        .collect()[0]
+    )
+    mat = _plane_matrix(16, 64)
+    for p, d in probe:
+        assert row[f"c_{p}_{d}"] == mat[p][d]
+
+    emb = load_table(spark, SMOKE_SF, "embeddings")
+    for planes in (8, 16):
+        mismatches = (
+            emb.select(
+                reference_bucket(F.col("embedding"), planes, 64).alias("ref"),
+                S.random_hyperplane_bucket(
+                    F.col("embedding"), planes=planes, dim=64
+                ).alias("got"),
+            )
+            .filter("ref <> got OR (ref IS NULL) <> (got IS NULL)")
+            .count()
+        )
+        assert mismatches == 0
+
+
 def test_cosine_self_similarity(spark):
     from dataflowjavasdk_spark.sources.tables import load_table
 
