@@ -116,6 +116,49 @@ def test_ann_lsh_finds_planted_neighbors(spark):
     assert get("ann_lsh_topk").fn(spark, SMOKE_SF).count() > 0
 
 
+def test_simhash_vectorized_matches_per_token_reference(spark):
+    # Round 11: simhash64_udf vectorizes the per-token md5 + bit-vote
+    # loop (memoized unique-token hashing, unpackbits bit-majority).
+    # Pin bit-identity against the original per-token formulation on a
+    # randomized corpus that covers empty docs, None, duplicate tokens,
+    # multi-byte unicode, and single-token docs (tie case: 2*ones > n).
+    import hashlib
+    import random
+
+    import numpy as np
+
+    def reference_one(toks) -> int:
+        if toks is None or len(toks) == 0:
+            return 0
+        counts = np.zeros(64, dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for t in toks:
+            h = np.uint64(int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16))
+            bits = (h >> shifts) & np.uint64(1)
+            counts += np.where(bits == 1, 1, -1)
+        out = 0
+        for b in range(64):
+            if counts[b] > 0:
+                out |= 1 << b
+        return out - (1 << 64) if out >= (1 << 63) else out
+
+    rng = random.Random(11)
+    vocab = [f"tok{i}" for i in range(200)] + ["héllo", "日本語", "a b", ""]
+    rows = []
+    for i in range(400):
+        k = rng.choice([0, 1, 2, 3, 5, 17, 64, 131])
+        toks = [rng.choice(vocab[:-1]) for _ in range(k)]
+        rows.append((i, toks))
+    rows.append((400, None))
+    df = spark.createDataFrame(rows, "id int, toks array<string>")
+    got = {
+        r["id"]: r["h"]
+        for r in df.select("id", S.simhash64_udf()(F.col("toks")).alias("h")).collect()
+    }
+    for i, toks in rows:
+        assert got[i] == reference_one(toks), (i, toks)
+
+
 def test_hyperplane_literal_matrix_matches_md5_expression(spark):
     # Round 11: random_hyperplane_bucket embeds the (constant) plane
     # matrix as array<double> literals instead of recomputing planes*dim
