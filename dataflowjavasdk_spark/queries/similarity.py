@@ -754,6 +754,12 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cell"), F.col("embedding").alias("cv")
     )
     cw = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cell"))
+    # Round 11 (guide §4.2 / §1.2 per-task work): carry each member's
+    # squared norm through the pin so the pairwise dominance predicate
+    # evaluates ONE 64-element fold per pair (the dot) instead of three
+    # (dot + both norms, recomputed per pair). sqrt(nrm_m * nrm_h) over
+    # the precomputed values is the identical IEEE sequence the inline
+    # cosine performed, so every pair's cosine is bit-identical.
     members = (
         emb.crossJoin(F.broadcast(cent))
         .select(
@@ -761,6 +767,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
             "cell",
             S.cosine(F.col("embedding"), F.col("cv")).alias("ccos"),
+            S.norm2(F.col("embedding")).alias("nrm"),
         )
         .withColumn("crk", F.row_number().over(cw))
         .filter(F.col("crk") == 1)
@@ -768,19 +775,26 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     m, h = members.alias("m"), members.alias("h")
+    pair_cosine = S.dot(F.col("m.embedding"), F.col("h.embedding")) / F.sqrt(
+        F.col("m.nrm") * F.col("h.nrm")
+    )
     dominated = (
         m.join(
             h,
             (F.col("m.cell") == F.col("h.cell"))
             & (F.col("m.vec_id") != F.col("h.vec_id"))
-            & (S.cosine(F.col("m.embedding"), F.col("h.embedding")) >= 0.35)
+            # cheap priority comparison FIRST: the conjunction
+            # short-circuits the 64-element dot fold for every pair the
+            # priority order already rejects (~half of them); AND order
+            # cannot change the 2-valued join outcome
             & (
                 (F.col("h.ccos") < F.col("m.ccos"))
                 | (
                     (F.col("h.ccos") == F.col("m.ccos"))
                     & (F.col("h.vec_id") < F.col("m.vec_id"))
                 )
-            ),
+            )
+            & (pair_cosine >= 0.35),
             "left_semi",
         )
         .select(F.col("vec_id").alias("d_vec_id"), F.lit(True).alias("dropped"))
