@@ -522,35 +522,73 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     batch_sh = batch_fp.select("doc_id", S.shingles("text", 3).alias("grams"))
     corp_ex = corp_sh.select("doc_id", F.explode("grams").alias("gram"))
-    kept_grams = (
+    # Round 11 (guide §2.3, the _capped_pair_profile pattern): the verify
+    # stage used to re-join every candidate pair to BOTH docs' full gram
+    # arrays and run array_intersect per pair — 317k candidates x
+    # ~40-string arrays per side at sf0.1 (measured 8.6 s of the query's
+    # ~15 s one-shot cost). The intersection is instead read off the
+    # probe join itself: grams are distinct per doc, so the per-pair
+    # match count of the capped postings probe IS |B ∩ C ∩ kept|, and the
+    # residual |B ∩ C ∩ over-cap| is counted from per-doc over-cap gram
+    # arrays (a stopword-vocabulary-bounded relation, empty unless a
+    # corpus gram tops the cap). Pair set, intersection integers and
+    # Jaccard doubles are bit-identical to the full-array verify.
+    gram_df = (
         corp_ex.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= SHINGLE_DF_CAP)
-        .select("gram")
+        .localCheckpoint(eager=False)  # feeds capped postings AND hot vocab
     )
-    corp_postings = corp_ex.join(kept_grams, "gram")
+    corp_postings = corp_ex.join(
+        gram_df.filter(F.col("df") <= SHINGLE_DF_CAP).select("gram"), "gram"
+    )
     batch_ex = batch_sh.select(
         F.col("doc_id").alias("batch_id"), F.explode("grams").alias("gram")
     )
-    cand = (
+    pair_inter = (
         batch_ex.join(
             corp_postings.select(F.col("doc_id").alias("corp_id"), "gram"), "gram"
         )
-        .select("batch_id", "corp_id")
-        .distinct()
+        .groupBy("batch_id", "corp_id")
+        .agg(F.count(F.lit(1)).alias("inter_kept"))
     )
-    bs = batch_sh.select(
-        F.col("doc_id").alias("batch_id"), F.col("grams").alias("grams_b")
+    hot_vocab = gram_df.filter(F.col("df") > SHINGLE_DF_CAP).select("gram")
+    corp_hot = (
+        corp_ex.join(hot_vocab, "gram")
+        .groupBy("doc_id")
+        .agg(F.collect_list("gram").alias("hot_c"))
     )
-    cs = corp_sh.select(
-        F.col("doc_id").alias("corp_id"), F.col("grams").alias("grams_c")
+    batch_hot = (
+        batch_ex.join(hot_vocab, "gram")
+        .groupBy("batch_id")
+        .agg(F.collect_list("gram").alias("hot_b"))
     )
-    inter = F.size(F.array_intersect("grams_b", "grams_c"))
+    # per-doc (n, hot) profiles are doc-count-sized with near-empty hot
+    # arrays; pinned so the warm path's verify joins read them as
+    # materialized RDDs instead of re-deriving explode→join→agg per run
+    bs = (
+        batch_sh.select(
+            F.col("doc_id").alias("batch_id"), F.size("grams").alias("n_b")
+        )
+        .join(batch_hot, "batch_id", "left")
+        .localCheckpoint(eager=False)
+    )
+    cs = (
+        corp_sh.select("doc_id", F.size("grams").alias("n_c"))
+        .join(corp_hot, "doc_id", "left")
+        .select(F.col("doc_id").alias("corp_id"), "n_c", "hot_c")
+        .localCheckpoint(eager=False)
+    )
+    no_hot = F.array().cast("array<string>")
+    inter = F.col("inter_kept") + F.size(
+        F.array_intersect(
+            F.coalesce("hot_b", no_hot), F.coalesce("hot_c", no_hot)
+        )
+    )
     jacc = inter.cast("double") / F.greatest(
-        F.size("grams_b") + F.size("grams_c") - inter, F.lit(1)
+        F.col("n_b") + F.col("n_c") - inter, F.lit(1)
     ).cast("double")
     near_dup = (
-        cand.join(bs, "batch_id")
+        pair_inter.join(bs, "batch_id")
         .join(cs, "corp_id")
         .filter(jacc >= 0.5)
         .groupBy(F.col("batch_id").alias("doc_id"))
